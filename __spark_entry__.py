@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smoke-runs the flagship query at sf0.001; ``queries()``
+exposes every implemented operator from SURVEY.md section 2 as
+(spark, sf_dir) -> DataFrame; ``oracle_sql()`` gives the DuckDB-equivalent
+ANSI SQL for the hash-match correctness gate (rows-only check for the
+non-SQL-expressible ops, which omit their oracle entry).
 """
 
 from __future__ import annotations
@@ -13,26 +13,34 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from kafkastreams_tp3_is_spark import oracles as _oracles
+from kafkastreams_tp3_is_spark import queries as _q
+
+SF0001 = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: Q4 occupancy-per-route (join + derived metric)."""
+    return _q.q4_occupancy_per_route(spark, SF0001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q1_available_seats_per_route": _q.q1_available_seats_per_route,
+        "q2_average_passengers_per_transport_type": _q.q2_average_passengers_per_transport_type,
+        "q3_name_passenger_most_trips": _q.q3_name_passenger_most_trips,
+        "q4_occupancy_per_route": _q.q4_occupancy_per_route,
+        "q5_passengers_per_route": _q.q5_passengers_per_route,
+        "q6_route_least_occupancy_per_transport_type": _q.q6_route_least_occupancy_per_transport_type,
+        "q7_total_capacity_available": _q.q7_total_capacity_available,
+        "q8_total_occupancy_percentage": _q.q8_total_occupancy_percentage,
+        "q9_total_passengers": _q.q9_total_passengers,
+        "q10_transport_type_max_passengers": _q.q10_transport_type_max_passengers,
+        "q11_transport_type_max_passengers_window": _q.q11_transport_type_max_passengers_window,
+        "q12_least_occupied_transport_type_window": _q.q12_least_occupied_transport_type_window,
+        "q13_most_occupied_operator": _q.q13_most_occupied_operator,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(_oracles.ORACLES)

@@ -1,0 +1,162 @@
+"""ANSI-SQL oracle strings for the DuckDB side of the driver's correctness
+gate. Each statement must be value-identical to the matching queries.py
+DataFrame: same column names, same types (integers as BIGINT, ratios as a
+single DOUBLE division of exact integers), same tie-breaks.
+
+The routes/trips CTEs restate views.py's derivation verbatim in SQL.
+"""
+
+from __future__ import annotations
+
+ROUTES_CTE = """
+routes AS (
+  SELECT
+    'Route_' || CAST(o_orderkey AS VARCHAR)                      AS route_id,
+    'Origin_' || CAST(o_custkey % 10 AS VARCHAR)                 AS origin,
+    'Destination_' || CAST(o_orderkey % 10 AS VARCHAR)           AS destination,
+    'Type_' || CAST(o_orderkey % 5 AS VARCHAR)                   AS transport_type,
+    CAST((CAST(floor(o_totalprice) AS BIGINT) % 200) + 1 AS INTEGER) AS capacity,
+    'Operator_' || CAST(o_orderkey % 7 AS VARCHAR)               AS operator,
+    o_orderdate                                                  AS event_ts
+  FROM orders
+)"""
+
+TRIPS_CTE = """
+trips AS (
+  SELECT
+    'Trip_' || CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR) AS trip_id,
+    'Route_' || CAST(l_orderkey AS VARCHAR)                      AS route_id,
+    'Origin_' || CAST(l_partkey % 10 AS VARCHAR)                 AS origin,
+    'Destination_' || CAST(l_suppkey % 10 AS VARCHAR)            AS destination,
+    'Type_' || CAST(l_orderkey % 5 AS VARCHAR)                   AS transport_type,
+    'Passenger_' || CAST(l_partkey % 200 AS VARCHAR)             AS passenger_name,
+    l_shipdate                                                   AS event_ts
+  FROM lineitem
+)"""
+
+_R = f"WITH{ROUTES_CTE}"
+_T = f"WITH{TRIPS_CTE}"
+_RT = f"WITH{ROUTES_CTE},{TRIPS_CTE}"
+
+# occupancy% with the reference's null/zero guard (OccupancyPerRoute.java:61-64)
+def _occ(pax: str, cap: str) -> str:
+    return (f"CASE WHEN {cap} IS NULL OR {cap} = 0 THEN 0.0 "
+            f"ELSE CAST(COALESCE({pax}, 0) AS DOUBLE) / CAST({cap} AS DOUBLE) * 100 END")
+
+
+ORACLES: dict[str, str] = {}
+
+ORACLES["q1_available_seats_per_route"] = f"""{_R}
+SELECT route_id, CAST(SUM(capacity) AS BIGINT) AS totalCapacity
+FROM routes GROUP BY route_id
+"""
+
+ORACLES["q2_average_passengers_per_transport_type"] = f"""{_T}
+SELECT transport_type,
+       CAST(COUNT(*) AS DOUBLE) / CAST(COUNT(DISTINCT route_id) AS DOUBLE) AS averagePassengers
+FROM trips GROUP BY transport_type
+"""
+
+ORACLES["q3_name_passenger_most_trips"] = f"""{_T}
+SELECT passenger_name AS passengerName
+FROM trips GROUP BY passenger_name
+ORDER BY COUNT(*) DESC, passenger_name ASC LIMIT 1
+"""
+
+ORACLES["q4_occupancy_per_route"] = f"""{_RT},
+cap AS (SELECT route_id, CAST(SUM(capacity) AS BIGINT) AS totalCapacity FROM routes GROUP BY route_id),
+pax AS (SELECT route_id, COUNT(*) AS passengerCount FROM trips GROUP BY route_id)
+SELECT cap.route_id,
+       {_occ('pax.passengerCount', 'cap.totalCapacity')} AS occupancyPercentage
+FROM cap LEFT JOIN pax ON cap.route_id = pax.route_id
+"""
+
+ORACLES["q5_passengers_per_route"] = f"""{_T}
+SELECT route_id, COUNT(*) AS passengerCount
+FROM trips GROUP BY route_id
+"""
+
+ORACLES["q6_route_least_occupancy_per_transport_type"] = f"""{_RT},
+cap AS (SELECT route_id, CAST(SUM(capacity) AS BIGINT) AS totalCapacity FROM routes GROUP BY route_id),
+pax AS (SELECT route_id, COUNT(*) AS passengerCount FROM trips GROUP BY route_id),
+occ AS (
+  SELECT r.transport_type, cap.route_id,
+         {_occ('pax.passengerCount', 'cap.totalCapacity')} AS occupancy
+  FROM cap
+  LEFT JOIN pax ON cap.route_id = pax.route_id
+  JOIN routes r ON cap.route_id = r.route_id
+)
+SELECT transport_type, route_id AS routeId, occupancy
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY transport_type
+                                   ORDER BY occupancy ASC, route_id ASC) AS rn
+      FROM occ)
+WHERE rn = 1
+"""
+
+ORACLES["q7_total_capacity_available"] = f"""{_R}
+SELECT CAST(SUM(capacity) AS BIGINT) AS totalCapacity FROM routes
+"""
+
+ORACLES["q8_total_occupancy_percentage"] = f"""{_RT}
+SELECT CAST((SELECT COUNT(*) FROM trips) AS DOUBLE)
+       / CAST((SELECT CAST(SUM(capacity) AS BIGINT) FROM routes) AS DOUBLE) * 100
+       AS totalOccupancyPercentage
+"""
+
+ORACLES["q9_total_passengers"] = f"""{_T}
+SELECT COUNT(*) AS totalPassengers FROM trips
+"""
+
+ORACLES["q10_transport_type_max_passengers"] = f"""{_T}
+SELECT transport_type AS transportType
+FROM trips GROUP BY transport_type
+ORDER BY COUNT(*) DESC, transport_type ASC LIMIT 1
+"""
+
+ORACLES["q11_transport_type_max_passengers_window"] = f"""{_T},
+wc AS (
+  SELECT date_trunc('hour', event_ts) AS window_start, transport_type,
+         COUNT(*) AS maxPassengers
+  FROM trips GROUP BY 1, 2
+)
+SELECT window_start, transport_type AS transportType, maxPassengers
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY window_start
+                                   ORDER BY maxPassengers DESC, transport_type ASC) AS rn
+      FROM wc)
+WHERE rn = 1
+"""
+
+ORACLES["q12_least_occupied_transport_type_window"] = f"""{_RT},
+cap AS (SELECT transport_type, CAST(SUM(capacity) AS BIGINT) AS cap FROM routes GROUP BY transport_type),
+wc AS (
+  SELECT date_trunc('hour', event_ts) AS window_start, transport_type,
+         COUNT(*) AS cnt
+  FROM trips GROUP BY 1, 2
+),
+occ AS (
+  SELECT wc.window_start, wc.transport_type,
+         {_occ('wc.cnt', 'cap.cap')} AS occupancy
+  FROM wc LEFT JOIN cap ON wc.transport_type = cap.transport_type
+)
+SELECT window_start, transport_type AS transportType, occupancy
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY window_start
+                                   ORDER BY occupancy ASC, transport_type ASC) AS rn
+      FROM occ)
+WHERE rn = 1
+"""
+
+ORACLES["q13_most_occupied_operator"] = f"""{_RT},
+cap AS (SELECT operator, CAST(SUM(capacity) AS BIGINT) AS cap FROM routes GROUP BY operator),
+pax AS (
+  SELECT r.operator, COUNT(*) AS pax
+  FROM trips t JOIN routes r ON t.route_id = r.route_id
+  GROUP BY r.operator
+),
+occ AS (
+  SELECT cap.operator, {_occ('pax.pax', 'cap.cap')} AS occupancyPercentage
+  FROM cap LEFT JOIN pax ON cap.operator = pax.operator
+)
+SELECT operator, occupancyPercentage
+FROM occ
+ORDER BY occupancyPercentage DESC, operator ASC LIMIT 1
+"""

@@ -1,0 +1,215 @@
+"""Q1-Q13: the reference's 13 continuous queries (SURVEY.md section 2.7),
+batch final-state semantics, each as (spark, sf_dir) -> DataFrame.
+
+Output column names/types follow FIXTURES.md "Expected output schemas" and
+must stay in lockstep with oracles.py. Doubles are always a single division /
+multiplication of exact integer aggregates (bit-reproducible across engines);
+the reference's %.2f string rounding lives only in the Kafka sink path
+(streaming/envelope.py), per SURVEY section 7.8.
+
+Scale notes: routes is dimension-sized (derived from orders) -> broadcast
+into every join against trip aggregates; all groupBys are single-shuffle
+hash aggs with map-side partial aggregation; global argmax sorts only the
+per-key aggregate (|keys| rows), never the fact table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.extremum import argmax, argmin
+from .session import configure_for_engine
+from .views import capacity_per_route, passengers_per_route, routes, trips
+
+_OCC = "occupancyPercentage"
+
+
+def _occupancy(pax_col: str, cap_col: str) -> F.Column:
+    """pax / cap * 100 with the reference's null/zero guard -> 0.0
+    (OccupancyPerRoute.java:61-64)."""
+    cap = F.col(cap_col)
+    pax = F.coalesce(F.col(pax_col), F.lit(0))
+    return (F.when(cap.isNull() | (cap == 0), F.lit(0.0))
+             .otherwise(pax.cast("double") / cap.cast("double") * 100))
+
+
+# --- Q1 ---------------------------------------------------------------
+def q1_available_seats_per_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUM(capacity) per route_id — 'available seats' never subtracts
+    passengers (AvailableSeatsPerRoute.java:35-42; fidelity note 7.5)."""
+    configure_for_engine(spark)
+    return capacity_per_route(spark, sf_dir)
+
+
+# --- Q2 ---------------------------------------------------------------
+def q2_average_passengers_per_transport_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(*) / COUNT(DISTINCT route_id) per transport_type — the
+    reference's KTable-KTable join (AveragePassengersPerTransportType.java:
+    37-58) folds into ONE aggregation in Spark (SURVEY A5/A6): no join, one
+    shuffle, map-side partial agg."""
+    configure_for_engine(spark)
+    return (trips(spark, sf_dir)
+            .groupBy("transport_type")
+            .agg((F.count(F.lit(1)).cast("double")
+                  / F.countDistinct("route_id").cast("double"))
+                 .alias("averagePassengers")))
+
+
+# --- Q3 ---------------------------------------------------------------
+def q3_name_passenger_most_trips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passenger with the max trip count (NamePassengerMostTrips.java:34-53).
+    Tie-break: lexicographically smallest name (deterministic stand-in for
+    the reference's arrival-order 'first seen wins', SURVEY section 5)."""
+    configure_for_engine(spark)
+    counts = (trips(spark, sf_dir)
+              .groupBy("passenger_name")
+              .agg(F.count(F.lit(1)).alias("tripCount")))
+    return (argmax(counts, "tripCount", tiebreak_cols=["passenger_name"])
+            .select(F.col("passenger_name").alias("passengerName")))
+
+
+# --- Q4 ---------------------------------------------------------------
+def q4_occupancy_per_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-route occupancy% = tripCount / SUM(capacity) * 100, left join,
+    0.0 for no trips (OccupancyPerRoute.java:43-66). Both sides aggregate to
+    route_id first, so the join is between two per-key aggregates; the
+    smaller (dimension-derived capacity side drives) — at scale AQE picks
+    broadcast for the agg output when it fits."""
+    configure_for_engine(spark)
+    cap = capacity_per_route(spark, sf_dir)
+    pax = passengers_per_route(spark, sf_dir)
+    return (cap.join(pax, "route_id", "left")
+               .select("route_id",
+                       _occupancy("passengerCount", "totalCapacity").alias(_OCC)))
+
+
+# --- Q5 ---------------------------------------------------------------
+def q5_passengers_per_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trip count per route_id (PassengersPerRoute.java:37-40)."""
+    configure_for_engine(spark)
+    return passengers_per_route(spark, sf_dir)
+
+
+# --- Q6 ---------------------------------------------------------------
+def q6_route_least_occupancy_per_transport_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per transport_type, the (route, occupancy) with MIN occupancy
+    (RouteWithLeastOccupancyPerTransportType.java:34-87). transport_type
+    comes from the route dimension (latest-per-key in the reference; unique
+    per route here). Intended min-by semantics per fidelity note 7.2;
+    tie-break: smallest route_id."""
+    configure_for_engine(spark)
+    cap = capacity_per_route(spark, sf_dir)
+    pax = passengers_per_route(spark, sf_dir)
+    dim = routes(spark, sf_dir).select("route_id", "transport_type")
+    occ = (cap.join(pax, "route_id", "left")
+              .join(F.broadcast(dim), "route_id")
+              .select("transport_type", "route_id",
+                      _occupancy("passengerCount", "totalCapacity").alias("occupancy")))
+    return (argmin(occ, "occupancy", group_cols=["transport_type"],
+                   tiebreak_cols=["route_id"])
+            .select("transport_type",
+                    F.col("route_id").alias("routeId"),
+                    "occupancy"))
+
+
+# --- Q7 ---------------------------------------------------------------
+def q7_total_capacity_available(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global SUM(capacity) (TotalCapacityAvailable.java:35-57). The
+    reference's two-level KTable re-aggregation with subtractor (SURVEY A4)
+    folds into one agg — never materialize the intermediate."""
+    configure_for_engine(spark)
+    return (routes(spark, sf_dir)
+            .agg(F.sum("capacity").alias("totalCapacity")))
+
+
+# --- Q8 ---------------------------------------------------------------
+def q8_total_occupancy_percentage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(COUNT(trips) / SUM(routes.capacity)) * 100, single row
+    (TotalOccupancyPercentage.java:40-99). Two global aggregates cross-joined
+    (both 1-row)."""
+    configure_for_engine(spark)
+    cap = routes(spark, sf_dir).agg(F.sum("capacity").alias("cap"))
+    pax = trips(spark, sf_dir).agg(F.count(F.lit(1)).alias("pax"))
+    return (pax.crossJoin(cap)
+               .select((F.col("pax").cast("double") / F.col("cap").cast("double") * 100)
+                       .alias("totalOccupancyPercentage")))
+
+
+# --- Q9 ---------------------------------------------------------------
+def q9_total_passengers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global trip count (TotalPassengers.java:32-34)."""
+    configure_for_engine(spark)
+    return trips(spark, sf_dir).agg(F.count(F.lit(1)).alias("totalPassengers"))
+
+
+# --- Q10 --------------------------------------------------------------
+def q10_transport_type_max_passengers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transport_type with MAX trip count (TransportTypeMaxPassengers.java:
+    27-52); tie-break smallest type name."""
+    configure_for_engine(spark)
+    counts = (trips(spark, sf_dir)
+              .groupBy("transport_type")
+              .agg(F.count(F.lit(1)).alias("cnt")))
+    return (argmax(counts, "cnt", tiebreak_cols=["transport_type"])
+            .select(F.col("transport_type").alias("transportType")))
+
+
+# --- Q11 --------------------------------------------------------------
+def q11_transport_type_max_passengers_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per 1-hour tumbling window (grace 0): transport_type with the MAX trip
+    count in the window, plus the count
+    (TransportTypeMaxPassengersWindow.java:28-53). window() is epoch-aligned
+    UTC — identical to the oracle's date_trunc under the UTC session TZ."""
+    configure_for_engine(spark)
+    counts = (trips(spark, sf_dir)
+              .groupBy(F.window("event_ts", "1 hour").alias("w"), "transport_type")
+              .agg(F.count(F.lit(1)).alias("maxPassengers")))
+    top = argmax(counts, "maxPassengers", group_cols=["w"],
+                 tiebreak_cols=["transport_type"])
+    return top.select(F.col("w.start").alias("window_start"),
+                      F.col("transport_type").alias("transportType"),
+                      "maxPassengers")
+
+
+# --- Q12 --------------------------------------------------------------
+def q12_least_occupied_transport_type_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per 1-hour window: transport_type with MIN windowed occupancy%
+    (windowed trip count / all-time capacity per type * 100), left join with
+    0.0 default (LeastOccupiedTransportTypeWindow.java:39-94). Implements the
+    *intended* per-window min-by — the reference buggily keeps the latest
+    value (fidelity note 7.3)."""
+    configure_for_engine(spark)
+    cap_per_type = (routes(spark, sf_dir)
+                    .groupBy("transport_type")
+                    .agg(F.sum("capacity").alias("cap")))
+    win_counts = (trips(spark, sf_dir)
+                  .groupBy(F.window("event_ts", "1 hour").alias("w"), "transport_type")
+                  .agg(F.count(F.lit(1)).alias("cnt")))
+    occ = (win_counts.join(F.broadcast(cap_per_type), "transport_type", "left")
+           .select("w", "transport_type",
+                   _occupancy("cnt", "cap").alias("occupancy")))
+    top = argmin(occ, "occupancy", group_cols=["w"], tiebreak_cols=["transport_type"])
+    return top.select(F.col("w.start").alias("window_start"),
+                      F.col("transport_type").alias("transportType"),
+                      "occupancy")
+
+
+# --- Q13 --------------------------------------------------------------
+def q13_most_occupied_operator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operator with MAX occupancy% where occupancy = operator passengers /
+    operator capacity * 100; route->operator via the route dimension
+    (MostOccupiedOperator.java:56-165). Implements the intent — passengers
+    summed (not latest), capacity summed once per route (fidelity note 7.4).
+    The fact->dimension join broadcasts the route->operator map."""
+    configure_for_engine(spark)
+    dim = routes(spark, sf_dir).select("route_id", "operator", "capacity")
+    cap_per_op = dim.groupBy("operator").agg(F.sum("capacity").alias("cap"))
+    pax_per_op = (trips(spark, sf_dir)
+                  .join(F.broadcast(dim.select("route_id", "operator")), "route_id")
+                  .groupBy("operator")
+                  .agg(F.count(F.lit(1)).alias("pax")))
+    occ = (cap_per_op.join(pax_per_op, "operator", "left")
+           .select("operator", _occupancy("pax", "cap").alias(_OCC)))
+    return (argmax(occ, _OCC, tiebreak_cols=["operator"])
+            .select("operator", _OCC))

@@ -1,0 +1,106 @@
+"""Shared base views.
+
+The driver testdata is TPC-H-ish (orders/lineitem/...), with no routes/trips
+tables, so the engine derives them deterministically:
+
+  routes <- orders    (small dimension; one Route per order)
+  trips  <- lineitem  (fact; one Trip = one passenger, FK l_orderkey)
+
+Every derived column is a pure function of integer keys so the DuckDB oracle
+(oracles.py ROUTES_CTE / TRIPS_CTE) can state the *identical* expression and
+hash-match bit-for-bit. Numeric rules: aggregates stay integral (BIGINT);
+doubles appear only as a final division/multiplication of two exact integers,
+so Spark and DuckDB produce identical IEEE-754 results regardless of
+aggregation order. (Summing doubles would be order-dependent and break the
+hash.)
+
+Scale notes (100 TB): routes derives from the dimension-sized table -> always
+broadcast it into fact joins; trips derives 1:1 from the fact scan with no
+shuffle (all derivations are narrow projections, so parquet column pruning
+still applies -- only the referenced orders/lineitem columns are read).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def routes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Route dimension derived from orders (unique route_id per row).
+
+    Mirrors the reference Route POJO
+    (/root/reference/src/main/java/classes/Route.java:3-29) and the scenario
+    producer domains (producers/RoutesProducerCenario.java:40-52): 5 transport
+    types, capacity in [1,200], small operator domain.
+    """
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        F.concat(F.lit("Route_"), F.col("o_orderkey").cast("string")).alias("route_id"),
+        F.concat(F.lit("Origin_"), (F.col("o_custkey") % 10).cast("string")).alias("origin"),
+        F.concat(F.lit("Destination_"), (F.col("o_orderkey") % 10).cast("string")).alias("destination"),
+        F.concat(F.lit("Type_"), (F.col("o_orderkey") % 5).cast("string")).alias("transport_type"),
+        ((F.floor(F.col("o_totalprice")) % 200) + 1).cast("int").alias("capacity"),
+        F.concat(F.lit("Operator_"), (F.col("o_orderkey") % 7).cast("string")).alias("operator"),
+        F.col("o_orderdate").alias("event_ts"),
+    )
+
+
+def trips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trip fact derived from lineitem (one row = one passenger,
+    /root/reference/src/main/java/streamFunctions/TotalPassengers.java:31-34).
+
+    transport_type is derived from the FK the same way routes derives it from
+    the PK, so trip.transport_type == its route's transport_type by
+    construction (the scenario producer copies it from the route —
+    producers/TripsProducerCenario.java:64) without needing a join here.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        F.concat(F.lit("Trip_"), F.col("l_orderkey").cast("string"),
+                 F.lit("_"), F.col("l_linenumber").cast("string")).alias("trip_id"),
+        F.concat(F.lit("Route_"), F.col("l_orderkey").cast("string")).alias("route_id"),
+        F.concat(F.lit("Origin_"), (F.col("l_partkey") % 10).cast("string")).alias("origin"),
+        F.concat(F.lit("Destination_"), (F.col("l_suppkey") % 10).cast("string")).alias("destination"),
+        F.concat(F.lit("Type_"), (F.col("l_orderkey") % 5).cast("string")).alias("transport_type"),
+        F.concat(F.lit("Passenger_"), (F.col("l_partkey") % 200).cast("string")).alias("passenger_name"),
+        F.col("l_shipdate").alias("event_ts"),
+    )
+
+
+def latest_per_key(df: DataFrame, key_cols: list[str], ts_col: str,
+                   tiebreak_cols: list[str] | None = None) -> DataFrame:
+    """KTable ``toTable`` / latest-value-per-key semantics (SURVEY section 2.3
+    A9; reference sites e.g. streamFunctions/MostOccupiedOperator.java:61-65).
+
+    Batch realization: row_number over (key ORDER BY ts DESC, tiebreaks DESC)
+    = 1. One shuffle on the key; at scale this is the standard dedup pattern
+    and AQE coalesces the post-shuffle partitions.
+    """
+    order = [F.col(ts_col).desc()] + [F.col(c).desc() for c in (tiebreak_cols or [])]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    return (df.withColumn("__rn", F.row_number().over(w))
+              .filter(F.col("__rn") == 1)
+              .drop("__rn"))
+
+
+def capacity_per_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared base aggregate: SUM(capacity) per route_id (SURVEY section 2.3
+    A3). SUM, not latest — duplicate route records accumulate
+    (AvailableSeatsPerRoute.java:37-42; fidelity note section 7.6). Reused by
+    Q1/Q4/Q6/Q7/Q8 instead of rebuilding per query (the reference rebuilds it
+    5x — SURVEY section 4 "Topology/plan reuse")."""
+    return (routes(spark, sf_dir)
+            .groupBy("route_id")
+            .agg(F.sum("capacity").alias("totalCapacity")))
+
+
+def passengers_per_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared base aggregate: trip count per route_id (SURVEY section 2.3 A1)."""
+    return (trips(spark, sf_dir)
+            .groupBy("route_id")
+            .agg(F.count(F.lit(1)).alias("passengerCount")))

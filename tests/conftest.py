@@ -1,0 +1,57 @@
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+from kafkastreams_tp3_is_spark.schemas import TESTDATA_TABLES
+from kafkastreams_tp3_is_spark.session import get_spark
+
+SF_DIR = "/root/testdata/sf0.001"
+SF_DIR_001 = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark("tests", shuffle_partitions=8)
+    yield s
+
+
+@pytest.fixture(scope="session")
+def duck():
+    con = duckdb.connect()
+    for sf in (SF_DIR,):
+        pass
+    for t in TESTDATA_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    """Mimic the driver compare: sort columns by name, then rows by all
+    columns, reset index."""
+    df = df[sorted(df.columns)]
+    if len(df):
+        df = df.sort_values(by=list(df.columns), kind="mergesort")
+    return df.reset_index(drop=True)
+
+
+def assert_frames_match(spark_df, duck_df: pd.DataFrame, *, float_exact: bool = True):
+    a = normalize(spark_df.toPandas())
+    b = normalize(duck_df)
+    assert list(a.columns) == list(b.columns), f"columns {list(a.columns)} != {list(b.columns)}"
+    assert len(a) == len(b), f"row count {len(a)} != {len(b)}"
+    for col in a.columns:
+        av, bv = a[col], b[col]
+        if av.dtype.kind == "f" or bv.dtype.kind == "f":
+            if float_exact:
+                assert (av.astype(float).values == bv.astype(float).values).all(), \
+                    f"float col {col} not bit-identical"
+            else:
+                pd.testing.assert_series_equal(av.astype(float), bv.astype(float),
+                                               check_names=False, rtol=1e-12)
+        else:
+            assert av.astype(str).tolist() == bv.astype(str).tolist(), f"col {col} differs"
