@@ -3,9 +3,10 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is executed to completion (count + a cheap checksum collect) so
-the whole plan runs; timings are wall-clock per query after a warm-up of the
-parquet footers.
+Each query is forced to FULL evaluation: a bit_xor aggregate over
+xxhash64(all output columns), so column pruning cannot drop computed
+outputs and every expression in the plan actually runs. Timings are
+wall-clock per query after warming the parquet footers of every table.
 """
 
 from __future__ import annotations
@@ -17,7 +18,20 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import functions as F  # noqa: E402
+
+from kafkastreams_tp3_is_spark.schemas import TESTDATA_TABLES  # noqa: E402
 from kafkastreams_tp3_is_spark.session import get_spark  # noqa: E402
+
+
+def force_full_eval(df) -> tuple[int, int]:
+    """Run the ENTIRE plan: xor of xxhash64 over every output column plus a
+    row count. Unlike count(), nothing upstream can be pruned away."""
+    row = df.agg(
+        F.bit_xor(F.xxhash64(*[F.col(c) for c in df.columns])).alias("checksum"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    return row["checksum"] or 0, row["n"]
 
 
 def main() -> None:
@@ -29,14 +43,15 @@ def main() -> None:
     import __spark_entry__ as entrymod
     queries = entrymod.queries()
 
-    # warm up JVM + parquet footers with a trivial action
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    # warm up JVM + parquet footers of every table with a trivial action
+    for t in TESTDATA_TABLES:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
 
     timings: dict[str, float] = {}
     for name, fn in queries.items():
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
-        n = df.count()
+        _, n = force_full_eval(df)
         timings[name] = round(time.perf_counter() - t0, 4)
         assert n >= 0
     total = round(sum(timings.values()), 4)

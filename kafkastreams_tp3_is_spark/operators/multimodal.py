@@ -14,7 +14,6 @@ maxRecordsPerBatch), and the operation is a narrow map: no shuffle.
 
 from __future__ import annotations
 
-import hashlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -66,29 +65,35 @@ def synthetic_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _decode_stub(payload: bytes, media_type: str, dim: int = 8) -> list[float]:
-    """STUB decode/feature-extract kernel. A real deployment decodes the
-    payload (PIL / librosa / pyav) and runs a feature extractor; those libs
-    are absent here, so features are a deterministic hash-derived fake with
-    the same shape/dtype a real extractor would produce."""
-    digest = hashlib.sha256((media_type or "").encode() + (payload or b"")).digest()
-    return [b / 255.0 for b in digest[:dim]]
-
-
 def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
     """mapInPandas feature extraction: Arrow batches in, feature rows out.
-    Batch shape and schema are production-real; only the kernel is a stub."""
+    Batch shape and schema are production-real; only the decode kernel is a
+    STUB (a real deployment decodes the payload with PIL / librosa / pyav
+    and runs a feature extractor; those libs are absent in this container,
+    so features are a deterministic hash-derived fake of the same
+    shape/dtype).
+
+    The closure is fully self-contained (stdlib + pandas only), so executor
+    Python workers need NO access to this package — it survives drivers
+    that don't ship the repo on PYTHONPATH."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hl
+
+        def decode_stub(payload, media_type):
+            digest = _hl.sha256(
+                (media_type or "").encode() + (payload or b"")).digest()
+            return [b / 255.0 for b in digest[:dim]]
+
         for pdf in batches:
             out = pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "media_type": pdf["media_type"],
                 "n_bytes": pdf["content"].map(lambda b: len(b) if b is not None else 0),
                 "content_sha256": pdf["content"].map(
-                    lambda b: hashlib.sha256(b or b"").hexdigest()),
+                    lambda b: _hl.sha256(b or b"").hexdigest()),
                 "feature": [
-                    _decode_stub(c, t, dim)
+                    decode_stub(c, t)
                     for c, t in zip(pdf["content"], pdf["media_type"])
                 ],
             })

@@ -2,18 +2,15 @@
 ``documents`` table (doc_id, text, lang, source, n_chars).
 
 All hot-path expressions are built-in pyspark.sql.functions (JVM-side,
-whole-stage-codegen'd); the only Python is the rolling-hash fingerprint,
-which is an Arrow-batched pandas UDF. Everything is a narrow per-row map —
-no shuffle — so it scales linearly with input splits.
+whole-stage-codegen'd) — including the rolling-hash fingerprint. Everything
+is a narrow per-row map — no shuffle — so it scales linearly with input
+splits.
 """
 
 from __future__ import annotations
 
-import pandas as pd
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from ..views import load
 
@@ -56,7 +53,6 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_tok = F.size(toks).cast("bigint")
     n_chars = F.length(F.col("text")).cast("bigint")
     n_punct = F.size(F.regexp_extract_all(F.col("text"), F.lit(_PUNCT), 0)).cast("bigint")
-    en = [F.lit(w) for w in _LANG_MARKERS["en"]]
     n_stop = F.size(F.filter(F.transform(toks, lambda x: F.lower(x)),
                              lambda x: x.isin(*[w for w in _LANG_MARKERS["en"]]))).cast("bigint")
     return docs.select(
@@ -95,26 +91,25 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
                        best_lang.alias("lang_pred"))
 
 
-@F.pandas_udf(T.LongType())
-def _rolling_fingerprint(text: pd.Series) -> pd.Series:
-    """Polynomial rolling hash (base 257, mod 2^61-1) over the whole
-    document — a deterministic content fingerprint. Arrow-batched; the per-
-    char loop runs in C via bytes iteration per row."""
-    MOD = (1 << 61) - 1
-    BASE = 257
+FP_BASE = 31
+FP_MOD = 1 << 40  # keeps acc*31 + codepoint < 2^45, no BIGINT overflow
 
-    def fp(s: str) -> int:
-        h = 0
-        for b in s.encode("utf-8", errors="ignore"):
-            h = (h * BASE + b) % MOD
-        return h
 
-    return text.map(lambda s: fp(s or ""))
+def fingerprint_col(text_col: str = "text") -> F.Column:
+    """Polynomial rolling hash (base 31, mod 2^40) over the document's
+    codepoints — pure JVM expressions (split + aggregate + ascii), fully
+    codegen'd, no Python in the hot path. Matches the DuckDB list_reduce
+    oracle bit-for-bit."""
+    chars = F.filter(F.split(F.col(text_col), ""), lambda c: c != "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: F.pmod(acc * FP_BASE + F.ascii(c), F.lit(FP_MOD)),
+    )
 
 
 def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Content fingerprint per document (rolling hash) — pandas-UDF path.
-    Not SQL-expressible -> rows-only driver check; determinism is pytest-
-    verified instead."""
+    """Content fingerprint per document (rolling hash), hash-checked against
+    the DuckDB oracle. A narrow per-row map: no shuffle, linear scale-out."""
     docs = load(spark, sf_dir, "documents")
-    return docs.select("doc_id", _rolling_fingerprint(F.col("text")).alias("fingerprint"))
+    return docs.select("doc_id", fingerprint_col("text").alias("fingerprint"))

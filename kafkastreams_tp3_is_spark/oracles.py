@@ -147,10 +147,10 @@ WHERE rn = 1
 
 # ---------------------------------------------------------------------
 # Training-data pipeline operators (documents / embeddings tables).
-# Only the SQL-expressible ones have oracles; hash-based ops (minhash/
-# simhash/LSH, rolling-hash fingerprint) use Spark's xxhash64 and get the
-# driver's rows-only check instead (pytest verifies them against exact
-# recomputation).
+# Only the SQL-expressible ones have oracles; ops built on Spark's
+# xxhash64 (minhash/simhash/LSH buckets) have no DuckDB equivalent and get
+# the driver's rows-only check plus planted-duplicate recall/determinism
+# tests in tests/test_dedup_recall.py.
 # ---------------------------------------------------------------------
 
 _TOKENS = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
@@ -228,6 +228,16 @@ FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                    ORDER BY cosine DESC, neighbor_id ASC) AS rank
       FROM scored)
 WHERE rank <= 10
+"""
+
+ORACLES["text_fingerprint"] = """
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(list_filter(string_split(text, ''), c -> c <> ''),
+                          c -> CAST(unicode(c) AS BIGINT))),
+         (acc, x) -> (acc * 31 + x) % 1099511627776) AS fingerprint
+FROM documents
 """
 
 ORACLES["multimodal_features"] = """

@@ -4,13 +4,16 @@ batch final-state semantics, each as (spark, sf_dir) -> DataFrame.
 Output column names/types follow FIXTURES.md "Expected output schemas" and
 must stay in lockstep with oracles.py. Doubles are always a single division /
 multiplication of exact integer aggregates (bit-reproducible across engines);
-the reference's %.2f string rounding lives only in the Kafka sink path
-(streaming/envelope.py), per SURVEY section 7.8.
+the reference's %.2f string rounding lives only in the sink-path envelope
+rendering (streaming/envelope.py), per SURVEY section 7.8.
 
-Scale notes: routes is dimension-sized (derived from orders) -> broadcast
-into every join against trip aggregates; all groupBys are single-shuffle
-hash aggs with map-side partial aggregation; global argmax sorts only the
-per-key aggregate (|keys| rows), never the fact table.
+Scale notes: routes derives one row per orders row, so it scales with SF —
+joins against it carry NO broadcast hint; AQE picks broadcast when the
+projected side fits and sort-merge otherwise. Explicit F.broadcast appears
+only on genuinely bounded frames (per-transport-type aggregates, <= a few
+dozen rows). All groupBys are single-shuffle hash aggs with map-side partial
+aggregation; global argmax sorts only the per-key aggregate (|keys| rows),
+never the fact table.
 """
 
 from __future__ import annotations
@@ -97,13 +100,14 @@ def q6_route_least_occupancy_per_transport_type(spark: SparkSession, sf_dir: str
     (RouteWithLeastOccupancyPerTransportType.java:34-87). transport_type
     comes from the route dimension (latest-per-key in the reference; unique
     per route here). Intended min-by semantics per fidelity note 7.2;
-    tie-break: smallest route_id."""
+    tie-break: smallest route_id. routes scales with the fact table, so no
+    broadcast hint — AQE chooses the join strategy."""
     configure_for_engine(spark)
     cap = capacity_per_route(spark, sf_dir)
     pax = passengers_per_route(spark, sf_dir)
     dim = routes(spark, sf_dir).select("route_id", "transport_type")
     occ = (cap.join(pax, "route_id", "left")
-              .join(F.broadcast(dim), "route_id")
+              .join(dim, "route_id")
               .select("transport_type", "route_id",
                       _occupancy("passengerCount", "totalCapacity").alias("occupancy")))
     return (argmin(occ, "occupancy", group_cols=["transport_type"],
@@ -201,12 +205,13 @@ def q13_most_occupied_operator(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator capacity * 100; route->operator via the route dimension
     (MostOccupiedOperator.java:56-165). Implements the intent — passengers
     summed (not latest), capacity summed once per route (fidelity note 7.4).
-    The fact->dimension join broadcasts the route->operator map."""
+    The trips->routes join is fact-to-fact-derived: no broadcast hint, AQE
+    decides (broadcast at small SF, sort-merge/shuffle-hash at scale)."""
     configure_for_engine(spark)
     dim = routes(spark, sf_dir).select("route_id", "operator", "capacity")
     cap_per_op = dim.groupBy("operator").agg(F.sum("capacity").alias("cap"))
     pax_per_op = (trips(spark, sf_dir)
-                  .join(F.broadcast(dim.select("route_id", "operator")), "route_id")
+                  .join(dim.select("route_id", "operator"), "route_id")
                   .groupBy("operator")
                   .agg(F.count(F.lit(1)).alias("pax")))
     occ = (cap_per_op.join(pax_per_op, "operator", "left")

@@ -14,10 +14,11 @@ so Spark and DuckDB produce identical IEEE-754 results regardless of
 aggregation order. (Summing doubles would be order-dependent and break the
 hash.)
 
-Scale notes (100 TB): routes derives from the dimension-sized table -> always
-broadcast it into fact joins; trips derives 1:1 from the fact scan with no
-shuffle (all derivations are narrow projections, so parquet column pruning
-still applies -- only the referenced orders/lineitem columns are read).
+Scale notes (100 TB): routes derives one row per orders row, so it SCALES
+WITH SF — never force-broadcast it (AQE picks the join strategy); trips
+derives 1:1 from the fact scan with no shuffle (all derivations are narrow
+projections, so parquet column pruning still applies -- only the referenced
+orders/lineitem columns are read).
 """
 
 from __future__ import annotations

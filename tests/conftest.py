@@ -8,7 +8,6 @@ from kafkastreams_tp3_is_spark.schemas import TESTDATA_TABLES
 from kafkastreams_tp3_is_spark.session import get_spark
 
 SF_DIR = "/root/testdata/sf0.001"
-SF_DIR_001 = "/root/testdata/sf0.01"
 
 
 @pytest.fixture(scope="session")
@@ -20,8 +19,6 @@ def spark():
 @pytest.fixture(scope="session")
 def duck():
     con = duckdb.connect()
-    for sf in (SF_DIR,):
-        pass
     for t in TESTDATA_TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
