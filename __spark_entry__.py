@@ -19,6 +19,7 @@ from kafkastreams_tp3_is_spark.operators import dedup as _dedup
 from kafkastreams_tp3_is_spark.operators import multimodal as _mm
 from kafkastreams_tp3_is_spark.operators import similarity as _sim
 from kafkastreams_tp3_is_spark.operators import text as _text
+from kafkastreams_tp3_is_spark.streaming import envelope as _env
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -43,6 +44,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q11_transport_type_max_passengers_window": _q.q11_transport_type_max_passengers_window,
         "q12_least_occupied_transport_type_window": _q.q12_least_occupied_transport_type_window,
         "q13_most_occupied_operator": _q.q13_most_occupied_operator,
+        # S5 sink path: Q5 through the Connect-envelope renderer
+        "envelope_passengers_per_route": _env.envelope_passengers_per_route,
         # training-data pipeline operators (SURVEY section 7 M6)
         "dedup_exact": _dedup.dedup_exact,
         "dedup_minhash_lsh": _dedup.dedup_minhash_lsh,          # rows-only

@@ -230,6 +230,16 @@ FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
 WHERE rank <= 10
 """
 
+# S5 Connect-envelope sink path: Q5 rendered as Kafka (key, value) strings.
+# The header string must equal streaming/envelope.py connect_schema_json's
+# compact JSON byte-for-byte.
+ORACLES["envelope_passengers_per_route"] = f"""{_T}
+SELECT route_id AS key,
+       '{{"schema": {{"type": "struct", "fields": [{{"field": "passengerCount", "type": "int64"}}]}}, "payload": {{"passengerCount": '
+         || CAST(COUNT(*) AS VARCHAR) || '}}}}' AS value
+FROM trips GROUP BY route_id
+"""
+
 ORACLES["text_fingerprint"] = """
 SELECT doc_id,
        list_reduce(

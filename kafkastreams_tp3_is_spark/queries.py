@@ -1,6 +1,14 @@
 """Q1-Q13: the reference's 13 continuous queries (SURVEY.md section 2.7),
 batch final-state semantics, each as (spark, sf_dir) -> DataFrame.
 
+Every query is split into a pure ``*_logic(routes_df, trips_df)`` dataflow
+plus a thin batch wrapper. The logic functions are input-agnostic: the batch
+wrappers feed them the parquet-derived views, and the streaming layer
+(streaming/runner.py) re-runs the SAME logic per micro-batch over the
+accumulated inputs — one definition, two execution modes, mirroring the
+reference where each query class is one topology consumed continuously
+(/root/reference/src/main/java/MainStreamApp.java:22-34).
+
 Output column names/types follow FIXTURES.md "Expected output schemas" and
 must stay in lockstep with oracles.py. Doubles are always a single division /
 multiplication of exact integer aggregates (bit-reproducible across engines);
@@ -23,7 +31,7 @@ from pyspark.sql import functions as F
 
 from .operators.extremum import argmax, argmin
 from .session import configure_for_engine
-from .views import capacity_per_route, passengers_per_route, routes, trips
+from .views import routes, trips
 
 _OCC = "occupancyPercentage"
 
@@ -37,75 +45,107 @@ def _occupancy(pax_col: str, cap_col: str) -> F.Column:
              .otherwise(pax.cast("double") / cap.cast("double") * 100))
 
 
+def capacity_per_route_logic(routes_df: DataFrame) -> DataFrame:
+    """Shared base aggregate: SUM(capacity) per route_id (SURVEY A3). SUM,
+    not latest — duplicate route records accumulate
+    (AvailableSeatsPerRoute.java:37-42; fidelity note 7.6)."""
+    return (routes_df.groupBy("route_id")
+            .agg(F.sum("capacity").alias("totalCapacity")))
+
+
+def passengers_per_route_logic(trips_df: DataFrame) -> DataFrame:
+    """Shared base aggregate: trip count per route_id (SURVEY A1)."""
+    return (trips_df.groupBy("route_id")
+            .agg(F.count(F.lit(1)).alias("passengerCount")))
+
+
 # --- Q1 ---------------------------------------------------------------
-def q1_available_seats_per_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q1_logic(routes_df: DataFrame, trips_df: DataFrame) -> DataFrame:
     """SUM(capacity) per route_id — 'available seats' never subtracts
     passengers (AvailableSeatsPerRoute.java:35-42; fidelity note 7.5)."""
+    return capacity_per_route_logic(routes_df)
+
+
+def q1_available_seats_per_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure_for_engine(spark)
-    return capacity_per_route(spark, sf_dir)
+    return q1_logic(routes(spark, sf_dir), None)
 
 
 # --- Q2 ---------------------------------------------------------------
-def q2_average_passengers_per_transport_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q2_logic(routes_df: DataFrame, trips_df: DataFrame) -> DataFrame:
     """COUNT(*) / COUNT(DISTINCT route_id) per transport_type — the
     reference's KTable-KTable join (AveragePassengersPerTransportType.java:
     37-58) folds into ONE aggregation in Spark (SURVEY A5/A6): no join, one
     shuffle, map-side partial agg."""
-    configure_for_engine(spark)
-    return (trips(spark, sf_dir)
+    return (trips_df
             .groupBy("transport_type")
             .agg((F.count(F.lit(1)).cast("double")
                   / F.countDistinct("route_id").cast("double"))
                  .alias("averagePassengers")))
 
 
+def q2_average_passengers_per_transport_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_for_engine(spark)
+    return q2_logic(None, trips(spark, sf_dir))
+
+
 # --- Q3 ---------------------------------------------------------------
-def q3_name_passenger_most_trips(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q3_logic(routes_df: DataFrame, trips_df: DataFrame) -> DataFrame:
     """Passenger with the max trip count (NamePassengerMostTrips.java:34-53).
     Tie-break: lexicographically smallest name (deterministic stand-in for
     the reference's arrival-order 'first seen wins', SURVEY section 5)."""
-    configure_for_engine(spark)
-    counts = (trips(spark, sf_dir)
+    counts = (trips_df
               .groupBy("passenger_name")
               .agg(F.count(F.lit(1)).alias("tripCount")))
     return (argmax(counts, "tripCount", tiebreak_cols=["passenger_name"])
             .select(F.col("passenger_name").alias("passengerName")))
 
 
+def q3_name_passenger_most_trips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_for_engine(spark)
+    return q3_logic(None, trips(spark, sf_dir))
+
+
 # --- Q4 ---------------------------------------------------------------
-def q4_occupancy_per_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q4_logic(routes_df: DataFrame, trips_df: DataFrame) -> DataFrame:
     """Per-route occupancy% = tripCount / SUM(capacity) * 100, left join,
     0.0 for no trips (OccupancyPerRoute.java:43-66). Both sides aggregate to
-    route_id first, so the join is between two per-key aggregates; the
-    smaller (dimension-derived capacity side drives) — at scale AQE picks
+    route_id first, so the join is between two per-key aggregates; AQE picks
     broadcast for the agg output when it fits."""
-    configure_for_engine(spark)
-    cap = capacity_per_route(spark, sf_dir)
-    pax = passengers_per_route(spark, sf_dir)
+    cap = capacity_per_route_logic(routes_df)
+    pax = passengers_per_route_logic(trips_df)
     return (cap.join(pax, "route_id", "left")
                .select("route_id",
                        _occupancy("passengerCount", "totalCapacity").alias(_OCC)))
 
 
-# --- Q5 ---------------------------------------------------------------
-def q5_passengers_per_route(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Trip count per route_id (PassengersPerRoute.java:37-40)."""
+def q4_occupancy_per_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure_for_engine(spark)
-    return passengers_per_route(spark, sf_dir)
+    return q4_logic(routes(spark, sf_dir), trips(spark, sf_dir))
+
+
+# --- Q5 ---------------------------------------------------------------
+def q5_logic(routes_df: DataFrame, trips_df: DataFrame) -> DataFrame:
+    """Trip count per route_id (PassengersPerRoute.java:37-40)."""
+    return passengers_per_route_logic(trips_df)
+
+
+def q5_passengers_per_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_for_engine(spark)
+    return q5_logic(None, trips(spark, sf_dir))
 
 
 # --- Q6 ---------------------------------------------------------------
-def q6_route_least_occupancy_per_transport_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q6_logic(routes_df: DataFrame, trips_df: DataFrame) -> DataFrame:
     """Per transport_type, the (route, occupancy) with MIN occupancy
     (RouteWithLeastOccupancyPerTransportType.java:34-87). transport_type
     comes from the route dimension (latest-per-key in the reference; unique
     per route here). Intended min-by semantics per fidelity note 7.2;
     tie-break: smallest route_id. routes scales with the fact table, so no
     broadcast hint — AQE chooses the join strategy."""
-    configure_for_engine(spark)
-    cap = capacity_per_route(spark, sf_dir)
-    pax = passengers_per_route(spark, sf_dir)
-    dim = routes(spark, sf_dir).select("route_id", "transport_type")
+    cap = capacity_per_route_logic(routes_df)
+    pax = passengers_per_route_logic(trips_df)
+    dim = routes_df.select("route_id", "transport_type")
     occ = (cap.join(pax, "route_id", "left")
               .join(dim, "route_id")
               .select("transport_type", "route_id",
@@ -117,56 +157,75 @@ def q6_route_least_occupancy_per_transport_type(spark: SparkSession, sf_dir: str
                     "occupancy"))
 
 
+def q6_route_least_occupancy_per_transport_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_for_engine(spark)
+    return q6_logic(routes(spark, sf_dir), trips(spark, sf_dir))
+
+
 # --- Q7 ---------------------------------------------------------------
-def q7_total_capacity_available(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q7_logic(routes_df: DataFrame, trips_df: DataFrame) -> DataFrame:
     """Global SUM(capacity) (TotalCapacityAvailable.java:35-57). The
     reference's two-level KTable re-aggregation with subtractor (SURVEY A4)
     folds into one agg — never materialize the intermediate."""
+    return routes_df.agg(F.sum("capacity").alias("totalCapacity"))
+
+
+def q7_total_capacity_available(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure_for_engine(spark)
-    return (routes(spark, sf_dir)
-            .agg(F.sum("capacity").alias("totalCapacity")))
+    return q7_logic(routes(spark, sf_dir), None)
 
 
 # --- Q8 ---------------------------------------------------------------
-def q8_total_occupancy_percentage(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q8_logic(routes_df: DataFrame, trips_df: DataFrame) -> DataFrame:
     """(COUNT(trips) / SUM(routes.capacity)) * 100, single row
     (TotalOccupancyPercentage.java:40-99). Two global aggregates cross-joined
     (both 1-row)."""
-    configure_for_engine(spark)
-    cap = routes(spark, sf_dir).agg(F.sum("capacity").alias("cap"))
-    pax = trips(spark, sf_dir).agg(F.count(F.lit(1)).alias("pax"))
+    cap = routes_df.agg(F.sum("capacity").alias("cap"))
+    pax = trips_df.agg(F.count(F.lit(1)).alias("pax"))
     return (pax.crossJoin(cap)
                .select((F.col("pax").cast("double") / F.col("cap").cast("double") * 100)
                        .alias("totalOccupancyPercentage")))
 
 
-# --- Q9 ---------------------------------------------------------------
-def q9_total_passengers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Global trip count (TotalPassengers.java:32-34)."""
+def q8_total_occupancy_percentage(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure_for_engine(spark)
-    return trips(spark, sf_dir).agg(F.count(F.lit(1)).alias("totalPassengers"))
+    return q8_logic(routes(spark, sf_dir), trips(spark, sf_dir))
+
+
+# --- Q9 ---------------------------------------------------------------
+def q9_logic(routes_df: DataFrame, trips_df: DataFrame) -> DataFrame:
+    """Global trip count (TotalPassengers.java:32-34)."""
+    return trips_df.agg(F.count(F.lit(1)).alias("totalPassengers"))
+
+
+def q9_total_passengers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_for_engine(spark)
+    return q9_logic(None, trips(spark, sf_dir))
 
 
 # --- Q10 --------------------------------------------------------------
-def q10_transport_type_max_passengers(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q10_logic(routes_df: DataFrame, trips_df: DataFrame) -> DataFrame:
     """transport_type with MAX trip count (TransportTypeMaxPassengers.java:
     27-52); tie-break smallest type name."""
-    configure_for_engine(spark)
-    counts = (trips(spark, sf_dir)
+    counts = (trips_df
               .groupBy("transport_type")
               .agg(F.count(F.lit(1)).alias("cnt")))
     return (argmax(counts, "cnt", tiebreak_cols=["transport_type"])
             .select(F.col("transport_type").alias("transportType")))
 
 
+def q10_transport_type_max_passengers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_for_engine(spark)
+    return q10_logic(None, trips(spark, sf_dir))
+
+
 # --- Q11 --------------------------------------------------------------
-def q11_transport_type_max_passengers_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q11_logic(routes_df: DataFrame, trips_df: DataFrame) -> DataFrame:
     """Per 1-hour tumbling window (grace 0): transport_type with the MAX trip
     count in the window, plus the count
     (TransportTypeMaxPassengersWindow.java:28-53). window() is epoch-aligned
     UTC — identical to the oracle's date_trunc under the UTC session TZ."""
-    configure_for_engine(spark)
-    counts = (trips(spark, sf_dir)
+    counts = (trips_df
               .groupBy(F.window("event_ts", "1 hour").alias("w"), "transport_type")
               .agg(F.count(F.lit(1)).alias("maxPassengers")))
     top = argmax(counts, "maxPassengers", group_cols=["w"],
@@ -176,18 +235,23 @@ def q11_transport_type_max_passengers_window(spark: SparkSession, sf_dir: str) -
                       "maxPassengers")
 
 
+def q11_transport_type_max_passengers_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_for_engine(spark)
+    return q11_logic(None, trips(spark, sf_dir))
+
+
 # --- Q12 --------------------------------------------------------------
-def q12_least_occupied_transport_type_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q12_logic(routes_df: DataFrame, trips_df: DataFrame) -> DataFrame:
     """Per 1-hour window: transport_type with MIN windowed occupancy%
     (windowed trip count / all-time capacity per type * 100), left join with
     0.0 default (LeastOccupiedTransportTypeWindow.java:39-94). Implements the
     *intended* per-window min-by — the reference buggily keeps the latest
-    value (fidelity note 7.3)."""
-    configure_for_engine(spark)
-    cap_per_type = (routes(spark, sf_dir)
+    value (fidelity note 7.3). cap_per_type is bounded by the transport-type
+    domain (5 values) -> genuinely broadcastable."""
+    cap_per_type = (routes_df
                     .groupBy("transport_type")
                     .agg(F.sum("capacity").alias("cap")))
-    win_counts = (trips(spark, sf_dir)
+    win_counts = (trips_df
                   .groupBy(F.window("event_ts", "1 hour").alias("w"), "transport_type")
                   .agg(F.count(F.lit(1)).alias("cnt")))
     occ = (win_counts.join(F.broadcast(cap_per_type), "transport_type", "left")
@@ -199,18 +263,22 @@ def q12_least_occupied_transport_type_window(spark: SparkSession, sf_dir: str) -
                       "occupancy")
 
 
+def q12_least_occupied_transport_type_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_for_engine(spark)
+    return q12_logic(routes(spark, sf_dir), trips(spark, sf_dir))
+
+
 # --- Q13 --------------------------------------------------------------
-def q13_most_occupied_operator(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q13_logic(routes_df: DataFrame, trips_df: DataFrame) -> DataFrame:
     """Operator with MAX occupancy% where occupancy = operator passengers /
     operator capacity * 100; route->operator via the route dimension
     (MostOccupiedOperator.java:56-165). Implements the intent — passengers
     summed (not latest), capacity summed once per route (fidelity note 7.4).
     The trips->routes join is fact-to-fact-derived: no broadcast hint, AQE
     decides (broadcast at small SF, sort-merge/shuffle-hash at scale)."""
-    configure_for_engine(spark)
-    dim = routes(spark, sf_dir).select("route_id", "operator", "capacity")
+    dim = routes_df.select("route_id", "operator", "capacity")
     cap_per_op = dim.groupBy("operator").agg(F.sum("capacity").alias("cap"))
-    pax_per_op = (trips(spark, sf_dir)
+    pax_per_op = (trips_df
                   .join(dim.select("route_id", "operator"), "route_id")
                   .groupBy("operator")
                   .agg(F.count(F.lit(1)).alias("pax")))
@@ -218,3 +286,17 @@ def q13_most_occupied_operator(spark: SparkSession, sf_dir: str) -> DataFrame:
            .select("operator", _occupancy("pax", "cap").alias(_OCC)))
     return (argmax(occ, _OCC, tiebreak_cols=["operator"])
             .select("operator", _OCC))
+
+
+def q13_most_occupied_operator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_for_engine(spark)
+    return q13_logic(routes(spark, sf_dir), trips(spark, sf_dir))
+
+
+#: Q label -> logic fn, for the streaming recompute harness and tests.
+QUERY_LOGIC: dict[str, object] = {
+    "q1": q1_logic, "q2": q2_logic, "q3": q3_logic, "q4": q4_logic,
+    "q5": q5_logic, "q6": q6_logic, "q7": q7_logic, "q8": q8_logic,
+    "q9": q9_logic, "q10": q10_logic, "q11": q11_logic, "q12": q12_logic,
+    "q13": q13_logic,
+}

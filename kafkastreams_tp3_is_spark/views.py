@@ -31,15 +31,15 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
-def routes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Route dimension derived from orders (unique route_id per row).
+def routes_from_orders(o: DataFrame) -> DataFrame:
+    """Route derivation as a pure DataFrame transform — works identically on
+    a batch scan and a file/Kafka streaming source (streaming/runner.py).
 
     Mirrors the reference Route POJO
     (/root/reference/src/main/java/classes/Route.java:3-29) and the scenario
     producer domains (producers/RoutesProducerCenario.java:40-52): 5 transport
     types, capacity in [1,200], small operator domain.
     """
-    o = load(spark, sf_dir, "orders")
     return o.select(
         F.concat(F.lit("Route_"), F.col("o_orderkey").cast("string")).alias("route_id"),
         F.concat(F.lit("Origin_"), (F.col("o_custkey") % 10).cast("string")).alias("origin"),
@@ -51,16 +51,21 @@ def routes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def trips(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Trip fact derived from lineitem (one row = one passenger,
-    /root/reference/src/main/java/streamFunctions/TotalPassengers.java:31-34).
+def routes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch route dimension: orders parquet -> routes_from_orders."""
+    return routes_from_orders(load(spark, sf_dir, "orders"))
+
+
+def trips_from_lineitem(li: DataFrame) -> DataFrame:
+    """Trip derivation as a pure DataFrame transform (one row = one
+    passenger, /root/reference/src/main/java/streamFunctions/
+    TotalPassengers.java:31-34).
 
     transport_type is derived from the FK the same way routes derives it from
     the PK, so trip.transport_type == its route's transport_type by
     construction (the scenario producer copies it from the route —
     producers/TripsProducerCenario.java:64) without needing a join here.
     """
-    li = load(spark, sf_dir, "lineitem")
     return li.select(
         F.concat(F.lit("Trip_"), F.col("l_orderkey").cast("string"),
                  F.lit("_"), F.col("l_linenumber").cast("string")).alias("trip_id"),
@@ -71,6 +76,11 @@ def trips(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("Passenger_"), (F.col("l_partkey") % 200).cast("string")).alias("passenger_name"),
         F.col("l_shipdate").alias("event_ts"),
     )
+
+
+def trips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch trip fact: lineitem parquet -> trips_from_lineitem."""
+    return trips_from_lineitem(load(spark, sf_dir, "lineitem"))
 
 
 def latest_per_key(df: DataFrame, key_cols: list[str], ts_col: str,
@@ -89,19 +99,6 @@ def latest_per_key(df: DataFrame, key_cols: list[str], ts_col: str,
               .drop("__rn"))
 
 
-def capacity_per_route(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shared base aggregate: SUM(capacity) per route_id (SURVEY section 2.3
-    A3). SUM, not latest — duplicate route records accumulate
-    (AvailableSeatsPerRoute.java:37-42; fidelity note section 7.6). Reused by
-    Q1/Q4/Q6/Q7/Q8 instead of rebuilding per query (the reference rebuilds it
-    5x — SURVEY section 4 "Topology/plan reuse")."""
-    return (routes(spark, sf_dir)
-            .groupBy("route_id")
-            .agg(F.sum("capacity").alias("totalCapacity")))
-
-
-def passengers_per_route(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shared base aggregate: trip count per route_id (SURVEY section 2.3 A1)."""
-    return (trips(spark, sf_dir)
-            .groupBy("route_id")
-            .agg(F.count(F.lit(1)).alias("passengerCount")))
+# The shared base aggregates (capacity/passengers per route, SURVEY 2.3
+# A1/A3) live in queries.py as *_logic functions so both batch wrappers and
+# the streaming recompute harness reuse one definition.

@@ -1,0 +1,191 @@
+"""Streaming layer tests (SURVEY S1-S6, W4) — broker-less, file-source
+driven, asserting the stream/batch prefix-consistency property (SURVEY 5.3):
+the final upserted state of every streaming execution equals the batch
+answer over the same data.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from kafkastreams_tp3_is_spark import queries as q
+from kafkastreams_tp3_is_spark.schemas import ROUTE_JSON_SCHEMA
+from kafkastreams_tp3_is_spark.sources import generators as gen
+from kafkastreams_tp3_is_spark.sources.files import (
+    route_file_stream, trip_file_stream)
+from kafkastreams_tp3_is_spark.sources.kafka import (
+    parse_json_records, to_kafka_records)
+from kafkastreams_tp3_is_spark.streaming.envelope import (
+    ROUTE_CONNECT_SCHEMA, connect_envelope, envelope_passengers_per_route,
+    reenvelope_records)
+from kafkastreams_tp3_is_spark.streaming.runner import (
+    MemoryUpsertSink, RecomputeHarness, run_update_mode_agg)
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def stream_dirs(spark, tmp_path_factory):
+    """sf0.001 orders/lineitem re-laid-out as 4-file parquet dirs so
+    maxFilesPerTrigger=1 yields genuine multi-micro-batch streams."""
+    base = tmp_path_factory.mktemp("streamsrc")
+    for t in ("orders", "lineitem"):
+        (spark.read.parquet(f"{SF_DIR}/{t}.parquet").repartition(4)
+         .write.mode("overwrite").parquet(str(base / t)))
+    return base
+
+
+def _sorted_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _sorted_state(sink: MemoryUpsertSink, cols: list[str]):
+    return sorted(tuple(d[c] for c in cols) for d in sink.rows())
+
+
+# --- S3/S4: JSON serdes ------------------------------------------------
+
+def test_parse_json_records_drops_malformed(spark):
+    rows = [
+        ("k1", '{"route_id": "R1", "origin": "O", "destination": "D",'
+               ' "transport_type": "Bus", "capacity": 10, "operator": "Op"}'),
+        ("k2", "not json at all"),
+        ("k3", None),
+    ]
+    raw = (spark.createDataFrame(rows, "key string, value string")
+           .withColumn("timestamp", F.current_timestamp()))
+    parsed = parse_json_records(raw, ROUTE_JSON_SCHEMA)
+    out = parsed.collect()
+    assert len(out) == 1
+    assert out[0]["route_id"] == "R1" and out[0]["capacity"] == 10
+    assert "event_ts" in parsed.columns
+
+
+def test_to_kafka_records_roundtrip(spark):
+    df = spark.createDataFrame([("R1", 5), ("R2", 7)],
+                               "route_id string, passengerCount long")
+    recs = to_kafka_records(df, "route_id")
+    got = {r["key"]: json.loads(r["value"]) for r in recs.collect()}
+    assert got == {"R1": {"passengerCount": 5}, "R2": {"passengerCount": 7}}
+
+
+# --- S5/S6: Connect envelope ------------------------------------------
+
+def test_connect_envelope_golden(spark):
+    df = spark.createDataFrame(
+        [("R1", 7, 100.0 / 3.0, "Bus")],
+        "route_id string, cnt long, occ double, ttype string")
+    out = connect_envelope(df, key_col="route_id").collect()[0]
+    assert out["key"] == "R1"
+    v = out["value"]
+    # %.2f double rendering (Java String.format semantics) + quoted strings
+    assert '"payload": {"cnt": 7, "occ": 33.33, "ttype": "Bus"}' in v
+    env = json.loads(v)
+    assert env["schema"]["fields"] == [
+        {"field": "cnt", "type": "int64"},
+        {"field": "occ", "type": "double"},
+        {"field": "ttype", "type": "string"},
+    ]
+
+
+def test_connect_envelope_half_up_rounding(spark):
+    # 12.5 -> "12.50"; 0.125 would be binary-exact -> HALF_UP gives 0.13
+    df = spark.createDataFrame([("k", 12.5), ("j", 0.125)], "id string, v double")
+    vals = {r["key"]: r["value"] for r in
+            connect_envelope(df, key_col="id").collect()}
+    assert '"v": 12.50' in vals["k"]
+    assert '"v": 0.13' in vals["j"]
+
+
+def test_reenvelope_records(spark):
+    payload = ('{"routeId": "Route_1", "origin": "O", "destination": "D",'
+               ' "transportType": "Bus", "capacity": 42, "operator": "Op_1"}')
+    raw = spark.createDataFrame([("Route_1", payload)], "key string, value string")
+    out = reenvelope_records(raw).collect()[0]
+    env = json.loads(out["value"])
+    assert env["schema"] == json.loads(ROUTE_CONNECT_SCHEMA)
+    assert env["payload"]["capacity"] == 42
+    assert out["key"] == "Route_1"
+
+
+def test_envelope_query_matches_batch_q5(spark):
+    env = envelope_passengers_per_route(spark, SF_DIR)
+    n_q5 = q.q5_passengers_per_route(spark, SF_DIR).count()
+    rows = env.collect()
+    assert len(rows) == n_q5
+    one = json.loads(rows[0]["value"])
+    assert set(one) == {"schema", "payload"}
+    assert "passengerCount" in one["payload"]
+
+
+# --- W4: native update-mode aggregation -------------------------------
+
+def test_update_mode_q5_equals_batch(spark, stream_dirs, tmp_path):
+    trips_stream = trip_file_stream(spark, str(stream_dirs / "lineitem"))
+    sink = MemoryUpsertSink(["route_id"])
+    run_update_mode_agg(q.q5_logic(None, trips_stream), sink,
+                        str(tmp_path / "ckpt"))
+    assert sink.batches >= 2, "expected multiple micro-batches"
+    batch = q.q5_passengers_per_route(spark, SF_DIR)
+    assert (_sorted_state(sink, ["route_id", "passengerCount"])
+            == _sorted_rows(batch))
+
+
+# --- foreachBatch recompute harness (agg-join / agg-over-agg) ---------
+
+def _run_harness(spark, stream_dirs, tmp_path, logic, key_cols):
+    routes_s = route_file_stream(spark, str(stream_dirs / "orders"))
+    trips_s = trip_file_stream(spark, str(stream_dirs / "lineitem"))
+    sink = MemoryUpsertSink(key_cols)
+    RecomputeHarness(spark, str(tmp_path)).run(routes_s, trips_s, logic, sink)
+    return sink
+
+
+def test_recompute_q4_equals_batch(spark, stream_dirs, tmp_path):
+    sink = _run_harness(spark, stream_dirs, tmp_path, q.q4_logic, ["route_id"])
+    assert sink.batches >= 2
+    batch = q.q4_occupancy_per_route(spark, SF_DIR)
+    assert (_sorted_state(sink, ["route_id", "occupancyPercentage"])
+            == _sorted_rows(batch))
+
+
+def test_recompute_q8_global_equals_batch(spark, stream_dirs, tmp_path):
+    sink = _run_harness(spark, stream_dirs, tmp_path, q.q8_logic, [])
+    batch = q.q8_total_occupancy_percentage(spark, SF_DIR)
+    assert _sorted_state(sink, ["totalOccupancyPercentage"]) == _sorted_rows(batch)
+
+
+def test_recompute_q11_window_equals_batch(spark, stream_dirs, tmp_path):
+    sink = _run_harness(spark, stream_dirs, tmp_path, q.q11_logic,
+                        ["window_start"])
+    batch = q.q11_transport_type_max_passengers_window(spark, SF_DIR)
+    assert (_sorted_state(sink, ["window_start", "transportType", "maxPassengers"])
+            == _sorted_rows(batch))
+
+
+# --- S9-S11: generators ------------------------------------------------
+
+def test_generators_deterministic_and_fk_consistent(spark):
+    r1 = gen.route_batch(spark, 100)
+    r2 = gen.route_batch(spark, 100)
+    assert _sorted_rows(r1) == _sorted_rows(r2)
+    caps = [r["capacity"] for r in r1.collect()]
+    assert min(caps) >= 1 and max(caps) <= 200
+    types = {r["transport_type"] for r in r1.collect()}
+    assert types <= set(gen.TRANSPORT_TYPES)
+
+    trips = gen.trip_batch(spark, 500, n_routes=100)
+    route_ids = {r["route_id"] for r in r1.collect()}
+    trip_fks = {t["route_id"] for t in trips.collect()}
+    assert trip_fks <= route_ids, "S11 FK integrity"
+
+
+def test_rate_stream_plan_is_streaming(spark):
+    s = gen.route_rate_stream(spark, rows_per_second=5)
+    assert s.isStreaming
+    assert set(s.columns) == {"route_id", "origin", "destination",
+                              "transport_type", "capacity", "operator",
+                              "event_ts"}
