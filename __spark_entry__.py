@@ -20,6 +20,7 @@ from kafkastreams_tp3_is_spark.operators import multimodal as _mm
 from kafkastreams_tp3_is_spark.operators import similarity as _sim
 from kafkastreams_tp3_is_spark.operators import text as _text
 from kafkastreams_tp3_is_spark.streaming import envelope as _env
+from kafkastreams_tp3_is_spark import views as _views
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -46,11 +47,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q13_most_occupied_operator": _q.q13_most_occupied_operator,
         # S5 sink path: Q5 through the Connect-envelope renderer
         "envelope_passengers_per_route": _env.envelope_passengers_per_route,
+        # A9 latest-per-key over a changelog with duplicate keys
+        "latest_route_capacity": _views.latest_route_capacity,
         # training-data pipeline operators (SURVEY section 7 M6)
         "dedup_exact": _dedup.dedup_exact,
         "dedup_minhash_lsh": _dedup.dedup_minhash_lsh,          # rows-only
         "dedup_simhash": _dedup.dedup_simhash,                  # rows-only
+        "ngram_jaccard_pairs": _dedup.ngram_jaccard_pairs,
         "embedding_near_dup": _sim.embedding_near_dup,          # rows-only
+        "embedding_near_dup_exact": _sim.embedding_near_dup_exact,
         "ann_cosine_topk": _sim.cosine_topk_bruteforce,
         "ann_cosine_topk_lsh": _sim.cosine_topk_lsh,            # rows-only
         "text_token_count": _text.token_count,

@@ -4,15 +4,27 @@ Five families, each designed shuffle-minimal for 100 TB inputs:
 
   exact          hash-groupBy on the full text (one shuffle on md5(text);
                  the 128-bit digest, not the document body, is the shuffle key)
-  minhash-lsh    shingle -> minhash signature -> band buckets -> bucket join
-                 (candidate pairs only; never all-pairs)
-  simhash        64-bit weighted fingerprint; near-dups = small hamming
-                 distance within radix buckets
-  ngram-jaccard  exact Jaccard on shingle sets for candidate pairs
-  embedding      cosine near-dup over the embeddings table (see similarity.py)
+  minhash-lsh    shingle -> 64-bit hashed shingle set -> minhash signature ->
+                 band buckets -> bucket join (candidate pairs only; never
+                 all-pairs). Shingles are hashed to longs ONCE (xxhash64) and
+                 reused by both the signatures and the Jaccard verification,
+                 so no raw text or string arrays ever cross a shuffle.
+  simhash        64-bit weighted fingerprint; near-dups found via
+                 block-combination tables (the Manku/Jain/Sarma WWW'07
+                 scheme): 6 bit-blocks, one table per 3-block combination
+                 (C(6,3)=20), so every pair within hamming distance 3 shares
+                 an EXACT ~32-bit key in at least one table — bucket-key
+                 cardinality grows with corpus size instead of being capped,
+                 keeping within-bucket joins from going quadratic.
+  ngram-jaccard  exact character-5-gram Jaccard: candidates = pairs sharing
+                 at least one shingle (inverted-index equi-join), verified
+                 exactly. SQL-expressible -> hash-checked against DuckDB.
+                 The verification baseline for the minhash path.
+  embedding      cosine near-dup over the embeddings table (similarity.py)
 
-Everything below the signature computation is built-in functions; signatures
-use xxhash64 (JVM, codegen) — no Python in the hot path.
+Every function has a ``*_df`` core over an explicit DataFrame (used by the
+planted-duplicate recall tests) plus the (spark, sf_dir) driver-contract
+wrapper. All hot paths are built-in JVM expressions — no Python.
 """
 
 from __future__ import annotations
@@ -39,31 +51,46 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- shingling ---------------------------------------------------------
 
 def _shingles(text_col, k: int = 5) -> F.Column:
-    """Character k-gram shingle set (distinct), via sequence+transform —
-    JVM-side, no UDF."""
+    """Character k-gram shingle set (distinct strings), via
+    sequence+transform — JVM-side, no UDF."""
     t = F.col(text_col) if isinstance(text_col, str) else text_col
     n = F.length(t)
     idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
     return F.array_distinct(F.transform(idx, lambda i: t.substr(i, F.lit(k))))
 
 
+def hashed_shingle_sets_df(docs: DataFrame, k: int = 5) -> DataFrame:
+    """(doc_id, shingles array<long>): each k-gram hashed to a 64-bit long
+    with xxhash64. 8 bytes per shingle instead of a k-char string — the
+    representation every downstream op (minhash, Jaccard verify) shares, so
+    text leaves the pipeline right after the scan."""
+    sh = _shingles("text", k)
+    return docs.select(
+        "doc_id",
+        F.array_distinct(F.transform(sh, lambda s: F.xxhash64(s))).alias("shingles"))
+
+
 def shingle_sets(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
-    return docs.select("doc_id", _shingles("text", k).alias("shingles"))
+    return hashed_shingle_sets_df(load(spark, sf_dir, "documents"), k)
 
 
 # --- MinHash + LSH -----------------------------------------------------
 
+def _min_hash(col: F.Column, seed: int) -> F.Column:
+    """min over shingles of xxhash64(shingle, seed). NOTE: the transform
+    lambda must take ONE argument — a two-arg lambda would receive the
+    array INDEX as its second parameter and silently collapse the whole
+    hash family to one function (recall bug caught by the planted tests)."""
+    return F.array_min(F.transform(col, lambda s: F.xxhash64(s, F.lit(seed))))
+
+
 def minhash_signatures(df: DataFrame, num_hashes: int = 32,
                        shingle_col: str = "shingles") -> DataFrame:
-    """MinHash signature per row: for hash i, min over shingles of
-    xxhash64(shingle, seed=i). All JVM expressions (xxhash64 + array_min +
-    transform); signature width fixed -> one narrow projection."""
-    sig = F.array(*[
-        F.array_min(F.transform(F.col(shingle_col),
-                                lambda s, i=i: F.xxhash64(s, F.lit(i))))
-        for i in range(num_hashes)
-    ])
+    """MinHash signature per row: for hash i, min over hashed shingles of
+    xxhash64(shingle, seed=i). All JVM expressions (xxhash64 over longs +
+    array_min + transform); signature width fixed -> one narrow projection."""
+    sig = F.array(*[_min_hash(F.col(shingle_col), i)
+                    for i in range(num_hashes)])
     return df.withColumn("minhash", sig)
 
 
@@ -72,9 +99,11 @@ def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 32, bands: int = 8,
     """LSH banding: split the signature into ``bands`` bands of r rows,
     bucket-join on (band_idx, band_hash), emit candidate pairs (a < b).
 
-    Scale: the only shuffle is on band-bucket keys; candidate generation is
-    a self-equi-join on those keys — never an all-pairs cross join. Huge
-    buckets (degenerate shingles) are bounded by AQE skew-join splitting."""
+    Scale: the only shuffle is on band-bucket keys — full-width 64-bit
+    hashes of r minhash values, so bucket count scales with distinct
+    signatures (no fixed cap); candidate generation is a self-equi-join on
+    those keys, never an all-pairs cross join. Degenerate buckets (boiler-
+    plate shingle sets) are handled by AQE skew-join splitting."""
     r = num_hashes // bands
     bands_col = F.array(*[
         F.struct(F.lit(b).alias("band"),
@@ -94,19 +123,10 @@ def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 32, bands: int = 8,
              .distinct())
 
 
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str,
-                      num_hashes: int = 32, bands: int = 8,
-                      jaccard_threshold: float = 0.8) -> DataFrame:
-    """End-to-end near-dup detection: LSH candidates verified by exact
-    Jaccard on shingle sets; emits (a_id, b_id, jaccard) above threshold."""
-    sets_df = shingle_sets(spark, sf_dir)
-    sigs = minhash_signatures(sets_df, num_hashes)
-    cands = minhash_lsh_pairs(sigs, num_hashes, bands)
-    return _verify_jaccard(cands, sets_df, jaccard_threshold)
-
-
 def _verify_jaccard(pairs: DataFrame, sets_df: DataFrame,
                     threshold: float) -> DataFrame:
+    """Exact Jaccard on the hashed shingle sets for candidate pairs only.
+    The joined payload is array<long> (8B/shingle), not text."""
     a_sets = sets_df.select(F.col("doc_id").alias("a_id"),
                             F.col("shingles").alias("a_sh"))
     b_sets = sets_df.select(F.col("doc_id").alias("b_id"),
@@ -118,14 +138,58 @@ def _verify_jaccard(pairs: DataFrame, sets_df: DataFrame,
                  .where(F.col("jaccard") >= threshold))
 
 
-# --- n-gram Jaccard (exact, for candidate verification / small inputs) --
+def dedup_minhash_lsh_df(docs: DataFrame, num_hashes: int = 32,
+                         bands: int = 8, jaccard_threshold: float = 0.8,
+                         k: int = 5) -> DataFrame:
+    """End-to-end near-dup detection over a (doc_id, text) frame: LSH
+    candidates verified by exact Jaccard; (a_id, b_id, jaccard) >= t."""
+    sets_df = hashed_shingle_sets_df(docs, k)
+    sigs = minhash_signatures(sets_df, num_hashes)
+    cands = minhash_lsh_pairs(sigs, num_hashes, bands)
+    return _verify_jaccard(cands, sets_df, jaccard_threshold)
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str,
+                      num_hashes: int = 32, bands: int = 8,
+                      jaccard_threshold: float = 0.8) -> DataFrame:
+    return dedup_minhash_lsh_df(load(spark, sf_dir, "documents"),
+                                num_hashes, bands, jaccard_threshold)
+
+
+# --- exact n-gram Jaccard (inverted-index candidates) ------------------
+
+def ngram_jaccard_pairs_df(docs: DataFrame, k: int = 5,
+                           threshold: float = 0.8) -> DataFrame:
+    """Exact k-gram Jaccard: explode distinct shingles (inverted index),
+    self-join on the shingle to count intersections, then
+    jaccard = inter / (|A| + |B| - inter) as ONE division of exact ints
+    (bit-reproducible vs the DuckDB oracle).
+
+    Scale: candidates are pairs sharing >= 1 shingle — exact but join-heavy
+    on common shingles; this is the *verification baseline*. The minhash-LSH
+    path is the 100 TB path (its bucket join touches ~|near-dup| pairs, not
+    |shared-shingle| pairs)."""
+    sh = (docs.select("doc_id", F.explode(_shingles("text", k)).alias("s")))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("a_id"), "s")
+    b = sh.select(F.col("doc_id").alias("b_id"), "s")
+    inter = (a.join(b, "s")
+              .where(F.col("a_id") < F.col("b_id"))
+              .groupBy("a_id", "b_id")
+              .agg(F.count(F.lit(1)).alias("inter")))
+    sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n_sh").alias("nb"))
+    return (inter.join(sa, "a_id").join(sb, "b_id")
+            .select("a_id", "b_id",
+                    (F.col("inter").cast("double")
+                     / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"))
+                    .alias("jaccard"))
+            .where(F.col("jaccard") >= threshold))
+
 
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str, k: int = 5,
                         threshold: float = 0.8) -> DataFrame:
-    """Exact n-gram Jaccard over *bucketed* candidates: documents sharing at
-    least one rare shingle-bucket are compared. For driver-gate determinism
-    this uses the LSH candidate path with exact verification."""
-    return dedup_minhash_lsh(spark, sf_dir, jaccard_threshold=threshold)
+    return ngram_jaccard_pairs_df(load(spark, sf_dir, "documents"), k, threshold)
 
 
 # --- SimHash -----------------------------------------------------------
@@ -133,8 +197,8 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str, k: int = 5,
 def simhash(df: DataFrame, text_col: str = "text", bits: int = 64) -> DataFrame:
     """SimHash over whitespace tokens: each token's 64-bit hash votes +1/-1
     per bit; the sign of the per-bit vote sum forms the fingerprint. Kept as
-    ``sim_bits`` array<int> (0/1) plus a hex rendering — all JVM expressions
-    (xxhash64 / bit_get / aggregate), narrow map, no shuffle."""
+    ``sim_bits`` array<int> (0/1) — all JVM expressions (xxhash64 / bit_get /
+    aggregate), narrow map, no shuffle."""
     toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
     votes = F.aggregate(
         toks,
@@ -148,39 +212,70 @@ def simhash(df: DataFrame, text_col: str = "text", bits: int = 64) -> DataFrame:
             lambda a, b: a + b),
     )
     sim_bits = F.transform(votes, lambda v: F.when(v > 0, 1).otherwise(0))
-    return (df.withColumn("sim_bits", sim_bits)
-              .withColumn("simhash",
-                          F.conv(F.concat_ws("", F.col("sim_bits")), 2, 16)))
+    return df.withColumn("sim_bits", sim_bits)
 
 
-def dedup_simhash(spark: SparkSession, sf_dir: str,
-                  max_hamming: int = 3, bits: int = 64) -> DataFrame:
-    """SimHash near-dup pairs: fingerprints bucketed by 16-bit radix chunks
-    (a pair within hamming distance 3 of 64 bits shares at least one of the
-    4 chunks exactly — pigeonhole); hamming verified on candidates.
+# 64 bits -> 6 blocks; any pair within hamming distance 3 leaves >= 3
+# blocks untouched, so it matches exactly on at least one 3-block combo.
+_SIM_BLOCKS = [11, 11, 11, 11, 10, 10]
+_SIM_COMBOS = [(i, j, l)
+               for i in range(6) for j in range(i + 1, 6)
+               for l in range(j + 1, 6)]  # C(6,3) = 20 tables
 
-    Scale: shuffle on (chunk_idx, chunk_value) buckets only — never
-    all-pairs; skewed buckets handled by AQE skew-join."""
-    docs = load(spark, sf_dir, "documents")
+
+def _block_value(off: int, size: int) -> F.Column:
+    """Integer value of sim_bits[off : off+size] (big-endian)."""
+    return F.aggregate(F.slice(F.col("sim_bits"), off + 1, size),
+                       F.lit(0).cast("long"),
+                       lambda acc, x: acc * 2 + x)
+
+
+def dedup_simhash_df(docs: DataFrame, max_hamming: int = 3,
+                     bits: int = 64) -> DataFrame:
+    """SimHash near-dup pairs via block-combination tables (Manku et al.,
+    WWW'07 'Detecting Near-Duplicates for Web Crawling' — public algorithm):
+    20 tables keyed on exact 3-block (~32-bit) prefixes; hamming verified on
+    candidates.
+
+    Scale: shuffle on (table_id, 32-bit key) — key cardinality grows with
+    the corpus (vs the naive 4x65,536-bucket chunking whose within-bucket
+    joins go quadratic); every true pair within hamming<=3 is guaranteed
+    caught (pigeonhole over the 6 blocks)."""
     fps = simhash(docs, bits=bits).select("doc_id", "sim_bits")
-    n_chunks = bits // 16
-    chunks = F.array(*[
-        F.struct(F.lit(c).alias("chunk"),
-                 F.concat_ws("", F.slice(F.col("sim_bits"), c * 16 + 1, 16)).alias("val"))
-        for c in range(n_chunks)
-    ])
-    exploded = fps.withColumn("ch", F.explode(chunks)).select(
+    offs = []
+    off = 0
+    for s in _SIM_BLOCKS:
+        offs.append((off, s))
+        off += s
+    blocks = fps.select(
         "doc_id", "sim_bits",
-        F.col("ch.chunk").alias("chunk"), F.col("ch.val").alias("val"))
+        *[_block_value(o, s).alias(f"blk{i}") for i, (o, s) in enumerate(offs)])
+    combos = F.array(*[
+        F.struct(
+            F.lit(ci).alias("table"),
+            ((F.col(f"blk{i}") * (1 << (offs[j][1] + offs[l][1]))
+              + F.col(f"blk{j}") * (1 << offs[l][1])
+              + F.col(f"blk{l}"))).alias("key"))
+        for ci, (i, j, l) in enumerate(_SIM_COMBOS)
+    ])
+    exploded = (blocks.withColumn("t", F.explode(combos))
+                .select("doc_id", "sim_bits",
+                        F.col("t.table").alias("table"),
+                        F.col("t.key").alias("key")))
     a, b = exploded.alias("a"), exploded.alias("b")
     hamming = F.aggregate(
         F.zip_with(F.col("a.sim_bits"), F.col("b.sim_bits"),
                    lambda x, y: F.abs(x - y).cast("long")),
         F.lit(0).cast("long"), lambda acc, x: acc + x)
-    return (a.join(b, ["chunk", "val"])
+    return (a.join(b, ["table", "key"])
              .where(F.col("a.doc_id") < F.col("b.doc_id"))
              .select(F.col("a.doc_id").alias("a_id"),
                      F.col("b.doc_id").alias("b_id"),
                      hamming.alias("hamming"))
              .where(F.col("hamming") <= max_hamming)
              .distinct())
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str,
+                  max_hamming: int = 3, bits: int = 64) -> DataFrame:
+    return dedup_simhash_df(load(spark, sf_dir, "documents"), max_hamming, bits)

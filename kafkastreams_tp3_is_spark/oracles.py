@@ -211,6 +211,45 @@ SELECT doc_id, lang_true,
 FROM hits
 """
 
+# Exact k-gram Jaccard pairs (threshold 0.8): restates dedup.py
+# ngram_jaccard_pairs_df — DISTINCT 5-gram inverted index, intersection
+# counts, one INT/INT division.
+ORACLES["ngram_jaccard_pairs"] = """
+WITH sh AS (
+  SELECT DISTINCT doc_id, substring(text, CAST(g AS INTEGER), 5) AS s
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(1, greatest(length(text) - 4, 1))) AS g
+        FROM documents)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT a_id, b_id,
+       CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = a_id
+JOIN sizes sb ON sb.doc_id = b_id
+WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.8
+"""
+
+# Exact cosine near-dup pairs at threshold 0.4 (the corpus' max pairwise
+# cosine is ~0.51, so this yields a non-empty, hash-checkable result; the
+# production 0.95-threshold LSH path is validated by planted-dup tests).
+ORACLES["embedding_near_dup_exact"] = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       list_dot_product(a.v, b.v)
+         / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+         AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v)
+        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+      >= 0.4
+"""
+
 ORACLES["ann_cosine_topk"] = """
 WITH q AS (
   SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
@@ -228,6 +267,28 @@ FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                    ORDER BY cosine DESC, neighbor_id ASC) AS rank
       FROM scored)
 WHERE rank <= 10
+"""
+
+# A9 latest-per-key over a changelog WITH duplicate keys: every 10th route
+# re-emitted one day later with a different capacity (views.py
+# routes_reemitted); winner = newest record per route_id.
+ORACLES["latest_route_capacity"] = f"""{_R},
+re AS (
+  SELECT 'Route_' || CAST(o_orderkey AS VARCHAR) AS route_id,
+         CAST(((CAST(floor(o_totalprice) AS BIGINT) + 37) % 200) + 1 AS INTEGER) AS capacity,
+         o_orderdate + INTERVAL 1 DAY AS event_ts
+  FROM orders WHERE o_orderkey % 10 = 0
+),
+chg AS (
+  SELECT route_id, capacity, event_ts FROM routes
+  UNION ALL
+  SELECT route_id, capacity, event_ts FROM re
+)
+SELECT route_id, capacity, event_ts AS last_event_ts
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY route_id
+                                   ORDER BY event_ts DESC) AS rn
+      FROM chg)
+WHERE rn = 1
 """
 
 # S5 Connect-envelope sink path: Q5 rendered as Kafka (key, value) strings.

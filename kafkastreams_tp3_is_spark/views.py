@@ -99,6 +99,37 @@ def latest_per_key(df: DataFrame, key_cols: list[str], ts_col: str,
               .drop("__rn"))
 
 
+def routes_reemitted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Routes WITH re-emissions: every 10th route gets a second, later
+    record with a different capacity — the changelog shape the reference's
+    KTable semantics exists for (updated Route records on the topic). The
+    re-emission is a pure function of the keys so the DuckDB oracle can
+    restate it."""
+    o = load(spark, sf_dir, "orders").where(F.col("o_orderkey") % 10 == 0)
+    update = o.select(
+        F.concat(F.lit("Route_"), F.col("o_orderkey").cast("string")).alias("route_id"),
+        F.concat(F.lit("Origin_"), (F.col("o_custkey") % 10).cast("string")).alias("origin"),
+        F.concat(F.lit("Destination_"), (F.col("o_orderkey") % 10).cast("string")).alias("destination"),
+        F.concat(F.lit("Type_"), (F.col("o_orderkey") % 5).cast("string")).alias("transport_type"),
+        (((F.floor(F.col("o_totalprice")) + 37) % 200) + 1).cast("int").alias("capacity"),
+        F.concat(F.lit("Operator_"), (F.col("o_orderkey") % 7).cast("string")).alias("operator"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 1 DAY")).alias("event_ts"),
+    )
+    return routes(spark, sf_dir).unionByName(update)
+
+
+def latest_route_capacity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 exercised against real duplicate keys: latest Route record per
+    route_id over the re-emitted changelog (the reference's KTable
+    ``toTable`` / latest-value aggregation,
+    streamFunctions/MostOccupiedOperator.java:61-65). Oracle-checked via a
+    row_number-based DuckDB query."""
+    latest = latest_per_key(routes_reemitted(spark, sf_dir),
+                            ["route_id"], "event_ts")
+    return latest.select("route_id", "capacity",
+                         F.col("event_ts").alias("last_event_ts"))
+
+
 # The shared base aggregates (capacity/passengers per route, SURVEY 2.3
 # A1/A3) live in queries.py as *_logic functions so both batch wrappers and
 # the streaming recompute harness reuse one definition.
