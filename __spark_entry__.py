@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from kafkastreams_tp3_is_spark import oracles as _oracles
 from kafkastreams_tp3_is_spark import queries as _q
 from kafkastreams_tp3_is_spark.operators import dedup as _dedup
+from kafkastreams_tp3_is_spark.operators import events as _events
 from kafkastreams_tp3_is_spark.operators import multimodal as _mm
 from kafkastreams_tp3_is_spark.operators import similarity as _sim
 from kafkastreams_tp3_is_spark.operators import text as _text
@@ -49,6 +50,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "envelope_passengers_per_route": _env.envelope_passengers_per_route,
         # A9 latest-per-key over a changelog with duplicate keys
         "latest_route_capacity": _views.latest_route_capacity,
+        # event-stream analytics beyond the reference's surface
+        # (session/sliding windows, JSON paths, ranked top-k)
+        "events_sessionize": _events.sessionize,
+        "events_sliding_counts": _events.sliding_counts,
+        "events_json_props_stats": _events.json_props_stats,
+        "events_topk_users": _events.topk_users,
         # training-data pipeline operators (SURVEY section 7 M6)
         "dedup_exact": _dedup.dedup_exact,
         "dedup_minhash_lsh": _dedup.dedup_minhash_lsh,          # rows-only

@@ -160,31 +160,42 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str,
 
 def ngram_jaccard_pairs_df(docs: DataFrame, k: int = 5,
                            threshold: float = 0.8) -> DataFrame:
-    """Exact k-gram Jaccard: explode distinct shingles (inverted index),
-    self-join on the shingle to count intersections, then
-    jaccard = inter / (|A| + |B| - inter) as ONE division of exact ints
-    (bit-reproducible vs the DuckDB oracle).
+    """EXACT k-gram Jaccard pairs >= threshold, made scalable with prefix
+    filtering (the SSJoin/PPJoin family — public algorithms): under a
+    global shingle order (ascending document frequency, then value), any
+    pair with J >= t must share at least one shingle among each side's
+    first n - ceil(t*n) + 1 shingles. Candidates therefore join only on
+    those rare prefix shingles — a naive share-any-shingle join explodes
+    quadratically on common shingles of natural text (it OOM'd the sf0.1
+    bench); the prefix join touches ~|true near-dups| pairs instead, with
+    NO loss of exactness. Verification computes true inter/union on the
+    full hashed shingle sets, one INT/INT division (bit-reproducible vs
+    the DuckDB all-pairs oracle, which states the same output naively)."""
+    from pyspark.sql import Window
 
-    Scale: candidates are pairs sharing >= 1 shingle — exact but join-heavy
-    on common shingles; this is the *verification baseline*. The minhash-LSH
-    path is the 100 TB path (its bucket join touches ~|near-dup| pairs, not
-    |shared-shingle| pairs)."""
-    sh = (docs.select("doc_id", F.explode(_shingles("text", k)).alias("s")))
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("a_id"), "s")
-    b = sh.select(F.col("doc_id").alias("b_id"), "s")
-    inter = (a.join(b, "s")
-              .where(F.col("a_id") < F.col("b_id"))
-              .groupBy("a_id", "b_id")
-              .agg(F.count(F.lit(1)).alias("inter")))
-    sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n_sh").alias("nb"))
-    return (inter.join(sa, "a_id").join(sb, "b_id")
-            .select("a_id", "b_id",
-                    (F.col("inter").cast("double")
-                     / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"))
-                    .alias("jaccard"))
-            .where(F.col("jaccard") >= threshold))
+    sets_df = hashed_shingle_sets_df(docs, k)
+    ex = sets_df.select("doc_id", F.size("shingles").alias("n_sh"),
+                        F.explode("shingles").alias("s"))
+    df_counts = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "s")
+    prefix = (ex.join(df_counts, "s")
+              .withColumn("rn", F.row_number().over(w))
+              .where(F.col("rn")
+                     <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1)
+              .select("doc_id", "n_sh", "s"))
+    a = prefix.select(F.col("doc_id").alias("a_id"),
+                      F.col("n_sh").alias("na"), "s")
+    b = prefix.select(F.col("doc_id").alias("b_id"),
+                      F.col("n_sh").alias("nb"), "s")
+    # length filter (also exactness-preserving): J >= t forces
+    # t*|B| <= |A| <= |B|/t
+    cands = (a.join(b, "s")
+              .where((F.col("a_id") < F.col("b_id"))
+                     & (F.col("na") >= F.lit(threshold) * F.col("nb"))
+                     & (F.col("nb") >= F.lit(threshold) * F.col("na")))
+              .select("a_id", "b_id")
+              .distinct())
+    return _verify_jaccard(cands, sets_df, threshold)
 
 
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str, k: int = 5,

@@ -1,0 +1,79 @@
+"""Event-stream analytics over the ``events`` table (event_id, ts, user_id,
+event_type, value, props-JSON) — capabilities BEYOND the reference's
+operator surface (SURVEY 2.5 W5 / 2.6 list them as absent there, free in
+Spark): session windows, sliding windows, JSON-path extraction, and ranked
+top-k. Each is oracle-checked against a DuckDB restatement.
+
+All four are single-shuffle patterns: sessionization shuffles once on
+user_id, sliding counts once on (window, type) after a 4x in-map window
+fan-out, JSON aggregation once on event_type, top-k once on event_type with
+a bounded per-group sort. Aggregate outputs stay integral (counts/sums of
+ints) so results hash-match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..session import configure_for_engine
+from ..views import load
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with ts restored to TimestampType. The parquet stores
+    TIMESTAMP(NANOS) (unsupported by Spark's reader), so the session reads
+    nanos as long (session.py) and this converts via integer DIV to micros
+    — the same floor-truncation DuckDB's CAST(ts AS TIMESTAMP) applies."""
+    configure_for_engine(spark)
+    ev = load(spark, sf_dir, "events")
+    return ev.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def sessionize(spark: SparkSession, sf_dir: str,
+               gap: str = "30 minutes") -> DataFrame:
+    """User sessions = maximal event runs with < 30 min between events
+    (session_window — Spark-native, batch and streaming alike). Output:
+    user_id, session_start, n_events."""
+    ev = load_events(spark, sf_dir)
+    return (ev.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+              .agg(F.count(F.lit(1)).alias("n_events"))
+              .select("user_id", F.col("w.start").alias("session_start"),
+                      "n_events"))
+
+
+def sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events per (1-hour window sliding by 15 min, event_type). Each event
+    lands in exactly 4 epoch-aligned windows — the in-map fan-out is
+    constant, then one hash agg."""
+    ev = load_events(spark, sf_dir)
+    return (ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"),
+                       "event_type")
+              .agg(F.count(F.lit(1)).alias("n_events"))
+              .select(F.col("w.start").alias("window_start"), "event_type",
+                      "n_events"))
+
+
+def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-path extraction + aggregation: per event_type, the count,
+    distinct users, and exact integer sum of the props.k field."""
+    ev = load_events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (ev.groupBy("event_type")
+              .agg(F.count(F.lit(1)).alias("n_events"),
+                   F.countDistinct("user_id").alias("n_users"),
+                   F.sum(k).alias("sum_k")))
+
+
+def topk_users(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """Top-k users by event count per event_type (ranking window function —
+    absent from the reference, SURVEY 2.6). Tie-break: smallest user_id."""
+    ev = load_events(spark, sf_dir)
+    counts = (ev.groupBy("event_type", "user_id")
+                .agg(F.count(F.lit(1)).alias("n_events")))
+    w = Window.partitionBy("event_type").orderBy(F.col("n_events").desc(),
+                                                 F.col("user_id").asc())
+    return (counts.withColumn("rank", F.row_number().over(w))
+                  .where(F.col("rank") <= k)
+                  .select("event_type", "user_id", "n_events",
+                          F.col("rank").cast("int").alias("rank")))

@@ -79,14 +79,22 @@ def embedding_near_dup_exact_df(emb: DataFrame,
                                 threshold: float = 0.4) -> DataFrame:
     """Exact cosine near-dup pairs (a_id < b_id, cosine >= threshold) by
     all-pairs comparison — the verification baseline, hash-checked against
-    the DuckDB list_dot_product oracle. O(N^2): use the LSH path at scale."""
-    a = emb.select(F.col("vec_id").alias("a_id"),
-                   _as_double("embedding").alias("a_vec"))
-    b = emb.select(F.col("vec_id").alias("b_id"),
-                   _as_double("embedding").alias("b_vec"))
+    the DuckDB list_dot_product oracle. O(N^2): use the LSH path at scale.
+
+    Norms are computed ONCE per vector (not per pair) — identical IEEE-754
+    operands and order as recomputing, so results stay bit-identical to the
+    oracle while cutting 2/3 of the per-pair array folds. (A codegen-able
+    static element_at expansion was tried and is SLOWER than the fold under
+    ANSI bounds checks — keep the single-pass fold.)"""
+    a = (emb.select(F.col("vec_id").alias("a_id"),
+                    _as_double("embedding").alias("a_vec"))
+            .withColumn("a_norm", _norm(F.col("a_vec"))))
+    b = (emb.select(F.col("vec_id").alias("b_id"),
+                    _as_double("embedding").alias("b_vec"))
+            .withColumn("b_norm", _norm(F.col("b_vec"))))
+    cos = _dot(F.col("a_vec"), F.col("b_vec")) / (F.col("a_norm") * F.col("b_norm"))
     return (a.join(b, F.col("a_id") < F.col("b_id"))
-             .select("a_id", "b_id",
-                     _cosine(F.col("a_vec"), F.col("b_vec")).alias("cosine"))
+             .select("a_id", "b_id", cos.alias("cosine"))
              .where(F.col("cosine") >= threshold))
 
 
@@ -136,15 +144,18 @@ def embedding_near_dup_df(emb: DataFrame, threshold: float = 0.95,
     bucketed = (band_buckets(emb, n_planes=n_planes, band_bits=band_bits,
                              seed=seed)
                 .select("vec_id", _as_double("embedding").alias("vec"),
-                        F.explode("buckets").alias("bucket")))
+                        F.explode("buckets").alias("bucket"))
+                .withColumn("nrm", _norm(F.col("vec"))))
     a = bucketed.select(F.col("vec_id").alias("a_id"),
-                        F.col("vec").alias("a_vec"), "bucket")
+                        F.col("vec").alias("a_vec"),
+                        F.col("nrm").alias("a_norm"), "bucket")
     b = bucketed.select(F.col("vec_id").alias("b_id"),
-                        F.col("vec").alias("b_vec"), "bucket")
+                        F.col("vec").alias("b_vec"),
+                        F.col("nrm").alias("b_norm"), "bucket")
+    cos = _dot(F.col("a_vec"), F.col("b_vec")) / (F.col("a_norm") * F.col("b_norm"))
     return (a.join(b, "bucket")
              .where(F.col("a_id") < F.col("b_id"))
-             .select("a_id", "b_id",
-                     _cosine(F.col("a_vec"), F.col("b_vec")).alias("cosine"))
+             .select("a_id", "b_id", cos.alias("cosine"))
              .where(F.col("cosine") >= threshold)
              .dropDuplicates(["a_id", "b_id"]))
 

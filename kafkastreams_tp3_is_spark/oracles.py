@@ -269,6 +269,62 @@ FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
 WHERE rank <= 10
 """
 
+# ---------------------------------------------------------------------
+# Event-stream analytics over the events table — capabilities beyond the
+# reference (session windows, sliding windows, JSON paths, ranked top-k).
+# events.ts is TIMESTAMP_NS in parquet; CAST(ts AS TIMESTAMP) floor-
+# truncates to micros, matching the Spark loader's ts DIV 1000.
+# ---------------------------------------------------------------------
+
+ORACLES["events_sessionize"] = """
+WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+m AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+  FROM e
+),
+s AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m
+)
+SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+FROM s GROUP BY user_id, sid
+"""
+
+ORACLES["events_sliding_counts"] = """
+WITH e AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+x AS (
+  SELECT event_type, ts, unnest(generate_series(0, 3)) AS k FROM e
+)
+SELECT time_bucket(INTERVAL '15 minutes', ts) - to_minutes(CAST(15 * k AS BIGINT))
+         AS window_start,
+       event_type, COUNT(*) AS n_events
+FROM x GROUP BY 1, 2
+"""
+
+ORACLES["events_json_props_stats"] = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+FROM events GROUP BY event_type
+"""
+
+ORACLES["events_topk_users"] = """
+WITH c AS (
+  SELECT event_type, user_id, COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, user_id, n_events, CAST(rank AS INTEGER) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                   ORDER BY n_events DESC, user_id ASC) AS rank
+      FROM c)
+WHERE rank <= 3
+"""
+
 # A9 latest-per-key over a changelog WITH duplicate keys: every 10th route
 # re-emitted one day later with a different capacity (views.py
 # routes_reemitted); winner = newest record per route_id.

@@ -27,6 +27,13 @@ def get_spark(app_name: str = "kafkastreams-tp3-is-spark",
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # the events table stores TIMESTAMP(NANOS), which Spark's parquet
+        # reader rejects natively — read as long, convert in the loader
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # let AQE broadcast mid-sized aggregate/dimension frames (e.g. the
+        # hashed-shingle sets in dedup verify); still adaptive, never a
+        # hard hint, so SF-scaled frames fall back to shuffle joins
+        .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
@@ -43,4 +50,6 @@ def configure_for_engine(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64MB")
     return spark

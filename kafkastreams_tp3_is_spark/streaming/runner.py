@@ -64,6 +64,27 @@ class MemoryUpsertSink:
         return list(self.state.values())
 
 
+def windowed_counts_stream(trips_stream: DataFrame,
+                           watermark: str = "0 seconds") -> DataFrame:
+    """W1-W3 in native streaming form: tumbling 1-hour trip counts per
+    transport type with an explicit watermark (grace 0, matching the
+    reference's ofSizeWithNoGrace/ofSizeAndGrace(1h, ZERO) —
+    TransportTypeMaxPassengersWindow.java:32,
+    LeastOccupiedTransportTypeWindow.java:68). Rows later than the
+    watermark are dropped, exactly the reference's late-data policy.
+    event_ts is cast to (tz-aware) TIMESTAMP — watermarks reject
+    TIMESTAMP_NTZ — which under the engine's UTC session TZ keeps the same
+    wall-clock instants."""
+    return (trips_stream
+            .withColumn("event_ts", F.col("event_ts").cast("timestamp"))
+            .withWatermark("event_ts", watermark)
+            .groupBy(F.window("event_ts", "1 hour").alias("w"),
+                     "transport_type")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(F.col("w.start").alias("window_start"),
+                    "transport_type", "cnt"))
+
+
 def run_update_mode_agg(agg_df: DataFrame, sink, checkpoint_dir: str) -> None:
     """Strategy 1: native update-mode streaming aggregation -> upsert sink.
     ``agg_df`` is a streaming aggregate (e.g. q5_logic over a streaming

@@ -23,7 +23,8 @@ from kafkastreams_tp3_is_spark.streaming.envelope import (
     ROUTE_CONNECT_SCHEMA, connect_envelope, envelope_passengers_per_route,
     reenvelope_records)
 from kafkastreams_tp3_is_spark.streaming.runner import (
-    MemoryUpsertSink, RecomputeHarness, run_update_mode_agg)
+    MemoryUpsertSink, RecomputeHarness, run_update_mode_agg,
+    windowed_counts_stream)
 from tests.conftest import SF_DIR
 
 
@@ -131,6 +132,28 @@ def test_update_mode_q5_equals_batch(spark, stream_dirs, tmp_path):
     assert sink.batches >= 2, "expected multiple micro-batches"
     batch = q.q5_passengers_per_route(spark, SF_DIR)
     assert (_sorted_state(sink, ["route_id", "passengerCount"])
+            == _sorted_rows(batch))
+
+
+def test_update_mode_windowed_counts_with_watermark(spark, stream_dirs, tmp_path):
+    """W1-W3: native streaming tumbling window + explicit watermark. The
+    file source delivers micro-batches in file order, not event-time order,
+    so a short watermark would legitimately drop late rows; with a delay
+    larger than the data's full event-time span nothing may be dropped and
+    the streamed counts must equal the batch windowed counts exactly."""
+    trips_stream = trip_file_stream(spark, str(stream_dirs / "lineitem"))
+    sink = MemoryUpsertSink(["window_start", "transport_type"])
+    run_update_mode_agg(
+        windowed_counts_stream(trips_stream, watermark="4000 days"),
+        sink, str(tmp_path / "ckpt_w"))
+    from pyspark.sql import functions as FF
+    from kafkastreams_tp3_is_spark.views import trips as batch_trips
+    batch = (batch_trips(spark, SF_DIR)
+             .groupBy(FF.window("event_ts", "1 hour").alias("w"), "transport_type")
+             .agg(FF.count(FF.lit(1)).alias("cnt"))
+             .select(FF.col("w.start").alias("window_start"),
+                     "transport_type", "cnt"))
+    assert (_sorted_state(sink, ["window_start", "transport_type", "cnt"])
             == _sorted_rows(batch))
 
 
