@@ -1,10 +1,11 @@
 """Text-analysis operators for a large-scale training-data pipeline, over the
 ``documents`` table (doc_id, text, lang, source, n_chars).
 
-All hot-path expressions are built-in pyspark.sql.functions (JVM-side,
-whole-stage-codegen'd) — including the rolling-hash fingerprint. Everything
-is a narrow per-row map — no shuffle — so it scales linearly with input
-splits.
+All hot-path expressions are built-in pyspark.sql.functions — JVM-side
+throughout, never a Python worker (higher-order array expressions like the
+fingerprint's aggregate run interpreted in the JVM, outside whole-stage
+codegen; the scalar paths codegen fully). Everything is a narrow per-row
+map — no shuffle — so it scales linearly with input splits.
 """
 
 from __future__ import annotations

@@ -1,0 +1,87 @@
+"""Plan-quality regression tests: the optimizations the engine relies on at
+100 TB (column pruning to the parquet scan, no cartesian products, codegen
+on narrow maps) must be visible in the physical plan, not just assumed.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from kafkastreams_tp3_is_spark import queries as q
+from kafkastreams_tp3_is_spark.operators.text import fingerprint
+from tests.conftest import SF_DIR
+
+
+def _plan(spark, df) -> str:
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def test_q1_scan_prunes_to_two_columns(spark):
+    plan = _plan(spark, q.q1_available_seats_per_route(spark, SF_DIR))
+    assert "ReadSchema: struct<o_orderkey:bigint,o_totalprice:double>" in plan, \
+        "orders scan must read only the columns the derivation needs"
+
+
+def test_q4_trips_scan_prunes_to_fk_only(spark):
+    plan = _plan(spark, q.q4_occupancy_per_route(spark, SF_DIR))
+    assert "ReadSchema: struct<l_orderkey:bigint>" in plan, \
+        "lineitem scan must be pruned to the join/group key"
+
+
+def test_q5_single_shuffle(spark):
+    plan = _plan(spark, q.q5_passengers_per_route(spark, SF_DIR))
+    # partial agg -> one exchange -> final agg; any second exchange means a
+    # redundant shuffle crept in
+    assert plan.count("+- Exchange") <= 1
+
+
+@pytest.mark.parametrize("name", sorted(entrymod.queries()))
+def test_no_cartesian_product_anywhere(name, spark):
+    """CartesianProductExec = unbounded all-pairs shuffle — never acceptable.
+    (Bounded BroadcastNestedLoopJoin is allowed: q8's 1x1 cross join and the
+    exact all-pairs baselines use it deliberately.)"""
+    df = entrymod.queries()[name](spark, SF_DIR)
+    assert "CartesianProduct" not in _plan(spark, df), name
+
+
+def test_fingerprint_stays_jvm_side(spark):
+    """The rolling-hash fingerprint must be a JVM expression projection
+    (higher-order functions run interpreted JVM-side, outside whole-stage
+    codegen, but never in a Python worker)."""
+    plan = _plan(spark, fingerprint(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, \
+        "fingerprint must not fall back to a Python UDF"
+    assert "aggregate(filter(split(" in plan
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """The co-located-join path: writing both join sides bucketed by the
+    key eliminates every shuffle from the subsequent join (the bucketed
+    analogue of Kafka Streams co-partitioned state-store joins)."""
+    from pyspark.sql import functions as F
+
+    from kafkastreams_tp3_is_spark.queries import (
+        capacity_per_route_logic, passengers_per_route_logic)
+    from kafkastreams_tp3_is_spark.sources.warehouse import (
+        colocated_join, write_bucketed)
+    from kafkastreams_tp3_is_spark.views import routes, trips
+
+    spark.sql("DROP TABLE IF EXISTS cap_b")
+    spark.sql("DROP TABLE IF EXISTS pax_b")
+    write_bucketed(capacity_per_route_logic(routes(spark, SF_DIR)),
+                   "cap_b", ["route_id"], 8, str(tmp_path / "cap_b"))
+    write_bucketed(passengers_per_route_logic(trips(spark, SF_DIR)),
+                   "pax_b", ["route_id"], 8, str(tmp_path / "pax_b"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # disable broadcast so the join must rely on the bucket distribution
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = colocated_join(spark, "cap_b", "pax_b", ["route_id"], "left")
+        plan = _plan(spark, joined)
+        assert "Exchange" not in plan, "bucketed join must be shuffle-free"
+        n = joined.count()
+        assert n == capacity_per_route_logic(routes(spark, SF_DIR)).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

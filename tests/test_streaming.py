@@ -167,26 +167,37 @@ def _run_harness(spark, stream_dirs, tmp_path, logic, key_cols):
     return sink
 
 
-def test_recompute_q4_equals_batch(spark, stream_dirs, tmp_path):
-    sink = _run_harness(spark, stream_dirs, tmp_path, q.q4_logic, ["route_id"])
+# one representative per query SHAPE: per-key agg join (q4), global ratio
+# (q8), windowed argmax (q11), distinct-count ratio (q2), per-group argmin
+# over a join (q6), global argmax (q10), operator-join ratio argmax (q13)
+_HARNESS_CASES = {
+    "q2": (q.q2_logic, ["transport_type"],
+           q.q2_average_passengers_per_transport_type,
+           ["transport_type", "averagePassengers"]),
+    "q4": (q.q4_logic, ["route_id"], q.q4_occupancy_per_route,
+           ["route_id", "occupancyPercentage"]),
+    "q6": (q.q6_logic, ["transport_type"],
+           q.q6_route_least_occupancy_per_transport_type,
+           ["transport_type", "routeId", "occupancy"]),
+    "q8": (q.q8_logic, [], q.q8_total_occupancy_percentage,
+           ["totalOccupancyPercentage"]),
+    "q10": (q.q10_logic, [], q.q10_transport_type_max_passengers,
+            ["transportType"]),
+    "q11": (q.q11_logic, ["window_start"],
+            q.q11_transport_type_max_passengers_window,
+            ["window_start", "transportType", "maxPassengers"]),
+    "q13": (q.q13_logic, [], q.q13_most_occupied_operator,
+            ["operator", "occupancyPercentage"]),
+}
+
+
+@pytest.mark.parametrize("label", sorted(_HARNESS_CASES))
+def test_recompute_equals_batch(label, spark, stream_dirs, tmp_path):
+    logic, key_cols, batch_fn, cols = _HARNESS_CASES[label]
+    sink = _run_harness(spark, stream_dirs, tmp_path, logic, key_cols)
     assert sink.batches >= 2
-    batch = q.q4_occupancy_per_route(spark, SF_DIR)
-    assert (_sorted_state(sink, ["route_id", "occupancyPercentage"])
-            == _sorted_rows(batch))
-
-
-def test_recompute_q8_global_equals_batch(spark, stream_dirs, tmp_path):
-    sink = _run_harness(spark, stream_dirs, tmp_path, q.q8_logic, [])
-    batch = q.q8_total_occupancy_percentage(spark, SF_DIR)
-    assert _sorted_state(sink, ["totalOccupancyPercentage"]) == _sorted_rows(batch)
-
-
-def test_recompute_q11_window_equals_batch(spark, stream_dirs, tmp_path):
-    sink = _run_harness(spark, stream_dirs, tmp_path, q.q11_logic,
-                        ["window_start"])
-    batch = q.q11_transport_type_max_passengers_window(spark, SF_DIR)
-    assert (_sorted_state(sink, ["window_start", "transportType", "maxPassengers"])
-            == _sorted_rows(batch))
+    batch = batch_fn(spark, SF_DIR)
+    assert _sorted_state(sink, cols) == _sorted_rows(batch), label
 
 
 # --- S9-S11: generators ------------------------------------------------
