@@ -18,6 +18,7 @@ from kafkastreams_tp3_is_spark import queries as _q
 from kafkastreams_tp3_is_spark.operators import dedup as _dedup
 from kafkastreams_tp3_is_spark.operators import events as _events
 from kafkastreams_tp3_is_spark.operators import multimodal as _mm
+from kafkastreams_tp3_is_spark.operators import pipeline as _pipe
 from kafkastreams_tp3_is_spark.operators import similarity as _sim
 from kafkastreams_tp3_is_spark.operators import text as _text
 from kafkastreams_tp3_is_spark.streaming import envelope as _env
@@ -70,6 +71,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": _text.lang_id,
         "text_fingerprint": _text.fingerprint,                  # rows-only
         "multimodal_features": _mm.media_features,
+        "corpus_clean": _pipe.corpus_clean,
     }
 
 

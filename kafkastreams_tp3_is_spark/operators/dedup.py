@@ -142,8 +142,17 @@ def dedup_minhash_lsh_df(docs: DataFrame, num_hashes: int = 32,
                          bands: int = 8, jaccard_threshold: float = 0.8,
                          k: int = 5) -> DataFrame:
     """End-to-end near-dup detection over a (doc_id, text) frame: LSH
-    candidates verified by exact Jaccard; (a_id, b_id, jaccard) >= t."""
-    sets_df = hashed_shingle_sets_df(docs, k)
+    candidates verified by exact Jaccard; (a_id, b_id, jaccard) >= t.
+
+    The hashed shingle sets feed BOTH the signature path and the Jaccard
+    verification join; without materialization Spark recomputes the
+    shingling scan twice, so the sets are persisted (memory-and-disk,
+    LRU-evicted) — the standard one-materialization shape of production
+    LSH dedup jobs."""
+    from pyspark import StorageLevel
+
+    sets_df = hashed_shingle_sets_df(docs, k).persist(
+        StorageLevel.MEMORY_AND_DISK)
     sigs = minhash_signatures(sets_df, num_hashes)
     cands = minhash_lsh_pairs(sigs, num_hashes, bands)
     return _verify_jaccard(cands, sets_df, jaccard_threshold)
@@ -182,19 +191,28 @@ def ngram_jaccard_pairs_df(docs: DataFrame, k: int = 5,
               .withColumn("rn", F.row_number().over(w))
               .where(F.col("rn")
                      <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1)
-              .select("doc_id", "n_sh", "s"))
+              .select("doc_id", "n_sh", "rn", "s"))
     a = prefix.select(F.col("doc_id").alias("a_id"),
-                      F.col("n_sh").alias("na"), "s")
+                      F.col("n_sh").alias("na"), F.col("rn").alias("pa"), "s")
     b = prefix.select(F.col("doc_id").alias("b_id"),
-                      F.col("n_sh").alias("nb"), "s")
-    # length filter (also exactness-preserving): J >= t forces
-    # t*|B| <= |A| <= |B|/t
-    cands = (a.join(b, "s")
-              .where((F.col("a_id") < F.col("b_id"))
-                     & (F.col("na") >= F.lit(threshold) * F.col("nb"))
-                     & (F.col("nb") >= F.lit(threshold) * F.col("na")))
-              .select("a_id", "b_id")
-              .distinct())
+                      F.col("n_sh").alias("nb"), F.col("rn").alias("pb"), "s")
+    # length filter (exactness-preserving): J >= t forces t*|B| <= |A| <= |B|/t
+    matches = (a.join(b, "s")
+               .where((F.col("a_id") < F.col("b_id"))
+                      & (F.col("na") >= F.lit(threshold) * F.col("nb"))
+                      & (F.col("nb") >= F.lit(threshold) * F.col("na"))))
+    # positional filter (PPJoin, still exact): with a shared prefix element
+    # at positions (pa, pb), the overlap is at most
+    # 1 + min(na - pa, nb - pb); J >= t needs overlap >= t(na+nb)/(1+t).
+    # Taking min positions over all matches only loosens the bound — safe.
+    cands = (matches.groupBy("a_id", "b_id")
+             .agg(F.min("pa").alias("pa"), F.min("pb").alias("pb"),
+                  F.first("na").alias("na"), F.first("nb").alias("nb"))
+             .where((1 + F.least(F.col("na") - F.col("pa"),
+                                 F.col("nb") - F.col("pb"))).cast("double")
+                    >= F.lit(threshold) * (F.col("na") + F.col("nb"))
+                       / F.lit(1.0 + threshold))
+             .select("a_id", "b_id"))
     return _verify_jaccard(cands, sets_df, threshold)
 
 

@@ -367,6 +367,39 @@ SELECT doc_id,
 FROM documents
 """
 
+# Training-corpus cleaning manifest: exact-dedup keeper + quality floor +
+# language confirmation (restates operators/pipeline.py corpus_clean).
+ORACLES["corpus_clean"] = f"""
+WITH scored AS (
+  SELECT doc_id, lang, text,
+         CAST(len({_TOKENS}) AS BIGINT) AS n_tokens,
+         CASE WHEN length(text) = 0 THEN 0.0
+              ELSE CAST(len(regexp_extract_all(text, '[.,!?;:''"()\\[\\]{{}}-]')) AS DOUBLE)
+                   / CAST(length(text) AS DOUBLE) END AS punct_ratio,
+         (SELECT CASE
+            WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'und'
+            WHEN h_de = greatest(h_en, h_de, h_fr, h_es) THEN 'de'
+            WHEN h_en = greatest(h_en, h_de, h_fr, h_es) THEN 'en'
+            WHEN h_es = greatest(h_en, h_de, h_fr, h_es) THEN 'es'
+            ELSE 'fr' END
+          FROM (SELECT
+            len(list_filter(list_transform({_TOKENS}, x -> lower(x)), x -> x IN ('the','and','of','to','is','in','that','with'))) AS h_en,
+            len(list_filter(list_transform({_TOKENS}, x -> lower(x)), x -> x IN ('der','die','das','und','ist','nicht','ein','mit'))) AS h_de,
+            len(list_filter(list_transform({_TOKENS}, x -> lower(x)), x -> x IN ('le','la','les','et','est','une','que','dans'))) AS h_fr,
+            len(list_filter(list_transform({_TOKENS}, x -> lower(x)), x -> x IN ('el','la','los','es','una','que','por','con'))) AS h_es)
+         ) AS lang_pred
+  FROM documents
+),
+keep AS (SELECT md5(text) AS text_md5, MIN(doc_id) AS keep_doc_id
+         FROM documents GROUP BY md5(text))
+SELECT s.doc_id, s.n_tokens, s.lang
+FROM scored s JOIN keep k ON md5(s.text) = k.text_md5
+WHERE s.doc_id = k.keep_doc_id
+  AND s.n_tokens >= 10
+  AND s.punct_ratio <= 0.25
+  AND (s.lang_pred = s.lang OR s.lang_pred = 'und')
+"""
+
 ORACLES["multimodal_features"] = """
 SELECT doc_id AS media_id,
        CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,

@@ -85,13 +85,16 @@ def windowed_counts_stream(trips_stream: DataFrame,
                     "transport_type", "cnt"))
 
 
-def run_update_mode_agg(agg_df: DataFrame, sink, checkpoint_dir: str) -> None:
-    """Strategy 1: native update-mode streaming aggregation -> upsert sink.
-    ``agg_df`` is a streaming aggregate (e.g. q5_logic over a streaming
-    trips frame). Runs to completion of available data (availableNow)."""
+def run_update_mode_agg(agg_df: DataFrame, sink, checkpoint_dir: str,
+                        output_mode: str = "update") -> None:
+    """Strategy 1: native streaming aggregation -> upsert sink. ``agg_df``
+    is a streaming aggregate (e.g. q5_logic over a streaming trips frame).
+    Runs to completion of available data (availableNow). Default update
+    mode emits changed keys only (the reference's changelog emission);
+    session-window aggregations require "complete" — pass it explicitly."""
     q = (agg_df.writeStream
          .foreachBatch(sink.process)
-         .outputMode("update")
+         .outputMode(output_mode)
          .option("checkpointLocation", checkpoint_dir)
          .trigger(availableNow=True)
          .start())

@@ -157,6 +157,32 @@ def test_update_mode_windowed_counts_with_watermark(spark, stream_dirs, tmp_path
             == _sorted_rows(batch))
 
 
+def test_streaming_session_window_equals_batch(spark, tmp_path):
+    """Session windows in native streaming mode (stateful session merge in
+    the state store) — beyond the reference's surface. All data arrives in
+    one availableNow trigger so the 0s watermark drops nothing; the final
+    session set must equal the batch sessionization."""
+    from kafkastreams_tp3_is_spark.operators.events import (
+        load_events, sessionize)
+
+    ev = load_events(spark, SF_DIR)
+    src = tmp_path / "events_src"
+    ev.repartition(2).write.parquet(str(src))
+    stream = (spark.readStream.schema(ev.schema).parquet(str(src)))
+    agg = (stream
+           .withWatermark("ts", "0 seconds")
+           .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+           .agg(F.count(F.lit(1)).alias("n_events"))
+           .select("user_id", F.col("w.start").alias("session_start"),
+                   "n_events"))
+    sink = MemoryUpsertSink(["user_id", "session_start"])
+    run_update_mode_agg(agg, sink, str(tmp_path / "ckpt_s"),
+                        output_mode="complete")
+    batch = sessionize(spark, SF_DIR)
+    assert (_sorted_state(sink, ["user_id", "session_start", "n_events"])
+            == _sorted_rows(batch))
+
+
 # --- foreachBatch recompute harness (agg-join / agg-over-agg) ---------
 
 def _run_harness(spark, stream_dirs, tmp_path, logic, key_cols):
