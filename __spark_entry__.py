@@ -17,6 +17,7 @@ from kafkastreams_tp3_is_spark import oracles as _oracles
 from kafkastreams_tp3_is_spark import queries as _q
 from kafkastreams_tp3_is_spark.operators import dedup as _dedup
 from kafkastreams_tp3_is_spark.operators import events as _events
+from kafkastreams_tp3_is_spark.operators import ivf as _ivf
 from kafkastreams_tp3_is_spark.operators import multimodal as _mm
 from kafkastreams_tp3_is_spark.operators import pipeline as _pipe
 from kafkastreams_tp3_is_spark.operators import similarity as _sim
@@ -62,10 +63,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _dedup.dedup_minhash_lsh,          # rows-only
         "dedup_simhash": _dedup.dedup_simhash,                  # rows-only
         "ngram_jaccard_pairs": _dedup.ngram_jaccard_pairs,
-        "embedding_near_dup": _sim.embedding_near_dup,          # rows-only
+        # IVF is the moderate-threshold scale path (rows-only, recall
+        # pytest-floored vs the exact baseline); the sign-LSH variant in
+        # similarity.py stays the true near-dup (cosine>0.9) path.
+        "embedding_near_dup": _ivf.embedding_near_dup_ivf,      # rows-only
         "embedding_near_dup_exact": _sim.embedding_near_dup_exact,
         "ann_cosine_topk": _sim.cosine_topk_bruteforce,
         "ann_cosine_topk_lsh": _sim.cosine_topk_lsh,            # rows-only
+        "ann_cosine_topk_ivf": _ivf.cosine_topk_ivf,            # rows-only
         "text_token_count": _text.token_count,
         "text_quality_score": _text.quality_score,
         "text_lang_id": _text.lang_id,

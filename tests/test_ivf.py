@@ -1,0 +1,79 @@
+"""IVF ANN tests: recall floors against the exact baselines on the real
+sf0.001 embeddings, exact precision by construction, planted near-dups,
+and determinism of the sample-trained centroids."""
+
+from __future__ import annotations
+
+import pytest
+
+from kafkastreams_tp3_is_spark.operators.ivf import (
+    assign_cells, cosine_topk_ivf, embedding_near_dup_ivf,
+    embedding_near_dup_ivf_df, train_centroids)
+from kafkastreams_tp3_is_spark.operators.similarity import (
+    cosine_topk_bruteforce, embedding_near_dup_exact)
+from kafkastreams_tp3_is_spark.views import load
+from tests.conftest import SF_DIR
+
+
+def _pairs(df):
+    return {(r["a_id"], r["b_id"]) for r in df.collect()}
+
+
+@pytest.fixture(scope="module")
+def exact_pairs(spark):
+    return _pairs(embedding_near_dup_exact(spark, SF_DIR, threshold=0.4))
+
+
+def test_near_dup_ivf_subset_of_exact_and_recall(spark, exact_pairs):
+    """Precision is exact (candidates are cosine-verified), so output must
+    be a subset of the all-pairs baseline; recall floor 0.9 at the tuned
+    defaults (measured 98% on this corpus)."""
+    found = _pairs(embedding_near_dup_ivf(spark, SF_DIR, threshold=0.4))
+    assert found <= exact_pairs
+    assert len(exact_pairs) > 0
+    recall = len(found) / len(exact_pairs)
+    assert recall >= 0.9, f"IVF near-dup recall {recall:.2f} below floor"
+
+
+def test_near_dup_ivf_deterministic(spark):
+    a = _pairs(embedding_near_dup_ivf(spark, SF_DIR, threshold=0.4))
+    b = _pairs(embedding_near_dup_ivf(spark, SF_DIR, threshold=0.4))
+    assert a == b
+
+
+def test_topk_ivf_recall_floor(spark):
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in cosine_topk_bruteforce(spark, SF_DIR).collect()}
+    approx = {(r["query_id"], r["neighbor_id"])
+              for r in cosine_topk_ivf(spark, SF_DIR).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.7, f"IVF top-k recall {recall:.2f} below floor"
+
+
+def test_planted_near_dups_land_in_same_cell(spark):
+    """A vector and its tiny perturbation must share their top cell, so
+    planted near-dups are always recovered regardless of tuning."""
+    import numpy as np
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((60, 64))
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    for i in range(5):
+        pert = base[i] + 0.01 * rng.standard_normal(64)
+        rows.append((100 + i, [float(x) for x in pert]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    found = _pairs(embedding_near_dup_ivf_df(df, threshold=0.95,
+                                             n_centroids=8, m_assign=1,
+                                             sample_n=65))
+    assert {(i, 100 + i) for i in range(5)} <= found
+
+
+def test_centroids_deterministic_and_unit_norm(spark):
+    import math
+    emb = load(spark, SF_DIR, "embeddings")
+    c1 = train_centroids(emb, n_centroids=8, n_iters=2, sample_n=100)
+    c2 = train_centroids(emb, n_centroids=8, n_iters=2, sample_n=100)
+    assert c1 == c2
+    assert all(abs(math.fsum(x * x for x in c) - 1.0) < 1e-9 for c in c1)
+    cells = assign_cells(emb, c1, m_assign=2).select("cells").collect()
+    assert all(len(r["cells"]) == 2 and all(0 <= c < 8 for c in r["cells"])
+               for r in cells)
