@@ -76,6 +76,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": _text.lang_id,
         "text_fingerprint": _text.fingerprint,                  # rows-only
         "multimodal_features": _mm.media_features,
+        "multimodal_resize": _mm.media_resize,
+        "multimodal_frame_sample": _mm.media_frame_sample,
         "corpus_clean": _pipe.corpus_clean,
     }
 

@@ -102,19 +102,81 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
     return media.mapInPandas(run, FEATURE_SCHEMA)
 
 
-def resize_images(media: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
-    """Image resize plumbing: filters to images, would decode+resize via a
-    pandas UDF. Kernel stubbed — raises NotImplementedError if actually
-    asked to produce pixels, but the plan (filter + mapInPandas signature)
-    is real."""
+def resize_images(media: DataFrame, width: int = 224,
+                  height: int = 224) -> DataFrame:
+    """Image resize over mapInPandas: filter to images (partition-pruning-
+    friendly narrow filter), then one Arrow batch -> one batch of resized
+    payloads. The decode step is a deterministic STUB — nearest-neighbor
+    resampling of the RAW payload bytes, out[i] = in[floor(i*n/(w*h))] — a
+    real deployment replaces exactly the inner ``resample`` with
+    PIL.Image.open(...).resize((w, h)); schema, batch shape, and plan are
+    unchanged by that swap. Output rows keep MEDIA_SCHEMA with content =
+    resized bytes and meta reflecting the new dimensions."""
+    out_n = width * height
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        raise NotImplementedError(
-            "image decode/resize requires PIL, absent in this container; "
-            "plug the kernel in here")
-        yield  # pragma: no cover
+        def resample(payload: bytes) -> bytes:
+            n = len(payload or b"")
+            if n == 0:
+                return b""
+            return bytes(payload[i * n // out_n] for i in range(out_n))
+
+        for pdf in batches:
+            out = pdf.copy()
+            out["content"] = out["content"].map(resample)
+            out["meta"] = [
+                {"width": width, "height": height,
+                 "duration_ms": (m or {}).get("duration_ms"),
+                 "codec": "raw-stub"}
+                for m in out["meta"]
+            ]
+            yield out
 
     return media.filter(F.col("media_type") == "image").mapInPandas(run, MEDIA_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("frame_idx", T.IntegerType(), False),    # 0..k-1 output
+    T.StructField("src_frame", T.LongType(), False),       # source frame no.
+    T.StructField("ts_ms", T.LongType(), True),            # frame timestamp
+    T.StructField("frame_sha256", T.StringType(), True),
+])
+
+
+def frame_sample(media: DataFrame, frame_bytes: int = 64,
+                 n_frames: int = 4) -> DataFrame:
+    """Video frame sampling over mapInPandas: treat the payload as
+    ``frame_bytes``-sized frames, emit up to ``n_frames`` evenly spaced
+    ones (src_frame = floor(j*total/k)), each with its timestamp within
+    meta.duration_ms and a content hash. One input row fans out to <= k
+    output rows — mapInPandas handles the 1->N shape natively; still a
+    narrow map, no shuffle. The frame DECODE is the stubbed step (sha256
+    of raw frame bytes stands in for decoded pixels); the
+    sampling/timestamping logic is the production logic."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hl
+
+        for pdf in batches:
+            rows = []
+            for media_id, payload, meta in zip(
+                    pdf["media_id"], pdf["content"], pdf["meta"]):
+                payload = payload or b""
+                total = (len(payload) + frame_bytes - 1) // frame_bytes
+                if total == 0:
+                    continue
+                k = min(n_frames, total)
+                dur = (meta or {}).get("duration_ms") or 0
+                for j in range(k):
+                    src = j * total // k
+                    frame = payload[src * frame_bytes:(src + 1) * frame_bytes]
+                    rows.append((media_id, j, src, src * dur // total,
+                                 _hl.sha256(frame).hexdigest()))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "frame_idx", "src_frame", "ts_ms", "frame_sha256"])
+
+    return media.filter(F.col("media_type") == "video").mapInPandas(run, FRAME_SCHEMA)
 
 
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -124,3 +186,27 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     is SQL-expressible in DuckDB; the fake feature is not)."""
     feats = extract_features(synthetic_media(spark, sf_dir))
     return feats.select("media_id", "media_type", "n_bytes", "content_sha256")
+
+
+def media_resize(spark: SparkSession, sf_dir: str,
+                 width: int = 32, height: int = 32) -> DataFrame:
+    """queries() surface: images resized to width x height via the
+    nearest-neighbor stub kernel. Output hashes the resized payload
+    (F.sha2 on the binary, JVM-side) so the DuckDB oracle — which rebuilds
+    the same resample with substring arithmetic (documents are pure ASCII,
+    so char index == byte index) — checks the kernel BYTE-EXACTLY."""
+    res = resize_images(synthetic_media(spark, sf_dir), width, height)
+    return res.select(
+        "media_id",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.length("content").cast("bigint").alias("n_bytes"),
+        F.lower(F.sha2("content", 256)).alias("content_sha256"))
+
+
+def media_frame_sample(spark: SparkSession, sf_dir: str,
+                       frame_bytes: int = 64, n_frames: int = 4) -> DataFrame:
+    """queries() surface: evenly-spaced frame samples from each video
+    payload, hash per frame; oracle-checked via DuckDB substring
+    arithmetic (byte-exact, same ASCII argument as media_resize)."""
+    return frame_sample(synthetic_media(spark, sf_dir), frame_bytes, n_frames)

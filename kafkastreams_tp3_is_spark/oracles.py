@@ -408,6 +408,40 @@ SELECT doc_id AS media_id,
 FROM documents
 """
 
+# Byte-exact restatement of the nearest-neighbor resize stub: documents
+# are pure ASCII, so substring char indexing equals the kernel's byte
+# indexing and sha256 over the rebuilt string matches F.sha2 on the bytes.
+ORACLES["multimodal_resize"] = """
+WITH img AS (
+  SELECT doc_id AS media_id, text, length(text) AS n
+  FROM documents WHERE doc_id % 3 = 0),
+res AS (
+  SELECT media_id,
+         string_agg(substring(text, CAST(i * n // 1024 AS BIGINT) + 1, 1),
+                    '' ORDER BY i) AS out
+  FROM img, range(1024) t(i)
+  GROUP BY media_id)
+SELECT media_id, 32 AS width, 32 AS height,
+       CAST(length(out) AS BIGINT) AS n_bytes,
+       sha256(out) AS content_sha256
+FROM res
+"""
+
+ORACLES["multimodal_frame_sample"] = """
+WITH vid AS (
+  SELECT doc_id AS media_id, text,
+         CAST(length(text) * 10 AS BIGINT) AS dur,
+         (length(text) + 63) // 64 AS total
+  FROM documents WHERE doc_id % 3 = 2),
+v AS (SELECT media_id, text, dur, total, least(4, total) AS k FROM vid)
+SELECT v.media_id,
+       CAST(t.j AS INTEGER) AS frame_idx,
+       CAST(t.j * v.total // v.k AS BIGINT) AS src_frame,
+       CAST((t.j * v.total // v.k) * v.dur // v.total AS BIGINT) AS ts_ms,
+       sha256(substring(v.text, CAST(t.j * v.total // v.k AS BIGINT) * 64 + 1, 64)) AS frame_sha256
+FROM v, range(4) t(j) WHERE t.j < v.k
+"""
+
 ORACLES["q13_most_occupied_operator"] = f"""{_RT},
 cap AS (SELECT operator, CAST(SUM(capacity) AS BIGINT) AS cap FROM routes GROUP BY operator),
 pax AS (
