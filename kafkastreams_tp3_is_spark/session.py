@@ -18,10 +18,15 @@ def get_spark(app_name: str = "kafkastreams-tp3-is-spark",
               shuffle_partitions: int | None = None) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS") or str(os.cpu_count() or 4)
     parts = str(shuffle_partitions or cpus)
+    # local mode runs every executor thread inside the driver JVM; the 1g
+    # default heap GC-thrashes under N-way parallel shuffles/persists. On a
+    # real cluster this is spark.executor.memory sized per node instead.
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
     return (
         SparkSession.builder
         .master(f"local[{cpus}]")
         .appName(app_name)
+        .config("spark.driver.memory", mem)
         .config("spark.sql.shuffle.partitions", parts)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
