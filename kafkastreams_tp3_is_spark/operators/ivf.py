@@ -95,6 +95,23 @@ def assign_cells(df: DataFrame, centroids: list[list[float]],
     return df.withColumn(out_col, _assign(F.col(vec_col)))
 
 
+def _exact_cosine_for_pairs(pairs: DataFrame, emb: DataFrame,
+                            threshold: float) -> DataFrame:
+    """Score (a_id, b_id) candidate pairs with the sequential-fold cosine
+    (identical IEEE-754 operation order as the all-pairs baseline and the
+    DuckDB oracle) and keep >= threshold."""
+    a = (emb.select(F.col("vec_id").alias("a_id"),
+                    _as_double("embedding").alias("a_vec"))
+            .withColumn("a_norm", _norm(F.col("a_vec"))))
+    b = (emb.select(F.col("vec_id").alias("b_id"),
+                    _as_double("embedding").alias("b_vec"))
+            .withColumn("b_norm", _norm(F.col("b_vec"))))
+    cos = _dot(F.col("a_vec"), F.col("b_vec")) / (F.col("a_norm") * F.col("b_norm"))
+    return (pairs.join(a, "a_id").join(b, "b_id")
+                 .select("a_id", "b_id", cos.alias("cosine"))
+                 .where(F.col("cosine") >= threshold))
+
+
 def embedding_near_dup_ivf_df(emb: DataFrame, threshold: float = 0.4,
                               n_centroids: int = 32, m_assign: int = 4,
                               n_iters: int = 5,
@@ -102,28 +119,41 @@ def embedding_near_dup_ivf_df(emb: DataFrame, threshold: float = 0.4,
     """Approximate cosine near-dup pairs (a_id < b_id, cosine >=
     threshold): candidates share an IVF cell, cosine verified exactly.
 
+    Candidate generation runs PER CELL as one vectorized numpy matmul
+    (applyInPandas over groupBy(cell)) with a 1e-9 slack below the
+    threshold, so the within-cell pairs never materialize as wide join
+    rows; survivors (a tiny set) are then re-scored with the sequential
+    fold, which keeps emitted cosines bit-identical to the exact baseline.
+    The slack is ~1e5 x the worst-case float64 matmul-vs-fold rounding
+    difference for 64-dim unit vectors — no candidate the fold would
+    accept can be lost.
+
     Defaults are tuned for the testdata regime (threshold 0.4 — the
     moderate-similarity band where sign-LSH stops pruning): K=32, m=4
     measures 98% recall vs the all-pairs baseline at half its candidate
     count. At production scale, grow K with the corpus (bounded cells)
     rather than m."""
     cents = train_centroids(emb, n_centroids, n_iters, sample_n)
-    bucketed = (assign_cells(emb, cents, m_assign)
-                .select("vec_id", _as_double("embedding").alias("vec"),
-                        F.explode("cells").alias("cell"))
-                .withColumn("nrm", _norm(F.col("vec"))))
-    a = bucketed.select(F.col("vec_id").alias("a_id"),
-                        F.col("vec").alias("a_vec"),
-                        F.col("nrm").alias("a_norm"), "cell")
-    b = bucketed.select(F.col("vec_id").alias("b_id"),
-                        F.col("vec").alias("b_vec"),
-                        F.col("nrm").alias("b_norm"), "cell")
-    cos = _dot(F.col("a_vec"), F.col("b_vec")) / (F.col("a_norm") * F.col("b_norm"))
-    return (a.join(b, "cell")
-             .where(F.col("a_id") < F.col("b_id"))
-             .select("a_id", "b_id", cos.alias("cosine"))
-             .where(F.col("cosine") >= threshold)
+    assigned = (assign_cells(emb, cents, m_assign)
+                .select("vec_id", "embedding",
+                        F.explode("cells").alias("cell")))
+    slack = threshold - 1e-9
+
+    def cell_pairs(pdf):
+        import numpy as np
+        import pandas as pd
+        ids = pdf["vec_id"].to_numpy()
+        M = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        M /= np.linalg.norm(M, axis=1, keepdims=True)
+        sim = M @ M.T
+        ii, jj = np.nonzero(sim >= slack)
+        keep = ids[ii] < ids[jj]
+        return pd.DataFrame({"a_id": ids[ii][keep], "b_id": ids[jj][keep]})
+
+    cands = (assigned.groupBy("cell")
+             .applyInPandas(cell_pairs, "a_id long, b_id long")
              .dropDuplicates(["a_id", "b_id"]))
+    return _exact_cosine_for_pairs(cands, emb, threshold)
 
 
 def embedding_near_dup_ivf(spark: SparkSession, sf_dir: str,
