@@ -129,6 +129,16 @@ class RecomputeHarness:
 
     def run(self, routes_stream: DataFrame, trips_stream: DataFrame,
             logic, sink, checkpoint_dir: str | None = None) -> None:
+        self.run_many(routes_stream, trips_stream, {"q": (logic, sink)},
+                      checkpoint_dir)
+
+    def run_many(self, routes_stream: DataFrame, trips_stream: DataFrame,
+                 jobs: dict[str, tuple],
+                 checkpoint_dir: str | None = None) -> None:
+        """Run MANY query logics over the same accumulated inputs in one
+        topology — the MainStreamApp shape (all queries share the two
+        input topics and one runtime; each emits to its own sink). Per
+        trigger the inputs are appended ONCE, then every logic re-runs."""
         self._schemas = {"routes": routes_stream.schema,
                          "trips": trips_stream.schema}
         tagged = (
@@ -148,9 +158,10 @@ class RecomputeHarness:
                 if part.isEmpty():
                     continue
                 part.write.mode("append").parquet(self._acc_dir(tag))
-            result = logic(self._accumulated("routes"),
-                           self._accumulated("trips"))
-            sink.process(result, batch_id)
+            routes = self._accumulated("routes")
+            trips = self._accumulated("trips")
+            for logic, sink in jobs.values():
+                sink.process(logic(routes, trips), batch_id)
 
         q = (tagged.writeStream
              .foreachBatch(process)

@@ -85,3 +85,37 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         assert n == capacity_per_route_logic(routes(spark, SF_DIR)).count()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_corpus_clean_single_scan_one_dedup_shuffle(spark):
+    """corpus_clean computes all per-doc signals in a narrow projection;
+    the only exchanges allowed are the md5-dedup aggregation and its
+    keep-list join back (no extra shuffles from the signal computation)."""
+    from kafkastreams_tp3_is_spark.operators.pipeline import corpus_clean
+
+    plan = _plan(spark, corpus_clean(spark, SF_DIR))
+    assert plan.count("+- Exchange") <= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_ivf_near_dup_no_wide_pair_join(spark):
+    """The IVF candidate stage must be the grouped-matmul applyInPandas
+    (FlatMapGroupsInPandas), not a row-level self-join materializing wide
+    vector pairs; the exact rescoring join runs only on survivors."""
+    from kafkastreams_tp3_is_spark.operators.ivf import embedding_near_dup_ivf
+
+    plan = _plan(spark, embedding_near_dup_ivf(spark, SF_DIR))
+    assert "FlatMapGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_simhash_partial_aggregation(spark):
+    """The simhash vote aggregation must partial-aggregate map-side (the
+    explode never crosses the shuffle): plan shows two HashAggregate
+    levels around one Exchange for the vote sums."""
+    from kafkastreams_tp3_is_spark.operators.dedup import simhash
+    from kafkastreams_tp3_is_spark.views import load
+
+    fp = simhash(load(spark, SF_DIR, "documents")).select("doc_id", "sim_bits")
+    plan = _plan(spark, fp)
+    assert "partial_count" in plan, "map-side partial aggregation missing"

@@ -249,3 +249,36 @@ def test_rate_stream_plan_is_streaming(spark):
     assert set(s.columns) == {"route_id", "origin", "destination",
                               "transport_type", "capacity", "operator",
                               "event_ts"}
+
+
+# --- full topology (MainStreamApp parity) ------------------------------
+
+def test_full_topology_all_13_queries_equal_batch(spark, stream_dirs, tmp_path):
+    """The MainStreamApp shape: ALL 13 queries attached to the two shared
+    input streams in one topology, each upserting to its own sink; every
+    final state must equal its batch answer."""
+    from kafkastreams_tp3_is_spark.streaming.app import run_topology
+
+    routes_s = route_file_stream(spark, str(stream_dirs / "orders"))
+    trips_s = trip_file_stream(spark, str(stream_dirs / "lineitem"))
+    sinks = run_topology(spark, routes_s, trips_s, str(tmp_path))
+
+    batch_fns = {
+        "q1": q.q1_available_seats_per_route,
+        "q2": q.q2_average_passengers_per_transport_type,
+        "q3": q.q3_name_passenger_most_trips,
+        "q4": q.q4_occupancy_per_route,
+        "q5": q.q5_passengers_per_route,
+        "q6": q.q6_route_least_occupancy_per_transport_type,
+        "q7": q.q7_total_capacity_available,
+        "q8": q.q8_total_occupancy_percentage,
+        "q9": q.q9_total_passengers,
+        "q10": q.q10_transport_type_max_passengers,
+        "q11": q.q11_transport_type_max_passengers_window,
+        "q12": q.q12_least_occupied_transport_type_window,
+        "q13": q.q13_most_occupied_operator,
+    }
+    for name, fn in batch_fns.items():
+        batch = fn(spark, SF_DIR)
+        assert (_sorted_state(sinks[name], batch.columns)
+                == _sorted_rows(batch)), name
