@@ -23,6 +23,7 @@ from kafkastreams_tp3_is_spark.operators import pipeline as _pipe
 from kafkastreams_tp3_is_spark.operators import similarity as _sim
 from kafkastreams_tp3_is_spark.operators import text as _text
 from kafkastreams_tp3_is_spark.streaming import envelope as _env
+from kafkastreams_tp3_is_spark.streaming import stateful as _stateful
 from kafkastreams_tp3_is_spark import views as _views
 
 SF0001 = "/root/testdata/sf0.001"
@@ -52,6 +53,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "envelope_passengers_per_route": _env.envelope_passengers_per_route,
         # A9 latest-per-key over a changelog with duplicate keys
         "latest_route_capacity": _views.latest_route_capacity,
+        # the same semantics as a TRUE stateful streaming op
+        # (applyInPandasWithState KTable changelog; shares the oracle)
+        "latest_route_capacity_stateful": _stateful.latest_route_capacity_stateful,
         # event-stream analytics beyond the reference's surface
         # (session/sliding windows, JSON paths, ranked top-k)
         "events_sessionize": _events.sessionize,

@@ -158,18 +158,30 @@ def dedup_minhash_lsh_df(docs: DataFrame, num_hashes: int = 32,
     """End-to-end near-dup detection over a (doc_id, text) frame: LSH
     candidates verified by exact Jaccard; (a_id, b_id, jaccard) >= t.
 
-    The hashed shingle sets feed BOTH the signature path and the Jaccard
-    verification join; without materialization Spark recomputes the
-    shingling scan twice, so the sets are persisted (memory-and-disk,
-    LRU-evicted) — the standard one-materialization shape of production
-    LSH dedup jobs."""
+    The persisted frame is the SIGNATURES (which carry the hashed shingle
+    sets along): band-bucket keys index into the minhash array, and without
+    a materialization barrier Catalyst inlines the whole signature fold
+    into every ``minhash[i]`` reference (no CSE across the explode) — the
+    204-shingle x 32-hash fold then re-runs 32x per row per join side,
+    which measured ~8x slower than reading the stored array. Persisting
+    sigs also covers the Jaccard-verification join's two shingle-set
+    probes — one materialization, three consumers, the standard shape of
+    production LSH dedup jobs."""
     from pyspark import StorageLevel
 
-    sets_df = hashed_shingle_sets_df(docs, k).persist(
+    # Spread the CPU-heavy per-doc work (shingling + signature fold) across
+    # the cluster BEFORE persisting: a small input-file count would other-
+    # wise pin the whole pipeline to a few tasks, and persist would freeze
+    # that layout for every downstream stage. Hash-partitioning on doc_id
+    # costs one small shuffle of raw text and is what a 100 TB corpus needs
+    # anyway (input-file layout must not dictate compute parallelism).
+    n_part = docs.sparkSession.sparkContext.defaultParallelism
+    sets_df = hashed_shingle_sets_df(docs.repartition(n_part, "doc_id"), k)
+    sigs = minhash_signatures(sets_df, num_hashes).persist(
         StorageLevel.MEMORY_AND_DISK)
-    sigs = minhash_signatures(sets_df, num_hashes)
     cands = minhash_lsh_pairs(sigs, num_hashes, bands)
-    return _verify_jaccard(cands, sets_df, jaccard_threshold)
+    return _verify_jaccard(cands, sigs.select("doc_id", "shingles"),
+                           jaccard_threshold)
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str,
@@ -195,17 +207,28 @@ def ngram_jaccard_pairs_df(docs: DataFrame, k: int = 5,
     full hashed shingle sets, one INT/INT division (bit-reproducible vs
     the DuckDB all-pairs oracle, which states the same output naively)."""
     from pyspark.sql import Window
+    from pyspark import StorageLevel
 
-    sets_df = hashed_shingle_sets_df(docs, k)
+    # parallelize the per-doc shingling regardless of input-file layout,
+    # and materialize the sets once for their three consumers (the
+    # inverted index + the two verification probes)
+    n_part = docs.sparkSession.sparkContext.defaultParallelism
+    sets_df = hashed_shingle_sets_df(
+        docs.repartition(n_part, "doc_id"), k).persist(
+        StorageLevel.MEMORY_AND_DISK)
     ex = sets_df.select("doc_id", F.size("shingles").alias("n_sh"),
                         F.explode("shingles").alias("s"))
     df_counts = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc_id").orderBy("df", "s")
+    # persisted: the self-join below consumes prefix TWICE, and each side
+    # would otherwise replay the explode -> df join -> window chain (three
+    # shuffles of the full occurrence list). ~p rows per doc, narrow.
     prefix = (ex.join(df_counts, "s")
               .withColumn("rn", F.row_number().over(w))
               .where(F.col("rn")
                      <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1)
-              .select("doc_id", "n_sh", "rn", "s"))
+              .select("doc_id", "n_sh", "rn", "s")
+              .persist(StorageLevel.MEMORY_AND_DISK))
     a = prefix.select(F.col("doc_id").alias("a_id"),
                       F.col("n_sh").alias("na"), F.col("rn").alias("pa"), "s")
     b = prefix.select(F.col("doc_id").alias("b_id"),
@@ -295,7 +318,9 @@ def dedup_simhash_df(docs: DataFrame, max_hamming: int = 3,
     the corpus (vs the naive 4x65,536-bucket chunking whose within-bucket
     joins go quadratic); every true pair within hamming<=3 is guaranteed
     caught (pigeonhole over the 6 blocks)."""
-    fps = simhash(docs, bits=bits).select("doc_id", "sim_bits")
+    n_part = docs.sparkSession.sparkContext.defaultParallelism
+    fps = simhash(docs.repartition(n_part, "doc_id"),
+                  bits=bits).select("doc_id", "sim_bits")
     offs = []
     off = 0
     for s in _SIM_BLOCKS:

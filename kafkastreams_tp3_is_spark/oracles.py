@@ -347,6 +347,30 @@ FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY route_id
 WHERE rn = 1
 """
 
+# The stateful streaming realization (streaming/stateful.py) replays only
+# the keys that actually receive an update (o_orderkey % 10 = 0) — every
+# key exercises the duplicate-key state transition; same row_number oracle
+# restricted to those keys.
+ORACLES["latest_route_capacity_stateful"] = f"""{_R},
+re AS (
+  SELECT 'Route_' || CAST(o_orderkey AS VARCHAR) AS route_id,
+         CAST(((CAST(floor(o_totalprice) AS BIGINT) + 37) % 200) + 1 AS INTEGER) AS capacity,
+         o_orderdate + INTERVAL 1 DAY AS event_ts
+  FROM orders WHERE o_orderkey % 10 = 0
+),
+chg AS (
+  SELECT route_id, capacity, event_ts FROM routes
+  WHERE CAST(SUBSTRING(route_id, 7) AS BIGINT) % 10 = 0
+  UNION ALL
+  SELECT route_id, capacity, event_ts FROM re
+)
+SELECT route_id, capacity, event_ts AS last_event_ts
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY route_id
+                                   ORDER BY event_ts DESC) AS rn
+      FROM chg)
+WHERE rn = 1
+"""
+
 # S5 Connect-envelope sink path: Q5 rendered as Kafka (key, value) strings.
 # The header string must equal streaming/envelope.py connect_schema_json's
 # compact JSON byte-for-byte.

@@ -1,0 +1,124 @@
+"""KTable latest-per-key as a TRUE incremental stateful streaming operator.
+
+The reference's core abstraction is the KTable: a changelog stream collapsed
+to latest-value-per-key, re-emitting a key only when its value changes
+(reference sites: streamFunctions/MostOccupiedOperator.java:61-65,
+LeastOccupiedTransportTypeWindow.java:49-52 build KTables from re-keyed
+streams). views.latest_per_key is the batch realization (row_number over a
+full history); this module is the *streaming* realization: per-key state via
+``applyInPandasWithState`` holding only the latest event-time seen, emitting
+a row exactly when it beats the state — i.e. the KTable changelog itself.
+
+Scale notes (100 TB): state is ONE long per key (the latest timestamp), kept
+in the state store co-partitioned by key — no history accumulates, unlike
+the recompute harness. Emissions are changed-keys-only (update semantics),
+so the sink traffic is the changelog rate, not the input rate. This is the
+per-key-state shape Kafka Streams itself uses for ``toTable``.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def latest_per_key_stream(stream_df: DataFrame, key_cols: list[str],
+                          ts_col: str) -> DataFrame:
+    """Streaming latest-per-key: emits a key's row iff its ``ts_col`` is
+    strictly newer than everything previously seen for that key (first
+    occurrence always emits). Within one micro-batch the max-ts row wins,
+    ties broken by batch order (last wins) — the changelog collapse Kafka
+    Streams applies under caching.
+
+    The kernel is a self-contained closure (imports inside): executor
+    Python workers must not need this module importable.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = stream_df.schema
+    cols = [f.name for f in out_schema.fields]
+    state_schema = T.StructType([T.StructField("max_ts", T.LongType())])
+    ordered = stream_df.withColumn("__ts", F.col(ts_col).cast("timestamp"))
+
+    def emit_latest(key, pdf_iter, state):
+        import pandas as pd
+
+        best = None            # (ts_nanos, single-row DataFrame)
+        for pdf in pdf_iter:
+            if len(pdf) == 0:
+                continue
+            # vectorized argmax; reversed scan makes the LAST max-ts row win
+            tsn = pdf["__ts"].astype("int64").to_numpy()
+            i = len(tsn) - 1 - int(tsn[::-1].argmax())
+            if best is None or int(tsn[i]) >= best[0]:
+                best = (int(tsn[i]), pdf.iloc[[i]][cols])
+        if best is not None:
+            prev = state.get[0] if state.exists else None
+            if prev is None or best[0] > prev:
+                state.update((best[0],))
+                yield best[1]
+
+    return (ordered.groupBy(*key_cols)
+            .applyInPandasWithState(
+                emit_latest,
+                outputStructType=out_schema,
+                stateStructType=state_schema,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+def latest_route_capacity_stateful(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """A9 in its native streaming form, driver-checkable: replay the
+    re-emitted route changelog (views.routes_reemitted) through
+    ``latest_per_key_stream`` with availableNow, collapse the emitted
+    changelog by key (what the Connect JDBC upsert sink does), and return
+    the final state — checked against a dedicated DuckDB row_number oracle.
+
+    The replay keeps only the keys that actually receive an update (every
+    10th route), so EVERY key in the demo exercises the duplicate-key
+    state transition — the single-sighting keys add nothing semantically
+    and would multiply the per-key Python state-kernel invocations 10x
+    (``applyInPandasWithState`` calls the kernel once per key per batch;
+    that per-key cost is the price of true incremental state and is paid
+    on the changelog's key cardinality, by design).
+
+    The in-process sink receives only route-level changelog rows (key-
+    cardinality, not fact-cardinality); a production deployment points the
+    same stream at sources/jdbc.DbUpsertSink instead.
+    """
+    from ..views import routes_reemitted
+    from .runner import MemoryUpsertSink
+
+    changelog = routes_reemitted(spark, sf_dir).where(
+        F.substring("route_id", 7, 30).cast("long") % 10 == 0)
+    workdir = tempfile.mkdtemp(prefix="latest_stateful_")
+    src_dir = os.path.join(workdir, "in")
+    # 8 files / maxFilesPerTrigger=4 -> exactly 2 micro-batches: the
+    # cross-batch state transition is exercised without paying streaming
+    # scheduler latency per tiny file
+    changelog.repartition(8).write.mode("overwrite").parquet(src_dir)
+
+    stream = (spark.readStream.schema(changelog.schema)
+              .option("maxFilesPerTrigger", "4").parquet(src_dir))
+    latest = latest_per_key_stream(stream, ["route_id"], "event_ts")
+    sink = MemoryUpsertSink(["route_id"])
+    q = (latest.writeStream.foreachBatch(sink.process)
+         .outputMode("update")
+         .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    out = spark.createDataFrame(
+        [(r["route_id"], r["capacity"], r["event_ts"]) for r in sink.rows()],
+        schema=T.StructType([
+            T.StructField("route_id", T.StringType()),
+            T.StructField("capacity", T.IntegerType()),
+            T.StructField("last_event_ts",
+                          changelog.schema["event_ts"].dataType),
+        ]))
+    return out

@@ -251,6 +251,58 @@ def test_rate_stream_plan_is_streaming(spark):
                               "event_ts"}
 
 
+# --- A9 as a TRUE stateful streaming op (applyInPandasWithState) -------
+
+def test_stateful_latest_per_key_changelog_semantics(spark, tmp_path):
+    """KTable latest-per-key via per-key state: final state equals the
+    batch row_number realization, AND re-emissions are changed-keys-only
+    (the later batch emits at most the updated keys, not the whole
+    table — the changelog property the recompute harness cannot give)."""
+    from kafkastreams_tp3_is_spark.streaming.stateful import (
+        latest_per_key_stream)
+    from kafkastreams_tp3_is_spark.views import (
+        latest_route_capacity, routes_reemitted)
+
+    chg = routes_reemitted(spark, SF_DIR)
+    src = tmp_path / "chg_src"
+    chg.repartition(4).write.parquet(str(src))
+    stream = (spark.readStream.schema(chg.schema)
+              .option("maxFilesPerTrigger", "1").parquet(str(src)))
+    latest = latest_per_key_stream(stream, ["route_id"], "event_ts")
+
+    emitted = []
+
+    class CountingSink(MemoryUpsertSink):
+        def process(self, batch_df, batch_id):
+            rows = batch_df.collect()
+            emitted.append(len(rows))
+            self.batches += 1
+            for row in rows:
+                d = row.asDict(recursive=True)
+                self.state[tuple(d[k] for k in self.key_cols)] = d
+
+    sink = CountingSink(["route_id"])
+    q_ = (latest.writeStream.foreachBatch(sink.process)
+          .outputMode("update")
+          .option("checkpointLocation", str(tmp_path / "ckpt_st"))
+          .trigger(availableNow=True).start())
+    q_.awaitTermination()
+
+    assert sink.batches >= 2
+    n_keys = chg.select("route_id").distinct().count()
+    n_updates = chg.count() - n_keys
+    # every key emits its first sighting once; an update emits only if it
+    # beats the state -> total emissions bounded by keys + updates, and
+    # strictly fewer than a full re-emission of the table per batch
+    assert n_keys <= sum(emitted) <= n_keys + n_updates
+
+    batch = latest_route_capacity(spark, SF_DIR)
+    got = sorted((d["route_id"], d["capacity"], d["event_ts"])
+                 for d in sink.rows())
+    want = sorted(tuple(r) for r in batch.collect())
+    assert got == want
+
+
 # --- full topology (MainStreamApp parity) ------------------------------
 
 def test_full_topology_all_13_queries_equal_batch(spark, stream_dirs, tmp_path):
