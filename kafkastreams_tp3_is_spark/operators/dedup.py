@@ -140,15 +140,20 @@ def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 32, bands: int = 8,
 def _verify_jaccard(pairs: DataFrame, sets_df: DataFrame,
                     threshold: float) -> DataFrame:
     """Exact Jaccard on the hashed shingle sets for candidate pairs only.
-    The joined payload is array<long> (8B/shingle), not text."""
+    The joined payload is array<long> (8B/shingle), not text. Only the
+    intersection is materialized: the sides are distinct sets, so
+    |A u B| = |A| + |B| - |A n B| — same integers, same double division,
+    half the per-pair hash-set work of an array_union."""
     a_sets = sets_df.select(F.col("doc_id").alias("a_id"),
                             F.col("shingles").alias("a_sh"))
     b_sets = sets_df.select(F.col("doc_id").alias("b_id"),
                             F.col("shingles").alias("b_sh"))
-    inter = F.size(F.array_intersect("a_sh", "b_sh")).cast("double")
-    union = F.size(F.array_union("a_sh", "b_sh")).cast("double")
+    inter = F.size(F.array_intersect("a_sh", "b_sh"))
+    union = F.size("a_sh") + F.size("b_sh") - inter
     return (pairs.join(a_sets, "a_id").join(b_sets, "b_id")
-                 .select("a_id", "b_id", (inter / union).alias("jaccard"))
+                 .select("a_id", "b_id",
+                         (inter.cast("double") / union.cast("double"))
+                         .alias("jaccard"))
                  .where(F.col("jaccard") >= threshold))
 
 
@@ -202,10 +207,15 @@ def ngram_jaccard_pairs_df(docs: DataFrame, k: int = 5,
     first n - ceil(t*n) + 1 shingles. Candidates therefore join only on
     those rare prefix shingles — a naive share-any-shingle join explodes
     quadratically on common shingles of natural text (it OOM'd the sf0.1
-    bench); the prefix join touches ~|true near-dups| pairs instead, with
-    NO loss of exactness. Verification computes true inter/union on the
-    full hashed shingle sets, one INT/INT division (bit-reproducible vs
-    the DuckDB all-pairs oracle, which states the same output naively)."""
+    bench); prefix+positional filtering cuts the sf0.1 corpus from 12.5M
+    all-pairs to ~1.5M candidates with NO loss of exactness (the synthetic
+    corpus's small shared vocabulary keeps even rare shingles frequent;
+    pruning power grows with natural-text vocabulary diversity — and the
+    sub-quadratic scale path remains dedup_minhash_lsh, which produces the
+    identical pair set on this corpus). Verification computes true
+    inter/union on the full hashed shingle sets, one INT/INT division
+    (bit-reproducible vs the DuckDB all-pairs oracle, which states the
+    same output naively)."""
     from pyspark.sql import Window
     from pyspark import StorageLevel
 
@@ -300,13 +310,6 @@ _SIM_COMBOS = [(i, j, l)
                for l in range(j + 1, 6)]  # C(6,3) = 20 tables
 
 
-def _block_value(off: int, size: int) -> F.Column:
-    """Integer value of sim_bits[off : off+size] (big-endian)."""
-    return F.aggregate(F.slice(F.col("sim_bits"), off + 1, size),
-                       F.lit(0).cast("long"),
-                       lambda acc, x: acc * 2 + x)
-
-
 def dedup_simhash_df(docs: DataFrame, max_hamming: int = 3,
                      bits: int = 64) -> DataFrame:
     """SimHash near-dup pairs via block-combination tables (Manku et al.,
@@ -317,18 +320,36 @@ def dedup_simhash_df(docs: DataFrame, max_hamming: int = 3,
     Scale: shuffle on (table_id, 32-bit key) — key cardinality grows with
     the corpus (vs the naive 4x65,536-bucket chunking whose within-bucket
     joins go quadratic); every true pair within hamming<=3 is guaranteed
-    caught (pigeonhole over the 6 blocks)."""
+    caught (pigeonhole over the 6 blocks).
+
+    The fingerprint travels as ONE packed signed long, not the 64-int vote
+    array: block keys become shift/mask extractions and the per-candidate
+    hamming check one ``bit_count(a XOR b)`` instruction instead of a
+    64-element zip_with fold — and the 20x-per-doc exploded join payload
+    carries 8 bytes instead of an array. Packing uses shiftleft/OR (bit
+    ops wrap; ``acc*2+x`` would hit the sign bit and ERROR under Spark 4's
+    ANSI overflow checking). The packed frame is persisted because the
+    self-join consumes it twice — without the barrier the whole token
+    explode + 64-column vote aggregation runs once PER JOIN SIDE."""
+    from pyspark import StorageLevel
+
     n_part = docs.sparkSession.sparkContext.defaultParallelism
     fps = simhash(docs.repartition(n_part, "doc_id"),
                   bits=bits).select("doc_id", "sim_bits")
+    pack = F.aggregate(
+        F.col("sim_bits"), F.lit(0).cast("long"),
+        lambda acc, x: F.shiftleft(acc, 1).bitwiseOR(x.cast("long")))
     offs = []
     off = 0
     for s in _SIM_BLOCKS:
         offs.append((off, s))
         off += s
-    blocks = fps.select(
-        "doc_id", "sim_bits",
-        *[_block_value(o, s).alias(f"blk{i}") for i, (o, s) in enumerate(offs)])
+    packed = (fps.select("doc_id", pack.alias("sim_long"))
+              .persist(StorageLevel.MEMORY_AND_DISK))
+    blk = [F.shiftrightunsigned(F.col("sim_long"), bits - o - s)
+            .bitwiseAND(F.lit((1 << s) - 1)).alias(f"blk{i}")
+           for i, (o, s) in enumerate(offs)]
+    blocks = packed.select("doc_id", "sim_long", *blk)
     combos = F.array(*[
         F.struct(
             F.lit(ci).alias("table"),
@@ -338,14 +359,12 @@ def dedup_simhash_df(docs: DataFrame, max_hamming: int = 3,
         for ci, (i, j, l) in enumerate(_SIM_COMBOS)
     ])
     exploded = (blocks.withColumn("t", F.explode(combos))
-                .select("doc_id", "sim_bits",
+                .select("doc_id", "sim_long",
                         F.col("t.table").alias("table"),
                         F.col("t.key").alias("key")))
     a, b = exploded.alias("a"), exploded.alias("b")
-    hamming = F.aggregate(
-        F.zip_with(F.col("a.sim_bits"), F.col("b.sim_bits"),
-                   lambda x, y: F.abs(x - y).cast("long")),
-        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    hamming = F.bit_count(
+        F.col("a.sim_long").bitwiseXOR(F.col("b.sim_long"))).cast("long")
     return (a.join(b, ["table", "key"])
              .where(F.col("a.doc_id") < F.col("b.doc_id"))
              .select(F.col("a.doc_id").alias("a_id"),
