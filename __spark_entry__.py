@@ -19,6 +19,7 @@ from kafkastreams_tp3_is_spark.operators import dedup as _dedup
 from kafkastreams_tp3_is_spark.operators import events as _events
 from kafkastreams_tp3_is_spark.operators import ivf as _ivf
 from kafkastreams_tp3_is_spark.operators import multimodal as _mm
+from kafkastreams_tp3_is_spark.operators import curation as _cur
 from kafkastreams_tp3_is_spark.operators import pipeline as _pipe
 from kafkastreams_tp3_is_spark.operators import similarity as _sim
 from kafkastreams_tp3_is_spark.operators import text as _text
@@ -54,7 +55,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # A9 latest-per-key over a changelog with duplicate keys
         "latest_route_capacity": _views.latest_route_capacity,
         # the same semantics as a TRUE stateful streaming op
-        # (applyInPandasWithState KTable changelog; shares the oracle)
+        # (applyInPandasWithState KTable changelog over the updated keys)
         "latest_route_capacity_stateful": _stateful.latest_route_capacity_stateful,
         # event-stream analytics beyond the reference's surface
         # (session/sliding windows, JSON paths, ranked top-k)
@@ -78,7 +79,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_count": _text.token_count,
         "text_quality_score": _text.quality_score,
         "text_lang_id": _text.lang_id,
-        "text_fingerprint": _text.fingerprint,                  # rows-only
+        "text_fingerprint": _text.fingerprint,
+        # corpus-curation stages (sampling, normalization, PII,
+        # benchmark decontamination) — all value-exact oracles
+        "sample_deterministic": _cur.sample_deterministic,
+        "normalize_text": _cur.normalize_text,
+        "pii_scrub": _cur.pii_scrub,
+        "decontaminate": _cur.decontaminate,
         "multimodal_features": _mm.media_features,
         "multimodal_resize": _mm.media_resize,
         "multimodal_frame_sample": _mm.media_frame_sample,

@@ -1,0 +1,123 @@
+"""Data-curation operators for assembling LLM training corpora, over
+``documents``: deterministic sampling, text normalization, PII scrubbing,
+and benchmark decontamination. Complements dedup.py (duplicate removal)
+and text.py (quality signals) — together the selection/cleaning stages of
+a training-data pipeline.
+
+All hot paths are built-in JVM expressions (no Python workers); every op
+is a narrow per-row map except decontamination's broadcast semi-join.
+Each op is exactly restatable in ANSI SQL, so all four carry full DuckDB
+value-hash oracles — no rows-only gates in this module.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..views import load
+
+# --- deterministic sampling -------------------------------------------
+
+def sample_deterministic(spark: SparkSession, sf_dir: str,
+                         hex_cutoff: str = "1a") -> DataFrame:
+    """Reproducible content-addressed sampling: keep a document iff the
+    first two hex chars of md5(doc_id) sort below ``hex_cutoff``
+    ('1a' -> 26/256 ~ 10.2%). Unlike rng-based ``df.sample`` this is a
+    pure function of the key: stable across runs, cluster sizes, and
+    engines (the DuckDB oracle states the identical predicate), and a
+    document's membership never changes when the corpus grows — the
+    property training-data ablations need.
+
+    Scale: a filter on a scalar expression — fully pushed into the scan
+    stage, no shuffle, no state."""
+    docs = load(spark, sf_dir, "documents")
+    key = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    return (docs.where(key < hex_cutoff)
+                .select("doc_id", key.alias("sample_key"), "lang", "source",
+                        "n_chars"))
+
+
+# --- normalization -----------------------------------------------------
+
+def normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text form: lowercase, collapse whitespace runs to one
+    space, trim. The normalized string is what exact dedup / shingling
+    should key on in a real pipeline (case or spacing variants of one
+    document hash identically after this map).
+
+    Scale: narrow per-row map, whole-stage codegen, no shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return docs.select("doc_id", norm.alias("norm_text"),
+                       F.length(norm).cast("bigint").alias("n_chars_norm"))
+
+
+# --- PII scrubbing -----------------------------------------------------
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_IPV4_RE = r"\b\d{1,3}(\.\d{1,3}){3}\b"
+
+
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redact emails and IPv4 addresses with typed placeholders and count
+    redactions per document. The synthetic corpus contains no PII, so the
+    query plants a deterministic contact line per document first — the
+    redaction path is therefore exercised on every row (a scrub proven on
+    PII-free input would be vacuous), and the DuckDB oracle plants the
+    identical line.
+
+    Patterns stay within the regex intersection of Java (Spark) and RE2
+    (DuckDB) dialects. Scale: per-row regexp map, no shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"), F.lit(" Contact user"),
+        F.col("doc_id").cast("string"), F.lit("@example.com from 10.0."),
+        (F.col("doc_id") % 256).cast("string"), F.lit(".1 please."))
+    n_emails = F.size(F.regexp_extract_all(raw, F.lit(_EMAIL_RE), 0))
+    n_ips = F.size(F.regexp_extract_all(raw, F.lit(_IPV4_RE), 0))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(raw, _EMAIL_RE, "<EMAIL>"), _IPV4_RE, "<IP>")
+    return docs.select(
+        "doc_id", scrubbed.alias("scrubbed"),
+        (n_emails + n_ips).cast("bigint").alias("n_redactions"))
+
+
+# --- benchmark decontamination ----------------------------------------
+
+def decontaminate(spark: SparkSession, sf_dir: str, k: int = 5,
+                  min_overlap: int = 10) -> DataFrame:
+    """Flag training documents that overlap an evaluation set: every 50th
+    document plays the held-out benchmark; a training doc (all others) is
+    contaminated when it shares >= ``min_overlap`` distinct character
+    k-grams with ANY benchmark text. Output: (doc_id, n_shared,
+    contaminated) for every training doc, zero-overlap docs included.
+
+    Scale: the benchmark side is an eval suite — bounded and small by
+    nature (it does NOT grow with the training corpus), so broadcasting
+    its distinct-shingle set is the genuinely-correct strategy (cf. the
+    fact-table broadcast anti-pattern this repo removed elsewhere); the
+    training side is one explode + broadcast-hash semi-join + one
+    map-side-combined count per doc. Shingles stay raw strings here (not
+    xxhash64 longs) so the DuckDB oracle is value-exact; a production run
+    at 100 TB would hash them like dedup.py does."""
+    docs = load(spark, sf_dir, "documents")
+    is_bench = F.col("doc_id") % 50 == 0
+    t = F.col("text")
+    n = F.length(t)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    shingles = F.array_distinct(
+        F.transform(idx, lambda i: t.substr(i, F.lit(k))))
+
+    bench_sh = (docs.where(is_bench)
+                .select(F.explode(shingles).alias("s")).distinct())
+    train = docs.where(~is_bench)
+    train_sh = train.select("doc_id", F.explode(shingles).alias("s"))
+    hits = (train_sh.join(F.broadcast(bench_sh), "s")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_shared")))
+    return (train.select("doc_id").join(hits, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce(F.col("n_shared"), F.lit(0).cast("bigint"))
+                     .alias("n_shared"))
+            .withColumn("contaminated", F.col("n_shared") >= min_overlap))

@@ -424,6 +424,64 @@ WHERE s.doc_id = k.keep_doc_id
   AND (s.lang_pred = s.lang OR s.lang_pred = 'und')
 """
 
+# --- curation ops (operators/curation.py) — all value-exact -----------
+
+ORACLES["sample_deterministic"] = """
+SELECT doc_id, SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS sample_key,
+       lang, source, n_chars
+FROM documents
+WHERE SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+"""
+
+ORACLES["normalize_text"] = r"""
+SELECT doc_id,
+       TRIM(regexp_replace(LOWER(text), '\s+', ' ', 'g')) AS norm_text,
+       CAST(LENGTH(TRIM(regexp_replace(LOWER(text), '\s+', ' ', 'g'))) AS BIGINT)
+         AS n_chars_norm
+FROM documents
+"""
+
+# Plants the same deterministic contact line as the Spark query, then
+# redacts with the same Java/RE2-intersection patterns.
+ORACLES["pii_scrub"] = r"""
+WITH raw AS (
+  SELECT doc_id,
+         text || ' Contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com from 10.0.'
+              || CAST(doc_id % 256 AS VARCHAR) || '.1 please.' AS r
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(r, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                        '<EMAIL>', 'g'),
+         '\b\d{1,3}(\.\d{1,3}){3}\b', '<IP>', 'g') AS scrubbed,
+       CAST(len(regexp_extract_all(r, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+            + len(regexp_extract_all(r, '\b\d{1,3}(\.\d{1,3}){3}\b'))
+            AS BIGINT) AS n_redactions
+FROM raw
+"""
+
+# Character-5-gram overlap of each training doc against the benchmark
+# set (every 50th doc); distinct shingles per side, exactly the Spark
+# broadcast semi-join's semantics.
+ORACLES["decontaminate"] = """
+WITH sh AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, GREATEST(LENGTH(text)-4, 1)),
+                               i -> substr(text, CAST(i AS INTEGER), 5))) AS s
+  FROM documents
+),
+bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0),
+train_sh AS (SELECT DISTINCT doc_id, s FROM sh WHERE doc_id % 50 <> 0),
+hits AS (SELECT doc_id, COUNT(*) AS n_shared
+         FROM train_sh JOIN bench USING (s) GROUP BY doc_id)
+SELECT d.doc_id, COALESCE(h.n_shared, 0) AS n_shared,
+       COALESCE(h.n_shared, 0) >= 10 AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0) d
+LEFT JOIN hits h USING (doc_id)
+"""
+
 ORACLES["multimodal_features"] = """
 SELECT doc_id AS media_id,
        CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
