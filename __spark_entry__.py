@@ -86,6 +86,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_text": _cur.normalize_text,
         "pii_scrub": _cur.pii_scrub,
         "decontaminate": _cur.decontaminate,
+        "pack_sequences": _cur.pack_sequences,
+        "mix_by_source": _cur.mix_by_source,
         "multimodal_features": _mm.media_features,
         "multimodal_resize": _mm.media_resize,
         "multimodal_frame_sample": _mm.media_frame_sample,

@@ -83,6 +83,61 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         (n_emails + n_ips).cast("bigint").alias("n_redactions"))
 
 
+# --- sequence packing --------------------------------------------------
+
+def pack_sequences(spark: SparkSession, sf_dir: str, budget: int = 2048,
+                   n_shards: int = 16) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents are laid out in a
+    deterministic stream per shard (doc_id order) and a doc's pack is the
+    training-sample window its first token falls into —
+    ``floor(start_offset / budget)``. This is the GPT-style packing loop
+    restated as a dataflow: (shard, pack_id, offset_in_shard) for every
+    document.
+
+    Scale: packing runs per shard (doc_id % n_shards), NOT over one global
+    ordering — a global running sum would force a single-partition window
+    (the classic window bottleneck); sharded windows parallelize across
+    the cluster, exactly how production pipelines pack per output file.
+    One shuffle on the shard key, then a sorted running sum per shard."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
+    base = docs.select(
+        "doc_id", (F.col("doc_id") % n_shards).alias("shard"),
+        F.size(toks).cast("bigint").alias("n_tokens"))
+    w = (Window.partitionBy("shard").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    start = (F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    return base.select(
+        "doc_id", "shard", "n_tokens",
+        start.alias("offset_in_shard"),
+        F.floor(start / budget).cast("bigint").alias("pack_id"))
+
+
+# --- source quota mixing -----------------------------------------------
+
+def mix_by_source(spark: SparkSession, sf_dir: str,
+                  quota: int = 50) -> DataFrame:
+    """Domain-mixing quota selection: keep the top ``quota`` documents per
+    source, ranked by length (n_chars desc, doc_id asc tiebreak — fully
+    deterministic). The selection stage of a data-mixing recipe where each
+    domain contributes a bounded share of the corpus.
+
+    Scale: one hash shuffle on source + per-group top-k; with bounded
+    quota Spark runs a rank window per source partition — skewed sources
+    are handled by AQE, and the output is quota-bounded per key so no
+    group explodes."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.col("n_chars").desc(),
+                                             F.col("doc_id").asc())
+    return (docs.select("doc_id", "source", "n_chars",
+                        F.row_number().over(w).alias("rank_in_source"))
+            .where(F.col("rank_in_source") <= quota))
+
+
 # --- benchmark decontamination ----------------------------------------
 
 def decontaminate(spark: SparkSession, sf_dir: str, k: int = 5,

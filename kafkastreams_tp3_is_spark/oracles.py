@@ -462,6 +462,36 @@ SELECT doc_id,
 FROM raw
 """
 
+# Concat-and-chunk packing restated with the same sharded running sum.
+ORACLES["pack_sequences"] = r"""
+WITH base AS (
+  SELECT doc_id, doc_id % 16 AS shard,
+         CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t <> ''))
+              AS BIGINT) AS n_tokens
+  FROM documents
+),
+laid AS (
+  SELECT doc_id, shard, n_tokens,
+         CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) - n_tokens
+              AS BIGINT) AS offset_in_shard
+  FROM base
+)
+SELECT doc_id, shard, n_tokens, offset_in_shard,
+       CAST(FLOOR(CAST(offset_in_shard AS DOUBLE) / 2048) AS BIGINT) AS pack_id
+FROM laid
+"""
+
+ORACLES["mix_by_source"] = """
+SELECT doc_id, source, n_chars, rank_in_source
+FROM (SELECT doc_id, source, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id ASC)
+               AS rank_in_source
+      FROM documents)
+WHERE rank_in_source <= 50
+"""
+
 # Character-5-gram overlap of each training doc against the benchmark
 # set (every 50th doc); distinct shingles per side, exactly the Spark
 # broadcast semi-join's semantics.
