@@ -71,6 +71,23 @@ def latest_per_key_stream(stream_df: DataFrame, key_cols: list[str],
                 timeoutConf=GroupStateTimeout.NoTimeout))
 
 
+def dedup_exact_stream(stream_df: DataFrame,
+                       text_col: str = "text") -> DataFrame:
+    """Streaming exact deduplication: emit only the FIRST document seen
+    per md5(text). ``dropDuplicates`` keeps per-key state in the state
+    store co-partitioned by the digest — the streaming twin of
+    operators/dedup.dedup_exact's batch groupBy, and the shape Kafka
+    Streams implements as a dedup-by-key processor.
+
+    Scale: state is one 16-byte digest per DISTINCT document (not per
+    input row); dedup keys must live forever for global exactness, so no
+    watermark is applied — a bounded-window variant would add
+    ``withWatermark`` before this call and Spark ages the state out."""
+    return (stream_df
+            .withColumn("text_md5", F.md5(F.col(text_col)))
+            .dropDuplicates(["text_md5"]))
+
+
 def latest_route_capacity_stateful(spark: SparkSession,
                                    sf_dir: str) -> DataFrame:
     """A9 in its native streaming form, driver-checkable: replay the

@@ -303,6 +303,43 @@ def test_stateful_latest_per_key_changelog_semantics(spark, tmp_path):
     assert got == want
 
 
+def test_streaming_dedup_exact_suppresses_planted_duplicates(spark, tmp_path):
+    """Streaming dropDuplicates state: plant an exact copy (new doc_id,
+    same text) of every 5th document, replay the stream multi-batch, and
+    assert each distinct text is emitted exactly once — final state equals
+    the batch distinct set regardless of arrival order."""
+    from kafkastreams_tp3_is_spark.streaming.stateful import (
+        dedup_exact_stream)
+    from kafkastreams_tp3_is_spark.views import load
+
+    docs = load(spark, SF_DIR, "documents").select("doc_id", "text")
+    dupes = (docs.where(F.col("doc_id") % 5 == 0)
+             .select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text"))
+    corpus = docs.unionByName(dupes)
+    src = tmp_path / "dedup_src"
+    corpus.repartition(4).write.parquet(str(src))
+
+    stream = (spark.readStream.schema(corpus.schema)
+              .option("maxFilesPerTrigger", "1").parquet(str(src)))
+    deduped = dedup_exact_stream(stream)
+
+    emitted: list[str] = []
+
+    def sink(batch_df, batch_id):
+        emitted.extend(r["text_md5"] for r in batch_df.collect())
+
+    q_ = (deduped.writeStream.foreachBatch(sink).outputMode("append")
+          .option("checkpointLocation", str(tmp_path / "ckpt_dd"))
+          .trigger(availableNow=True).start())
+    q_.awaitTermination()
+
+    want = {r["m"] for r in
+            docs.select(F.md5("text").alias("m")).distinct().collect()}
+    assert len(emitted) == len(want)        # duplicates suppressed
+    assert set(emitted) == want             # nothing lost
+    assert len(set(emitted)) == len(emitted)  # no key emitted twice
+
+
 # --- full topology (MainStreamApp parity) ------------------------------
 
 def test_full_topology_all_13_queries_equal_batch(spark, stream_dirs, tmp_path):
