@@ -109,6 +109,39 @@ def test_ivf_near_dup_no_wide_pair_join(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_curation_row_maps_have_no_shuffle(spark):
+    """sample/normalize/pii are pure per-row maps: zero exchanges, no
+    Python workers — scan, project, filter, done."""
+    from kafkastreams_tp3_is_spark.operators.curation import (
+        normalize_text, pii_scrub, sample_deterministic)
+
+    for fn in (sample_deterministic, normalize_text, pii_scrub):
+        plan = _plan(spark, fn(spark, SF_DIR))
+        assert "Exchange" not in plan, fn.__name__
+        assert "EvalPython" not in plan, fn.__name__
+
+
+def test_pack_sequences_window_is_sharded_not_global(spark):
+    """The packing window must hash-partition on the shard key — a global
+    running sum would show Exchange SinglePartition (the single-task
+    bottleneck the sharded design exists to avoid)."""
+    from kafkastreams_tp3_is_spark.operators.curation import pack_sequences
+
+    plan = _plan(spark, pack_sequences(spark, SF_DIR))
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(shard" in plan
+
+
+def test_decontaminate_benchmark_side_broadcasts(spark):
+    """The eval-set shingle join must broadcast the bounded benchmark side,
+    never shuffle the exploded training corpus against it."""
+    from kafkastreams_tp3_is_spark.operators.curation import decontaminate
+
+    plan = _plan(spark, decontaminate(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_simhash_partial_aggregation(spark):
     """The simhash vote aggregation must partial-aggregate map-side (the
     explode never crosses the shuffle): plan shows two HashAggregate

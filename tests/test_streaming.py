@@ -340,6 +340,50 @@ def test_streaming_dedup_exact_suppresses_planted_duplicates(spark, tmp_path):
     assert len(set(emitted)) == len(emitted)  # no key emitted twice
 
 
+def test_checkpoint_resume_is_exactly_once(spark, tmp_path):
+    """Kill-and-resume fidelity: run the Q5 streaming aggregation over half
+    the input files, then add the rest and start a SECOND query from the
+    same checkpoint. The streaming state must resume (not restart): final
+    per-route counts equal the batch answer over all data — reprocessing
+    old files would double-count, dropping state would under-count."""
+    import shutil
+
+    from kafkastreams_tp3_is_spark.views import trips
+
+    full = trips(spark, SF_DIR)
+    staging = tmp_path / "staging"
+    full.repartition(8).write.parquet(str(staging))
+    parts = sorted(p for p in staging.iterdir()
+                   if p.name.startswith("part-"))
+    assert len(parts) == 8
+    src = tmp_path / "src"
+    src.mkdir()
+    for p in parts[:4]:
+        shutil.copy(p, src / p.name)
+
+    sink = MemoryUpsertSink(["route_id"])
+    ckpt = str(tmp_path / "ckpt_resume")
+
+    def run_once():
+        stream = (spark.readStream.schema(full.schema)
+                  .option("maxFilesPerTrigger", "2").parquet(str(src)))
+        run_update_mode_agg(q.q5_logic(None, stream), sink, ckpt)
+
+    run_once()
+    partial = {d["route_id"]: d["passengerCount"] for d in sink.rows()}
+
+    for p in parts[4:]:
+        shutil.copy(p, src / p.name)
+    run_once()
+
+    want = {r["route_id"]: r["passengerCount"]
+            for r in q.q5_logic(None, full).collect()}
+    got = {d["route_id"]: d["passengerCount"] for d in sink.rows()}
+    assert got == want
+    # the first run really was partial, so the second run proved a resume
+    assert partial != want
+
+
 # --- full topology (MainStreamApp parity) ------------------------------
 
 def test_full_topology_all_13_queries_equal_batch(spark, stream_dirs, tmp_path):
