@@ -143,11 +143,17 @@ def q6_logic(routes_df: DataFrame, trips_df: DataFrame) -> DataFrame:
     per route here). Intended min-by semantics per fidelity note 7.2;
     tie-break: smallest route_id. routes scales with the fact table, so no
     broadcast hint — AQE chooses the join strategy."""
-    cap = capacity_per_route_logic(routes_df)
+    # ONE pass over routes serves both needs: capacity sums over duplicate
+    # route records while transport_type takes the latest record (max_by on
+    # event_ts) — the reference's exact per-key semantics, and one scan
+    # instead of an agg + a separate dimension read that would fan out on
+    # re-emitted routes.
+    cap_dim = (routes_df.groupBy("route_id")
+               .agg(F.sum("capacity").alias("totalCapacity"),
+                    F.max_by("transport_type", "event_ts")
+                     .alias("transport_type")))
     pax = passengers_per_route_logic(trips_df)
-    dim = routes_df.select("route_id", "transport_type")
-    occ = (cap.join(pax, "route_id", "left")
-              .join(dim, "route_id")
+    occ = (cap_dim.join(pax, "route_id", "left")
               .select("transport_type", "route_id",
                       _occupancy("passengerCount", "totalCapacity").alias("occupancy")))
     return (argmin(occ, "occupancy", group_cols=["transport_type"],
