@@ -61,9 +61,15 @@ def main() -> None:
     import __spark_entry__ as entrymod
     queries = entrymod.queries()
 
-    # warm up JVM + parquet footers of every table with a trivial action
+    # warm up JVM + parquet footers of every table with a trivial action,
+    # plus one tiny aggregate to trigger whole-stage-codegen/JIT compilation
+    # of the scan->agg->exchange machinery, so one-time compiler cost is not
+    # charged to whichever query happens to run first
     for t in TESTDATA_TABLES:
         spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+    (spark.read.parquet(f"{sf_dir}/orders.parquet").limit(1000)
+     .groupBy((F.col("o_orderkey") % 7).alias("g"))
+     .agg(F.sum("o_totalprice"), F.count(F.lit(1))).collect())
 
     timings: dict[str, float] = {}
     baselines: dict[str, float] = {}
