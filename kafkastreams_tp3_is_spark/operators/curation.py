@@ -138,6 +138,31 @@ def mix_by_source(spark: SparkSession, sf_dir: str,
             .where(F.col("rank_in_source") <= quota))
 
 
+# --- deterministic train/val/test split --------------------------------
+
+def train_val_test_split(spark: SparkSession, sf_dir: str,
+                         val_from: str = "e6",
+                         test_from: str = "f3") -> DataFrame:
+    """Content-addressed split assignment: the first two hex chars of
+    md5(doc_id) place each document into train (< ``val_from``, ~90%),
+    val (< ``test_from``, ~5%) or test (rest, ~5%). Like
+    sample_deterministic, membership is a pure function of the key —
+    stable across runs, engines, and corpus growth, so no training doc
+    can ever drift into the held-out set between pipeline runs (the
+    leakage mode rng-based splits suffer).
+
+    Scale: a per-row scalar expression, no shuffle; the split column
+    also serves as a partition key for writing the three sets in one
+    pass (``df.write.partitionBy("split")``)."""
+    docs = load(spark, sf_dir, "documents")
+    key = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (F.when(key < val_from, "train")
+              .when(key < test_from, "val")
+              .otherwise("test"))
+    return docs.select("doc_id", key.alias("split_key"),
+                       split.alias("split"), "lang", "source")
+
+
 # --- benchmark decontamination ----------------------------------------
 
 def decontaminate(spark: SparkSession, sf_dir: str, k: int = 5,

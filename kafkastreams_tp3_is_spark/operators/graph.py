@@ -1,0 +1,134 @@
+"""Graph operators for training-data pipelines: connected components and
+duplicate clustering.
+
+Pairwise near-dup detection (dedup.py, similarity.py, ivf.py) emits EDGES;
+an actual dedup pass needs CLUSTERS — the transitive closure of those
+edges — so one canonical document survives per group of mutual
+near-duplicates (A~B and B~C put A, C in one cluster even when A!~C
+directly).
+
+Connected components runs the alternating Large-Star / Small-Star
+algorithm (Kiveris et al., "Connected Components in MapReduce and
+Beyond", SoCC'14 — public algorithm), which converges in O(log n) rounds
+of pure DataFrame ops:
+
+  large-star  every node connects its LARGER neighbors to the minimum of
+              its neighborhood (incl. itself)
+  small-star  every node connects its smaller-or-equal neighbors and
+              itself to that minimum
+
+Each round is one groupBy + one self-join — no driver-side graph state,
+no collect; per-round lineage is truncated with localCheckpoint so the
+plan stays bounded (at cluster scale, point the checkpoint at durable
+storage instead). The fixed point is a star forest: every node points
+directly at its component's minimum id, which becomes the cluster id.
+
+Label-propagation (min over neighbors, repeat) needs diameter-many
+rounds — a chain of D near-dup docs takes D shuffles; the alternating
+algorithm contracts paths exponentially instead, the property that makes
+CC tractable on 100 TB edge sets.
+
+The driver-gate entry ``duplicate_clusters`` chains the EXACT k-gram
+Jaccard pairs (dedup.py ngram_jaccard_pairs_df) into components, so its
+DuckDB oracle can restate the whole thing: naive all-pairs Jaccard edges
++ a WITH RECURSIVE transitive closure — a full value-hash gate for an
+iterative distributed algorithm.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..views import load
+from .dedup import ngram_jaccard_pairs_df
+
+
+def _canonical(e: DataFrame) -> DataFrame:
+    """Orient every edge (u > v), drop self-loops, dedup."""
+    u, v = F.col("u"), F.col("v")
+    return (e.where(u != v)
+             .select(F.greatest(u, v).alias("u"), F.least(u, v).alias("v"))
+             .distinct())
+
+
+def _checksum(e: DataFrame):
+    """(n_edges, xor-hash) in one action — the convergence test."""
+    row = e.agg(F.count(F.lit(1)).alias("n"),
+                F.bit_xor(F.xxhash64("u", "v")).alias("h")).collect()[0]
+    return row["n"], row["h"]
+
+
+def connected_components_df(edges: DataFrame, src: str = "a_id",
+                            dst: str = "b_id",
+                            max_iter: int = 30) -> DataFrame:
+    """(node, component) for every node appearing in ``edges``, where
+    component = the smallest node id reachable through the undirected
+    edge set. Alternating Large-Star / Small-Star until the edge set
+    reaches its fixed point (checksum-equal two rounds running).
+
+    Scale: each round shuffles the current edge set twice (neighborhood
+    groupBy + re-orientation); the edge count never grows above the
+    input's and path contraction is exponential, so rounds ~ log of the
+    largest component's diameter. Skewed hub nodes (one doc near-dup to
+    millions) land in one neighborhood aggregate — AQE skew splitting
+    plus the min-only semantics (the aggregate is a single long) keep
+    that bounded."""
+    e = _canonical(edges.select(F.col(src).alias("u"),
+                                F.col(dst).alias("v")))
+    e = e.localCheckpoint(eager=True)
+    n_prev, h_prev = _checksum(e)
+    for _ in range(max_iter):
+        # large-star: neighborhoods of BOTH directions; m = min(N(u) + {u});
+        # larger neighbors point at m
+        sym = e.unionByName(e.select(F.col("v").alias("u"),
+                                     F.col("u").alias("v")))
+        m = (sym.groupBy("u")
+                .agg(F.least(F.min("v"), F.col("u")).alias("m")))
+        e = _canonical(
+            sym.join(m, "u")
+               .where(F.col("v") > F.col("u"))
+               .select(F.col("v").alias("u"), F.col("m").alias("v")))
+        # small-star: edges oriented large->small; u and its smaller
+        # neighbors all point at the neighborhood min
+        m2 = (e.groupBy("u")
+               .agg(F.least(F.min("v"), F.col("u")).alias("m")))
+        with_m = e.join(m2, "u")
+        e = _canonical(
+            with_m.select(F.col("v").alias("u"), F.col("m").alias("v"))
+                  .unionByName(with_m.select("u", F.col("m").alias("v"))))
+        e = e.localCheckpoint(eager=True)
+        n_cur, h_cur = _checksum(e)
+        if (n_cur, h_cur) == (n_prev, h_prev):
+            break
+        n_prev, h_prev = n_cur, h_cur
+    # fixed point is a star forest: u -> component min. Roots appear only
+    # on the v side; give them a self row.
+    nodes = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    roots = (e.select(F.col("v").alias("node"))
+              .exceptAll(e.select(F.col("u").alias("node")))
+              .distinct()
+              .select("node", F.col("node").alias("component")))
+    return nodes.unionByName(roots)
+
+
+def duplicate_clusters_df(docs: DataFrame, k: int = 5,
+                          threshold: float = 0.8) -> DataFrame:
+    """Near-duplicate clusters over (doc_id, text): exact k-gram Jaccard
+    pairs >= threshold chained into connected components. Output one row
+    per clustered document: (doc_id, cluster_id, is_canonical) with
+    cluster_id = min doc_id of the component — the doc a dedup pass
+    keeps. Singleton documents (no near-dup) are not emitted; a full
+    manifest is an anti-join away."""
+    pairs = ngram_jaccard_pairs_df(docs, k, threshold).select("a_id", "b_id")
+    cc = connected_components_df(pairs)
+    return cc.select(F.col("node").alias("doc_id"),
+                     F.col("component").alias("cluster_id"),
+                     (F.col("node") == F.col("component"))
+                     .alias("is_canonical"))
+
+
+def duplicate_clusters(spark: SparkSession, sf_dir: str, k: int = 5,
+                       threshold: float = 0.8) -> DataFrame:
+    return duplicate_clusters_df(load(spark, sf_dir, "documents"), k,
+                                 threshold)

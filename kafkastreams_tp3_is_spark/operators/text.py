@@ -10,7 +10,7 @@ map — no shuffle — so it scales linearly with input splits.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..views import load
@@ -90,6 +90,32 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         best_hits = F.when(cond, h).otherwise(best_hits)
     return docs.select("doc_id", F.col("lang").alias("lang_true"),
                        best_lang.alias("lang_pred"))
+
+
+def vocab_top_tokens(spark: SparkSession, sf_dir: str,
+                     k: int = 100) -> DataFrame:
+    """Corpus-level vocabulary: the ``k`` most frequent whitespace tokens
+    with occurrence counts and ranks (count desc, token asc — fully
+    deterministic). The counting stage of tokenizer training (BPE/WordPiece
+    vocabularies start from exactly this corpus-frequency table).
+
+    Scale: explode + one map-side-combined hash agg — the shuffle carries
+    one (token, partial_count) row per distinct token per partition, not
+    the exploded occurrences; the global top-k over the aggregated vocab
+    compiles to TakeOrderedAndProject (no single-partition sort of the
+    full vocabulary)."""
+    docs = load(spark, sf_dir, "documents")
+    counts = (docs.select(F.explode(tokens_col()).alias("token"))
+                  .groupBy("token")
+                  .agg(F.count(F.lit(1)).alias("n_occurrences")))
+    top = (counts.orderBy(F.col("n_occurrences").desc(),
+                          F.col("token").asc())
+                 .limit(k))
+    return top.select(
+        "token", "n_occurrences",
+        F.row_number().over(
+            Window.orderBy(F.col("n_occurrences").desc(),
+                           F.col("token").asc())).alias("rank"))
 
 
 FP_BASE = 31
