@@ -21,12 +21,21 @@ from ..views import load
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events with ts restored to TimestampType. The parquet stores
-    TIMESTAMP(NANOS) (unsupported by Spark's reader), so the session reads
-    nanos as long (session.py) and this converts via integer DIV to micros
-    — the same floor-truncation DuckDB's CAST(ts AS TIMESTAMP) applies."""
+    """events with ts restored to TimestampType. Handles both parquet
+    encodings the driver has shipped: TIMESTAMP(NANOS) — which Spark's
+    reader only accepts as long via nanosAsLong (session.py), converted
+    here by integer DIV to micros, the same floor-truncation DuckDB's
+    CAST(ts AS TIMESTAMP) applies — and native timestamp[us], which needs
+    no conversion."""
     configure_for_engine(spark)
     ev = load(spark, sf_dir, "events")
+    t = ev.schema["ts"].dataType.typeName()
+    if t == "timestamp":
+        return ev
+    if t == "timestamp_ntz":
+        # session tz is UTC (session.py), so this cast is value-preserving;
+        # watermarks/windows require TIMESTAMP (LTZ), not NTZ
+        return ev.withColumn("ts", F.col("ts").cast("timestamp"))
     return ev.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
 
 
