@@ -16,7 +16,7 @@ Five families, each designed shuffle-minimal for 100 TB inputs:
                  an EXACT ~32-bit key in at least one table — bucket-key
                  cardinality grows with corpus size instead of being capped,
                  keeping within-bucket joins from going quadratic.
-  ngram-jaccard  exact character-5-gram Jaccard: candidates = pairs sharing
+  ngram-jaccard  exact character-9-gram Jaccard: candidates = pairs sharing
                  at least one shingle (inverted-index equi-join), verified
                  exactly. SQL-expressible -> hash-checked against DuckDB.
                  The verification baseline for the minhash path.
@@ -50,7 +50,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- shingling ---------------------------------------------------------
 
-def _shingles(text_col, k: int = 5) -> F.Column:
+def _shingles(text_col, k: int = 9) -> F.Column:
     """Character k-gram shingle set (distinct strings), via
     sequence+transform — JVM-side, no UDF."""
     t = F.col(text_col) if isinstance(text_col, str) else text_col
@@ -59,7 +59,7 @@ def _shingles(text_col, k: int = 5) -> F.Column:
     return F.array_distinct(F.transform(idx, lambda i: t.substr(i, F.lit(k))))
 
 
-def hashed_shingle_sets_df(docs: DataFrame, k: int = 5) -> DataFrame:
+def hashed_shingle_sets_df(docs: DataFrame, k: int = 9) -> DataFrame:
     """(doc_id, shingles array<long>): each k-gram hashed to a 64-bit long
     with xxhash64. 8 bytes per shingle instead of a k-char string — the
     representation every downstream op (minhash, Jaccard verify) shares, so
@@ -77,7 +77,7 @@ def hashed_shingle_sets_df(docs: DataFrame, k: int = 5) -> DataFrame:
         ).alias("shingles"))
 
 
-def shingle_sets(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
+def shingle_sets(spark: SparkSession, sf_dir: str, k: int = 9) -> DataFrame:
     return hashed_shingle_sets_df(load(spark, sf_dir, "documents"), k)
 
 
@@ -159,7 +159,7 @@ def _verify_jaccard(pairs: DataFrame, sets_df: DataFrame,
 
 def dedup_minhash_lsh_df(docs: DataFrame, num_hashes: int = 32,
                          bands: int = 8, jaccard_threshold: float = 0.8,
-                         k: int = 5) -> DataFrame:
+                         k: int = 9) -> DataFrame:
     """End-to-end near-dup detection over a (doc_id, text) frame: LSH
     candidates verified by exact Jaccard; (a_id, b_id, jaccard) >= t.
 
@@ -198,7 +198,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str,
 
 # --- exact n-gram Jaccard (inverted-index candidates) ------------------
 
-def ngram_jaccard_pairs_df(docs: DataFrame, k: int = 5,
+def ngram_jaccard_pairs_df(docs: DataFrame, k: int = 9,
                            threshold: float = 0.8) -> DataFrame:
     """EXACT k-gram Jaccard pairs >= threshold, made scalable with prefix
     filtering (the SSJoin/PPJoin family — public algorithms): under a
@@ -208,11 +208,14 @@ def ngram_jaccard_pairs_df(docs: DataFrame, k: int = 5,
     those rare prefix shingles — a naive share-any-shingle join explodes
     quadratically on common shingles of natural text (it OOM'd the sf0.1
     bench); prefix+positional filtering cuts the sf0.1 corpus from 12.5M
-    all-pairs to ~1.5M candidates with NO loss of exactness (the synthetic
-    corpus's small shared vocabulary keeps even rare shingles frequent;
-    pruning power grows with natural-text vocabulary diversity — and the
-    sub-quadratic scale path remains dedup_minhash_lsh, which produces the
-    identical pair set on this corpus). Verification computes true
+    all-pairs to ~90k candidates with NO loss of exactness. Pruning power
+    rises with vocabulary diversity, which is why k defaults to 9: at k=5
+    this synthetic corpus has only ~2k distinct shingles (avg df ~500, so
+    even "rare" prefix shingles join hundreds of docs -> 1.5M candidates);
+    k=9 yields ~27k shingles and 16x fewer candidates for the same 256
+    verified pairs. The sub-quadratic scale path remains dedup_minhash_lsh,
+    which produces the identical pair set on this corpus. Verification
+    computes true
     inter/union on the full hashed shingle sets, one INT/INT division
     (bit-reproducible vs the DuckDB all-pairs oracle, which states the
     same output naively)."""
@@ -267,7 +270,7 @@ def ngram_jaccard_pairs_df(docs: DataFrame, k: int = 5,
     return _verify_jaccard(cands, sets_df, threshold)
 
 
-def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str, k: int = 5,
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str, k: int = 9,
                         threshold: float = 0.8) -> DataFrame:
     return ngram_jaccard_pairs_df(load(spark, sf_dir, "documents"), k, threshold)
 

@@ -212,13 +212,13 @@ FROM hits
 """
 
 # Exact k-gram Jaccard pairs (threshold 0.8): restates dedup.py
-# ngram_jaccard_pairs_df — DISTINCT 5-gram inverted index, intersection
+# ngram_jaccard_pairs_df — DISTINCT 9-gram inverted index, intersection
 # counts, one INT/INT division.
 ORACLES["ngram_jaccard_pairs"] = """
 WITH sh AS (
-  SELECT DISTINCT doc_id, substring(text, CAST(g AS INTEGER), 5) AS s
+  SELECT DISTINCT doc_id, substring(text, CAST(g AS INTEGER), 9) AS s
   FROM (SELECT doc_id, text,
-               unnest(generate_series(1, greatest(length(text) - 4, 1))) AS g
+               unnest(generate_series(1, greatest(length(text) - 8, 1))) AS g
         FROM documents)
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
