@@ -80,9 +80,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_score": _text.quality_score,
         "text_lang_id": _text.lang_id,
         "text_fingerprint": _text.fingerprint,
+        "text_vocab_topk": _text.vocab_top_tokens,
         # corpus-curation stages (sampling, normalization, PII,
         # benchmark decontamination) — all value-exact oracles
         "sample_deterministic": _cur.sample_deterministic,
+        "train_val_test_split": _cur.train_val_test_split,
         "normalize_text": _cur.normalize_text,
         "pii_scrub": _cur.pii_scrub,
         "decontaminate": _cur.decontaminate,

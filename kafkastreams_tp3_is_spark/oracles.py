@@ -433,6 +433,32 @@ FROM documents
 WHERE SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
 """
 
+ORACLES["train_val_test_split"] = """
+SELECT doc_id, SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS split_key,
+       CASE WHEN SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'train'
+            WHEN SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f3' THEN 'val'
+            ELSE 'test' END AS split,
+       lang, source
+FROM documents
+"""
+
+# Corpus vocabulary top-k: same whitespace tokenization as token_count,
+# count desc / token asc ordering makes rank deterministic.
+ORACLES["text_vocab_topk"] = f"""
+WITH tok AS (
+  SELECT unnest({_TOKENS}) AS token FROM documents
+),
+counts AS (
+  SELECT token, COUNT(*) AS n_occurrences FROM tok GROUP BY token
+)
+SELECT token, n_occurrences,
+       CAST(ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, token ASC) AS INTEGER)
+         AS rank
+FROM counts
+ORDER BY n_occurrences DESC, token ASC
+LIMIT 100
+"""
+
 ORACLES["normalize_text"] = r"""
 SELECT doc_id,
        TRIM(regexp_replace(LOWER(text), '\s+', ' ', 'g')) AS norm_text,
