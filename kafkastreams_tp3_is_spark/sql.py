@@ -1,0 +1,52 @@
+"""SQL entry surface: run the engine's queries — or any ad-hoc query —
+as Spark SQL over registered views.
+
+The reference's "query language" is the hand-built Kafka Streams DSL
+(SURVEY section 3); this engine is declarative end to end, so the whole
+surface is ALSO reachable as SQL: ``register_views`` publishes the raw
+testdata tables plus the derived ``routes``/``trips`` views as temp views,
+and ``QUERY_SQL`` carries Q1-Q13 as Spark-SQL statements. Catalyst compiles
+these to the same physical plans as the DataFrame implementations in
+queries.py — tests/test_sql.py asserts value parity for all 13.
+
+The statements are the oracles.py strings (single source of truth for the
+SQL semantics) with the one dialect difference patched: DuckDB's bare
+``CAST(x AS VARCHAR)`` is ``CAST(x AS STRING)`` in Spark SQL. Everything
+else — ||-concat, date_trunc, window functions, scalar subqueries — is
+common ANSI.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .oracles import ORACLES
+from .schemas import TESTDATA_TABLES
+from .session import configure_for_engine
+from .views import load, routes, trips
+
+_Q_NAMES = tuple(n for n in ORACLES if n.startswith("q"))
+
+#: Q1-Q13 as Spark-SQL statements (self-contained: each carries its
+#: routes/trips derivation CTE, so they also run without register_views).
+QUERY_SQL: dict[str, str] = {
+    name: ORACLES[name].replace("AS VARCHAR", "AS STRING")
+    for name in _Q_NAMES
+}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Publish the raw parquet tables and the derived route/trip views as
+    temp views, making the whole engine queryable via ``spark.sql``."""
+    configure_for_engine(spark)
+    for t in TESTDATA_TABLES:
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    routes(spark, sf_dir).createOrReplaceTempView("routes")
+    trips(spark, sf_dir).createOrReplaceTempView("trips")
+
+
+def run_sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
+    """Run ``query`` — a Q-name from QUERY_SQL or an ad-hoc SQL string —
+    against the registered views."""
+    register_views(spark, sf_dir)
+    return spark.sql(QUERY_SQL.get(query, query))
