@@ -17,6 +17,7 @@ from kafkastreams_tp3_is_spark import oracles as _oracles
 from kafkastreams_tp3_is_spark import queries as _q
 from kafkastreams_tp3_is_spark.operators import dedup as _dedup
 from kafkastreams_tp3_is_spark.operators import events as _events
+from kafkastreams_tp3_is_spark.operators import graph as _graph
 from kafkastreams_tp3_is_spark.operators import ivf as _ivf
 from kafkastreams_tp3_is_spark.operators import multimodal as _mm
 from kafkastreams_tp3_is_spark.operators import curation as _cur
@@ -68,6 +69,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _dedup.dedup_minhash_lsh,          # rows-only
         "dedup_simhash": _dedup.dedup_simhash,                  # rows-only
         "ngram_jaccard_pairs": _dedup.ngram_jaccard_pairs,
+        # pairwise edges -> transitive-closure clusters (Large-Star/
+        # Small-Star connected components; oracle = WITH RECURSIVE)
+        "duplicate_clusters": _graph.duplicate_clusters,
         # IVF is the moderate-threshold scale path (rows-only, recall
         # pytest-floored vs the exact baseline); the sign-LSH variant in
         # similarity.py stays the true near-dup (cosine>0.9) path.

@@ -112,7 +112,7 @@ def connected_components_df(edges: DataFrame, src: str = "a_id",
     return nodes.unionByName(roots)
 
 
-def duplicate_clusters_df(docs: DataFrame, k: int = 5,
+def duplicate_clusters_df(docs: DataFrame, k: int = 9,
                           threshold: float = 0.8) -> DataFrame:
     """Near-duplicate clusters over (doc_id, text): exact k-gram Jaccard
     pairs >= threshold chained into connected components. Output one row
@@ -128,7 +128,7 @@ def duplicate_clusters_df(docs: DataFrame, k: int = 5,
                      .alias("is_canonical"))
 
 
-def duplicate_clusters(spark: SparkSession, sf_dir: str, k: int = 5,
+def duplicate_clusters(spark: SparkSession, sf_dir: str, k: int = 9,
                        threshold: float = 0.8) -> DataFrame:
     return duplicate_clusters_df(load(spark, sf_dir, "documents"), k,
                                  threshold)

@@ -235,6 +235,47 @@ JOIN sizes sb ON sb.doc_id = b_id
 WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.8
 """
 
+# Near-duplicate clusters (graph.py duplicate_clusters): the exact 9-gram
+# Jaccard pairs chained into connected components. The Spark side runs
+# alternating Large-Star/Small-Star; the oracle restates the same
+# components as a WITH RECURSIVE transitive closure over the symmetric
+# edge set — component id = min reachable doc_id. Cluster graphs are
+# near-dup groups (tiny diameter), so the closure stays small.
+ORACLES["duplicate_clusters"] = """
+WITH RECURSIVE sh AS (
+  SELECT DISTINCT doc_id, substring(text, CAST(g AS INTEGER), 9) AS s
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(1, greatest(length(text) - 8, 1))) AS g
+        FROM documents)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a_id, b_id FROM inter
+  JOIN sizes sa ON sa.doc_id = a_id
+  JOIN sizes sb ON sb.doc_id = b_id
+  WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.8
+),
+sym AS (
+  SELECT a_id AS u, b_id AS v FROM pairs
+  UNION ALL
+  SELECT b_id AS u, a_id AS v FROM pairs
+),
+reach (u, v) AS (
+  SELECT u, v FROM sym
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u WHERE s.v <> r.u
+)
+SELECT u AS doc_id,
+       least(u, MIN(v)) AS cluster_id,
+       least(u, MIN(v)) = u AS is_canonical
+FROM reach GROUP BY u
+"""
+
 # Exact cosine near-dup pairs at threshold 0.4 (the corpus' max pairwise
 # cosine is ~0.51, so this yields a non-empty, hash-checkable result; the
 # production 0.95-threshold LSH path is validated by planted-dup tests).

@@ -16,6 +16,28 @@ def spark():
     yield s
 
 
+_WORDS = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf",
+          "hotel", "india", "juliet", "kilo", "lima", "mike", "november"]
+
+
+@pytest.fixture(scope="session")
+def planted_docs(spark):
+    """40 random docs + 5 near-dup copies (one word changed) + 1 exact dup.
+    Planted pairs: (i, 100+i) for i in 0..4, and (5, 200). Shared by the
+    dedup-recall and duplicate-clustering suites."""
+    import random
+    rng = random.Random(7)
+    base = [" ".join(rng.choice(_WORDS) for _ in range(80)) for _ in range(40)]
+    rows = [(i, t) for i, t in enumerate(base)]
+    for i in range(5):
+        words = base[i].split()
+        words[17] = "zulu"  # one token changed -> jaccard/simhash near-dup
+        rows.append((100 + i, " ".join(words)))
+    rows.append((200, base[5]))  # exact duplicate
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return df, {(i, 100 + i) for i in range(5)} | {(5, 200)}
+
+
 @pytest.fixture(scope="session")
 def duck():
     con = duckdb.connect()

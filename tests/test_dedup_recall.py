@@ -6,8 +6,6 @@ operator recovers them — a recall floor, not a vacuous row count.
 
 from __future__ import annotations
 
-import random
-
 import pytest
 
 from pyspark.sql import functions as F
@@ -19,28 +17,7 @@ from kafkastreams_tp3_is_spark.operators.similarity import (
     embedding_near_dup_df, embedding_near_dup_exact_df)
 from tests.conftest import SF_DIR
 
-_WORDS = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf",
-          "hotel", "india", "juliet", "kilo", "lima", "mike", "november"]
-
-
-def _doc(rng: random.Random, n: int = 80) -> str:
-    return " ".join(rng.choice(_WORDS) for _ in range(n))
-
-
-@pytest.fixture(scope="module")
-def planted_docs(spark):
-    """40 random docs + 5 near-dup copies (one word changed) + 1 exact dup.
-    Planted pairs: (i, 100+i) for i in 0..4, and (5, 200)."""
-    rng = random.Random(7)
-    base = [_doc(rng) for _ in range(40)]
-    rows = [(i, t) for i, t in enumerate(base)]
-    for i in range(5):
-        words = base[i].split()
-        words[17] = "zulu"  # one token changed -> jaccard/simhash near-dup
-        rows.append((100 + i, " ".join(words)))
-    rows.append((200, base[5]))  # exact duplicate
-    df = spark.createDataFrame(rows, "doc_id long, text string")
-    return df, {(i, 100 + i) for i in range(5)} | {(5, 200)}
+# planted_docs fixture lives in conftest.py (shared with test_graph.py)
 
 
 def _pairs(df):
