@@ -40,6 +40,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_available_seats_per_route": _q.q1_available_seats_per_route,
         "q2_average_passengers_per_transport_type": _q.q2_average_passengers_per_transport_type,
+        # Q2's 100 TB form: HLL sketch distinct (rows-only; error bound
+        # vs exact is pytest-asserted)
+        "q2_approx_average_passengers": _q.q2_approx_average_passengers_per_transport_type,
         "q3_name_passenger_most_trips": _q.q3_name_passenger_most_trips,
         "q4_occupancy_per_route": _q.q4_occupancy_per_route,
         "q5_passengers_per_route": _q.q5_passengers_per_route,

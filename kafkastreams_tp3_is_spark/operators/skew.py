@@ -1,0 +1,48 @@
+"""Skew-mitigation join utilities.
+
+AQE's skew-join splitting (enabled in session.py) handles most skew at
+runtime by splitting oversized shuffle partitions, but it only works for
+sort-merge joins and after a shuffle has already materialized the skew.
+Explicit SALTING is the planner-independent tool: spread each hot key
+over ``n_salts`` sub-keys on the fact side and replicate the dimension
+side once per sub-key, so no single task ever owns a whole hot key.
+
+Cost model: dimension side is duplicated n_salts times (choose n_salts ~
+the factor by which the hottest key exceeds a partition's budget), fact
+side gets one extra narrow column. Worth it exactly when one key's rows
+exceed what one task can hold — the classic null-key / power-law fact
+join at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_SALT = "__salt"
+
+
+def salted_join(fact: DataFrame, dim: DataFrame, on: list[str],
+                how: str = "inner", n_salts: int = 16) -> DataFrame:
+    """Equi-join ``fact`` (skewed side) with ``dim`` (replicated side) on
+    ``on``, value-identical to ``fact.join(dim, on, how)``.
+
+    The fact side's salt is a deterministic hash of its whole row (so
+    re-runs and retried tasks salt identically — no rng); the dim side
+    explodes one copy per salt value. Join key becomes on + [salt], which
+    spreads each hot key's rows over n_salts shuffle partitions.
+
+    Only fact-preserving joins are supported: 'inner' and 'left' (each
+    fact row meets exactly one copy of its dim row). 'right'/'full' would
+    multiply unmatched dim rows by n_salts — use the unsalted join there.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    fact_cols = [F.col(c) for c in fact.columns]
+    f = fact.withColumn(
+        _SALT, F.pmod(F.xxhash64(*fact_cols), F.lit(n_salts)).cast("int"))
+    # sequence of int literals is already array<int>; a generator cannot be
+    # nested inside cast()
+    d = dim.withColumn(
+        _SALT, F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))))
+    return f.join(d, on + [_SALT], how).drop(_SALT)

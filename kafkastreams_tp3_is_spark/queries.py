@@ -89,6 +89,28 @@ def q2_average_passengers_per_transport_type(spark: SparkSession, sf_dir: str) -
     return q2_logic(None, trips(spark, sf_dir))
 
 
+def q2_approx_logic(routes_df: DataFrame, trips_df: DataFrame,
+                    rsd: float = 0.02) -> DataFrame:
+    """Q2's 100 TB form: COUNT DISTINCT replaced by HyperLogLog++
+    (approx_count_distinct, rsd=2%). Exact distinct-count keeps the full
+    key set in the aggregation state — per group, proportional to distinct
+    routes; HLL state is a fixed ~Kb sketch per group and merges
+    associatively map-side (SURVEY A5 'approx_count_distinct at scale').
+    No DuckDB oracle (HLL estimates are engine-specific); the error bound
+    vs exact is pytest-asserted instead (tests/test_skew.py)."""
+    return (trips_df
+            .groupBy("transport_type")
+            .agg((F.count(F.lit(1)).cast("double")
+                  / F.approx_count_distinct("route_id", rsd).cast("double"))
+                 .alias("averagePassengers")))
+
+
+def q2_approx_average_passengers_per_transport_type(
+        spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_for_engine(spark)
+    return q2_approx_logic(None, trips(spark, sf_dir))
+
+
 # --- Q3 ---------------------------------------------------------------
 def q3_logic(routes_df: DataFrame, trips_df: DataFrame) -> DataFrame:
     """Passenger with the max trip count (NamePassengerMostTrips.java:34-53).

@@ -1,0 +1,83 @@
+"""salted_join (operators/skew.py): value parity with the plain join on a
+skewed dataset, salt-spread verification, and plan shape."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from kafkastreams_tp3_is_spark.operators.skew import salted_join
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    # 10k facts, 90% on one hot key; 20-row dimension
+    fact = (spark.range(10_000)
+            .select(F.when(F.col("id") % 10 < 9, "hot")
+                     .otherwise(F.concat(F.lit("k"), (F.col("id") % 20).cast("string")))
+                     .alias("k"),
+                    F.col("id").alias("val")))
+    dim = (spark.range(20)
+           .select(F.concat(F.lit("k"), F.col("id").cast("string")).alias("k"),
+                   (F.col("id") * 100).alias("payload"))
+           .union(spark.createDataFrame([("hot", -1)], ["k", "payload"])))
+    return fact, dim
+
+
+def _rows(df):
+    return sorted(tuple(str(x) for x in r) for r in
+                  df.select(*sorted(df.columns)).collect())
+
+
+def test_salted_inner_matches_plain(spark, skewed):
+    fact, dim = skewed
+    assert _rows(salted_join(fact, dim, ["k"])) == _rows(fact.join(dim, ["k"]))
+
+
+def test_salted_left_matches_plain(spark, skewed):
+    fact, dim = skewed
+    # drop the hot key from dim so the left join has unmatched fact rows
+    dim_miss = dim.where(F.col("k") != "hot")
+    assert (_rows(salted_join(fact, dim_miss, ["k"], how="left"))
+            == _rows(fact.join(dim_miss, ["k"], "left")))
+
+
+def test_hot_key_spreads_over_salts(spark, skewed):
+    fact, dim = skewed
+    joined = salted_join(fact, dim, ["k"], n_salts=8)
+    # re-derive the salt distribution of the hot key: every salt bucket
+    # must receive a nontrivial share (deterministic hash over ~9k rows)
+    f = fact.withColumn(
+        "s", F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(8)))
+    counts = [r["n"] for r in (f.where(F.col("k") == "hot")
+                               .groupBy("s").agg(F.count("*").alias("n"))
+                               .collect())]
+    assert len(counts) == 8 and min(counts) > 500
+    assert joined.count() == fact.join(dim, ["k"]).count()
+
+
+def test_rejects_dim_preserving_joins(spark, skewed):
+    fact, dim = skewed
+    with pytest.raises(ValueError):
+        salted_join(fact, dim, ["k"], how="full")
+
+
+def test_q2_approx_within_error_bound(spark):
+    """The HLL variant of Q2 must stay within a small relative error of
+    the exact distinct-count answer per transport type (rsd=2%, assert a
+    conservative 5%)."""
+    from kafkastreams_tp3_is_spark.queries import (
+        q2_approx_average_passengers_per_transport_type,
+        q2_average_passengers_per_transport_type)
+    from tests.conftest import SF_DIR
+
+    exact = {r["transport_type"]: r["averagePassengers"]
+             for r in q2_average_passengers_per_transport_type(
+                 spark, SF_DIR).collect()}
+    approx = {r["transport_type"]: r["averagePassengers"]
+              for r in q2_approx_average_passengers_per_transport_type(
+                  spark, SF_DIR).collect()}
+    assert set(exact) == set(approx)
+    for t, v in exact.items():
+        assert abs(approx[t] - v) / v < 0.05, (t, approx[t], v)
