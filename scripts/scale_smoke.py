@@ -1,0 +1,78 @@
+"""Scale-behavior smoke: run the approximate dedup/ANN paths at 1x and
+10x the sf0.1 document count and report the wall-clock ratio.
+
+The 10x corpus is the sf0.1 documents table unioned 10 times with
+disjoint doc_id ranges and a per-copy consonant-substitution cipher, so
+nearly every shingle differs between copies and the duplicate structure
+scales ~linearly (each copy contributes its own near-dup pairs) instead
+of forming cross-copy cliques.
+A bucketed (LSH/block-table) design should scale near-linearly in rows;
+anything quadratic-within-bucket shows up as a ratio far above ~10-15.
+
+Usage: python scripts/scale_smoke.py   (writes one JSON line to stdout)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from kafkastreams_tp3_is_spark.operators.dedup import (  # noqa: E402
+    dedup_minhash_lsh_df, dedup_simhash_df)
+from kafkastreams_tp3_is_spark.session import get_spark  # noqa: E402
+
+
+_ALPHA = "bcdfghjklmnpqrstvwz"
+
+
+def scaled_docs(spark, sf_dir: str, copies: int):
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = base.count()
+    parts = []
+    for i in range(copies):
+        # rotate the consonant alphabet by i: copy 0 is the original text,
+        # every other copy rewrites nearly every shingle
+        cipher = _ALPHA[i:] + _ALPHA[:i]
+        parts.append(base.select(
+            (F.col("doc_id") + F.lit(i * n)).alias("doc_id"),
+            F.translate("text", _ALPHA, cipher).alias("text")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def timed(fn, df) -> tuple[float, int]:
+    t0 = time.perf_counter()
+    out = fn(df)
+    row = out.agg(F.count(F.lit(1)).alias("n")).collect()[0]
+    return round(time.perf_counter() - t0, 2), row["n"]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("scale-smoke")
+    spark.sparkContext.setLogLevel("ERROR")
+    results = {}
+    for name, fn in [("dedup_minhash_lsh", dedup_minhash_lsh_df),
+                     ("dedup_simhash", dedup_simhash_df)]:
+        d1 = scaled_docs(spark, sf_dir, 1)
+        t1, n1 = timed(fn, d1)
+        spark.catalog.clearCache()
+        d10 = scaled_docs(spark, sf_dir, 10)
+        t10, n10 = timed(fn, d10)
+        spark.catalog.clearCache()
+        results[name] = {"t_1x": t1, "t_10x": t10,
+                         "ratio": round(t10 / t1, 2),
+                         "pairs_1x": n1, "pairs_10x": n10}
+    print(json.dumps({"metric": "scale_smoke_10x", "results": results}))
+
+
+if __name__ == "__main__":
+    main()
