@@ -192,11 +192,17 @@ def embedding_near_dup_df(emb: DataFrame, threshold: float = 0.95,
     16-bit band key; cosine verified exactly. For planted duplicates at
     cosine ~0.999 the 4x16-bit banding catches >99.8% of pairs; raise
     n_planes (more bands) for higher recall at lower thresholds."""
+    from pyspark import StorageLevel
+
+    # persisted: both self-join sides consume this frame — without the
+    # barrier the Arrow-batched matmul UDF (and the explode) re-runs once
+    # per side (same discipline as dedup.py's signature persist)
     bucketed = (band_buckets(emb, n_planes=n_planes, band_bits=band_bits,
                              seed=seed)
                 .select("vec_id", _as_double("embedding").alias("vec"),
                         F.explode("buckets").alias("bucket"))
-                .withColumn("nrm", _norm(F.col("vec"))))
+                .withColumn("nrm", _norm(F.col("vec")))
+                .persist(StorageLevel.MEMORY_AND_DISK))
     a = bucketed.select(F.col("vec_id").alias("a_id"),
                         F.col("vec").alias("a_vec"),
                         F.col("nrm").alias("a_norm"), "bucket")
@@ -225,8 +231,13 @@ def cosine_topk_lsh(spark: SparkSession, sf_dir: str,
     16 bands of 16 buckets: ~90% recall at cosine ~0.5); near-dup search
     uses fine 16-bit bands instead. Approximate by construction ->
     rows-only driver gate, recall measured in tests."""
+    from pyspark import StorageLevel
+
+    # persisted: the query head and the corpus scan both consume the
+    # UDF-bucketed frame
     bucketed = band_buckets(load(spark, sf_dir, "embeddings"),
-                            n_planes=n_planes, band_bits=band_bits, seed=seed)
+                            n_planes=n_planes, band_bits=band_bits,
+                            seed=seed).persist(StorageLevel.MEMORY_AND_DISK)
     queries = (bucketed.orderBy("vec_id").limit(n_queries)
                .select(F.col("vec_id").alias("query_id"),
                        _as_double("embedding").alias("q_vec"),
