@@ -69,12 +69,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_topk_users": _events.topk_users,
         # training-data pipeline operators (SURVEY section 7 M6)
         "dedup_exact": _dedup.dedup_exact,
-        "dedup_minhash_lsh": _dedup.dedup_minhash_lsh,          # rows-only
+        # full hash-match: LSH recall is provably 100% at gate scale, so
+        # the oracle is the exact-Jaccard relation (see oracles.py note)
+        "dedup_minhash_lsh": _dedup.dedup_minhash_lsh,
         "dedup_simhash": _dedup.dedup_simhash,                  # rows-only
         "ngram_jaccard_pairs": _dedup.ngram_jaccard_pairs,
         # pairwise edges -> transitive-closure clusters (Large-Star/
-        # Small-Star connected components; oracle = WITH RECURSIVE)
+        # Small-Star connected components; oracle = WITH RECURSIVE).
+        # _lsh is the production composition (sub-quadratic LSH edges ->
+        # CC); the exact-edge twin is its verification baseline.
         "duplicate_clusters": _graph.duplicate_clusters,
+        "duplicate_clusters_lsh": _graph.duplicate_clusters_lsh,
         # IVF is the moderate-threshold scale path (rows-only, recall
         # pytest-floored vs the exact baseline); the sign-LSH variant in
         # similarity.py stays the true near-dup (cosine>0.9) path.

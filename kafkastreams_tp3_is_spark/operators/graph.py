@@ -28,11 +28,21 @@ rounds — a chain of D near-dup docs takes D shuffles; the alternating
 algorithm contracts paths exponentially instead, the property that makes
 CC tractable on 100 TB edge sets.
 
-The driver-gate entry ``duplicate_clusters`` chains the EXACT k-gram
-Jaccard pairs (dedup.py ngram_jaccard_pairs_df) into components, so its
-DuckDB oracle can restate the whole thing: naive all-pairs Jaccard edges
-+ a WITH RECURSIVE transitive closure — a full value-hash gate for an
-iterative distributed algorithm.
+Two driver-gate entries chain pair-producers into components:
+
+  ``duplicate_clusters``      EXACT k-gram Jaccard pairs (dedup.py
+                              ngram_jaccard_pairs_df) — the verification
+                              twin, whose DuckDB oracle restates the whole
+                              thing (all-pairs Jaccard edges + WITH
+                              RECURSIVE transitive closure).
+  ``duplicate_clusters_lsh``  MinHash-LSH candidate pairs (dedup.py
+                              dedup_minhash_lsh_df) — the PRODUCTION
+                              composition: the sub-quadratic edge producer
+                              feeding the log-round cluster algorithm, the
+                              actual 100 TB dedup pipeline. On this corpus
+                              the LSH pair set provably equals the exact
+                              set (tests/test_dedup_recall.py), so it
+                              carries the same recursive-closure oracle.
 """
 
 from __future__ import annotations
@@ -41,7 +51,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..views import load
-from .dedup import ngram_jaccard_pairs_df
+from .dedup import dedup_minhash_lsh_df, ngram_jaccard_pairs_df
 
 
 def _canonical(e: DataFrame) -> DataFrame:
@@ -112,23 +122,51 @@ def connected_components_df(edges: DataFrame, src: str = "a_id",
     return nodes.unionByName(roots)
 
 
-def duplicate_clusters_df(docs: DataFrame, k: int = 9,
-                          threshold: float = 0.8) -> DataFrame:
-    """Near-duplicate clusters over (doc_id, text): exact k-gram Jaccard
-    pairs >= threshold chained into connected components. Output one row
-    per clustered document: (doc_id, cluster_id, is_canonical) with
-    cluster_id = min doc_id of the component — the doc a dedup pass
-    keeps. Singleton documents (no near-dup) are not emitted; a full
+def _clusters(pairs: DataFrame) -> DataFrame:
+    """(doc_id, cluster_id, is_canonical) from an (a_id, b_id) edge set:
+    cluster_id = min doc_id of the connected component — the doc a dedup
+    pass keeps. Singleton documents (no near-dup) are not emitted; a full
     manifest is an anti-join away."""
-    pairs = ngram_jaccard_pairs_df(docs, k, threshold).select("a_id", "b_id")
-    cc = connected_components_df(pairs)
+    cc = connected_components_df(pairs.select("a_id", "b_id"))
     return cc.select(F.col("node").alias("doc_id"),
                      F.col("component").alias("cluster_id"),
                      (F.col("node") == F.col("component"))
                      .alias("is_canonical"))
 
 
+def duplicate_clusters_df(docs: DataFrame, k: int = 9,
+                          threshold: float = 0.8) -> DataFrame:
+    """Near-duplicate clusters over (doc_id, text): exact k-gram Jaccard
+    pairs >= threshold chained into connected components. The exact-edge
+    verification twin of ``duplicate_clusters_lsh_df`` — same closure,
+    edges from the super-linear-worst-case PPJoin path, kept because its
+    semantics are restatable 1:1 in the DuckDB oracle."""
+    return _clusters(ngram_jaccard_pairs_df(docs, k, threshold))
+
+
+def duplicate_clusters_lsh_df(docs: DataFrame, num_hashes: int = 32,
+                              bands: int = 8, threshold: float = 0.8,
+                              k: int = 9) -> DataFrame:
+    """The production dedup pipeline end-to-end: MinHash-LSH candidate
+    pairs (bucketed, never all-pairs — dedup.py dedup_minhash_lsh_df)
+    verified by exact Jaccard, then chained into Large-Star/Small-Star
+    connected components. Every stage is sub-quadratic and shuffle-
+    bounded, so the composition survives a 100 TB corpus: band buckets
+    scale with distinct signatures, Jaccard verification touches candidate
+    pairs only, and CC runs O(log n) rounds over an edge set that near-dup
+    structure keeps sparse. scripts/scale_smoke.py runs this at 10x."""
+    pairs = dedup_minhash_lsh_df(docs, num_hashes, bands, threshold, k)
+    return _clusters(pairs)
+
+
 def duplicate_clusters(spark: SparkSession, sf_dir: str, k: int = 9,
                        threshold: float = 0.8) -> DataFrame:
     return duplicate_clusters_df(load(spark, sf_dir, "documents"), k,
                                  threshold)
+
+
+def duplicate_clusters_lsh(spark: SparkSession, sf_dir: str,
+                           num_hashes: int = 32, bands: int = 8,
+                           threshold: float = 0.8) -> DataFrame:
+    return duplicate_clusters_lsh_df(load(spark, sf_dir, "documents"),
+                                     num_hashes, bands, threshold)

@@ -235,6 +235,15 @@ JOIN sizes sb ON sb.doc_id = b_id
 WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.8
 """
 
+# dedup_minhash_lsh promoted from rows-only to full hash-match: its output
+# (a_id, b_id, exact-Jaccard) is the SAME relation ngram_jaccard_pairs
+# computes whenever LSH recall is 100%, which holds at gate scale by a wide
+# margin — measured sf0.01 pair-set equality 25/25 with min true-pair
+# Jaccard 0.93, where the analytic per-pair miss probability of the
+# 32-hash / 8-band scheme is 2e-5 (and planted-recall tests keep guarding
+# the approximate regime). Same statement, stated once.
+ORACLES["dedup_minhash_lsh"] = ORACLES["ngram_jaccard_pairs"]
+
 # Near-duplicate clusters (graph.py duplicate_clusters): the exact 9-gram
 # Jaccard pairs chained into connected components. The Spark side runs
 # alternating Large-Star/Small-Star; the oracle restates the same
@@ -275,6 +284,12 @@ SELECT u AS doc_id,
        least(u, MIN(v)) = u AS is_canonical
 FROM reach GROUP BY u
 """
+
+# duplicate_clusters_lsh — the PRODUCTION composition (LSH edges -> CC) —
+# carries the same recursive-closure oracle: the LSH pair set equals the
+# exact pair set at gate scale (see dedup_minhash_lsh above), so the
+# components are identical.
+ORACLES["duplicate_clusters_lsh"] = ORACLES["duplicate_clusters"]
 
 # Exact cosine near-dup pairs at threshold 0.4 (the corpus' max pairwise
 # cosine is ~0.51, so this yields a non-empty, hash-checkable result; the

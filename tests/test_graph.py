@@ -57,3 +57,22 @@ def test_duplicate_clusters_on_planted_corpus(spark, planted_docs):
     assert len(canon) == len({c for c, _ in clusters.values()})
     for d in canon:
         assert clusters[d][0] == d
+
+
+def test_duplicate_clusters_lsh_on_planted_corpus(spark, planted_docs):
+    # the production composition (LSH edges -> CC) must recover the same
+    # planted clusters the exact-edge twin does
+    from kafkastreams_tp3_is_spark.operators.graph import (
+        duplicate_clusters_lsh_df)
+
+    df, planted = planted_docs
+    clusters = {r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+                for r in duplicate_clusters_lsh_df(
+                    df, threshold=0.7).collect()}
+    for a, b in planted:
+        assert a in clusters and b in clusters
+        assert clusters[a][0] == clusters[b][0]
+    exact = {r["doc_id"]: r["cluster_id"]
+             for r in duplicate_clusters_df(df, threshold=0.7).collect()}
+    lsh = {d: c for d, (c, _) in clusters.items()}
+    assert lsh == exact
