@@ -165,39 +165,71 @@ def train_val_test_split(spark: SparkSession, sf_dir: str,
 
 # --- benchmark decontamination ----------------------------------------
 
-def decontaminate(spark: SparkSession, sf_dir: str, k: int = 5,
-                  min_overlap: int = 10) -> DataFrame:
-    """Flag training documents that overlap an evaluation set: every 50th
-    document plays the held-out benchmark; a training doc (all others) is
-    contaminated when it shares >= ``min_overlap`` distinct character
-    k-grams with ANY benchmark text. Output: (doc_id, n_shared,
-    contaminated) for every training doc, zero-overlap docs included.
-
-    Scale: the benchmark side is an eval suite — bounded and small by
-    nature (it does NOT grow with the training corpus), so broadcasting
-    its distinct-shingle set is the genuinely-correct strategy (cf. the
-    fact-table broadcast anti-pattern this repo removed elsewhere); the
-    training side is one explode + broadcast-hash semi-join + one
-    map-side-combined count per doc. Shingles stay raw strings here (not
-    xxhash64 longs) so the DuckDB oracle is value-exact; a production run
-    at 100 TB would hash them like dedup.py does."""
-    docs = load(spark, sf_dir, "documents")
-    is_bench = F.col("doc_id") % 50 == 0
+def _hashed_kgram_set(k: int) -> F.Column:
+    """Distinct character k-grams of ``text``, each hashed to a 64-bit
+    long: only 8-byte keys ever cross the contamination join (same
+    discipline as dedup.py's hashed_shingle_sets_df). xxhash64 collisions
+    across a benchmark's shingle vocabulary are negligible (~1e-9 at 1e5
+    shingles) and can only perturb a count by 1."""
     t = F.col("text")
-    n = F.length(t)
-    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
-    shingles = F.array_distinct(
-        F.transform(idx, lambda i: t.substr(i, F.lit(k))))
+    idx = F.sequence(F.lit(1), F.greatest(F.length(t) - (k - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.xxhash64(t.substr(i, F.lit(k)))))
 
-    bench_sh = (docs.where(is_bench)
-                .select(F.explode(shingles).alias("s")).distinct())
-    train = docs.where(~is_bench)
-    train_sh = train.select("doc_id", F.explode(shingles).alias("s"))
-    hits = (train_sh.join(F.broadcast(bench_sh), "s")
+
+def contamination_hits_df(train: DataFrame, benchmark: DataFrame,
+                          k: int = 5,
+                          broadcast_max_shingles: int = 2_000_000) -> DataFrame:
+    """(doc_id, n_shared) for every training doc sharing >= 1 distinct
+    k-gram with any benchmark text. The benchmark is an EXPLICIT bounded
+    input — the eval suite — not something derived from the training
+    corpus, so the broadcast decision is a contract, not a comment:
+    its distinct-shingle count is measured (one count job over the
+    bounded side) and the build side is broadcast only under
+    ``broadcast_max_shingles`` (~16 MB of longs at the default); above
+    that the join falls back to a hash-partitioned shuffle join on the
+    8-byte shingle key, which scales to an arbitrarily large benchmark.
+
+    Scale: one explode of the training corpus, one join on longs, one
+    map-side-combined count per doc_id. Never collects, never broadcasts
+    unmeasured input."""
+    bench_sh = (benchmark.select(F.explode(_hashed_kgram_set(k)).alias("s"))
+                .distinct())
+    small = bench_sh.count() <= broadcast_max_shingles
+    build = F.broadcast(bench_sh) if small else bench_sh
+    train_sh = train.select("doc_id",
+                            F.explode(_hashed_kgram_set(k)).alias("s"))
+    return (train_sh.join(build, "s")
             .groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("n_shared")))
+
+
+def decontaminate_df(train: DataFrame, benchmark: DataFrame, k: int = 5,
+                     min_overlap: int = 10,
+                     broadcast_max_shingles: int = 2_000_000) -> DataFrame:
+    """Flag training documents that overlap an evaluation set: a training
+    doc is contaminated when it shares >= ``min_overlap`` distinct
+    character k-grams with ANY benchmark text. Output: (doc_id, n_shared,
+    contaminated) for every training doc, zero-overlap docs included.
+    Join strategy per contamination_hits_df (size-guarded broadcast with
+    shuffle fallback)."""
+    hits = contamination_hits_df(train, benchmark, k, broadcast_max_shingles)
     return (train.select("doc_id").join(hits, "doc_id", "left")
             .select("doc_id",
                     F.coalesce(F.col("n_shared"), F.lit(0).cast("bigint"))
                      .alias("n_shared"))
             .withColumn("contaminated", F.col("n_shared") >= min_overlap))
+
+
+def decontaminate(spark: SparkSession, sf_dir: str, k: int = 5,
+                  min_overlap: int = 10) -> DataFrame:
+    """Driver-gate fixture: every 50th document plays the held-out
+    benchmark, the rest are the training corpus — a deterministic split
+    the DuckDB oracle restates exactly (the oracle keeps raw-string
+    k-grams; the engine joins on xxhash64 longs, which leaves the
+    n_shared counts identical). Real pipelines call decontaminate_df with
+    the actual eval-suite frame."""
+    docs = load(spark, sf_dir, "documents")
+    is_bench = F.col("doc_id") % 50 == 0
+    return decontaminate_df(docs.where(~is_bench), docs.where(is_bench),
+                            k, min_overlap)

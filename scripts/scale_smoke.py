@@ -9,6 +9,11 @@ of forming cross-copy cliques.
 A bucketed (LSH/block-table) design should scale near-linearly in rows;
 anything quadratic-within-bucket shows up as a ratio far above ~10-15.
 
+Each op gets one UNTIMED 1x warmup pass before its timed 1x run: the
+first execution carries JVM/janino codegen compilation (measured 2-6s
+for the wide simhash agg), which would otherwise inflate t_1x and bias
+the reported ratio low — overstating linearity.
+
 Usage: python scripts/scale_smoke.py   (writes one JSON line to stdout)
 """
 
@@ -23,8 +28,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F  # noqa: E402
 
+from kafkastreams_tp3_is_spark.operators.curation import (  # noqa: E402
+    decontaminate_df)
 from kafkastreams_tp3_is_spark.operators.dedup import (  # noqa: E402
     dedup_minhash_lsh_df, dedup_simhash_df)
+from kafkastreams_tp3_is_spark.operators.graph import (  # noqa: E402
+    duplicate_clusters_lsh_df)
 from kafkastreams_tp3_is_spark.session import get_spark  # noqa: E402
 
 
@@ -48,6 +57,14 @@ def scaled_docs(spark, sf_dir: str, copies: int):
     return out
 
 
+def _decontaminate(docs):
+    # same fixture split as the driver-gate query: every 50th doc is the
+    # benchmark — at 10x the benchmark side grows too, exercising the
+    # size-guarded broadcast fallback path
+    return decontaminate_df(docs.where(F.col("doc_id") % 50 != 0),
+                            docs.where(F.col("doc_id") % 50 == 0))
+
+
 def timed(fn, df) -> tuple[float, int]:
     t0 = time.perf_counter()
     out = fn(df)
@@ -60,9 +77,14 @@ def main() -> None:
     spark = get_spark("scale-smoke")
     spark.sparkContext.setLogLevel("ERROR")
     results = {}
-    for name, fn in [("dedup_minhash_lsh", dedup_minhash_lsh_df),
-                     ("dedup_simhash", dedup_simhash_df)]:
+    ops = [("dedup_minhash_lsh", dedup_minhash_lsh_df),
+           ("dedup_simhash", dedup_simhash_df),
+           ("duplicate_clusters_lsh", duplicate_clusters_lsh_df),
+           ("decontaminate", _decontaminate)]
+    for name, fn in ops:
         d1 = scaled_docs(spark, sf_dir, 1)
+        timed(fn, d1)                       # untimed warmup: codegen/JIT
+        spark.catalog.clearCache()
         t1, n1 = timed(fn, d1)
         spark.catalog.clearCache()
         d10 = scaled_docs(spark, sf_dir, 10)
@@ -70,7 +92,7 @@ def main() -> None:
         spark.catalog.clearCache()
         results[name] = {"t_1x": t1, "t_10x": t10,
                          "ratio": round(t10 / t1, 2),
-                         "pairs_1x": n1, "pairs_10x": n10}
+                         "rows_1x": n1, "rows_10x": n10}
     print(json.dumps({"metric": "scale_smoke_10x", "results": results}))
 
 

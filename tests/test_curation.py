@@ -102,3 +102,34 @@ def test_mix_by_source_quota_and_determinism(spark):
     key = ["source", "rank_in_source"]
     assert out.sort_values(key)["doc_id"].tolist() == \
         again.sort_values(key)["doc_id"].tolist()
+
+
+def test_decontaminate_broadcast_is_size_guarded(spark):
+    """The contract fix for the r2 'benchmark side grows with the corpus'
+    hazard: an oversized benchmark must NOT be broadcast (shuffle join
+    instead), a small one must be; both paths produce identical values."""
+    from kafkastreams_tp3_is_spark.operators.curation import (
+        contamination_hits_df, decontaminate_df)
+
+    train = spark.createDataFrame(
+        [(i, f"training document body number {i} with shared tail") for i in range(1, 40)],
+        ["doc_id", "text"])
+    bench = spark.createDataFrame(
+        [(100, "training document body number 7 with shared tail"),
+         (101, "completely unrelated benchmark prompt")],
+        ["doc_id", "text"])
+    small_plan = contamination_hits_df(train, bench)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastExchange" in small_plan
+    big_plan = contamination_hits_df(
+        train, bench, broadcast_max_shingles=1)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastExchange" not in big_plan
+
+    via_broadcast = decontaminate_df(train, bench, min_overlap=10)
+    via_shuffle = decontaminate_df(train, bench, min_overlap=10,
+                                   broadcast_max_shingles=1)
+    assert sorted(map(tuple, via_broadcast.collect())) == \
+        sorted(map(tuple, via_shuffle.collect()))
+    flagged = {r.doc_id for r in via_broadcast.where("contaminated").collect()}
+    assert 7 in flagged
