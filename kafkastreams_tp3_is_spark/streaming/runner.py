@@ -85,6 +85,94 @@ def windowed_counts_stream(trips_stream: DataFrame,
                     "transport_type", "cnt"))
 
 
+class WindowedExtremumSink:
+    """Incremental per-window argmax/argmin over an UPDATE stream of
+    windowed aggregates — stage 2 of the native Q11/Q12 path (reference:
+    TransportTypeMaxPassengersWindow.java:28-53,
+    LeastOccupiedTransportTypeWindow.java:39-94).
+
+    Structured Streaming cannot chain a second stateful extremum onto a
+    windowed aggregation inside one continuous update-mode query, and the
+    recompute harness re-reads full history every trigger. This sink is
+    the incremental-view middle ground: the streaming engine maintains the
+    heavy windowed counts (distributed, watermarked, update mode); per
+    micro-batch the sink upserts the CHANGED aggregate rows — aggregate-
+    sized, never fact-sized — into its counts state and re-derives the
+    extremum ONLY for windows the batch touched: O(touched windows x
+    contenders-per-window) work per trigger, independent of history
+    length. Contenders per window are bounded by the transport-type
+    domain, so the state is windows x 5 rows — driver-safe by the same
+    argument as MemoryUpsertSink.
+
+    ``score`` maps (contender, raw value) -> ranking value (identity for
+    Q11's count; occupancy% against a capacity dimension for Q12);
+    ties break on the smallest contender string, matching the batch
+    argmax/argmin operators' deterministic tie-break.
+    """
+
+    def __init__(self, mode: str = "max", out_value: str = "maxPassengers",
+                 window_col: str = "window_start",
+                 contender_col: str = "transport_type",
+                 value_col: str = "cnt", score=None):
+        if mode not in ("max", "min"):
+            raise ValueError(f"mode must be max/min, got {mode!r}")
+        self.mode = mode
+        self.out_value = out_value
+        self.window_col = window_col
+        self.contender_col = contender_col
+        self.value_col = value_col
+        self.score = score or (lambda contender, value: value)
+        self.counts: dict[tuple, float] = {}
+        self.state: dict[object, dict] = {}
+        self.batches = 0
+
+    def process(self, batch_df: DataFrame, batch_id: int) -> None:
+        self.batches += 1
+        touched = set()
+        for row in batch_df.collect():
+            d = row.asDict()
+            w = d[self.window_col]
+            c = d[self.contender_col]
+            self.counts[(w, c)] = self.score(c, d[self.value_col])
+            touched.add(w)
+        for w in touched:
+            contenders = [(c, v) for (ww, c), v in self.counts.items()
+                          if ww == w]
+            key = ((lambda cv: (-cv[1], cv[0])) if self.mode == "max"
+                   else (lambda cv: (cv[1], cv[0])))
+            best_c, best_v = sorted(contenders, key=key)[0]
+            self.state[w] = {self.window_col: w, "transportType": best_c,
+                             self.out_value: best_v}
+
+    def rows(self) -> list[dict]:
+        return list(self.state.values())
+
+
+def q11_windowed_argmax_sink() -> WindowedExtremumSink:
+    """Q11 native-streaming stage 2: per-window transport type with the
+    MAX trip count. Compose with windowed_counts_stream via
+    run_update_mode_agg."""
+    return WindowedExtremumSink(mode="max", out_value="maxPassengers")
+
+
+def q12_windowed_argmin_sink(cap_per_type: dict) -> WindowedExtremumSink:
+    """Q12 native-streaming stage 2: per-window transport type with MIN
+    occupancy% = windowed count / all-time capacity per type * 100, with
+    the reference's null/zero-capacity -> 0.0 guard
+    (LeastOccupiedTransportTypeWindow.java:39-94). ``cap_per_type`` is the
+    capacity dimension (transport-type domain, 5 entries — bounded), e.g.
+    routes.groupBy(transport_type).sum(capacity) collected, or maintained
+    by a latest-per-key KTable stream at full fidelity."""
+    def occupancy(contender, cnt):
+        cap = cap_per_type.get(contender)
+        if not cap:
+            return 0.0
+        return cnt / cap * 100
+
+    return WindowedExtremumSink(mode="min", out_value="occupancy",
+                                score=occupancy)
+
+
 def run_update_mode_agg(agg_df: DataFrame, sink, checkpoint_dir: str,
                         output_mode: str = "update") -> None:
     """Strategy 1: native streaming aggregation -> upsert sink. ``agg_df``

@@ -415,3 +415,47 @@ def test_full_topology_all_13_queries_equal_batch(spark, stream_dirs, tmp_path):
         batch = fn(spark, SF_DIR)
         assert (_sorted_state(sinks[name], batch.columns)
                 == _sorted_rows(batch)), name
+
+
+def test_native_windowed_argmax_q11_equals_batch(spark, stream_dirs, tmp_path):
+    """Native streaming path for Q11: windowed counts maintained by the
+    engine in update mode, per-window argmax re-derived incrementally for
+    touched windows only — final state must equal the batch q11_logic."""
+    from kafkastreams_tp3_is_spark.streaming.runner import (
+        q11_windowed_argmax_sink)
+
+    trips_stream = trip_file_stream(spark, str(stream_dirs / "lineitem"))
+    sink = q11_windowed_argmax_sink()
+    run_update_mode_agg(
+        windowed_counts_stream(trips_stream, watermark="4000 days"),
+        sink, str(tmp_path / "ckpt_q11"))
+    assert sink.batches >= 2, "expected multiple micro-batches"
+    got = sorted((r["window_start"], r["transportType"], r["maxPassengers"])
+                 for r in sink.rows())
+    batch = q.q11_transport_type_max_passengers_window(spark, SF_DIR)
+    assert got == _sorted_rows(batch)
+
+
+def test_native_windowed_argmin_q12_equals_batch(spark, stream_dirs, tmp_path):
+    """Native streaming path for Q12: same windowed-count stream scored as
+    occupancy%% against the bounded capacity dimension, per-window argmin —
+    final state must equal the batch q12_logic, floats bit-identical."""
+    from pyspark.sql import functions as FF
+
+    from kafkastreams_tp3_is_spark.streaming.runner import (
+        q12_windowed_argmin_sink)
+    from kafkastreams_tp3_is_spark.views import routes as batch_routes
+
+    cap = {r["transport_type"]: r["cap"]
+           for r in (batch_routes(spark, SF_DIR)
+                     .groupBy("transport_type")
+                     .agg(FF.sum("capacity").alias("cap"))).collect()}
+    trips_stream = trip_file_stream(spark, str(stream_dirs / "lineitem"))
+    sink = q12_windowed_argmin_sink(cap)
+    run_update_mode_agg(
+        windowed_counts_stream(trips_stream, watermark="4000 days"),
+        sink, str(tmp_path / "ckpt_q12"))
+    got = sorted((r["window_start"], r["transportType"], r["occupancy"])
+                 for r in sink.rows())
+    batch = q.q12_least_occupied_transport_type_window(spark, SF_DIR)
+    assert got == _sorted_rows(batch)
