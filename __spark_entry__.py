@@ -100,7 +100,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_text": _cur.normalize_text,
         "pii_scrub": _cur.pii_scrub,
         "decontaminate": _cur.decontaminate,
-        "pack_sequences": _cur.pack_sequences,
+        # n_shards pinned: shard assignment is part of the output, and the
+        # oracle must be a pure function of the data, not of the box's CPU
+        # count (the library default is defaultParallelism)
+        "pack_sequences": lambda spark, sf_dir: _cur.pack_sequences(
+            spark, sf_dir, n_shards=16),
         "mix_by_source": _cur.mix_by_source,
         "multimodal_features": _mm.media_features,
         "multimodal_resize": _mm.media_resize,

@@ -54,23 +54,10 @@ BASELINE_QUERIES = {"embedding_near_dup_exact", "ngram_jaccard_pairs",
 # separately so nothing is hidden.
 DEMO_QUERIES = {"latest_route_capacity_stateful"}
 
-# the 13 reference queries by EXACT registered name: a prefix match would
-# silently count variants (q2_approx_... inflated the r2 metric by ~1.5s)
-_REFERENCE_QUERIES = (
-    "q1_available_seats_per_route",
-    "q2_average_passengers_per_transport_type",
-    "q3_name_passenger_most_trips",
-    "q4_occupancy_per_route",
-    "q5_passengers_per_route",
-    "q6_route_least_occupancy_per_transport_type",
-    "q7_total_capacity_available",
-    "q8_total_occupancy_percentage",
-    "q9_total_passengers",
-    "q10_transport_type_max_passengers",
-    "q11_transport_type_max_passengers_window",
-    "q12_least_occupied_transport_type_window",
-    "q13_most_occupied_operator",
-)
+# the 13 reference queries by EXACT registered name (shared allowlist —
+# a prefix match would silently count variants; q2_approx_... inflated
+# the r2 metric by ~1.5s)
+from kafkastreams_tp3_is_spark.oracles import Q_NAMES as _REFERENCE_QUERIES  # noqa: E402
 
 
 def main() -> None:

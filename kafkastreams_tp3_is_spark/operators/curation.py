@@ -86,7 +86,7 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- sequence packing --------------------------------------------------
 
 def pack_sequences(spark: SparkSession, sf_dir: str, budget: int = 2048,
-                   n_shards: int = 16) -> DataFrame:
+                   n_shards: int | None = None) -> DataFrame:
     """Concat-and-chunk sequence packing: documents are laid out in a
     deterministic stream per shard (doc_id order) and a doc's pack is the
     training-sample window its first token falls into —
@@ -98,9 +98,18 @@ def pack_sequences(spark: SparkSession, sf_dir: str, budget: int = 2048,
     ordering — a global running sum would force a single-partition window
     (the classic window bottleneck); sharded windows parallelize across
     the cluster, exactly how production pipelines pack per output file.
-    One shuffle on the shard key, then a sorted running sum per shard."""
+    One shuffle on the shard key, then a sorted running sum per shard.
+
+    ``n_shards`` defaults to the session's defaultParallelism so the
+    window work spreads over every core/executor; the parameter stays for
+    callers that need a fixed shard layout — the DRIVER GATE pins it
+    (see __spark_entry__), because shard assignment is part of the output
+    and an oracle keyed to the machine's CPU count would not be a pure
+    function of the data."""
     from pyspark.sql import Window
 
+    if n_shards is None:
+        n_shards = spark.sparkContext.defaultParallelism
     docs = load(spark, sf_dir, "documents")
     toks = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
     base = docs.select(

@@ -32,6 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..cache import owned, persisted
 from ..views import load
 
 # --- exact dedup -------------------------------------------------------
@@ -185,8 +186,10 @@ def dedup_minhash_lsh_df(docs: DataFrame, num_hashes: int = 32,
     sigs = minhash_signatures(sets_df, num_hashes).persist(
         StorageLevel.MEMORY_AND_DISK)
     cands = minhash_lsh_pairs(sigs, num_hashes, bands)
-    return _verify_jaccard(cands, sigs.select("doc_id", "shingles"),
-                           jaccard_threshold)
+    out = _verify_jaccard(cands, sigs.select("doc_id", "shingles"),
+                          jaccard_threshold)
+    # caller releases the signature cache via cache.release(out)
+    return owned(out, sigs)
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str,
@@ -267,7 +270,8 @@ def ngram_jaccard_pairs_df(docs: DataFrame, k: int = 9,
                        / F.lit(1.0 + threshold))
              .select("a_id", "b_id")
              .distinct())
-    return _verify_jaccard(cands, sets_df, threshold)
+    return owned(_verify_jaccard(cands, sets_df, threshold),
+                 sets_df, prefix)
 
 
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str, k: int = 9,
@@ -373,13 +377,14 @@ def dedup_simhash_df(docs: DataFrame, max_hamming: int = 3,
     a, b = exploded.alias("a"), exploded.alias("b")
     hamming = F.bit_count(
         F.col("a.sim_long").bitwiseXOR(F.col("b.sim_long"))).cast("long")
-    return (a.join(b, ["table", "key"])
-             .where(F.col("a.doc_id") < F.col("b.doc_id"))
-             .select(F.col("a.doc_id").alias("a_id"),
-                     F.col("b.doc_id").alias("b_id"),
-                     hamming.alias("hamming"))
-             .where(F.col("hamming") <= max_hamming)
-             .distinct())
+    out = (a.join(b, ["table", "key"])
+            .where(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("a_id"),
+                    F.col("b.doc_id").alias("b_id"),
+                    hamming.alias("hamming"))
+            .where(F.col("hamming") <= max_hamming)
+            .distinct())
+    return owned(out, packed)
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str,

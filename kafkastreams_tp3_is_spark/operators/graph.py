@@ -50,6 +50,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..cache import owned, persisted
 from ..views import load
 from .dedup import dedup_minhash_lsh_df, ngram_jaccard_pairs_df
 
@@ -128,10 +129,12 @@ def _clusters(pairs: DataFrame) -> DataFrame:
     pass keeps. Singleton documents (no near-dup) are not emitted; a full
     manifest is an anti-join away."""
     cc = connected_components_df(pairs.select("a_id", "b_id"))
-    return cc.select(F.col("node").alias("doc_id"),
-                     F.col("component").alias("cluster_id"),
-                     (F.col("node") == F.col("component"))
-                     .alias("is_canonical"))
+    out = cc.select(F.col("node").alias("doc_id"),
+                    F.col("component").alias("cluster_id"),
+                    (F.col("node") == F.col("component"))
+                    .alias("is_canonical"))
+    # transfer ownership of the edge producer's persisted internals
+    return owned(out, *persisted(pairs))
 
 
 def duplicate_clusters_df(docs: DataFrame, k: int = 9,

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..cache import owned
 from ..views import load
 
 
@@ -210,11 +211,13 @@ def embedding_near_dup_df(emb: DataFrame, threshold: float = 0.95,
                         F.col("vec").alias("b_vec"),
                         F.col("nrm").alias("b_norm"), "bucket")
     cos = _dot(F.col("a_vec"), F.col("b_vec")) / (F.col("a_norm") * F.col("b_norm"))
-    return (a.join(b, "bucket")
-             .where(F.col("a_id") < F.col("b_id"))
-             .select("a_id", "b_id", cos.alias("cosine"))
-             .where(F.col("cosine") >= threshold)
-             .dropDuplicates(["a_id", "b_id"]))
+    out = (a.join(b, "bucket")
+            .where(F.col("a_id") < F.col("b_id"))
+            .select("a_id", "b_id", cos.alias("cosine"))
+            .where(F.col("cosine") >= threshold)
+            .dropDuplicates(["a_id", "b_id"]))
+    # caller releases the bucketed cache via cache.release(out)
+    return owned(out, bucketed)
 
 
 def embedding_near_dup(spark: SparkSession, sf_dir: str,
@@ -253,6 +256,7 @@ def cosine_topk_lsh(spark: SparkSession, sf_dir: str,
                           _cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
                                                F.col("neighbor_id").asc())
-    return (scored.withColumn("rank", F.row_number().over(w))
-                  .where(F.col("rank") <= k)
-                  .select("query_id", "neighbor_id", "rank"))
+    return owned(scored.withColumn("rank", F.row_number().over(w))
+                       .where(F.col("rank") <= k)
+                       .select("query_id", "neighbor_id", "rank"),
+                 bucketed)

@@ -35,9 +35,22 @@ def salted_join(fact: DataFrame, dim: DataFrame, on: list[str],
     Only fact-preserving joins are supported: 'inner' and 'left' (each
     fact row meets exactly one copy of its dim row). 'right'/'full' would
     multiply unmatched dim rows by n_salts — use the unsalted join there.
+
+    Limitation: the salt hashes the whole fact ROW, so fully-identical
+    duplicate fact rows all land in one salt bucket — a hot key made of
+    verbatim duplicates stays unspread. That trade is deliberate: a
+    per-row component (monotonically_increasing_id) would spread them but
+    is partition-layout-dependent, breaking the determinism that makes
+    retried tasks salt identically. De-duplicate or pre-aggregate
+    verbatim-duplicate facts before salting instead.
     """
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    for side, cols in (("fact", fact.columns), ("dim", dim.columns)):
+        if _SALT in cols:
+            raise ValueError(
+                f"{side} input already has a {_SALT!r} column — it would "
+                "silently collide with the internal salt key")
     fact_cols = [F.col(c) for c in fact.columns]
     f = fact.withColumn(
         _SALT, F.pmod(F.xxhash64(*fact_cols), F.lit(n_salts)).cast("int"))

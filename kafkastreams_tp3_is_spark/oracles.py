@@ -651,3 +651,23 @@ SELECT operator, occupancyPercentage
 FROM occ
 ORDER BY occupancyPercentage DESC, operator ASC LIMIT 1
 """
+
+#: The 13 reference queries by exact registered name — the shared
+#: allowlist for every surface that means "the reference queries"
+#: (sql.py QUERY_SQL, bench.py reference_queries_sec). A name-prefix
+#: filter would silently pick up variants like q2_approx_....
+Q_NAMES: tuple[str, ...] = (
+    "q1_available_seats_per_route",
+    "q2_average_passengers_per_transport_type",
+    "q3_name_passenger_most_trips",
+    "q4_occupancy_per_route",
+    "q5_passengers_per_route",
+    "q6_route_least_occupancy_per_transport_type",
+    "q7_total_capacity_available",
+    "q8_total_occupancy_percentage",
+    "q9_total_passengers",
+    "q10_transport_type_max_passengers",
+    "q11_transport_type_max_passengers_window",
+    "q12_least_occupied_transport_type_window",
+    "q13_most_occupied_operator",
+)

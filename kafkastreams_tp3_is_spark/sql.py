@@ -20,18 +20,27 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .oracles import ORACLES
+from .oracles import ORACLES, Q_NAMES
 from .schemas import TESTDATA_TABLES
 from .session import configure_for_engine
 from .views import load, routes, trips
 
-_Q_NAMES = tuple(n for n in ORACLES if n.startswith("q"))
+
+def _duckdb_to_spark_sql(stmt: str) -> str:
+    """Patch the one dialect difference between the DuckDB oracle
+    statements and Spark SQL: bare ``CAST(x AS VARCHAR)`` is
+    ``CAST(x AS STRING)``. Any NEW Q oracle must stay in the common-ANSI
+    subset (no list_filter/unnest/list_dot_product etc. — those oracles
+    are DuckDB-only and must not be listed in Q_NAMES)."""
+    return stmt.replace("AS VARCHAR", "AS STRING")
+
 
 #: Q1-Q13 as Spark-SQL statements (self-contained: each carries its
 #: routes/trips derivation CTE, so they also run without register_views).
+#: Keyed by the explicit Q_NAMES allowlist — NOT a name-prefix filter,
+#: which would silently pull variant oracles into the SQL surface.
 QUERY_SQL: dict[str, str] = {
-    name: ORACLES[name].replace("AS VARCHAR", "AS STRING")
-    for name in _Q_NAMES
+    name: _duckdb_to_spark_sql(ORACLES[name]) for name in Q_NAMES
 }
 
 

@@ -1,0 +1,42 @@
+"""Persist-lifecycle ownership (cache.py): operators that persist
+internal frames attach them to their result; release() unpersists them
+without touching unrelated caches — the library-embedder contract
+(bench.py's clearCache stays the one-process-per-run tool)."""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from kafkastreams_tp3_is_spark.cache import persisted, release  # noqa: E402
+from kafkastreams_tp3_is_spark.operators.dedup import (  # noqa: E402
+    dedup_minhash_lsh_df)
+from kafkastreams_tp3_is_spark.operators.graph import (  # noqa: E402
+    duplicate_clusters_lsh_df)
+
+
+def test_release_unpersists_operator_internals(spark, planted_docs):
+    docs, _ = planted_docs
+    out = dedup_minhash_lsh_df(docs, jaccard_threshold=0.7)
+    out.count()
+    frames = persisted(out)
+    assert frames, "operator must attach its persisted internals"
+    assert all(f.storageLevel.useMemory or f.storageLevel.useDisk
+               for f in frames)
+    release(out)
+    assert all(not (f.storageLevel.useMemory or f.storageLevel.useDisk)
+               for f in frames)
+    assert not persisted(out)
+    # the result stays usable after release (stages recompute)
+    assert out.count() >= 0
+
+
+def test_composed_operator_transfers_ownership(spark, planted_docs):
+    docs, _ = planted_docs
+    out = duplicate_clusters_lsh_df(docs, threshold=0.7)
+    frames = persisted(out)
+    assert frames, "composition must carry the edge producer's caches"
+    release(out)
+    assert all(not (f.storageLevel.useMemory or f.storageLevel.useDisk)
+               for f in frames)

@@ -69,3 +69,32 @@ def test_incremental_source_polls_only_new_rows(spark, db_path):
     rows = second.collect()
     assert len(rows) == 1 and rows[0]["supplier"] == "S3"
     assert src.poll().count() == 0
+
+
+# --- S12 topic admin (sources/admin.py) --------------------------------
+
+def test_topic_spec_validation():
+    import pytest
+
+    from kafkastreams_tp3_is_spark.sources.admin import topic_spec
+
+    assert topic_spec("Routes_topic", 3, 1) == {
+        "name": "Routes_topic", "partitions": 3, "replication_factor": 1}
+    for bad in ("", ".", "..", "has space", "x" * 250):
+        with pytest.raises(ValueError):
+            topic_spec(bad)
+    with pytest.raises(ValueError):
+        topic_spec("ok", partitions=0)
+    with pytest.raises(ValueError):
+        topic_spec("ok", replication_factor=0)
+
+
+def test_ensure_topics_without_kafka_clients_raises_actionable(spark):
+    import pytest
+
+    from kafkastreams_tp3_is_spark.sources.admin import ensure_topics
+
+    # this container has no kafka-clients jar: the call must fail fast
+    # with the remediation in the message, not a raw py4j stack
+    with pytest.raises(RuntimeError, match="spark-sql-kafka"):
+        ensure_topics(spark, "localhost:9092", [{"name": "out_topic"}])

@@ -81,3 +81,16 @@ def test_q2_approx_within_error_bound(spark):
     assert set(exact) == set(approx)
     for t, v in exact.items():
         assert abs(approx[t] - v) / v < 0.05, (t, approx[t], v)
+
+
+def test_salted_join_rejects_preexisting_salt_column(spark):
+    import pytest
+
+    from kafkastreams_tp3_is_spark.operators.skew import salted_join
+
+    fact = spark.createDataFrame([(1, "a")], ["k", "__salt"])
+    dim = spark.createDataFrame([(1, "x")], ["k", "v"])
+    with pytest.raises(ValueError, match="__salt"):
+        salted_join(fact, dim, ["k"])
+    with pytest.raises(ValueError, match="__salt"):
+        salted_join(dim, fact, ["k"])
