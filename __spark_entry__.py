@@ -73,6 +73,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the oracle is the exact-Jaccard relation (see oracles.py note)
         "dedup_minhash_lsh": _dedup.dedup_minhash_lsh,
         "dedup_simhash": _dedup.dedup_simhash,                  # rows-only
+        # incremental dedup: the new increment vs the existing corpus —
+        # the refreshed-training-corpus shape; full hash-match gate
+        "dedup_against": _dedup.dedup_against,
         "ngram_jaccard_pairs": _dedup.ngram_jaccard_pairs,
         # pairwise edges -> transitive-closure clusters (Large-Star/
         # Small-Star connected components; oracle = WITH RECURSIVE).
@@ -93,6 +96,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": _text.lang_id,
         "text_fingerprint": _text.fingerprint,
         "text_vocab_topk": _text.vocab_top_tokens,
+        # Gopher-style repetition stats + C4-style filter verdicts
+        "repetition_signals": _text.repetition_signals,
+        "quality_filter": _text.quality_filter,
         # corpus-curation stages (sampling, normalization, PII,
         # benchmark decontamination) — all value-exact oracles
         "sample_deterministic": _cur.sample_deterministic,
@@ -106,6 +112,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": lambda spark, sf_dir: _cur.pack_sequences(
             spark, sf_dir, n_shards=16),
         "mix_by_source": _cur.mix_by_source,
+        # temperature-flattened (tau=0.5) mixture with integer-exact quotas
+        "mix_temperature": _cur.mix_temperature,
         "multimodal_features": _mm.media_features,
         "multimodal_resize": _mm.media_resize,
         "multimodal_frame_sample": _mm.media_frame_sample,

@@ -147,6 +147,50 @@ def mix_by_source(spark: SparkSession, sf_dir: str,
             .where(F.col("rank_in_source") <= quota))
 
 
+# --- temperature mixture sampling --------------------------------------
+
+def mix_temperature(spark: SparkSession, sf_dir: str,
+                    total: int = 200) -> DataFrame:
+    """Temperature-flattened mixture selection (tau = 0.5): each source's
+    quota is proportional to sqrt(its doc count) — the standard
+    multilingual/multi-domain flattening that upweights small sources
+    relative to proportional sampling — and the quota is filled
+    content-addressed (md5(doc_id) order), so membership is reproducible
+    across runs and engines.
+
+    Quotas are INTEGER-exact by construction: weight = floor(sqrt(n_s))
+    (exact in double for counts < 2^52, so deterministic across engines),
+    denominator = integer sum of weights, quota = max(1, weight * total
+    DIV denominator). No cross-source float sum ever happens — floats
+    whose summation order could flip a floor() at an integer boundary
+    have no place in a selection whose output is part of a hash gate.
+
+    Scale: one count per source (map-side combined), a 20-row broadcast
+    back onto the corpus, and a per-source top-quota window — the same
+    bounded-group shape as mix_by_source."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    weights = (docs.groupBy("source")
+               .agg(F.count(F.lit(1)).alias("n_docs"))
+               .withColumn("w", F.floor(F.sqrt(F.col("n_docs")))
+                           .cast("bigint")))
+    denom = weights.agg(F.sum("w").alias("s"))
+    quotas = (weights.crossJoin(F.broadcast(denom))
+              .select("source", "n_docs",
+                      F.greatest(
+                          F.lit(1).cast("bigint"),
+                          F.expr(f"(w * CAST({total} AS BIGINT)) DIV s"))
+                      .alias("quota")))
+    key = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("source").orderBy(key.asc(), F.col("doc_id").asc())
+    ranked = docs.select("doc_id", "source",
+                         F.row_number().over(w).alias("sample_rank"))
+    return (ranked.join(F.broadcast(quotas), "source")
+            .where(F.col("sample_rank") <= F.col("quota"))
+            .select("doc_id", "source", "sample_rank", "quota"))
+
+
 # --- deterministic train/val/test split --------------------------------
 
 def train_val_test_split(spark: SparkSession, sf_dir: str,

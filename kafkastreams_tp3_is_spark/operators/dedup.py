@@ -109,6 +109,22 @@ def minhash_signatures(df: DataFrame, num_hashes: int = 32,
     return df.withColumn("minhash", sig)
 
 
+def _banded(df: DataFrame, num_hashes: int, bands: int,
+            id_col: str) -> DataFrame:
+    """(id, band, bucket): one row per band, bucket = full-width 64-bit
+    hash of that band's r minhash values."""
+    r = num_hashes // bands
+    bands_col = F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.xxhash64(*[F.col("minhash")[b * r + j] for j in range(r)]).alias("bucket"))
+        for b in range(bands)
+    ])
+    return (df.select(id_col, "minhash")
+              .withColumn("bb", F.explode(bands_col))
+              .select(id_col, F.col("bb.band").alias("band"),
+                      F.col("bb.bucket").alias("bucket")))
+
+
 def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 32, bands: int = 8,
                       id_col: str = "doc_id") -> DataFrame:
     """LSH banding: split the signature into ``bands`` bands of r rows,
@@ -119,16 +135,7 @@ def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 32, bands: int = 8,
     signatures (no fixed cap); candidate generation is a self-equi-join on
     those keys, never an all-pairs cross join. Degenerate buckets (boiler-
     plate shingle sets) are handled by AQE skew-join splitting."""
-    r = num_hashes // bands
-    bands_col = F.array(*[
-        F.struct(F.lit(b).alias("band"),
-                 F.xxhash64(*[F.col("minhash")[b * r + j] for j in range(r)]).alias("bucket"))
-        for b in range(bands)
-    ])
-    exploded = (df.select(id_col, "minhash")
-                  .withColumn("bb", F.explode(bands_col))
-                  .select(id_col, F.col("bb.band").alias("band"),
-                          F.col("bb.bucket").alias("bucket")))
+    exploded = _banded(df, num_hashes, bands, id_col)
     a = exploded.alias("a")
     b = exploded.alias("b")
     return (a.join(b, ["band", "bucket"])
@@ -139,16 +146,19 @@ def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 32, bands: int = 8,
 
 
 def _verify_jaccard(pairs: DataFrame, sets_df: DataFrame,
-                    threshold: float) -> DataFrame:
+                    threshold: float,
+                    b_sets_df: DataFrame | None = None) -> DataFrame:
     """Exact Jaccard on the hashed shingle sets for candidate pairs only.
     The joined payload is array<long> (8B/shingle), not text. Only the
     intersection is materialized: the sides are distinct sets, so
     |A u B| = |A| + |B| - |A n B| — same integers, same double division,
-    half the per-pair hash-set work of an array_union."""
+    half the per-pair hash-set work of an array_union. ``b_sets_df``
+    (default: same frame) supports cross-corpus pairs where the two ids
+    come from different set frames."""
     a_sets = sets_df.select(F.col("doc_id").alias("a_id"),
                             F.col("shingles").alias("a_sh"))
-    b_sets = sets_df.select(F.col("doc_id").alias("b_id"),
-                            F.col("shingles").alias("b_sh"))
+    b_sets = (b_sets_df if b_sets_df is not None else sets_df).select(
+        F.col("doc_id").alias("b_id"), F.col("shingles").alias("b_sh"))
     inter = F.size(F.array_intersect("a_sh", "b_sh"))
     union = F.size("a_sh") + F.size("b_sh") - inter
     return (pairs.join(a_sets, "a_id").join(b_sets, "b_id")
@@ -197,6 +207,57 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str,
                       jaccard_threshold: float = 0.8) -> DataFrame:
     return dedup_minhash_lsh_df(load(spark, sf_dir, "documents"),
                                 num_hashes, bands, jaccard_threshold)
+
+
+def dedup_against_df(new_docs: DataFrame, corpus_docs: DataFrame,
+                     num_hashes: int = 32, bands: int = 8,
+                     jaccard_threshold: float = 0.8,
+                     k: int = 9) -> DataFrame:
+    """INCREMENTAL dedup: near-dup pairs of ``new_docs`` AGAINST an
+    existing ``corpus_docs`` — the shape every refreshed training corpus
+    runs (dedup the new crawl against what is already ingested, not the
+    whole union against itself). Output (new_id, corpus_id, jaccard >=
+    threshold), verified exactly.
+
+    Scale: both sides get signatures independently; the candidate join is
+    new-bands x corpus-bands on (band, bucket) — cost proportional to the
+    NEW increment's bucket collisions, not to re-processing the corpus
+    pairs (at production scale the corpus side's signatures are computed
+    once and stored columnar, making the increment the only per-run
+    shingling cost)."""
+    n_part = new_docs.sparkSession.sparkContext.defaultParallelism
+    sig_new = minhash_signatures(
+        hashed_shingle_sets_df(new_docs.repartition(n_part, "doc_id"), k),
+        num_hashes).persist()
+    sig_old = minhash_signatures(
+        hashed_shingle_sets_df(corpus_docs.repartition(n_part, "doc_id"), k),
+        num_hashes).persist()
+    e_new = (_banded(sig_new, num_hashes, bands, "doc_id")
+             .withColumnRenamed("doc_id", "nid"))
+    e_old = _banded(sig_old, num_hashes, bands, "doc_id")
+    cands = (e_new.join(e_old, ["band", "bucket"])
+             .select(F.col("nid").alias("a_id"),
+                     F.col("doc_id").alias("b_id"))
+             .distinct())
+    out = (_verify_jaccard(cands, sig_new.select("doc_id", "shingles"),
+                           jaccard_threshold,
+                           b_sets_df=sig_old.select("doc_id", "shingles"))
+           .select(F.col("a_id").alias("new_id"),
+                   F.col("b_id").alias("corpus_id"), "jaccard"))
+    return owned(out, sig_new, sig_old)
+
+
+def dedup_against(spark: SparkSession, sf_dir: str,
+                  num_hashes: int = 32, bands: int = 8,
+                  jaccard_threshold: float = 0.8) -> DataFrame:
+    """Driver-gate fixture: odd doc_ids play the new increment, even
+    doc_ids the existing corpus — a deterministic split the DuckDB
+    oracle restates. Full hash-match gate by the same 100%-recall
+    argument as dedup_minhash_lsh."""
+    docs = load(spark, sf_dir, "documents")
+    return dedup_against_df(docs.where(F.col("doc_id") % 2 == 1),
+                            docs.where(F.col("doc_id") % 2 == 0),
+                            num_hashes, bands, jaccard_threshold)
 
 
 # --- exact n-gram Jaccard (inverted-index candidates) ------------------

@@ -140,3 +140,98 @@ def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     the DuckDB oracle. A narrow per-row map: no shuffle, linear scale-out."""
     docs = load(spark, sf_dir, "documents")
     return docs.select("doc_id", fingerprint_col("text").alias("fingerprint"))
+
+
+# --- repetition signals (Gopher-style quality filters) -----------------
+
+def _top_gram_frac(docs: DataFrame, n: int) -> DataFrame:
+    """(doc_id, top_frac): frequency share of the most common word n-gram
+    = max n-gram count / (n_tokens - n + 1). Grams are hashed to 64-bit
+    longs inside the gram-building transform (xxhash64 over the n member
+    tokens) so only 8-byte keys ever reach the shuffle — the same
+    hash-first discipline as dedup.py's shingles; a collision could only
+    perturb one doc's max count and is negligible at 2^-64.
+
+    Scale: explode -> (doc_id, gram-hash) map-side-combined count ->
+    per-doc max. Both aggregates shuffle aggregate-sized rows keyed by
+    doc_id; nothing quadratic, no strings past the scan."""
+    toks = tokens_col()
+    n_tok = F.size(toks)
+    grams = F.when(
+        n_tok >= n,
+        F.transform(
+            F.sequence(F.lit(1), n_tok - (n - 1)),
+            lambda i: F.xxhash64(*[F.element_at(toks, i + j)
+                                   for j in range(n)]))
+    ).otherwise(F.array().cast("array<bigint>"))
+    ex = docs.select("doc_id", F.explode(grams).alias("g"))
+    per = ex.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    return (per.groupBy("doc_id")
+            .agg(F.max("c").alias("m"), F.sum("c").alias("total"))
+            .select("doc_id",
+                    (F.col("m").cast("double")
+                     / F.col("total").cast("double")).alias("top_frac")))
+
+
+def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition statistics, the Gopher-family quality
+    filters (Rae et al. 2021, appendix A — public heuristics) restated
+    for a corpus without line structure:
+
+      dup_token_frac   1 - distinct/total whitespace tokens (row-local,
+                       no shuffle: array_distinct inside the projection)
+      top_2gram_frac   frequency share of the most common word bigram
+      top_3gram_frac   ... trigram
+
+    Ratios are single divisions of exact integer counts, so the DuckDB
+    oracle is bit-identical. Zero/short docs yield 0.0 by guard."""
+    docs = load(spark, sf_dir, "documents")
+    toks = tokens_col()
+    n_tok = F.size(toks).cast("bigint")
+    n_dis = F.size(F.array_distinct(toks)).cast("bigint")
+    base = docs.select(
+        "doc_id", n_tok.alias("n"), n_dis.alias("nd"))
+    g2 = _top_gram_frac(docs, 2).withColumnRenamed("top_frac", "f2")
+    g3 = _top_gram_frac(docs, 3).withColumnRenamed("top_frac", "f3")
+    out = (base.join(g2, "doc_id", "left").join(g3, "doc_id", "left")
+           .select(
+               "doc_id",
+               F.col("n").alias("n_tokens"),
+               F.when(F.col("n") == 0, F.lit(0.0))
+                .otherwise((F.col("n") - F.col("nd")).cast("double")
+                           / F.col("n").cast("double"))
+                .alias("dup_token_frac"),
+               F.coalesce(F.col("f2"), F.lit(0.0)).alias("top_2gram_frac"),
+               F.coalesce(F.col("f3"), F.lit(0.0)).alias("top_3gram_frac")))
+    return out
+
+
+def quality_filter(spark: SparkSession, sf_dir: str,
+                   min_tokens: int = 15,
+                   max_mean_word_len: float = 5.9,
+                   max_top_2gram_frac: float = 0.08) -> DataFrame:
+    """C4/Gopher-style document filter verdicts: each rule as an explicit
+    boolean flag plus the composite ``kept`` — the shape a curation
+    pipeline audits (why was this doc dropped?) rather than a bare
+    filter. Thresholds are corpus-tuned so the gate exercises both
+    branches of every flag. Narrow maps + the repetition aggregates;
+    everything integer-exact or single-division."""
+    docs = load(spark, sf_dir, "documents")
+    toks = tokens_col()
+    n_tok = F.size(toks).cast("bigint")
+    n_chars = F.length(F.col("text")).cast("bigint")
+    mean_wl = F.when(n_tok == 0, F.lit(0.0)).otherwise(
+        n_chars.cast("double") / n_tok.cast("double"))
+    rep = repetition_signals(spark, sf_dir).select("doc_id",
+                                                   "top_2gram_frac")
+    flags = (docs.select("doc_id",
+                         (n_tok < min_tokens).alias("flag_too_short"),
+                         (mean_wl > max_mean_word_len)
+                         .alias("flag_long_words"))
+             .join(rep, "doc_id")
+             .withColumn("flag_repetitive",
+                         F.col("top_2gram_frac") > max_top_2gram_frac))
+    return flags.select(
+        "doc_id", "flag_too_short", "flag_long_words", "flag_repetitive",
+        (~(F.col("flag_too_short") | F.col("flag_long_words")
+           | F.col("flag_repetitive"))).alias("kept"))

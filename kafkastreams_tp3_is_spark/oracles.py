@@ -671,3 +671,147 @@ Q_NAMES: tuple[str, ...] = (
     "q12_least_occupied_transport_type_window",
     "q13_most_occupied_operator",
 )
+
+# Gopher-style repetition signals: token-duplication fraction plus the
+# frequency share of the most common word bigram/trigram. The Spark side
+# hashes grams to longs before counting (count-identical barring 2^-64
+# collisions); the oracle counts the raw token tuples. All ratios are
+# one division of exact integer counts.
+_ORACLE_TOKS = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+ORACLES["repetition_signals"] = f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(len({_ORACLE_TOKS}) AS BIGINT) AS n,
+         CAST(len(list_distinct({_ORACLE_TOKS})) AS BIGINT) AS nd,
+         {_ORACLE_TOKS} AS lt
+  FROM documents
+),
+g2 AS (
+  SELECT doc_id, MAX(c) AS m FROM (
+    SELECT doc_id,
+           lt[CAST(i AS INTEGER)] || ' ' || lt[CAST(i + 1 AS INTEGER)] AS g,
+           COUNT(*) AS c
+    FROM (SELECT doc_id, lt, unnest(generate_series(1, n - 1)) AS i
+          FROM base WHERE n >= 2)
+    GROUP BY doc_id, g)
+  GROUP BY doc_id
+),
+g3 AS (
+  SELECT doc_id, MAX(c) AS m FROM (
+    SELECT doc_id,
+           lt[CAST(i AS INTEGER)] || ' ' || lt[CAST(i + 1 AS INTEGER)]
+             || ' ' || lt[CAST(i + 2 AS INTEGER)] AS g,
+           COUNT(*) AS c
+    FROM (SELECT doc_id, lt, unnest(generate_series(1, n - 2)) AS i
+          FROM base WHERE n >= 3)
+    GROUP BY doc_id, g)
+  GROUP BY doc_id
+)
+SELECT b.doc_id,
+       b.n AS n_tokens,
+       CASE WHEN b.n = 0 THEN 0.0
+            ELSE CAST(b.n - b.nd AS DOUBLE) / CAST(b.n AS DOUBLE) END
+         AS dup_token_frac,
+       CASE WHEN b.n < 2 THEN 0.0
+            ELSE CAST(g2.m AS DOUBLE) / CAST(b.n - 1 AS DOUBLE) END
+         AS top_2gram_frac,
+       CASE WHEN b.n < 3 THEN 0.0
+            ELSE CAST(g3.m AS DOUBLE) / CAST(b.n - 2 AS DOUBLE) END
+         AS top_3gram_frac
+FROM base b LEFT JOIN g2 ON g2.doc_id = b.doc_id
+            LEFT JOIN g3 ON g3.doc_id = b.doc_id
+"""
+
+# C4/Gopher filter verdicts: every rule an explicit flag + composite kept.
+ORACLES["quality_filter"] = f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(len({_ORACLE_TOKS}) AS BIGINT) AS n,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         {_ORACLE_TOKS} AS lt
+  FROM documents
+),
+g2 AS (
+  SELECT doc_id, MAX(c) AS m FROM (
+    SELECT doc_id,
+           lt[CAST(i AS INTEGER)] || ' ' || lt[CAST(i + 1 AS INTEGER)] AS g,
+           COUNT(*) AS c
+    FROM (SELECT doc_id, lt, unnest(generate_series(1, n - 1)) AS i
+          FROM base WHERE n >= 2)
+    GROUP BY doc_id, g)
+  GROUP BY doc_id
+),
+flags AS (
+  SELECT b.doc_id,
+         b.n < 15 AS flag_too_short,
+         (CASE WHEN b.n = 0 THEN 0.0
+               ELSE CAST(b.n_chars AS DOUBLE) / CAST(b.n AS DOUBLE) END)
+           > 5.9 AS flag_long_words,
+         (CASE WHEN b.n < 2 THEN 0.0
+               ELSE CAST(COALESCE(g2.m, 0) AS DOUBLE)
+                    / CAST(b.n - 1 AS DOUBLE) END)
+           > 0.08 AS flag_repetitive
+  FROM base b LEFT JOIN g2 ON g2.doc_id = b.doc_id
+)
+SELECT doc_id, flag_too_short, flag_long_words, flag_repetitive,
+       NOT (flag_too_short OR flag_long_words OR flag_repetitive) AS kept
+FROM flags
+"""
+
+# Incremental dedup: near-dup pairs of the odd-id increment against the
+# even-id corpus — same exact-Jaccard relation as ngram_jaccard_pairs,
+# restricted to cross-side pairs, with the LSH-recall argument giving
+# the full hash-match gate (see dedup_minhash_lsh above).
+ORACLES["dedup_against"] = """
+WITH sh AS (
+  SELECT DISTINCT doc_id, substring(text, CAST(g AS INTEGER), 9) AS s
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(1, greatest(length(text) - 8, 1))) AS g
+        FROM documents)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS new_id, b.doc_id AS corpus_id, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s
+  WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+  GROUP BY 1, 2
+)
+SELECT new_id, corpus_id,
+       CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = new_id
+JOIN sizes sb ON sb.doc_id = corpus_id
+WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.8
+"""
+
+# Temperature (tau=0.5) mixture quotas, integer-exact: weight =
+# floor(sqrt(per-source count)), quota = max(1, weight*total DIV
+# sum(weight)), filled in md5(doc_id) order.
+ORACLES["mix_temperature"] = """
+WITH w AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(floor(sqrt(COUNT(*))) AS BIGINT) AS w
+  FROM documents GROUP BY source
+),
+q AS (
+  SELECT source,
+         -- SUM(BIGINT) is HUGEINT in DuckDB and would poison the quota
+         -- into float64 on fetch; pin every stage back to BIGINT
+         CAST(greatest(CAST(1 AS BIGINT),
+                       (w * CAST(200 AS BIGINT))
+                         // CAST((SELECT SUM(w) FROM w) AS BIGINT))
+              AS BIGINT) AS quota
+  FROM w
+),
+ranked AS (
+  SELECT doc_id, source,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC)
+         AS INTEGER) AS sample_rank
+  FROM documents
+)
+SELECT r.doc_id, r.source, r.sample_rank, q.quota
+FROM ranked r JOIN q ON q.source = r.source
+WHERE r.sample_rank <= q.quota
+"""

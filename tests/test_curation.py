@@ -133,3 +133,31 @@ def test_decontaminate_broadcast_is_size_guarded(spark):
         sorted(map(tuple, via_shuffle.collect()))
     flagged = {r.doc_id for r in via_broadcast.where("contaminated").collect()}
     assert 7 in flagged
+
+
+def test_mix_temperature_flattens_and_is_deterministic(spark):
+    """tau=0.5 property: a source 4x the size of another gets only ~2x
+    the quota (sqrt flattening), and repeated runs select the identical
+    membership (content-addressed fill)."""
+    from kafkastreams_tp3_is_spark.operators.curation import mix_temperature
+
+    out1 = mix_temperature(spark, SF_DIR).collect()
+    out2 = mix_temperature(spark, SF_DIR).collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+    quotas = {r["source"]: r["quota"] for r in out1}
+    n_docs = {r["source"]: r["n"] for r in
+              (load(spark, SF_DIR, "documents").groupBy("source")
+               .agg(F.count(F.lit(1)).alias("n"))).collect()}
+    # per-source selection respects the quota and never exceeds the source
+    from collections import Counter
+    picked = Counter(r["source"] for r in out1)
+    for s, c in picked.items():
+        assert c == min(quotas[s], n_docs[s])
+    # flattening: quota ratio grows at most like sqrt of the size ratio
+    # (+1 slack for the integer floor)
+    import math
+    for a in quotas:
+        for b in quotas:
+            if n_docs[a] >= 4 * n_docs[b]:
+                assert quotas[a] <= quotas[b] * math.sqrt(
+                    n_docs[a] / n_docs[b]) + 1

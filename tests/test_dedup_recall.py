@@ -105,3 +105,22 @@ def test_topk_lsh_recall_floor(spark):
               for r in cosine_topk_lsh(spark, SF_DIR).collect()}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.6, f"ANN recall {recall:.2f} below floor"
+
+
+def test_dedup_against_recovers_cross_corpus_planted(spark, planted_docs):
+    """Incremental dedup: the planted near-dup copies (ids 100+i, 200)
+    play the new increment, the originals (0..39) the existing corpus —
+    every planted pair crosses the split and must be recovered with the
+    original as corpus_id."""
+    from kafkastreams_tp3_is_spark.operators.dedup import dedup_against_df
+
+    docs, planted = planted_docs
+    corpus = docs.where(F.col("doc_id") < 100)
+    new = docs.where(F.col("doc_id") >= 100)
+    got = {(r["new_id"], r["corpus_id"])
+           for r in dedup_against_df(new, corpus,
+                                     jaccard_threshold=0.7).collect()}
+    want = {(b, a) for a, b in planted}
+    assert want <= got
+    # and nothing from the corpus side ever appears as a new_id
+    assert all(nid >= 100 for nid, _ in got)

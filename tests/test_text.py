@@ -1,0 +1,45 @@
+"""Planted-case tests for the text repetition/filter operators — the
+oracle mirror proves engine parity; these pin the SEMANTICS on inputs
+with hand-computable answers."""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from kafkastreams_tp3_is_spark.operators.text import (  # noqa: E402
+    _top_gram_frac, repetition_signals)
+
+
+def test_top_gram_frac_hand_computed(spark):
+    # "a b a b a": bigrams = (a b),(b a),(a b),(b a) -> max 2 of 4 = 0.5
+    # trigram check on doc 2: "x x x x" -> (x x x) x2 of 2 -> 1.0
+    df = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "x x x x"), (3, "unique words only here"),
+         (4, "solo"), (5, "")],
+        ["doc_id", "text"])
+    f2 = {r["doc_id"]: r["top_frac"] for r in _top_gram_frac(df, 2).collect()}
+    assert f2[1] == 0.5
+    assert f2[2] == 1.0
+    assert f2[3] == 1.0 / 3.0
+    assert 4 not in f2 and 5 not in f2  # too short: no bigram rows
+    f3 = {r["doc_id"]: r["top_frac"] for r in _top_gram_frac(df, 3).collect()}
+    assert f3[2] == 1.0
+
+
+def test_repetition_signals_guards_and_dup_frac(spark, monkeypatch):
+    from kafkastreams_tp3_is_spark.operators import text as text_mod
+
+    df = spark.createDataFrame(
+        [(1, "a a a a"), (2, "all distinct tokens here"), (3, "")],
+        ["doc_id", "text"])
+    monkeypatch.setattr(text_mod, "load", lambda s, d, t: df)
+    rows = {r["doc_id"]: r for r in
+            text_mod.repetition_signals(spark, "ignored").collect()}
+    assert rows[1]["dup_token_frac"] == 0.75       # 4 tokens, 1 distinct
+    assert rows[1]["top_2gram_frac"] == 1.0
+    assert rows[2]["dup_token_frac"] == 0.0
+    assert rows[3]["n_tokens"] == 0
+    assert rows[3]["dup_token_frac"] == 0.0
+    assert rows[3]["top_2gram_frac"] == 0.0        # guard, not null
