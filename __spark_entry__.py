@@ -23,6 +23,7 @@ from kafkastreams_tp3_is_spark.operators import multimodal as _mm
 from kafkastreams_tp3_is_spark.operators import curation as _cur
 from kafkastreams_tp3_is_spark.operators import pipeline as _pipe
 from kafkastreams_tp3_is_spark.operators import similarity as _sim
+from kafkastreams_tp3_is_spark.operators import temporal as _temporal
 from kafkastreams_tp3_is_spark.operators import text as _text
 from kafkastreams_tp3_is_spark.streaming import envelope as _env
 from kafkastreams_tp3_is_spark.streaming import stateful as _stateful
@@ -67,6 +68,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sliding_counts": _events.sliding_counts,
         "events_json_props_stats": _events.json_props_stats,
         "events_topk_users": _events.topk_users,
+        # temporal joins Spark lacks as built-ins: single-shuffle as-of
+        # (changelog version in effect at event time) and binned
+        # point-in-interval range join — both full hash-match gates
+        "trips_asof_route_version": _temporal.trips_asof_route_version,
+        "error_incident_events": _temporal.error_incident_events,
         # training-data pipeline operators (SURVEY section 7 M6)
         "dedup_exact": _dedup.dedup_exact,
         # full hash-match: LSH recall is provably 100% at gate scale, so

@@ -815,3 +815,46 @@ SELECT r.doc_id, r.source, r.sample_rank, q.quota
 FROM ranked r JOIN q ON q.source = r.source
 WHERE r.sample_rank <= q.quota
 """
+
+# Backward as-of join: each trip picks the route-capacity version in
+# effect at its event time over the re-emitted changelog. The Spark side
+# is the single-shuffle union-trick (operators/temporal.py); DuckDB
+# states it natively with ASOF LEFT JOIN (ties-at-equal-ts included by
+# the >= bound on both sides).
+ORACLES["trips_asof_route_version"] = f"""{_RT},
+re AS (
+  SELECT 'Route_' || CAST(o_orderkey AS VARCHAR) AS route_id,
+         CAST(((CAST(floor(o_totalprice) AS BIGINT) + 37) % 200) + 1 AS INTEGER) AS capacity,
+         o_orderdate + INTERVAL 1 DAY AS event_ts
+  FROM orders WHERE o_orderkey % 10 = 0
+),
+chg AS (
+  SELECT route_id, capacity, CAST(event_ts AS TIMESTAMP) AS vts FROM routes
+  UNION ALL
+  SELECT route_id, capacity, CAST(event_ts AS TIMESTAMP) AS vts FROM re
+)
+SELECT t.trip_id, t.route_id, CAST(t.event_ts AS TIMESTAMP) AS trip_ts,
+       COALESCE(c.capacity, -1) AS capacity_asof,
+       COALESCE(c.vts, TIMESTAMP '1970-01-01 00:00:00') AS version_ts
+FROM trips t ASOF LEFT JOIN chg c
+  ON t.route_id = c.route_id AND CAST(t.event_ts AS TIMESTAMP) >= c.vts
+"""
+
+# Point-in-interval range join: every 'error' event opens a 15-minute
+# per-user incident window; emit the user's events inside (start, end].
+# The Spark side is the binned equi-join; the oracle states the naive
+# inequality join.
+ORACLES["error_incident_events"] = """
+WITH ev AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+  FROM events
+),
+inc AS (
+  SELECT event_id AS incident_id, user_id, ts AS start_ts,
+         ts + INTERVAL 15 MINUTE AS end_ts
+  FROM ev WHERE event_type = 'error'
+)
+SELECT i.incident_id, e.event_id, e.event_type
+FROM inc i JOIN ev e
+  ON e.user_id = i.user_id AND e.ts > i.start_ts AND e.ts <= i.end_ts
+"""
