@@ -20,6 +20,7 @@ from kafkastreams_tp3_is_spark.operators import events as _events
 from kafkastreams_tp3_is_spark.operators import graph as _graph
 from kafkastreams_tp3_is_spark.operators import ivf as _ivf
 from kafkastreams_tp3_is_spark.operators import multimodal as _mm
+from kafkastreams_tp3_is_spark.operators import olap as _olap
 from kafkastreams_tp3_is_spark.operators import curation as _cur
 from kafkastreams_tp3_is_spark.operators import pipeline as _pipe
 from kafkastreams_tp3_is_spark.operators import similarity as _sim
@@ -73,6 +74,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # point-in-interval range join — both full hash-match gates
         "trips_asof_route_version": _temporal.trips_asof_route_version,
         "error_incident_events": _temporal.error_incident_events,
+        # one-pass multi-resolution rollup (Expand, single shuffle);
+        # oracle = naive UNION ALL of the levels
+        "trip_time_rollup": _olap.trip_time_rollup,
+        # GK-sketch quantiles (bounded state; rows-only, error-bound
+        # pytest vs the exact percentile)
+        "events_value_quantiles": _olap.events_value_quantiles,
         # training-data pipeline operators (SURVEY section 7 M6)
         "dedup_exact": _dedup.dedup_exact,
         # full hash-match: LSH recall is provably 100% at gate scale, so

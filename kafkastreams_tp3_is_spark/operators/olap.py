@@ -1,0 +1,69 @@
+"""OLAP-cube and sketch operators beyond the reference's surface:
+multi-resolution rollups (one-pass GROUPING SETS) and approximate
+quantiles (the bounded-memory sketch path for percentile dashboards).
+
+rollup: Spark compiles ``rollup()`` to ONE Expand + aggregate — every
+resolution level shares the same scan and the same map-side partial
+aggregation, one shuffle total, vs one scan + shuffle per level for the
+naive UNION ALL (which is exactly how the DuckDB oracle restates it —
+the point of an oracle is the naive formulation).
+
+quantiles: ``percentile_approx`` is Spark's Greenwald-Khanna sketch —
+fixed-size state per group, mergeable across partitions, the only
+quantile that works at 100 TB (an exact percentile needs a full sort).
+Approximate by construction -> rows-only driver gate + an error-bound
+pytest against the exact per-group percentile.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..views import trips
+from .events import load_events
+
+_EPOCH = "1970-01-01 00:00:00"
+
+
+def trip_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trip counts at every resolution of the (transport_type, day, hour)
+    hierarchy in ONE pass: level 0 = per hour, 1 = per day, 3 = per type,
+    7 = grand total (Spark grouping_id semantics). Coarser levels emit
+    'ALL' / epoch sentinels instead of nulls (null-free gate output).
+
+    Scale: a single Expand(4x) + map-side-combined count + one shuffle of
+    aggregate-sized rows — the cube fan-out never touches the wire
+    unaggregated."""
+    t = trips(spark, sf_dir).select(
+        "transport_type",
+        F.date_trunc("day", "event_ts").alias("day"),
+        F.date_trunc("hour", "event_ts").alias("hour"))
+    epoch = F.lit(_EPOCH).cast("timestamp")
+    return (t.rollup("transport_type", "day", "hour")
+             .agg(F.count(F.lit(1)).alias("cnt"),
+                  F.grouping_id().alias("level"))
+             .select(
+                 F.coalesce("transport_type", F.lit("ALL"))
+                  .alias("transport_type"),
+                 F.coalesce("day", epoch).alias("day"),
+                 F.coalesce("hour", epoch).alias("hour"),
+                 F.col("level").cast("int").alias("level"),
+                 "cnt"))
+
+
+def events_value_quantiles(spark: SparkSession, sf_dir: str,
+                           accuracy: int = 10000) -> DataFrame:
+    """Per-event-type p50/p90/p99 of ``value`` via the GK sketch
+    (percentile_approx). Output one row per (event_type, quantile).
+    rows-only gate; tests/test_olap.py bounds the rank error against the
+    exact percentile."""
+    ev = load_events(spark, sf_dir).select("event_type", "value")
+    qs = [0.5, 0.9, 0.99]
+    agg = (ev.groupBy("event_type")
+             .agg(F.percentile_approx("value", qs, accuracy).alias("vals")))
+    pairs = F.arrays_zip(F.array(*[F.lit(q) for q in qs]).alias("q"),
+                         F.col("vals").alias("v"))
+    return (agg.select("event_type", F.explode(pairs).alias("p"))
+               .select("event_type", F.col("p.q").alias("quantile"),
+                       F.col("p.v").alias("value_approx")))

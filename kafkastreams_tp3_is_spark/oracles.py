@@ -858,3 +858,30 @@ SELECT i.incident_id, e.event_id, e.event_type
 FROM inc i JOIN ev e
   ON e.user_id = i.user_id AND e.ts > i.start_ts AND e.ts <= i.end_ts
 """
+
+# One-pass hierarchy rollup: the oracle restates Spark's single
+# Expand+agg as the naive UNION ALL of the four resolution levels
+# (grouping_id 0/1/3/7), with the same 'ALL'/epoch sentinels.
+ORACLES["trip_time_rollup"] = f"""{_T},
+base AS (
+  SELECT transport_type,
+         date_trunc('day', event_ts) AS day,
+         date_trunc('hour', event_ts) AS hour
+  FROM trips
+)
+SELECT transport_type, CAST(day AS TIMESTAMP) AS day,
+       CAST(hour AS TIMESTAMP) AS hour, 0 AS level, COUNT(*) AS cnt
+FROM base GROUP BY 1, 2, 3
+UNION ALL
+SELECT transport_type, CAST(day AS TIMESTAMP) AS day,
+       TIMESTAMP '1970-01-01 00:00:00' AS hour, 1 AS level, COUNT(*) AS cnt
+FROM base GROUP BY 1, 2
+UNION ALL
+SELECT transport_type, TIMESTAMP '1970-01-01 00:00:00' AS day,
+       TIMESTAMP '1970-01-01 00:00:00' AS hour, 3 AS level, COUNT(*) AS cnt
+FROM base GROUP BY 1
+UNION ALL
+SELECT 'ALL' AS transport_type, TIMESTAMP '1970-01-01 00:00:00' AS day,
+       TIMESTAMP '1970-01-01 00:00:00' AS hour, 7 AS level, COUNT(*) AS cnt
+FROM base
+"""

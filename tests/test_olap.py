@@ -1,0 +1,56 @@
+"""Rollup and sketch-quantile tests beyond the oracle mirror: plan shape
+(one pass for all levels) and GK-sketch rank-error bounds."""
+
+from __future__ import annotations
+
+import sys
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, "/root/repo")
+
+from kafkastreams_tp3_is_spark.operators.events import load_events  # noqa: E402
+from kafkastreams_tp3_is_spark.operators.olap import (  # noqa: E402
+    events_value_quantiles, trip_time_rollup)
+from tests.conftest import SF_DIR  # noqa: E402
+
+
+def test_rollup_levels_are_consistent(spark):
+    rows = trip_time_rollup(spark, SF_DIR).collect()
+    by_level = {}
+    for r in rows:
+        by_level.setdefault(r["level"], []).append(r)
+    assert set(by_level) == {0, 3, 1, 7}
+    total = sum(r["cnt"] for r in by_level[0])
+    # every coarser level must re-sum to the same grand total
+    assert sum(r["cnt"] for r in by_level[1]) == total
+    assert sum(r["cnt"] for r in by_level[3]) == total
+    assert by_level[7][0]["cnt"] == total
+    assert by_level[7][0]["transport_type"] == "ALL"
+
+
+def test_rollup_is_one_pass(spark):
+    plan = (trip_time_rollup(spark, SF_DIR)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Expand" in plan, "rollup must compile to Expand, not UNION"
+    assert plan.count("Exchange hashpartitioning") == 1, \
+        "all levels must share one shuffle"
+
+
+def test_quantile_sketch_rank_error_bound(spark):
+    approx = {(r["event_type"], r["quantile"]): r["value_approx"]
+              for r in events_value_quantiles(spark, SF_DIR).collect()}
+    ev = load_events(spark, SF_DIR).select("event_type", "value")
+    counts = {r["event_type"]: (r["n"], r["le"]) for _ in [0] for r in []}
+    for (etype, q), v in approx.items():
+        n, le = (ev.where(F.col("event_type") == etype)
+                   .agg(F.count(F.lit(1)).alias("n"),
+                        F.sum((F.col("value") <= v).cast("long")).alias("le"))
+                   .collect()[0])
+        # GK guarantee: the returned value's rank is within eps*n of q*n;
+        # accuracy=10000 -> eps=1e-4, loosened to 1% for discreteness of
+        # the value domain
+        assert q - 0.011 <= le / n, (etype, q, v, le, n)
+        lt = (ev.where((F.col("event_type") == etype)
+                       & (F.col("value") < v)).count())
+        assert lt / n <= q + 0.011, (etype, q, v, lt, n)
