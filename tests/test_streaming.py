@@ -459,3 +459,41 @@ def test_native_windowed_argmin_q12_equals_batch(spark, stream_dirs, tmp_path):
                  for r in sink.rows())
     batch = q.q12_least_occupied_transport_type_window(spark, SF_DIR)
     assert got == _sorted_rows(batch)
+
+
+def test_streaming_corpus_dedup_suppresses_cross_batch_near_dups(
+        spark, planted_docs, tmp_path):
+    """The incremental ingestion loop: stream the planted corpus in
+    micro-batches with the near-dup copies arriving in LATER batches
+    than their originals (forcing the cross-corpus path) plus one copy
+    in the same batch as its original (forcing the within-batch path).
+    The final corpus must contain every original and no copy —
+    identical to what batch clustering over the full corpus keeps."""
+    from kafkastreams_tp3_is_spark.streaming.incremental import (
+        StreamingCorpusDedup)
+
+    docs, planted = planted_docs
+    src = tmp_path / "incoming"
+    # batch layout: originals (0..39) first, copies (100+, 200) later;
+    # repartition(1) per slice keeps each slice one file -> one trigger
+    (docs.where(F.col("doc_id") < 20).repartition(1)
+         .write.mode("append").parquet(str(src)))
+    (docs.where((F.col("doc_id") >= 20) & (F.col("doc_id") < 100))
+         .repartition(1).write.mode("append").parquet(str(src)))
+    # copies 100..102 + a same-batch pair: 103's original (doc 3) is
+    # already in the corpus; 104 and 200 arrive last
+    (docs.where(F.col("doc_id").isin(100, 101, 102, 103)).repartition(1)
+         .write.mode("append").parquet(str(src)))
+    (docs.where(F.col("doc_id").isin(104, 200)).repartition(1)
+         .write.mode("append").parquet(str(src)))
+
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    sink = StreamingCorpusDedup(spark, str(tmp_path / "corpus"),
+                                jaccard_threshold=0.7)
+    sink.run(stream, str(tmp_path / "ckpt_inc"))
+    assert sink.batches >= 4
+
+    kept = {r["doc_id"] for r in sink.corpus().collect()}
+    assert kept == set(range(40)), \
+        "all originals kept, every near-dup copy suppressed"
