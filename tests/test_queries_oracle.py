@@ -35,3 +35,18 @@ def test_every_oracle_has_query():
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
+
+
+def test_bench_classification_names_exist():
+    """BASELINE/DEMO bench sets and the Q_NAMES allowlist must reference
+    real registry entries — a silent rename would misclassify timings or
+    shrink the reference metric without failing anything."""
+    import bench
+    from kafkastreams_tp3_is_spark.oracles import Q_NAMES
+
+    names = set(QUERIES)
+    assert bench.BASELINE_QUERIES <= names
+    assert bench.DEMO_QUERIES <= names
+    assert set(Q_NAMES) <= names
+    assert len(Q_NAMES) == 13
+    assert set(Q_NAMES) <= set(ORACLES)
