@@ -152,3 +152,16 @@ def test_simhash_partial_aggregation(spark):
     fp = simhash(load(spark, SF_DIR, "documents")).select("doc_id", "sim_bits")
     plan = _plan(spark, fp)
     assert "partial_count" in plan, "map-side partial aggregation missing"
+
+
+def test_repetition_signals_is_shuffle_free(spark):
+    """The round-3 rewrite's contract: repetition stats are a pure
+    row-local projection — any Exchange or Python-worker node means the
+    explode/groupBy pipeline crept back in."""
+    from kafkastreams_tp3_is_spark.operators.text import (
+        quality_filter, repetition_signals)
+
+    for fn in (repetition_signals, quality_filter):
+        plan = _plan(spark, fn(spark, SF_DIR))
+        assert "Exchange" not in plan, fn.__name__
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
