@@ -54,6 +54,12 @@ def asof_join_df(left: DataFrame, right: DataFrame, on: list[str],
         value_cols = [c for c in right.columns
                       if c not in set(on) | {right_ts}]
     left_payload = [c for c in left.columns if c not in set(on) | {left_ts}]
+    clash = (set(left_payload) & set(value_cols)) | \
+        ({version_ts_col} & (set(left_payload) | set(value_cols)))
+    if clash:
+        raise ValueError(
+            f"column name collision between left payload and right value "
+            f"columns: {sorted(clash)} — rename before joining")
     ts = F.col("__ts")
     l_side = left.select(
         *on, F.col(left_ts).cast("timestamp").alias("__ts"),
@@ -113,9 +119,11 @@ def interval_join_df(points: DataFrame, intervals: DataFrame,
                      bin_width_sec: int) -> DataFrame:
     """Point-in-interval join: rows of ``points`` x ``intervals`` of the
     same key with ts in (start, end] — start-exclusive so an interval
-    anchored at an event does not match the anchor itself. Requires
-    every interval's length <= ``bin_width_sec`` (asserted per row), so
-    each interval overlaps at most 2 bins and the bin fan-out is O(1).
+    anchored at an event does not match the anchor itself. Intervals of
+    any length are exact (the explode covers every bin they overlap);
+    the per-interval fan-out is length/bin_width + 1 rows, so pick
+    bin_width near the TYPICAL interval length — O(1) fan-out for the
+    common case, graceful linear growth for outliers.
 
     Scale: one equi-shuffle on (key, bin); the inequality predicate only
     filters within hash buckets. Never a cartesian or theta join."""

@@ -91,3 +91,28 @@ def test_interval_join_never_duplicates_pairs(spark):
                             bin_width_sec=600).collect()
     ids = [r["event_id"] for r in rows]
     assert sorted(ids) == sorted(set(ids)) == [1, 2, 3, 4, 5, 6, 7, 8]
+
+
+def test_asof_join_rejects_column_collision(spark):
+    left = spark.createDataFrame(
+        [("k", _ts("2024-01-01 10:00:00"), 1)], ["k", "event_ts", "v"])
+    right = spark.createDataFrame(
+        [("k", _ts("2024-01-01 09:00:00"), 2)], ["k", "event_ts", "v"])
+    with pytest.raises(ValueError, match="collision"):
+        asof_join_df(left, right, on=["k"], value_cols=["v"])
+
+
+def test_interval_join_long_intervals_stay_exact(spark):
+    # an interval 4x the bin width must still catch every point
+    points = spark.createDataFrame(
+        [(i, "u", _ts("2024-01-01 10:00:00") + dt.timedelta(minutes=i))
+         for i in range(40)],
+        ["event_id", "user_id", "ts"])
+    intervals = spark.createDataFrame(
+        [(1, "u", _ts("2024-01-01 10:00:30"), _ts("2024-01-01 10:35:30"))],
+        ["incident_id", "user_id", "start_ts", "end_ts"])
+    rows = interval_join_df(points, intervals, on=["user_id"], ts_col="ts",
+                            start_col="start_ts", end_col="end_ts",
+                            bin_width_sec=600).collect()
+    ids = sorted(r["event_id"] for r in rows)
+    assert ids == list(range(1, 36))
