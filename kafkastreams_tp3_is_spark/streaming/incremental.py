@@ -25,6 +25,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .. import cache
 from ..operators.dedup import dedup_against_df, dedup_minhash_lsh_df
 from ..operators.graph import connected_components_df
 
@@ -61,16 +62,28 @@ class StreamingCorpusDedup:
         non_canonical = (cc.where(F.col("node") != F.col("component"))
                            .select(F.col("node").alias("doc_id")))
         survivors = batch.join(non_canonical, "doc_id", "left_anti")
-        # 2. cross-corpus: drop anything near-duplicating ingested content
+        # 2. cross-corpus: drop anything near-duplicating ingested content.
+        # Hold the frames that carry operator-owned persists (pairs, and
+        # the raw dedup_against_df result BEFORE .select().distinct()
+        # strips the ownership attribute) so the per-trigger caches are
+        # released after the terminal write — a long-running stream must
+        # not accumulate one persisted frame per micro-batch.
+        against = None
         corpus = self._corpus()
         if corpus is not None:
-            dup_new = (dedup_against_df(survivors, corpus,
-                                        jaccard_threshold=self.threshold,
-                                        k=self.k)
+            against = dedup_against_df(survivors, corpus,
+                                       jaccard_threshold=self.threshold,
+                                       k=self.k)
+            dup_new = (against
                        .select(F.col("new_id").alias("doc_id")).distinct())
             survivors = survivors.join(dup_new, "doc_id", "left_anti")
         # 3. append the genuinely new documents
-        survivors.write.mode("append").parquet(self.corpus_dir)
+        try:
+            survivors.write.mode("append").parquet(self.corpus_dir)
+        finally:
+            cache.release(pairs)
+            if against is not None:
+                cache.release(against)
 
     def run(self, doc_stream: DataFrame, checkpoint_dir: str) -> None:
         q = (doc_stream.writeStream

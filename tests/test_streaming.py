@@ -497,3 +497,51 @@ def test_streaming_corpus_dedup_suppresses_cross_batch_near_dups(
     kept = {r["doc_id"] for r in sink.corpus().collect()}
     assert kept == set(range(40)), \
         "all originals kept, every near-dup copy suppressed"
+
+
+def test_streaming_corpus_dedup_releases_per_trigger_caches(
+        spark, planted_docs, tmp_path, monkeypatch):
+    """Each trigger persists operator internals (LSH signatures) inside
+    dedup_minhash_lsh_df and dedup_against_df; a long-running stream must
+    release them after the batch's terminal write or executor storage
+    grows by 1-3 frames per micro-batch. Spy on both operators, collect
+    the owned frames, and assert every one is unpersisted at the end."""
+    from kafkastreams_tp3_is_spark import cache
+    from kafkastreams_tp3_is_spark.streaming import incremental as inc
+
+    owned_frames = []
+
+    real_lsh, real_against = inc.dedup_minhash_lsh_df, inc.dedup_against_df
+
+    def spy_lsh(*a, **kw):
+        out = real_lsh(*a, **kw)
+        owned_frames.extend(cache.persisted(out))
+        return out
+
+    def spy_against(*a, **kw):
+        out = real_against(*a, **kw)
+        owned_frames.extend(cache.persisted(out))
+        return out
+
+    monkeypatch.setattr(inc, "dedup_minhash_lsh_df", spy_lsh)
+    monkeypatch.setattr(inc, "dedup_against_df", spy_against)
+
+    docs, _ = planted_docs
+    src = tmp_path / "incoming"
+    (docs.where(F.col("doc_id") < 20).repartition(1)
+         .write.mode("append").parquet(str(src)))
+    (docs.where(F.col("doc_id").isin(100, 101)).repartition(1)
+         .write.mode("append").parquet(str(src)))
+
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    sink = inc.StreamingCorpusDedup(spark, str(tmp_path / "corpus"),
+                                    jaccard_threshold=0.7)
+    sink.run(stream, str(tmp_path / "ckpt_leak"))
+
+    assert sink.batches >= 2
+    # trigger 2 hits the cross-corpus path, so both operators contributed
+    assert len(owned_frames) >= 3
+    leaked = [f for f in owned_frames
+              if f.storageLevel.useMemory or f.storageLevel.useDisk]
+    assert not leaked, f"{len(leaked)} persisted frames leaked"
