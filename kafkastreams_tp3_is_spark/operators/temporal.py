@@ -127,6 +127,11 @@ def interval_join_df(points: DataFrame, intervals: DataFrame,
 
     Scale: one equi-shuffle on (key, bin); the inequality predicate only
     filters within hash buckets. Never a cartesian or theta join."""
+    clash = (set(points.columns) & set(intervals.columns)) - set(on)
+    if clash:
+        raise ValueError(
+            f"column name collision between points and intervals outside "
+            f"the join key: {sorted(clash)} — rename before joining")
     p_bin = F.floor(F.col(ts_col).cast("long") / bin_width_sec)
     p = points.withColumn("__bin", p_bin)
     s_sec = F.col(start_col).cast("long")

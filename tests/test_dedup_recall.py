@@ -107,6 +107,45 @@ def test_topk_lsh_recall_floor(spark):
     assert recall >= 0.6, f"ANN recall {recall:.2f} below floor"
 
 
+@pytest.mark.parametrize("gate_sf_dir", ["/root/testdata/sf0.01"])
+def test_lsh_gate_assumption_holds_at_gate_scale(spark, gate_sf_dir):
+    """The dedup_minhash_lsh / duplicate_clusters_lsh / dedup_against
+    CORRECTNESS oracles are the EXACT-Jaccard relations, which is only
+    valid while LSH recall is 100% on the gate corpus. That is a
+    data-dependent property: regenerated testdata could plant a
+    borderline pair (J ~ 0.8) whose per-pair miss probability is no
+    longer negligible, and the driver would then report an opaque hash
+    mismatch on correct code. Assert the assumption itself here —
+    pair-set equality AND a min true-pair Jaccard with a safety margin —
+    so corpus drift fails with a diagnostic instead.
+
+    Margin: for the 32-hash/8-band scheme the per-pair miss probability
+    is (1 - j^4)^8 — at j=0.85 that is ~5e-3 per pair; below that the
+    full-hash gate is no longer sound and the oracle should be demoted
+    back to rows-only."""
+    import os
+    if not os.path.isdir(gate_sf_dir):
+        pytest.skip(f"gate-scale testdata {gate_sf_dir} not present")
+    from kafkastreams_tp3_is_spark.views import load
+    docs = load(spark, gate_sf_dir, "documents")
+    exact = ngram_jaccard_pairs_df(docs, threshold=0.8)
+    jaccards = {(r["a_id"], r["b_id"]): r["jaccard"]
+                for r in exact.collect()}
+    lsh = _pairs(dedup_minhash_lsh_df(docs, jaccard_threshold=0.8))
+    assert lsh == set(jaccards), (
+        f"LSH pair set != exact pair set at gate scale "
+        f"(missed: {sorted(set(jaccards) - lsh)[:5]}, "
+        f"spurious: {sorted(lsh - set(jaccards))[:5]}) — the full "
+        f"hash-match oracles for the LSH operators are no longer sound; "
+        f"demote them to rows-only or retune bands")
+    min_j = min(jaccards.values())
+    assert min_j >= 0.85, (
+        f"min true-pair Jaccard {min_j:.3f} at gate scale leaves too "
+        f"little margin over the LSH miss regime — regenerated testdata "
+        f"planted a borderline pair; re-measure recall before trusting "
+        f"the full hash-match oracles")
+
+
 def test_dedup_against_recovers_cross_corpus_planted(spark, planted_docs):
     """Incremental dedup: the planted near-dup copies (ids 100+i, 200)
     play the new increment, the originals (0..39) the existing corpus —

@@ -102,6 +102,20 @@ def test_asof_join_rejects_column_collision(spark):
         asof_join_df(left, right, on=["k"], value_cols=["v"])
 
 
+def test_interval_join_rejects_column_collision(spark):
+    # a shared non-key column would survive the join duplicate-named and
+    # only blow up later as an ambiguous reference at the call site
+    points = spark.createDataFrame(
+        [(1, "u", _ts("2024-01-01 10:00:00"))], ["event_id", "user_id", "ts"])
+    intervals = spark.createDataFrame(
+        [(2, "u", _ts("2024-01-01 09:00:00"), _ts("2024-01-01 11:00:00"))],
+        ["event_id", "user_id", "start_ts", "end_ts"])
+    with pytest.raises(ValueError, match="collision"):
+        interval_join_df(points, intervals, on=["user_id"], ts_col="ts",
+                         start_col="start_ts", end_col="end_ts",
+                         bin_width_sec=600)
+
+
 def test_interval_join_long_intervals_stay_exact(spark):
     # an interval 4x the bin width must still catch every point
     points = spark.createDataFrame(
