@@ -97,12 +97,22 @@ class WindowedExtremumSink:
     the incremental-view middle ground: the streaming engine maintains the
     heavy windowed counts (distributed, watermarked, update mode); per
     micro-batch the sink upserts the CHANGED aggregate rows — aggregate-
-    sized, never fact-sized — into its counts state and re-derives the
-    extremum ONLY for windows the batch touched: O(touched windows x
-    contenders-per-window) work per trigger, independent of history
-    length. Contenders per window are bounded by the transport-type
-    domain, so the state is windows x 5 rows — driver-safe by the same
-    argument as MemoryUpsertSink.
+    sized, never fact-sized — into its per-window contender maps and
+    re-derives the extremum ONLY for windows the batch touched, reading
+    ONLY that window's map: O(touched windows x contenders-per-window)
+    work per trigger, independent of history length.
+
+    Mutable state is bounded: contender maps are keyed by window, and
+    windows the stream's watermark has closed are EVICTED (pass
+    ``window_duration_sec`` + ``watermark_delay_sec`` matching the
+    upstream aggregation; a window whose end + delay lies before the
+    newest window start seen can never receive another update — the
+    engine drops such rows — so its map is dead weight). With eviction on,
+    mutable state is open-windows x contenders regardless of stream age;
+    ``window_duration_sec=None`` disables eviction for unwatermarked /
+    replay usage. ``state`` holds one FINAL row per window — that is the
+    sink's output (the Connect upsert table never deletes); a distributed
+    upsert sink (sources/jdbc.py) would hold it out of driver memory.
 
     ``score`` maps (contender, raw value) -> ranking value (identity for
     Q11's count; occupancy% against a capacity dimension for Q12);
@@ -113,7 +123,9 @@ class WindowedExtremumSink:
     def __init__(self, mode: str = "max", out_value: str = "maxPassengers",
                  window_col: str = "window_start",
                  contender_col: str = "transport_type",
-                 value_col: str = "cnt", score=None):
+                 value_col: str = "cnt", score=None,
+                 window_duration_sec: int | None = None,
+                 watermark_delay_sec: int = 0):
         if mode not in ("max", "min"):
             raise ValueError(f"mode must be max/min, got {mode!r}")
         self.mode = mode
@@ -122,37 +134,66 @@ class WindowedExtremumSink:
         self.contender_col = contender_col
         self.value_col = value_col
         self.score = score or (lambda contender, value: value)
-        self.counts: dict[tuple, float] = {}
+        self.window_duration_sec = window_duration_sec
+        self.watermark_delay_sec = watermark_delay_sec
+        self.counts: dict[object, dict[object, float]] = {}
         self.state: dict[object, dict] = {}
+        self.evicted = 0
         self.batches = 0
 
     def process(self, batch_df: DataFrame, batch_id: int) -> None:
         self.batches += 1
         touched = set()
+        max_w = None
         for row in batch_df.collect():
             d = row.asDict()
             w = d[self.window_col]
             c = d[self.contender_col]
-            self.counts[(w, c)] = self.score(c, d[self.value_col])
+            self.counts.setdefault(w, {})[c] = self.score(
+                c, d[self.value_col])
             touched.add(w)
+            if max_w is None or w > max_w:
+                max_w = w
         for w in touched:
-            contenders = [(c, v) for (ww, c), v in self.counts.items()
-                          if ww == w]
+            contenders = self.counts[w].items()
             key = ((lambda cv: (-cv[1], cv[0])) if self.mode == "max"
                    else (lambda cv: (cv[1], cv[0])))
             best_c, best_v = sorted(contenders, key=key)[0]
             self.state[w] = {self.window_col: w, "transportType": best_c,
                              self.out_value: best_v}
+        if self.window_duration_sec is not None and max_w is not None:
+            self._evict_closed(max_w)
+
+    def _evict_closed(self, max_window_start) -> None:
+        """Drop contender maps of watermark-closed windows. A row for
+        window w proves an event at >= w.start, so the engine's watermark
+        is >= max_window_start - delay; any window with
+        end + delay < max_window_start is past it and will never be
+        updated again (late rows are dropped upstream). Eviction runs
+        AFTER the batch's rows are applied, matching the engine's
+        advance-watermark-at-batch-end order."""
+        import datetime as _dt
+        horizon = max_window_start - _dt.timedelta(
+            seconds=self.window_duration_sec + self.watermark_delay_sec)
+        dead = [w for w in self.counts if w < horizon]
+        for w in dead:
+            del self.counts[w]
+        self.evicted += len(dead)
 
     def rows(self) -> list[dict]:
         return list(self.state.values())
 
 
-def q11_windowed_argmax_sink() -> WindowedExtremumSink:
+def q11_windowed_argmax_sink(
+        window_duration_sec: int | None = None,
+        watermark_delay_sec: int = 0) -> WindowedExtremumSink:
     """Q11 native-streaming stage 2: per-window transport type with the
     MAX trip count. Compose with windowed_counts_stream via
-    run_update_mode_agg."""
-    return WindowedExtremumSink(mode="max", out_value="maxPassengers")
+    run_update_mode_agg; pass the stream's window duration / watermark
+    delay to bound sink state to open windows."""
+    return WindowedExtremumSink(mode="max", out_value="maxPassengers",
+                                window_duration_sec=window_duration_sec,
+                                watermark_delay_sec=watermark_delay_sec)
 
 
 def q12_windowed_argmin_sink(cap_per_type: dict) -> WindowedExtremumSink:

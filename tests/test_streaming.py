@@ -461,6 +461,72 @@ def test_native_windowed_argmin_q12_equals_batch(spark, stream_dirs, tmp_path):
     assert got == _sorted_rows(batch)
 
 
+def test_windowed_extremum_sink_high_cardinality_with_eviction(
+        spark, tmp_path):
+    """WindowedExtremumSink at a HIGH-cardinality contender domain
+    (per-route argmax, 40 routes — not the 5-type domain) with state
+    eviction: hour-slice files arrive in event-time order under a
+    0-second watermark, so earlier windows close as the stream advances
+    and the sink must (a) still produce the exact batch answer for every
+    window and (b) end with contender maps only for windows the
+    watermark could still update — mutable state bounded by open
+    windows x contenders, not by stream age."""
+    import datetime as dt
+
+    from kafkastreams_tp3_is_spark.streaming.runner import (
+        WindowedExtremumSink)
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    for hour in range(6):
+        for route in range(40):
+            # route (hour*7+route) % 40 gets extra trips -> per-window
+            # winners differ across windows
+            n = 1 + (3 if route == (hour * 7) % 40 else 0) + route % 2
+            for i in range(n):
+                rows.append((f"R{route:03d}",
+                             base + dt.timedelta(hours=hour,
+                                                 seconds=10 * i + route)))
+    df = spark.createDataFrame(rows, "route_id string, event_ts timestamp")
+    src = tmp_path / "hours"
+    for hour in range(6):
+        lo = base + dt.timedelta(hours=hour)
+        hi = lo + dt.timedelta(hours=1)
+        (df.where((F.col("event_ts") >= lo) & (F.col("event_ts") < hi))
+           .repartition(1).write.mode("append").parquet(str(src)))
+
+    stream = (spark.readStream.schema(df.schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(src))
+              .withWatermark("event_ts", "0 seconds")
+              .groupBy(F.window("event_ts", "1 hour").alias("w"), "route_id")
+              .agg(F.count(F.lit(1)).alias("cnt"))
+              .select(F.col("w.start").alias("window_start"),
+                      "route_id", "cnt"))
+    sink = WindowedExtremumSink(mode="max", out_value="maxTrips",
+                                contender_col="route_id",
+                                window_duration_sec=3600,
+                                watermark_delay_sec=0)
+    run_update_mode_agg(stream, sink, str(tmp_path / "ckpt_hc"))
+
+    batch = (df.groupBy(F.window("event_ts", "1 hour").alias("w"),
+                        "route_id")
+               .agg(F.count(F.lit(1)).alias("cnt"))
+               .groupBy(F.col("w.start").alias("window_start"))
+               .agg(F.expr("min_by(route_id, struct(-cnt, route_id))")
+                    .alias("route_id"),
+                    F.max("cnt").alias("cnt")))
+    want = {r["window_start"]: (r["route_id"], r["cnt"])
+            for r in batch.collect()}
+    got = {d["window_start"]: (d["transportType"], d["maxTrips"])
+           for d in sink.rows()}
+    assert got == want and len(got) == 6
+    # eviction: with ordered hour files, only the last two windows can
+    # still be open (horizon = newest window start - 1h duration)
+    assert sink.evicted == 4
+    assert set(sink.counts) == {base + dt.timedelta(hours=4),
+                                base + dt.timedelta(hours=5)}
+
+
 def test_streaming_corpus_dedup_suppresses_cross_batch_near_dups(
         spark, planted_docs, tmp_path):
     """The incremental ingestion loop: stream the planted corpus in
