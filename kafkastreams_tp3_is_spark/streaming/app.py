@@ -4,15 +4,20 @@ The reference registers all 13 continuous queries on ONE StreamsBuilder
 consuming Routes_topic/Trips_topic and emits each query's changelog to its
 own output topic (MainStreamApp.java:20-38 in the reference repo). Spark
 analogue: one foreachBatch topology over the tag-unioned input streams —
-per trigger, new records append to the accumulated inputs once, every
-query logic re-runs over them, and each result upserts into its per-query
-sink (the Connect-JDBC collapse of the reference's changelog emission).
+per trigger, the new records merge ONCE into the shared maintained
+partial-aggregate stores (streaming/partial_agg.py), every query's
+finalize re-derives its result from those aggregate-sized stores, and each
+result upserts into its per-query sink (the Connect-JDBC collapse of the
+reference's changelog emission).
 
-The recompute strategy is the one execution mode that covers ALL 13
-shapes — aggregate⋈aggregate joins, argmax over non-monotone ratios,
-windowed argmax — with exact final-state parity (SURVEY §5.3); the
-single-level aggregations (Q5/Q9/...) can equally run as native
-update-mode streaming queries via streaming/runner.run_update_mode_agg.
+This is the reference's own cost model — incremental stage-1 maintenance
+(its RocksDB aggregates + subtractors, TotalOccupancyPercentage.java:
+65-88) with cheap stage-2 over aggregates — and improves on it by
+maintaining each base aggregate once for all queries where the reference
+rebuilds capacity-per-route five times (SURVEY section 4 'Topology/plan
+reuse'). Per-trigger input volume is O(batch + aggregates), never
+O(history); the general full-recompute fallback (runner.RecomputeHarness)
+remains for ad-hoc logic with no declared partial-aggregate form.
 
 ``TOPOLOGY`` doubles as the registry of per-query upsert keys — the
 record keys of the reference's output topics.
@@ -22,8 +27,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..queries import QUERY_LOGIC
-from .runner import MemoryUpsertSink, RecomputeHarness
+from .partial_agg import FINALIZE, IncrementalAggHarness
+from .runner import MemoryUpsertSink
 
 # query -> upsert key columns (the reference's output-topic record keys;
 # [] = single-row global result under a constant key)
@@ -54,7 +59,7 @@ def run_topology(spark: SparkSession, routes_stream: DataFrame,
     if sinks is None:
         sinks = {name: MemoryUpsertSink(keys)
                  for name, keys in TOPOLOGY.items()}
-    jobs = {name: (QUERY_LOGIC[name], sinks[name]) for name in TOPOLOGY}
-    RecomputeHarness(spark, workdir).run_many(routes_stream, trips_stream,
-                                              jobs)
+    jobs = {name: (FINALIZE[name], sinks[name]) for name in TOPOLOGY}
+    IncrementalAggHarness(spark, workdir).run_many(
+        routes_stream, trips_stream, jobs)
     return sinks

@@ -1,0 +1,409 @@
+"""Incrementally-maintained partial aggregates for the streaming agg⋈agg
+queries — the subtractor-free Spark analogue of the reference's two-level
+KTable maintenance (TotalOccupancyPercentage.java:65-88,
+TotalCapacityAvailable.java:48-57, AveragePassengersPerTransportType.java:
+42-58, MostOccupiedOperator.java:100-137).
+
+Why this exists: Structured Streaming cannot join two streaming aggregates
+in one continuous query, and the RecomputeHarness fallback (runner.py)
+re-reads the FULL accumulated history every trigger — sound, but
+per-trigger work grows with stream age, the exact thing the reference's
+incremental subtractors avoid. This module restores the incremental cost
+model with batch-final-state exactness:
+
+  per trigger:  partial  = groupBy(keys).agg(...)   over the NEW rows only
+                merged   = merge(stored, partial)   keyed re-aggregation of
+                                                    two AGGREGATE-sized frames
+                store    <- merged                  (atomic version swap)
+                result   = finalize(stores)         joins/ratios/argmax over
+                                                    aggregate-sized inputs
+
+so per-trigger input volume is O(|batch| + |aggregate|), never O(|history|).
+The reference needs subtractors because its stage-2 aggregates consume a
+CHANGELOG (old value must be retracted); here stage 2 always recomputes
+from the maintained stage-1 aggregates — retraction-free, and stage 2's
+inputs are one row per key, so the recompute is the cheap part.
+
+Exactness: every merge function is the aggregate's own combiner (sum of
+sums, max_by over (value, max-ts)), and every finalize re-derives doubles
+as ONE division of exact integer aggregates — so the final state is
+bit-identical to the batch `*_logic` answer (pytest-pinned, stream==batch).
+Q13/Q6's route dimension uses latest-per-key operator/transport_type —
+the reference's KTable semantics (MostOccupiedOperator.java:56-68); this
+coincides with the batch logic whenever route_id is unique in the routes
+input, which holds for the engine's derived routes view.
+
+Scale: stores are parquet, partitioned by Spark's shuffle; all merges are
+distributed keyed aggregations (driver only coordinates version swaps).
+Each trigger rewrites the store — O(|aggregate|) I/O; a production
+refinement for billion-key stores is hash-bucketing the store and
+rewriting only buckets containing changed keys, which changes none of the
+semantics here. Windowed Q11/Q12 use the native update-mode path +
+WindowedExtremumSink (runner.py) instead — their state is watermark-
+bounded by the engine itself.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.extremum import argmax, argmin
+from ..queries import _occupancy
+
+_OCC = "occupancyPercentage"
+
+
+class KeyedAggStore:
+    """One incrementally-maintained keyed aggregate.
+
+    ``partial_fn(batch_df)`` aggregates a micro-batch to one row per key;
+    ``merge_exprs()`` re-aggregates the union of (stored, partial) back to
+    one row per key. Versions are whole-directory swaps named by the
+    micro-batch id that produced them, making ``update`` IDEMPOTENT under
+    foreachBatch replay: a batch id at or below the stored version is a
+    no-op (the merge already happened before the crash), which is exactly
+    the at-least-once -> effectively-once collapse the reference gets from
+    its Connect upsert sink."""
+
+    def __init__(self, spark: SparkSession, path: str, key_cols: list[str],
+                 partial_fn, merge_exprs):
+        self.spark = spark
+        self.path = path
+        self.key_cols = key_cols
+        self.partial_fn = partial_fn
+        self.merge_exprs = merge_exprs
+        self._template: DataFrame | None = None
+        # resume support: adopt the newest existing version (parquet state
+        # outlives the harness object, like RecomputeHarness's acc dirs)
+        self.version = max(
+            (int(d[1:]) for d in os.listdir(path)
+             if d.startswith("b") and d[1:].isdigit()),
+            default=-1) if os.path.isdir(path) else -1
+        self.rows_read_last_merge = 0
+
+    def _vdir(self, v: int) -> str:
+        return os.path.join(self.path, f"b{v}")
+
+    def current(self) -> DataFrame | None:
+        if self.version < 0:
+            return None
+        return self.spark.read.parquet(self._vdir(self.version))
+
+    def frame(self) -> DataFrame:
+        """The maintained aggregate (empty frame with the right schema
+        before any data has arrived)."""
+        cur = self.current()
+        if cur is not None:
+            return cur
+        if self._template is None:
+            raise RuntimeError("store has no data and no schema template "
+                               "yet — call update() first")
+        return self._template
+
+    def update(self, batch_df: DataFrame, batch_id: int) -> None:
+        part = self.partial_fn(batch_df)
+        if self._template is None:
+            self._template = part.limit(0)
+        self.rows_read_last_merge = 0
+        if batch_id <= self.version:
+            return  # replayed batch: merge already durable
+        if part.isEmpty():
+            return  # nothing from this source this trigger
+        cur = self.current()
+        if cur is None:
+            merged = part
+        else:
+            self.rows_read_last_merge = cur.count()
+            merged = (cur.unionByName(part)
+                         .groupBy(*self.key_cols)
+                         .agg(*self.merge_exprs()))
+        old = self._vdir(self.version) if self.version >= 0 else None
+        merged.write.mode("overwrite").parquet(self._vdir(batch_id))
+        self.version = batch_id
+        if old:
+            shutil.rmtree(old, ignore_errors=True)
+
+
+def route_agg_store(spark: SparkSession, path: str) -> KeyedAggStore:
+    """Per-route dimension aggregate: summed capacity (duplicate records
+    accumulate, fidelity note 7.6) + latest operator/transport_type by
+    event time (the KTable latest-per-key dimension, A9)."""
+    def partial(routes_df: DataFrame) -> DataFrame:
+        return (routes_df.groupBy("route_id")
+                .agg(F.sum("capacity").alias("cap"),
+                     F.max_by("operator", "event_ts").alias("operator"),
+                     F.max_by("transport_type", "event_ts")
+                      .alias("transport_type"),
+                     F.max("event_ts").alias("latest_ts")))
+
+    def merge():
+        return [F.sum("cap").alias("cap"),
+                F.max_by("operator", "latest_ts").alias("operator"),
+                F.max_by("transport_type", "latest_ts")
+                 .alias("transport_type"),
+                F.max("latest_ts").alias("latest_ts")]
+
+    return KeyedAggStore(spark, path, ["route_id"], partial, merge)
+
+
+def trip_route_type_store(spark: SparkSession, path: str) -> KeyedAggStore:
+    """Trip counts per (route_id, transport_type) — one store serves the
+    per-route counts (sum over types), the per-type counts (sum over
+    routes), AND the per-type distinct-route counts (key count), so Q2's
+    COUNT DISTINCT needs no distinct state beyond the aggregate itself."""
+    def partial(trips_df: DataFrame) -> DataFrame:
+        return (trips_df.groupBy("route_id", "transport_type")
+                .agg(F.count(F.lit(1)).alias("n")))
+
+    def merge():
+        return [F.sum("n").alias("n")]
+
+    return KeyedAggStore(spark, path, ["route_id", "transport_type"],
+                         partial, merge)
+
+
+def trip_passenger_store(spark: SparkSession, path: str) -> KeyedAggStore:
+    """Trip counts per passenger_name (Q3's aggregate)."""
+    def partial(trips_df: DataFrame) -> DataFrame:
+        return (trips_df.groupBy("passenger_name")
+                .agg(F.count(F.lit(1)).alias("n")))
+
+    def merge():
+        return [F.sum("n").alias("n")]
+
+    return KeyedAggStore(spark, path, ["passenger_name"], partial, merge)
+
+
+def trip_window_type_store(spark: SparkSession, path: str) -> KeyedAggStore:
+    """Trip counts per (1-hour tumbling window, transport_type) — the
+    Q11/Q12 stage-1 aggregate. Counts merge across triggers, so a window
+    split over micro-batches still sums exactly; the store grows with
+    window count x the 5-type domain — output-sized, the same order as
+    the result table itself."""
+    def partial(trips_df: DataFrame) -> DataFrame:
+        w = F.window(F.col("event_ts").cast("timestamp"), "1 hour")
+        return (trips_df
+                .groupBy(w["start"].alias("window_start"), "transport_type")
+                .agg(F.count(F.lit(1)).alias("n")))
+
+    def merge():
+        return [F.sum("n").alias("n")]
+
+    return KeyedAggStore(spark, path, ["window_start", "transport_type"],
+                         partial, merge)
+
+
+# --- finalize: aggregate-sized stage 2, bit-identical to *_logic -------
+
+def _pax_per_route(aggs: dict[str, DataFrame]) -> DataFrame:
+    return (aggs["trip_rt"].groupBy("route_id")
+            .agg(F.sum("n").alias("passengerCount")))
+
+
+def q1_final(aggs: dict[str, DataFrame]) -> DataFrame:
+    return aggs["route"].select(
+        "route_id", F.col("cap").alias("totalCapacity"))
+
+
+def q2_final(aggs: dict[str, DataFrame]) -> DataFrame:
+    # sum(n) == COUNT(*) per type; key count == COUNT(DISTINCT route_id)
+    # per type (a route_id appears once per type it ever carried)
+    return (aggs["trip_rt"].groupBy("transport_type")
+            .agg((F.sum("n").cast("double")
+                  / F.count(F.lit(1)).cast("double"))
+                 .alias("averagePassengers")))
+
+
+def q3_final(aggs: dict[str, DataFrame]) -> DataFrame:
+    return (argmax(aggs["trip_pax"], "n", tiebreak_cols=["passenger_name"])
+            .select(F.col("passenger_name").alias("passengerName")))
+
+
+def q4_final(aggs: dict[str, DataFrame]) -> DataFrame:
+    cap = aggs["route"].select("route_id",
+                               F.col("cap").alias("totalCapacity"))
+    return (cap.join(_pax_per_route(aggs), "route_id", "left")
+               .select("route_id",
+                       _occupancy("passengerCount", "totalCapacity")
+                       .alias(_OCC)))
+
+
+def q5_final(aggs: dict[str, DataFrame]) -> DataFrame:
+    return _pax_per_route(aggs)
+
+
+def q6_final(aggs: dict[str, DataFrame]) -> DataFrame:
+    cap_dim = aggs["route"].select(
+        "route_id", F.col("cap").alias("totalCapacity"), "transport_type")
+    occ = (cap_dim.join(_pax_per_route(aggs), "route_id", "left")
+           .select("transport_type", "route_id",
+                   _occupancy("passengerCount", "totalCapacity")
+                   .alias("occupancy")))
+    return (argmin(occ, "occupancy", group_cols=["transport_type"],
+                   tiebreak_cols=["route_id"])
+            .select("transport_type", F.col("route_id").alias("routeId"),
+                    "occupancy"))
+
+
+def q7_final(aggs: dict[str, DataFrame]) -> DataFrame:
+    return aggs["route"].agg(F.sum("cap").alias("totalCapacity"))
+
+
+def q8_final(aggs: dict[str, DataFrame]) -> DataFrame:
+    cap = aggs["route"].agg(F.sum("cap").alias("c"))
+    pax = aggs["trip_rt"].agg(F.sum("n").alias("p"))
+    return (pax.crossJoin(cap)
+               .select((F.col("p").cast("double")
+                        / F.col("c").cast("double") * 100)
+                       .alias("totalOccupancyPercentage")))
+
+
+def q9_final(aggs: dict[str, DataFrame]) -> DataFrame:
+    return aggs["trip_rt"].agg(
+        F.coalesce(F.sum("n"), F.lit(0)).alias("totalPassengers"))
+
+
+def q10_final(aggs: dict[str, DataFrame]) -> DataFrame:
+    counts = (aggs["trip_rt"].groupBy("transport_type")
+              .agg(F.sum("n").alias("cnt")))
+    return (argmax(counts, "cnt", tiebreak_cols=["transport_type"])
+            .select(F.col("transport_type").alias("transportType")))
+
+
+def q11_final(aggs: dict[str, DataFrame]) -> DataFrame:
+    counts = aggs["trip_wt"].select(
+        "window_start", "transport_type", F.col("n").alias("maxPassengers"))
+    return (argmax(counts, "maxPassengers", group_cols=["window_start"],
+                   tiebreak_cols=["transport_type"])
+            .select("window_start",
+                    F.col("transport_type").alias("transportType"),
+                    "maxPassengers"))
+
+
+def q12_final(aggs: dict[str, DataFrame]) -> DataFrame:
+    cap_per_type = (aggs["route"].groupBy("transport_type")
+                    .agg(F.sum("cap").alias("cap")))
+    occ = (aggs["trip_wt"]
+           .join(F.broadcast(cap_per_type), "transport_type", "left")
+           .select("window_start", "transport_type",
+                   _occupancy("n", "cap").alias("occupancy")))
+    return (argmin(occ, "occupancy", group_cols=["window_start"],
+                   tiebreak_cols=["transport_type"])
+            .select("window_start",
+                    F.col("transport_type").alias("transportType"),
+                    "occupancy"))
+
+
+def q13_final(aggs: dict[str, DataFrame]) -> DataFrame:
+    dim = aggs["route"].select("route_id", "operator", "cap")
+    cap_per_op = dim.groupBy("operator").agg(F.sum("cap").alias("cap"))
+    pax_per_op = (_pax_per_route(aggs)
+                  .join(dim.select("route_id", "operator"), "route_id")
+                  .groupBy("operator")
+                  .agg(F.sum("passengerCount").alias("pax")))
+    occ = (cap_per_op.join(pax_per_op, "operator", "left")
+           .select("operator", _occupancy("pax", "cap").alias(_OCC)))
+    return (argmax(occ, _OCC, tiebreak_cols=["operator"])
+            .select("operator", _OCC))
+
+
+#: Q label -> finalize over the standard stores: ALL 13 query shapes.
+#: (Q11/Q12 can alternatively run on the native watermarked path —
+#: runner.windowed_counts_stream + extremum sinks — which additionally
+#: enforces the grace-0 late-data drop; the store path keeps every
+#: arrival, matching batch final-state semantics.)
+FINALIZE: dict[str, object] = {
+    "q1": q1_final, "q2": q2_final, "q3": q3_final, "q4": q4_final,
+    "q5": q5_final, "q6": q6_final, "q7": q7_final, "q8": q8_final,
+    "q9": q9_final, "q10": q10_final, "q11": q11_final, "q12": q12_final,
+    "q13": q13_final,
+}
+
+
+class IncrementalAggHarness:
+    """Drop-in alternative to RecomputeHarness for the non-windowed
+    queries: same two tagged input streams, same upsert sinks, but
+    per-trigger work is O(batch + aggregate) instead of O(history).
+
+    ``fact_rows_per_trigger`` / ``agg_rows_read_per_trigger`` record the
+    actual per-trigger input volumes (fact rows aggregated; stored
+    aggregate rows read into merges) so tests can ASSERT the incremental
+    cost model rather than trust it."""
+
+    def __init__(self, spark: SparkSession, workdir: str):
+        self.spark = spark
+        self.workdir = workdir
+        self.stores: dict[str, KeyedAggStore] = {
+            "route": route_agg_store(
+                spark, os.path.join(workdir, "store_route")),
+            "trip_rt": trip_route_type_store(
+                spark, os.path.join(workdir, "store_trip_rt")),
+            "trip_pax": trip_passenger_store(
+                spark, os.path.join(workdir, "store_trip_pax")),
+            "trip_wt": trip_window_type_store(
+                spark, os.path.join(workdir, "store_trip_wt")),
+        }
+        self.fact_rows_per_trigger: list[int] = []
+        self.agg_rows_read_per_trigger: list[int] = []
+        self._schemas = {}
+
+    def run(self, routes_stream: DataFrame, trips_stream: DataFrame,
+            label: str, sink, checkpoint_dir: str | None = None) -> None:
+        self.run_many(routes_stream, trips_stream,
+                      {label: (FINALIZE[label], sink)}, checkpoint_dir)
+
+    def run_many(self, routes_stream: DataFrame, trips_stream: DataFrame,
+                 jobs: dict[str, tuple],
+                 checkpoint_dir: str | None = None) -> None:
+        """``jobs``: label -> (finalize_fn, sink). All jobs share the one
+        maintained store set — the MainStreamApp all-queries-one-runtime
+        shape with stage-1 state maintained ONCE, where the reference
+        rebuilds the same per-route aggregates query by query (SURVEY
+        section 4 'Topology/plan reuse')."""
+        self._schemas = {"routes": routes_stream.schema,
+                        "trips": trips_stream.schema}
+        tagged = (
+            routes_stream.select(
+                F.lit("routes").alias("src"),
+                F.to_json(F.struct(*routes_stream.columns)).alias("js"))
+            .unionByName(trips_stream.select(
+                F.lit("trips").alias("src"),
+                F.to_json(F.struct(*trips_stream.columns)).alias("js")))
+        )
+
+        def process(batch_df: DataFrame, batch_id: int) -> None:
+            batch_df = batch_df.persist()
+            try:
+                slices = {}
+                for tag in ("routes", "trips"):
+                    slices[tag] = (
+                        batch_df.where(F.col("src") == tag)
+                        .select(F.from_json("js", self._schemas[tag])
+                                .alias("r"))
+                        .select("r.*"))
+                self.fact_rows_per_trigger.append(
+                    slices["routes"].count() + slices["trips"].count())
+                self.stores["route"].update(slices["routes"], batch_id)
+                self.stores["trip_rt"].update(slices["trips"], batch_id)
+                self.stores["trip_pax"].update(slices["trips"], batch_id)
+                self.stores["trip_wt"].update(slices["trips"], batch_id)
+                self.agg_rows_read_per_trigger.append(sum(
+                    s.rows_read_last_merge for s in self.stores.values()))
+                aggs = {k: s.frame() for k, s in self.stores.items()}
+                for finalize, sink in jobs.values():
+                    sink.process(finalize(aggs), batch_id)
+            finally:
+                batch_df.unpersist()
+
+        q = (tagged.writeStream
+             .foreachBatch(process)
+             .outputMode("append")
+             .option("checkpointLocation",
+                     checkpoint_dir or os.path.join(self.workdir, "ckpt"))
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()

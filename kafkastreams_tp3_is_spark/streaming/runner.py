@@ -26,12 +26,13 @@ never seen again simply keep their last value — the Connect sink never
 deletes either.
 
 Scale notes: the recompute harness re-reads accumulated parquet each
-trigger; at 100 TB this is only viable with a bounded re-aggregation window
-or an incremental-view engine, so production deployments should prefer
-strategy 1 per query stage and reserve the harness for the final small
-agg-join (inputs to the join are aggregate-sized, not fact-sized). The
-harness keeps all heavy lifting distributed — only sink-bound aggregate
-rows ever reach the driver.
+trigger — per-trigger work grows with stream age, so it is the GENERAL
+fallback for ad-hoc logic only. The production path for the Q1-Q13 shapes
+is streaming/partial_agg.py: maintained keyed partial aggregates merged
+per trigger (O(batch + aggregate) inputs, the reference's own incremental
+cost model), with stage-2 finalize over aggregate-sized frames. Both
+keep all heavy lifting distributed — only sink-bound aggregate rows ever
+reach the driver.
 """
 
 from __future__ import annotations
