@@ -95,7 +95,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # full hash-match: LSH recall is provably 100% at gate scale, so
         # the oracle is the exact-Jaccard relation (see oracles.py note)
         "dedup_minhash_lsh": _dedup.dedup_minhash_lsh,
-        "dedup_simhash": _dedup.dedup_simhash,                  # rows-only
+        # full hash gate: md5-derived token-hash halves are computable
+        # bit-identically in DuckDB, and the Manku banding is exact at
+        # hamming<=3, so the oracle restates the whole pipeline
+        "dedup_simhash": _dedup.dedup_simhash,
         # incremental dedup: the new increment vs the existing corpus —
         # the refreshed-training-corpus shape; full hash-match gate
         "dedup_against": _dedup.dedup_against,

@@ -342,28 +342,52 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str, k: int = 9,
 
 # --- SimHash -----------------------------------------------------------
 
-def simhash(df: DataFrame, text_col: str = "text", bits: int = 64) -> DataFrame:
+def simhash(df: DataFrame, text_col: str = "text", bits: int = 64,
+            token_hash: str = "md5") -> DataFrame:
     """SimHash over whitespace tokens: each token's 64-bit hash votes +1/-1
     per bit; the sign of the per-bit vote sum forms the fingerprint
     (``sim_bits`` array<int> 0/1).
 
-    Computed as explode(tokens) -> xxhash64 ONCE per occurrence -> a narrow
-    (doc_id, h) count agg -> hash-agg of 64 ``sum(c * bit_get)`` columns
-    (vote_i = 2*sum_i - n_tokens). Hashing in its own projection matters:
-    64 sum(bit_get(xxhash64(tok), i)) agg expressions are NOT common-
+    ``token_hash``: the 64 hash bits come from two 32-bit halves (h1 low
+    bits 0-31, h2 bits 32-63). "md5" (default) derives them from the
+    first 16 hex chars of md5(token) — chosen because DuckDB computes the
+    IDENTICAL values (('0x'||substring(md5(t),..))::BIGINT), which is what
+    lets the driver hash-gate the full simhash pipeline against an
+    independent SQL restatement. "xxhash64" splits xxhash64(token) — the
+    peak-throughput option for production runs that don't need the
+    cross-engine gate. The algorithm is hash-agnostic: any uniform 64-bit
+    hash gives the same near-dup behavior.
+
+    Computed as explode(tokens) -> hash ONCE per occurrence -> a narrow
+    (doc_id, h1, h2) count agg -> hash-agg of 64 ``sum(c * bit_get)``
+    columns (vote_i = 2*sum_i - n_tokens). Hashing in its own projection
+    matters: 64 sum(bit_get(hash(tok), i)) agg expressions are NOT common-
     subexpression-eliminated across aggregate columns, so the naive form
     recomputes the hash 64x per occurrence (measured 2.2x slower). The
     count pre-agg additionally shrinks the wide agg's input to distinct
     (doc, token) rows — a frequency-weighted vote, same result. Scale:
-    both aggs are map-side combinable, so the shuffle is one 65-long row
+    both aggs are map-side combinable, so the shuffle is one 66-long row
     per doc_id — the same order as the fingerprints themselves — and the
     explode never crosses the wire. Token-less docs are kept via left join
     + zero fingerprint (the fold's semantics: all votes negative)."""
     toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
     ex = df.select("doc_id", F.explode(toks).alias("tok"))
-    per = (ex.select("doc_id", F.xxhash64("tok").alias("h"))
-             .groupBy("doc_id", "h").agg(F.count(F.lit(1)).alias("c")))
-    sums = [F.sum(F.col("c") * F.bit_get(F.col("h"), F.lit(i))).alias(f"s{i}")
+    if token_hash == "md5":
+        hx = F.md5(F.col("tok"))
+        h1 = F.conv(F.substring(hx, 1, 8), 16, 10).cast("long")
+        h2 = F.conv(F.substring(hx, 9, 8), 16, 10).cast("long")
+    elif token_hash == "xxhash64":
+        h = F.xxhash64("tok")
+        h1, h2 = h, F.shiftrightunsigned(h, 32)
+    else:
+        raise ValueError(f"unknown token_hash {token_hash!r}")
+    per = (ex.select("doc_id", h1.alias("h1"), h2.alias("h2"))
+             .groupBy("doc_id", "h1", "h2")
+             .agg(F.count(F.lit(1)).alias("c")))
+    half = bits // 2
+    sums = [F.sum(F.col("c") * F.bit_get(
+                F.col("h1") if i < half else F.col("h2"),
+                F.lit(i if i < half else i - half))).alias(f"s{i}")
             for i in range(bits)]
     g = per.groupBy("doc_id").agg(F.sum("c").alias("n"), *sums)
     sim_bits = F.array(*[
@@ -384,7 +408,7 @@ _SIM_COMBOS = [(i, j, l)
 
 
 def dedup_simhash_df(docs: DataFrame, max_hamming: int = 3,
-                     bits: int = 64) -> DataFrame:
+                     bits: int = 64, token_hash: str = "md5") -> DataFrame:
     """SimHash near-dup pairs via block-combination tables (Manku et al.,
     WWW'07 'Detecting Near-Duplicates for Web Crawling' — public algorithm):
     20 tables keyed on exact 3-block (~32-bit) prefixes; hamming verified on
@@ -407,8 +431,8 @@ def dedup_simhash_df(docs: DataFrame, max_hamming: int = 3,
     from pyspark import StorageLevel
 
     n_part = docs.sparkSession.sparkContext.defaultParallelism
-    fps = simhash(docs.repartition(n_part, "doc_id"),
-                  bits=bits).select("doc_id", "sim_bits")
+    fps = simhash(docs.repartition(n_part, "doc_id"), bits=bits,
+                  token_hash=token_hash).select("doc_id", "sim_bits")
     pack = F.aggregate(
         F.col("sim_bits"), F.lit(0).cast("long"),
         lambda acc, x: F.shiftleft(acc, 1).bitwiseOR(x.cast("long")))
@@ -449,5 +473,7 @@ def dedup_simhash_df(docs: DataFrame, max_hamming: int = 3,
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str,
-                  max_hamming: int = 3, bits: int = 64) -> DataFrame:
-    return dedup_simhash_df(load(spark, sf_dir, "documents"), max_hamming, bits)
+                  max_hamming: int = 3, bits: int = 64,
+                  token_hash: str = "md5") -> DataFrame:
+    return dedup_simhash_df(load(spark, sf_dir, "documents"), max_hamming,
+                            bits, token_hash)

@@ -244,6 +244,60 @@ WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.8
 # the approximate regime). Same statement, stated once.
 ORACLES["dedup_minhash_lsh"] = ORACLES["ngram_jaccard_pairs"]
 
+# SimHash near-dup pairs — FULL restatement of the fingerprint pipeline
+# (dedup.py simhash + dedup_simhash_df). The token hash is md5-derived
+# 32-bit halves precisely so DuckDB can compute bit-identical values
+# (('0x'||substring(md5(t),..))::BIGINT == Spark conv(substring(md5..)));
+# votes, signs, and hamming distances are then plain integer arithmetic
+# in both engines. The oracle compares ALL pairs: the Manku 20-table
+# block-combination scheme is EXACT for hamming <= 3 (any such pair
+# matches at least one untouched 3-block combo by pigeonhole), so the
+# banded Spark output must equal the naive quadratic filter.
+_SIM_SUMS = ",\n         ".join(
+    f"SUM(c * ((h{1 if i < 32 else 2} >> {i if i < 32 else i - 32}) & 1))"
+    f" AS s{i}"
+    for i in range(64))
+_SIM_BITS = ",\n       ".join(
+    f"CASE WHEN 2 * s{i} - n > 0 THEN 1 ELSE 0 END AS b{i}"
+    for i in range(64))
+_SIM_COAL = ",\n       ".join(
+    f"COALESCE(b{i}, 0) AS b{i}" for i in range(64))
+_SIM_HAM = " + ".join(
+    f"CASE WHEN a.b{i} <> b.b{i} THEN 1 ELSE 0 END" for i in range(64))
+
+ORACLES["dedup_simhash"] = f"""
+WITH tok AS (
+  SELECT doc_id, t
+  FROM (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS t
+        FROM documents)
+  WHERE t <> ''
+), h AS (
+  SELECT doc_id,
+         ('0x' || substring(md5(t), 1, 8))::BIGINT AS h1,
+         ('0x' || substring(md5(t), 9, 8))::BIGINT AS h2
+  FROM tok
+), per AS (
+  SELECT doc_id, h1, h2, COUNT(*) AS c FROM h GROUP BY doc_id, h1, h2
+), v AS (
+  SELECT doc_id, SUM(c) AS n,
+         {_SIM_SUMS}
+  FROM per GROUP BY doc_id
+), fp0 AS (
+  SELECT doc_id,
+       {_SIM_BITS}
+  FROM v
+), fp AS (
+  SELECT d.doc_id,
+       {_SIM_COAL}
+  FROM documents d LEFT JOIN fp0 USING (doc_id)
+)
+SELECT a_id, b_id, hamming FROM (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         CAST({_SIM_HAM} AS BIGINT) AS hamming
+  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+) WHERE hamming <= 3
+"""
+
 # Near-duplicate clusters (graph.py duplicate_clusters): the exact 9-gram
 # Jaccard pairs chained into connected components. The Spark side runs
 # alternating Large-Star/Small-Star; the oracle restates the same

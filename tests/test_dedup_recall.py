@@ -49,12 +49,39 @@ def test_exact_dup_has_jaccard_one(planted_docs):
     assert rows[(5, 200)] == 1.0
 
 
-def test_simhash_recovers_planted(planted_docs):
+@pytest.mark.parametrize("token_hash", ["md5", "xxhash64"])
+def test_simhash_exact_within_radius_and_deterministic(planted_docs,
+                                                       token_hash):
+    """The operator's contract is EXACTNESS within the hamming radius:
+    the Manku 20-table banding must return precisely the pairs the naive
+    all-pairs filter returns (pigeonhole guarantees no miss at radius
+    <= 3). Which planted one-token-changed pairs fall inside the radius
+    is hash-dependent (vote margins differ per hash) — so derive the
+    expected set from the fingerprints instead of hard-coding it, and
+    check both supported token hashes. Exact duplicates are hamming 0
+    under any hash and must always be found."""
+    from kafkastreams_tp3_is_spark.operators.dedup import simhash
+
     df, planted = planted_docs
-    # one changed token flips few fingerprint bits -> within hamming 3
-    found = _pairs(dedup_simhash_df(df, max_hamming=3))
-    assert planted <= found
-    assert found == _pairs(dedup_simhash_df(df, max_hamming=3))
+    fp = {r["doc_id"]: tuple(r["sim_bits"])
+          for r in simhash(df, token_hash=token_hash)
+          .select("doc_id", "sim_bits").collect()}
+
+    def ham(a, b):
+        return sum(x != y for x, y in zip(fp[a], fp[b]))
+
+    ids = sorted(fp)
+    naive = {(a, b) for a in ids for b in ids if a < b and ham(a, b) <= 3}
+    found = _pairs(dedup_simhash_df(df, max_hamming=3,
+                                    token_hash=token_hash))
+    assert found == naive, "banding must equal the all-pairs filter"
+    assert (5, 200) in found, "exact duplicate is hamming 0 always"
+    in_radius = {p for p in planted if ham(*p) <= 3}
+    assert len(in_radius) >= 4, \
+        "fixture should plant mostly within-radius near-dups"
+    assert in_radius <= found
+    assert found == _pairs(dedup_simhash_df(df, max_hamming=3,
+                                            token_hash=token_hash))
 
 
 @pytest.fixture(scope="module")
