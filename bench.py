@@ -82,8 +82,11 @@ def main() -> None:
     # The box carries external load with measured +-2x per-query swings on
     # identical code (r1->r2 postmortem), so every HEADLINE query runs
     # n_runs times and reports the median (plus min, the low-noise floor).
-    # Baselines and demos run once: they are correctness collateral, not
-    # the cross-round signal, and the stateful demo alone costs ~14s/run.
+    # Baselines get the same n_runs treatment — their single-run timings
+    # proved indistinguishable from noise (r3's duplicate_clusters
+    # 4.5->6.2s "regression" was one sample). Only the stateful demo runs
+    # once: its ~14s/run is micro-batch scheduler latency, not a
+    # cross-round signal worth 3x the bench budget.
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     timings_min: dict[str, float] = {}
@@ -93,7 +96,7 @@ def main() -> None:
         out = (baselines if name in BASELINE_QUERIES
                else demos if name in DEMO_QUERIES else timings)
         samples = []
-        for _ in range(n_runs if out is timings else 1):
+        for _ in range(1 if out is demos else n_runs):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             _, n = force_full_eval(df)
