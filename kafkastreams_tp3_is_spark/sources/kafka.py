@@ -94,13 +94,18 @@ def trip_stream(spark: SparkSession, brokers: str,
 
 
 def write_kafka_stream(records: DataFrame, brokers: str, topic: str,
-                       checkpoint_dir: str, output_mode: str = "update"):
+                       checkpoint_dir: str, output_mode: str = "update",
+                       trigger_available_now: bool = False):
     """S2: emit (key, value) string records to an output topic. Update mode
     matches the reference's continuous-refinement emission (SURVEY W4);
-    returns the started StreamingQuery."""
-    return (records.writeStream.format("kafka")
-            .option("kafka.bootstrap.servers", brokers)
-            .option("topic", topic)
-            .option("checkpointLocation", checkpoint_dir)
-            .outputMode(output_mode)
-            .start())
+    returns the started StreamingQuery. ``trigger_available_now`` drains
+    the currently-available input and stops — the run-to-completion mode
+    the broker smoke test (tests/test_kafka_smoke.py) uses."""
+    writer = (records.writeStream.format("kafka")
+              .option("kafka.bootstrap.servers", brokers)
+              .option("topic", topic)
+              .option("checkpointLocation", checkpoint_dir)
+              .outputMode(output_mode))
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
