@@ -2,10 +2,21 @@
 columns with typed metadata structs, processed by Arrow-batched pandas UDFs
 over mapInPandas.
 
-The container has no image/audio codec libraries, so the decode kernels are
-STUBBED (deterministic fake features, clearly marked); everything Spark-side
-— schema, batch iteration, partitioning, UDF signatures — is real and
-tested. Swapping the stub for PIL/librosa/ffmpeg keeps the plan identical.
+Decode kernels are SELECTABLE: every operator takes ``kernel=`` with
+  "stub"  deterministic payload-byte kernels (default — this container has
+          no codec libraries, and the driver gates compare against DuckDB
+          restatements of exactly these kernels);
+  "pil" / "pyav"  real decoders (PIL for images, PyAV for video) — the
+          same mapInPandas plan, only the inner per-payload function
+          swaps; selecting them without the library raises immediately
+          with an actionable error;
+  "auto"  the real kernel when its library imports, else the stub.
+
+The kernel builders are plain module-level functions over pandas
+DataFrames, so the real-decoder wiring is unit-testable in-process (with
+an injected fake library) even where PIL/PyAV are absent — see
+tests/test_multimodal.py. Everything Spark-side — schema, batch
+iteration, partitioning, UDF signatures — is identical across kernels.
 
 Scale: mapInPandas streams Arrow batches through Python one partition at a
 time — memory is bounded by the batch size (spark.sql.execution.arrow.
@@ -45,6 +56,44 @@ FEATURE_SCHEMA = T.StructType([
 ])
 
 
+def available_image_codec() -> str:
+    """"pil" when PIL imports here, else "stub". Called at PLAN time on
+    the driver; local-mode workers share the environment, and cluster
+    deployments ship the same image, so driver-side detection is
+    representative. Pin kernel= explicitly in heterogeneous setups."""
+    try:
+        import PIL.Image  # noqa: F401
+        return "pil"
+    except Exception:
+        return "stub"
+
+
+def available_video_codec() -> str:
+    """"pyav" when the av package imports here, else "stub"."""
+    try:
+        import av  # noqa: F401
+        return "pyav"
+    except Exception:
+        return "stub"
+
+
+def _resolve(kernel: str, kind: str) -> str:
+    real = {"image": available_image_codec,
+            "video": available_video_codec}[kind]
+    if kernel == "auto":
+        return real()
+    allowed = {"image": ("stub", "pil"), "video": ("stub", "pyav")}[kind]
+    if kernel not in allowed:
+        raise ValueError(f"unknown {kind} kernel {kernel!r}; "
+                         f"expected one of {allowed + ('auto',)}")
+    if kernel != "stub" and real() == "stub":
+        raise ImportError(
+            f"{kind} kernel {kernel!r} requested but its library is not "
+            f"importable on the driver — install it or use kernel='auto' "
+            f"to fall back to the stub")
+    return kernel
+
+
 def synthetic_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic media table derived from documents: the text bytes act
     as the opaque binary payload. Real pipelines replace this with a parquet
@@ -65,17 +114,12 @@ def synthetic_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
-    """mapInPandas feature extraction: Arrow batches in, feature rows out.
-    Batch shape and schema are production-real; only the decode kernel is a
-    STUB (a real deployment decodes the payload with PIL / librosa / pyav
-    and runs a feature extractor; those libs are absent in this container,
-    so features are a deterministic hash-derived fake of the same
-    shape/dtype).
+# --- feature extraction ------------------------------------------------
 
-    The closure is fully self-contained (stdlib + pandas only), so executor
-    Python workers need NO access to this package — it survives drivers
-    that don't ship the repo on PYTHONPATH."""
+def feature_kernel_stub(dim: int):
+    """Batch kernel: deterministic hash-derived pseudo-features of the
+    production shape/dtype. Self-contained closure (stdlib + pandas only)
+    so executor workers need no access to this package."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hl
@@ -86,10 +130,11 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
             return [b / 255.0 for b in digest[:dim]]
 
         for pdf in batches:
-            out = pd.DataFrame({
+            yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "media_type": pdf["media_type"],
-                "n_bytes": pdf["content"].map(lambda b: len(b) if b is not None else 0),
+                "n_bytes": pdf["content"].map(
+                    lambda b: len(b) if b is not None else 0),
                 "content_sha256": pdf["content"].map(
                     lambda b: _hl.sha256(b or b"").hexdigest()),
                 "feature": [
@@ -97,21 +142,78 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
                     for c, t in zip(pdf["content"], pdf["media_type"])
                 ],
             })
-            yield out
 
+    return run
+
+
+def feature_kernel_pil(dim: int):
+    """Batch kernel: REAL image decode via PIL — grayscale, the feature
+    is per-band mean intensity over ``dim`` horizontal bands (a minimal
+    honest visual descriptor; swap the inner function for a model
+    embedding without touching the plan). Non-image rows and undecodable
+    payloads fall back to the hash stub feature, so a mixed-modality
+    table still yields one row per input."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hl
+        from io import BytesIO
+
+        from PIL import Image
+
+        def stub(payload, media_type):
+            digest = _hl.sha256(
+                (media_type or "").encode() + (payload or b"")).digest()
+            return [b / 255.0 for b in digest[:dim]]
+
+        def decode(payload, media_type):
+            if media_type != "image" or not payload:
+                return stub(payload, media_type)
+            try:
+                img = Image.open(BytesIO(payload)).convert("L")
+            except Exception:
+                return stub(payload, media_type)
+            px = list(img.getdata())
+            if not px:
+                return stub(payload, media_type)
+            h = img.height or 1
+            w = max(1, len(px) // h)
+            bands = [[] for _ in range(dim)]
+            for row in range(h):
+                bands[row * dim // h].extend(px[row * w:(row + 1) * w])
+            return [(sum(b) / len(b) / 255.0) if b else 0.0 for b in bands]
+
+        for pdf in batches:
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "media_type": pdf["media_type"],
+                "n_bytes": pdf["content"].map(
+                    lambda b: len(b) if b is not None else 0),
+                "content_sha256": pdf["content"].map(
+                    lambda b: _hl.sha256(b or b"").hexdigest()),
+                "feature": [
+                    decode(c, t)
+                    for c, t in zip(pdf["content"], pdf["media_type"])
+                ],
+            })
+
+    return run
+
+
+def extract_features(media: DataFrame, dim: int = 8,
+                     kernel: str = "stub") -> DataFrame:
+    """mapInPandas feature extraction: Arrow batches in, feature rows out;
+    ``kernel`` picks the decoder (module docstring)."""
+    k = _resolve(kernel, "image")
+    run = feature_kernel_pil(dim) if k == "pil" else feature_kernel_stub(dim)
     return media.mapInPandas(run, FEATURE_SCHEMA)
 
 
-def resize_images(media: DataFrame, width: int = 224,
-                  height: int = 224) -> DataFrame:
-    """Image resize over mapInPandas: filter to images (partition-pruning-
-    friendly narrow filter), then one Arrow batch -> one batch of resized
-    payloads. The decode step is a deterministic STUB — nearest-neighbor
-    resampling of the RAW payload bytes, out[i] = in[floor(i*n/(w*h))] — a
-    real deployment replaces exactly the inner ``resample`` with
-    PIL.Image.open(...).resize((w, h)); schema, batch shape, and plan are
-    unchanged by that swap. Output rows keep MEDIA_SCHEMA with content =
-    resized bytes and meta reflecting the new dimensions."""
+# --- image resize ------------------------------------------------------
+
+def resize_kernel_stub(width: int, height: int):
+    """Batch kernel: nearest-neighbor resampling of the RAW payload bytes
+    (out[i] = in[floor(i*n/(w*h))]) — deterministic and restatable in SQL,
+    which is what the driver gate checks byte-exactly."""
     out_n = width * height
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -132,8 +234,56 @@ def resize_images(media: DataFrame, width: int = 224,
             ]
             yield out
 
-    return media.filter(F.col("media_type") == "image").mapInPandas(run, MEDIA_SCHEMA)
+    return run
 
+
+def resize_kernel_pil(width: int, height: int):
+    """Batch kernel: REAL decode -> PIL bilinear resize -> PNG re-encode.
+    Undecodable payloads yield empty content with codec "undecodable"
+    (kept, not dropped, so lineage stays 1:1 and failures are countable
+    downstream)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from io import BytesIO
+
+        from PIL import Image
+
+        def resample(payload):
+            try:
+                img = Image.open(BytesIO(payload or b""))
+                buf = BytesIO()
+                img.resize((width, height)).save(buf, format="PNG")
+                return buf.getvalue(), "png"
+            except Exception:
+                return b"", "undecodable"
+
+        for pdf in batches:
+            out = pdf.copy()
+            pairs = [resample(p) for p in out["content"]]
+            out["content"] = [c for c, _ in pairs]
+            out["meta"] = [
+                {"width": width, "height": height,
+                 "duration_ms": (m or {}).get("duration_ms"), "codec": c}
+                for m, (_, c) in zip(out["meta"], pairs)
+            ]
+            yield out
+
+    return run
+
+
+def resize_images(media: DataFrame, width: int = 224, height: int = 224,
+                  kernel: str = "stub") -> DataFrame:
+    """Image resize over mapInPandas: filter to images (narrow,
+    pushdown-friendly), then one Arrow batch -> one batch of resized
+    payloads; ``kernel`` picks the decoder (module docstring)."""
+    k = _resolve(kernel, "image")
+    run = (resize_kernel_pil(width, height) if k == "pil"
+           else resize_kernel_stub(width, height))
+    return (media.filter(F.col("media_type") == "image")
+                 .mapInPandas(run, MEDIA_SCHEMA))
+
+
+# --- video frame sampling ---------------------------------------------
 
 FRAME_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType(), False),
@@ -144,16 +294,12 @@ FRAME_SCHEMA = T.StructType([
 ])
 
 
-def frame_sample(media: DataFrame, frame_bytes: int = 64,
-                 n_frames: int = 4) -> DataFrame:
-    """Video frame sampling over mapInPandas: treat the payload as
-    ``frame_bytes``-sized frames, emit up to ``n_frames`` evenly spaced
-    ones (src_frame = floor(j*total/k)), each with its timestamp within
-    meta.duration_ms and a content hash. One input row fans out to <= k
-    output rows — mapInPandas handles the 1->N shape natively; still a
-    narrow map, no shuffle. The frame DECODE is the stubbed step (sha256
-    of raw frame bytes stands in for decoded pixels); the
-    sampling/timestamping logic is the production logic."""
+def frame_kernel_stub(frame_bytes: int, n_frames: int):
+    """Batch kernel: treat the payload as ``frame_bytes``-sized frames,
+    emit up to ``n_frames`` evenly spaced ones (src_frame =
+    floor(j*total/k)) with timestamps within meta.duration_ms. The
+    sampling/timestamping arithmetic IS the production logic; only
+    "frame" = raw byte slice is the stub."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hl
@@ -174,17 +320,74 @@ def frame_sample(media: DataFrame, frame_bytes: int = 64,
                     rows.append((media_id, j, src, src * dur // total,
                                  _hl.sha256(frame).hexdigest()))
             yield pd.DataFrame(rows, columns=[
-                "media_id", "frame_idx", "src_frame", "ts_ms", "frame_sha256"])
+                "media_id", "frame_idx", "src_frame", "ts_ms",
+                "frame_sha256"])
 
-    return media.filter(F.col("media_type") == "video").mapInPandas(run, FRAME_SCHEMA)
+    return run
 
+
+def frame_kernel_pyav(n_frames: int):
+    """Batch kernel: REAL container demux/decode via PyAV — decode the
+    video stream, keep ``n_frames`` evenly spaced frames (src_frame =
+    floor(j*total/k) over the decoded frame count), hash the raw RGB
+    plane. Same sampling arithmetic as the stub, real decode in the
+    middle; undecodable payloads contribute no rows (countable via an
+    anti-join on media_id)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hl
+        from io import BytesIO
+
+        import av
+
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    with av.open(BytesIO(payload or b"")) as container:
+                        frames = list(container.decode(video=0))
+                except Exception:
+                    continue
+                total = len(frames)
+                if total == 0:
+                    continue
+                k = min(n_frames, total)
+                for j in range(k):
+                    src = j * total // k
+                    fr = frames[src]
+                    ts_ms = int((fr.time or 0) * 1000)
+                    raw = bytes(fr.to_rgb().planes[0])
+                    rows.append((media_id, j, src, ts_ms,
+                                 _hl.sha256(raw).hexdigest()))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "frame_idx", "src_frame", "ts_ms",
+                "frame_sha256"])
+
+    return run
+
+
+def frame_sample(media: DataFrame, frame_bytes: int = 64,
+                 n_frames: int = 4, kernel: str = "stub") -> DataFrame:
+    """Video frame sampling over mapInPandas: one input row fans out to
+    <= n_frames output rows (mapInPandas handles 1->N natively; still a
+    narrow map, no shuffle); ``kernel`` picks the decoder."""
+    k = _resolve(kernel, "video")
+    run = (frame_kernel_pyav(n_frames) if k == "pyav"
+           else frame_kernel_stub(frame_bytes, n_frames))
+    return (media.filter(F.col("media_type") == "video")
+                 .mapInPandas(run, FRAME_SCHEMA))
+
+
+# --- queries() surface (driver gates pin kernel="stub") ----------------
 
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """queries() surface: synthetic media -> stub feature extraction.
     Returns (media_id, media_type, n_bytes, content_sha256) — the feature
     vector is dropped for the oracle-compared output (sha256 of the payload
-    is SQL-expressible in DuckDB; the fake feature is not)."""
-    feats = extract_features(synthetic_media(spark, sf_dir))
+    is SQL-expressible in DuckDB; the fake feature is not). kernel="stub"
+    is pinned: the synthetic payloads are text bytes, and the gate's
+    DuckDB oracle restates the stub kernel."""
+    feats = extract_features(synthetic_media(spark, sf_dir), kernel="stub")
     return feats.select("media_id", "media_type", "n_bytes", "content_sha256")
 
 
@@ -195,7 +398,8 @@ def media_resize(spark: SparkSession, sf_dir: str,
     (F.sha2 on the binary, JVM-side) so the DuckDB oracle — which rebuilds
     the same resample with substring arithmetic (documents are pure ASCII,
     so char index == byte index) — checks the kernel BYTE-EXACTLY."""
-    res = resize_images(synthetic_media(spark, sf_dir), width, height)
+    res = resize_images(synthetic_media(spark, sf_dir), width, height,
+                        kernel="stub")
     return res.select(
         "media_id",
         F.col("meta.width").alias("width"),
@@ -209,4 +413,5 @@ def media_frame_sample(spark: SparkSession, sf_dir: str,
     """queries() surface: evenly-spaced frame samples from each video
     payload, hash per frame; oracle-checked via DuckDB substring
     arithmetic (byte-exact, same ASCII argument as media_resize)."""
-    return frame_sample(synthetic_media(spark, sf_dir), frame_bytes, n_frames)
+    return frame_sample(synthetic_media(spark, sf_dir), frame_bytes,
+                        n_frames, kernel="stub")

@@ -70,3 +70,150 @@ def test_registered_wrappers_nonempty(spark):
     f = media_frame_sample(spark, SF_DIR)
     assert f.count() > 0
     assert synthetic_media(spark, SF_DIR).count() > 0
+
+
+# --- kernel selection: real decoders behind optional imports ----------
+
+class _FakeImage:
+    """Minimal PIL.Image stand-in: 'decodes' any payload to a 2x2 image.
+    Records calls so the test can assert the real-kernel wiring ran."""
+
+    calls: list = []
+
+    def __init__(self, payload):
+        self._p = payload
+        self.height = 2
+
+    def convert(self, mode):
+        return self
+
+    def getdata(self):
+        return [10, 20, 30, 40]
+
+    def resize(self, size):
+        _FakeImage.calls.append(("resize", size))
+        return self
+
+    def save(self, buf, format=None):
+        buf.write(b"PNGDATA:" + bytes(self._p[:4]))
+
+
+def _install_fake_pil(monkeypatch):
+    import sys
+    import types
+
+    pil = types.ModuleType("PIL")
+    img_mod = types.ModuleType("PIL.Image")
+    img_mod.open = lambda bio: _FakeImage(bio.getvalue())
+    pil.Image = img_mod
+    monkeypatch.setitem(sys.modules, "PIL", pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", img_mod)
+
+
+def test_kernel_auto_selection_both_ways(monkeypatch):
+    """auto -> stub where PIL is absent (this container), and -> pil the
+    moment the library imports; explicit real kernel without the library
+    raises an actionable ImportError rather than failing inside a task."""
+    import kafkastreams_tp3_is_spark.operators.multimodal as mm
+
+    assert mm.available_image_codec() == "stub"  # no PIL in container
+    assert mm._resolve("auto", "image") == "stub"
+    with pytest.raises(ImportError, match="pil"):
+        mm._resolve("pil", "image")
+    _install_fake_pil(monkeypatch)
+    assert mm.available_image_codec() == "pil"
+    assert mm._resolve("auto", "image") == "pil"
+    assert mm._resolve("stub", "image") == "stub"  # explicit stub wins
+    with pytest.raises(ValueError, match="unknown"):
+        mm._resolve("ffmpeg", "image")
+
+
+def test_pil_kernels_drive_real_decoder(monkeypatch):
+    """The PIL-backed batch kernels (called in-process, as mapInPandas
+    would on an executor) must decode -> resize -> re-encode through the
+    library: resized content carries the fake encoder's bytes, features
+    become band means of the decoded pixels, and undecodable rows
+    degrade per-row (empty content / stub feature) instead of failing
+    the batch."""
+    import pandas as pd
+
+    import kafkastreams_tp3_is_spark.operators.multimodal as mm
+
+    _install_fake_pil(monkeypatch)
+    pdf = pd.DataFrame({
+        "media_id": [1],
+        "media_type": ["image"],
+        "content": [b"abcdefgh"],
+        "meta": [{"width": 2, "height": 4, "duration_ms": 7, "codec": "raw"}],
+    })
+    _FakeImage.calls.clear()
+    out = pd.concat(mm.resize_kernel_pil(4, 4)(iter([pdf])))
+    assert ("resize", (4, 4)) in _FakeImage.calls
+    assert bytes(out["content"].iloc[0]) == b"PNGDATA:abcd"
+    assert out["meta"].iloc[0] == {"width": 4, "height": 4,
+                                   "duration_ms": 7, "codec": "png"}
+
+    feats = pd.concat(mm.feature_kernel_pil(2)(iter([pdf])))
+    # fake image: 2 rows of pixels [10,20] / [30,40] -> band means
+    assert feats["feature"].iloc[0] == [15 / 255.0, 35 / 255.0]
+
+    # undecodable payload: per-row degradation, batch survives
+    img_mod = __import__("sys").modules["PIL.Image"]
+    monkeypatch.setattr(
+        img_mod, "open",
+        lambda bio: (_ for _ in ()).throw(OSError("bad image")))
+    out2 = pd.concat(mm.resize_kernel_pil(4, 4)(iter([pdf])))
+    assert bytes(out2["content"].iloc[0]) == b""
+    assert out2["meta"].iloc[0]["codec"] == "undecodable"
+    feats2 = pd.concat(mm.feature_kernel_pil(2)(iter([pdf])))
+    stub = pd.concat(mm.feature_kernel_stub(2)(iter([pdf])))
+    assert feats2["feature"].iloc[0] == stub["feature"].iloc[0]
+
+
+def test_pyav_kernel_drives_real_decoder(monkeypatch):
+    """The PyAV-backed frame kernel demuxes via av.open, samples evenly
+    over the DECODED frame count, and hashes the RGB plane — verified
+    with an injected fake av module (the real library is absent here)."""
+    import sys
+    import types
+
+    import pandas as pd
+
+    import kafkastreams_tp3_is_spark.operators.multimodal as mm
+
+    class _Frame:
+        def __init__(self, i):
+            self.time = i * 0.5
+            self._raw = bytes([i] * 4)
+
+        def to_rgb(self):
+            class _P:
+                planes = [self._raw]
+            return _P()
+
+    class _Container:
+        def __init__(self, payload):
+            self._n = len(payload)
+
+        def decode(self, video=0):
+            return iter(_Frame(i) for i in range(self._n))
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    av = types.ModuleType("av")
+    av.open = lambda bio: _Container(bio.getvalue())
+    monkeypatch.setitem(sys.modules, "av", av)
+    assert mm.available_video_codec() == "pyav"
+    assert mm._resolve("auto", "video") == "pyav"
+
+    pdf = pd.DataFrame({"media_id": [9], "content": [b"abcdefgh"]})  # 8 frames
+    out = pd.concat(mm.frame_kernel_pyav(4)(iter([pdf])))
+    assert list(out["frame_idx"]) == [0, 1, 2, 3]
+    assert list(out["src_frame"]) == [0, 2, 4, 6]  # floor(j*8/4)
+    assert list(out["ts_ms"]) == [0, 1000, 2000, 3000]
+    assert (out["frame_sha256"].iloc[1]
+            == hashlib.sha256(bytes([2] * 4)).hexdigest())
