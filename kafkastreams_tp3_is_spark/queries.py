@@ -269,13 +269,25 @@ def q11_transport_type_max_passengers_window(spark: SparkSession, sf_dir: str) -
 
 
 # --- Q12 --------------------------------------------------------------
-def q12_logic(routes_df: DataFrame, trips_df: DataFrame) -> DataFrame:
+def q12_logic(routes_df: DataFrame, trips_df: DataFrame,
+              bug_compatible: bool = False) -> DataFrame:
     """Per 1-hour window: transport_type with MIN windowed occupancy%
     (windowed trip count / all-time capacity per type * 100), left join with
     0.0 default (LeastOccupiedTransportTypeWindow.java:39-94). Implements the
     *intended* per-window min-by — the reference buggily keeps the latest
     value (fidelity note 7.3). cap_per_type is bounded by the transport-type
-    domain (5 values) -> genuinely broadcastable."""
+    domain (5 values) -> genuinely broadcastable.
+
+    ``bug_compatible=True`` reproduces the reference's actual changelog
+    collapse for 1:1 migration diffs: the per-window aggregator returns
+    ``newValue`` unconditionally (LeastOccupiedTransportTypeWindow.java:
+    90-94, "Apresenta sempre o valor mais recente"), so the upsert-collapsed
+    output per window is the occupancy of the type whose count updated
+    LAST — the type of the window's latest-arriving trip, at that type's
+    final windowed count. Arrival order is stood in by event_ts with
+    transport_type DESC as the deterministic tie-break (real arrival order
+    is not reproducible from data; pinned in tests with unique
+    timestamps)."""
     cap_per_type = (routes_df
                     .groupBy("transport_type")
                     .agg(F.sum("capacity").alias("cap")))
@@ -285,7 +297,17 @@ def q12_logic(routes_df: DataFrame, trips_df: DataFrame) -> DataFrame:
     occ = (win_counts.join(F.broadcast(cap_per_type), "transport_type", "left")
            .select("w", "transport_type",
                    _occupancy("cnt", "cap").alias("occupancy")))
-    top = argmin(occ, "occupancy", group_cols=["w"], tiebreak_cols=["transport_type"])
+    if bug_compatible:
+        last_type = (trips_df
+                     .groupBy(F.window("event_ts", "1 hour").alias("w"))
+                     .agg(F.max_by(
+                         "transport_type",
+                         F.struct(F.col("event_ts"), F.col("transport_type")))
+                         .alias("transport_type")))
+        top = occ.join(last_type, ["w", "transport_type"])
+    else:
+        top = argmin(occ, "occupancy", group_cols=["w"],
+                     tiebreak_cols=["transport_type"])
     return top.select(F.col("w.start").alias("window_start"),
                       F.col("transport_type").alias("transportType"),
                       "occupancy")
@@ -297,19 +319,42 @@ def q12_least_occupied_transport_type_window(spark: SparkSession, sf_dir: str) -
 
 
 # --- Q13 --------------------------------------------------------------
-def q13_logic(routes_df: DataFrame, trips_df: DataFrame) -> DataFrame:
+def q13_logic(routes_df: DataFrame, trips_df: DataFrame,
+              bug_compatible: bool = False) -> DataFrame:
     """Operator with MAX occupancy% where occupancy = operator passengers /
     operator capacity * 100; route->operator via the route dimension
     (MostOccupiedOperator.java:56-165). Implements the intent — passengers
     summed (not latest), capacity summed once per route (fidelity note 7.4).
     The trips->routes join is fact-to-fact-derived: no broadcast hint, AQE
-    decides (broadcast at small SF, sort-merge/shuffle-hash at scale)."""
+    decides (broadcast at small SF, sort-merge/shuffle-hash at scale).
+
+    ``bug_compatible=True`` reproduces the reference's per-operator
+    passenger aggregation for 1:1 migration diffs: the aggregator keeps the
+    latest route-count despite the "soma" (sum) comment
+    (MostOccupiedOperator.java:100-111 returns ``newValue``), so each
+    operator's passenger figure is the FINAL count of the route that
+    updated last — the route of the operator's latest-arriving trip.
+    Arrival order is stood in by event_ts with route_id DESC tie-break;
+    pinned in tests with unique timestamps. (Capacity-side double-count on
+    re-emitted routes, MostOccupiedOperator.java:121-124 reduce without
+    subtractor, is record-summed here in both modes — identical while
+    route records are unique, the engine's derived-routes invariant.)"""
     dim = routes_df.select("route_id", "operator", "capacity")
     cap_per_op = dim.groupBy("operator").agg(F.sum("capacity").alias("cap"))
-    pax_per_op = (trips_df
-                  .join(dim.select("route_id", "operator"), "route_id")
-                  .groupBy("operator")
-                  .agg(F.count(F.lit(1)).alias("pax")))
+    trips_op = (trips_df
+                .join(dim.select("route_id", "operator"), "route_id"))
+    if bug_compatible:
+        per_route = (trips_op.groupBy("operator", "route_id")
+                     .agg(F.count(F.lit(1)).alias("route_pax"),
+                          F.max("event_ts").alias("last_ts")))
+        pax_per_op = (per_route.groupBy("operator")
+                      .agg(F.max_by(
+                          "route_pax",
+                          F.struct(F.col("last_ts"), F.col("route_id")))
+                          .alias("pax")))
+    else:
+        pax_per_op = (trips_op.groupBy("operator")
+                      .agg(F.count(F.lit(1)).alias("pax")))
     occ = (cap_per_op.join(pax_per_op, "operator", "left")
            .select("operator", _occupancy("pax", "cap").alias(_OCC)))
     return (argmax(occ, _OCC, tiebreak_cols=["operator"])
