@@ -103,6 +103,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the refreshed-training-corpus shape; full hash-match gate
         "dedup_against": _dedup.dedup_against,
         "ngram_jaccard_pairs": _dedup.ngram_jaccard_pairs,
+        # exact-substring dedup signal: per-doc coverage by 30-char spans
+        # repeated across documents (hash-grouped in Spark, raw-gram
+        # oracle -> the gate doubles as a hash-collision check)
+        "repeated_spans": _dedup.repeated_spans,
         # pairwise edges -> transitive-closure clusters (Large-Star/
         # Small-Star connected components; oracle = WITH RECURSIVE).
         # _lsh is the production composition (sub-quadratic LSH edges ->

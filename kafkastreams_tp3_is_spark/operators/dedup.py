@@ -477,3 +477,91 @@ def dedup_simhash(spark: SparkSession, sf_dir: str,
                   token_hash: str = "md5") -> DataFrame:
     return dedup_simhash_df(load(spark, sf_dir, "documents"), max_hamming,
                             bits, token_hash)
+
+
+# --- cross-document repeated spans -------------------------------------
+
+def repeated_spans_df(docs: DataFrame, span_len: int = 30,
+                      min_docs: int = 2) -> DataFrame:
+    """Per-document repeated-substring coverage — the distributed signal
+    behind exact-substring train-set dedup (Lee et al., ACL'22
+    "Deduplicating Training Data Makes Language Models Better" — public
+    work; they delete 50-token repeats found via suffix arrays, which
+    don't distribute; fixed-length span inventories do and catch the same
+    boilerplate/contamination mass).
+
+    A span = ``span_len`` consecutive chars; a span is REPEATED when it
+    occurs in >= ``min_docs`` distinct documents. Output per doc:
+    n_repeated_spans (positions whose span recurs elsewhere) and
+    dup_char_fraction (chars covered by the UNION of those [pos, pos+L)
+    intervals / doc length — the "how much of this doc exists elsewhere"
+    ratio a curation pass thresholds on).
+
+    Scale: positions explode the text ~L-fold, but each gram immediately
+    becomes a 64-bit xxhash64 long in the same projection — the shuffle
+    carries (doc_id, pos, long), never substrings (xxhash64 is fine here,
+    unlike simhash, because the hash never reaches the output: the gate
+    compares per-doc counts/coverage only). Repeated-gram detection is
+    one map-side-combined agg on the hash; the coverage union is a
+    per-doc sorted window scan (one shuffle on doc_id). Collisions are
+    ~(n_grams^2)/2^65, and the DuckDB oracle groups RAW grams, so the
+    driver gate itself would catch one (hash-grouping is the scale path,
+    exact-gram grouping the verification path)."""
+    from pyspark.sql import Window
+
+    L = span_len
+    n = F.length("text")
+    pos_ok = docs.where(n >= L)
+    gram_hashes = F.transform(
+        F.sequence(F.lit(1), n - (L - 1)),
+        lambda i: F.xxhash64(F.col("text").substr(i, F.lit(L))))
+    # repeated-gram detection: array_distinct is row-local, so exploding
+    # distinct-per-doc hashes makes a PLAIN count equal the distinct-doc
+    # count — one map-side-combined exchange instead of count_distinct's
+    # two-stage (h, doc_id) -> (h) shuffle pair over the full explosion.
+    # The hash arrays are persisted because BOTH branches (rep detection,
+    # position inventory) consume them — without the barrier the L-fold
+    # substring+hash pass runs twice. Caller releases via cache.release.
+    from pyspark import StorageLevel
+    hashed_arr = (pos_ok.select("doc_id", gram_hashes.alias("hs"))
+                  .persist(StorageLevel.MEMORY_AND_DISK))
+    rep = (hashed_arr
+           .select(F.explode(F.array_distinct("hs")).alias("h"))
+           .groupBy("h").agg(F.count(F.lit(1)).alias("nd"))
+           .where(F.col("nd") >= min_docs)
+           .select("h"))
+    hashed = (hashed_arr
+              .select("doc_id", F.posexplode("hs").alias("p0", "h"))
+              .select("doc_id", (F.col("p0") + 1).alias("pos"), "h"))
+    rep_pos = hashed.join(rep, "h").select("doc_id", "pos")
+    w = (Window.partitionBy("doc_id").orderBy("pos")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    covered = (rep_pos
+               .withColumn("prev_end", F.max(F.col("pos") + L).over(w))
+               .select("doc_id",
+                       F.greatest(
+                           F.col("pos") + L
+                           - F.greatest(F.col("pos"),
+                                        F.coalesce("prev_end", F.col("pos"))),
+                           F.lit(0)).alias("add")))
+    per_doc = (covered.groupBy("doc_id")
+               .agg(F.count(F.lit(1)).alias("n_repeated_spans"),
+                    F.sum("add").alias("dup_chars")))
+    nc = F.col("n_chars")
+    out = (docs.select("doc_id", n.alias("n_chars"))
+           .join(per_doc, "doc_id", "left")
+           .select(
+               "doc_id",
+               F.coalesce("n_repeated_spans", F.lit(0))
+                .alias("n_repeated_spans"),
+               F.when(nc.isNull() | (nc == 0), F.lit(0.0))
+                .otherwise(F.coalesce("dup_chars", F.lit(0)).cast("double")
+                           / nc.cast("double"))
+                .alias("dup_char_fraction")))
+    return owned(out, hashed_arr)
+
+
+def repeated_spans(spark: SparkSession, sf_dir: str, span_len: int = 30,
+                   min_docs: int = 2) -> DataFrame:
+    return repeated_spans_df(load(spark, sf_dir, "documents"), span_len,
+                             min_docs)

@@ -298,6 +298,42 @@ SELECT a_id, b_id, hamming FROM (
 ) WHERE hamming <= 3
 """
 
+# Cross-document repeated spans (dedup.py repeated_spans_df): the oracle
+# groups RAW 30-char grams where Spark groups their 60-bit md5-derived
+# hashes — identical output absent hash collisions, so the gate doubles
+# as a collision check. Coverage union = the same
+# max-over-preceding-rows window scan.
+ORACLES["repeated_spans"] = """
+WITH pos AS (
+  SELECT doc_id, CAST(g AS INTEGER) AS pos,
+         substring(text, CAST(g AS INTEGER), 30) AS s
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(1, length(text) - 29)) AS g
+        FROM documents WHERE length(text) >= 30)
+),
+rep AS (SELECT s FROM pos GROUP BY s HAVING COUNT(DISTINCT doc_id) >= 2),
+rp AS (SELECT doc_id, pos FROM pos JOIN rep USING (s)),
+cov AS (
+  SELECT doc_id, pos,
+         MAX(pos + 30) OVER (PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+  FROM rp
+),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n_spans,
+         SUM(greatest(pos + 30 - greatest(pos, COALESCE(prev_end, pos)), 0))
+           AS dup_chars
+  FROM cov GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(a.n_spans, 0) AS BIGINT) AS n_repeated_spans,
+       CASE WHEN length(d.text) IS NULL OR length(d.text) = 0 THEN 0.0
+            ELSE CAST(COALESCE(a.dup_chars, 0) AS DOUBLE)
+                 / CAST(length(d.text) AS DOUBLE)
+       END AS dup_char_fraction
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
 # Near-duplicate clusters (graph.py duplicate_clusters): the exact 9-gram
 # Jaccard pairs chained into connected components. The Spark side runs
 # alternating Large-Star/Small-Star; the oracle restates the same

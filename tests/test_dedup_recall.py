@@ -134,6 +134,30 @@ def test_topk_lsh_recall_floor(spark):
     assert recall >= 0.6, f"ANN recall {recall:.2f} below floor"
 
 
+def test_repeated_spans_hand_computed(spark):
+    """Cross-document repeated-span coverage on a constructed corpus:
+    docs A and B share exactly one 60-char block (placed at different
+    offsets), C is all-unique. Every 30-gram fully inside the shared
+    block repeats (60-30+1 = 31 start positions per doc), grams crossing
+    the block boundary are unique to their doc, and the interval union
+    covers exactly the 60 shared chars."""
+    from kafkastreams_tp3_is_spark.operators.dedup import repeated_spans_df
+
+    block = "".join(chr(ord("A") + i % 26) for i in range(60))
+    ua = "".join(chr(ord("a") + i % 26) for i in range(40))   # unique to A
+    ub = "0123456789!@#$%^&*()-=[]{};:<>?/|~`+_,."            # unique to B
+    uc = "".join(chr(ord("n") + i % 13) * 2 for i in range(35))  # C only
+    doc1, doc2, doc3 = ua + block + "zzzz", ub + block, uc
+    docs = spark.createDataFrame(
+        [(1, doc1), (2, doc2), (3, doc3)], "doc_id long, text string")
+    out = {r["doc_id"]: (r["n_repeated_spans"], r["dup_char_fraction"])
+           for r in repeated_spans_df(docs, span_len=30,
+                                      min_docs=2).collect()}
+    assert out[1] == (31, 60 / len(doc1))
+    assert out[2] == (31, 60 / len(doc2))
+    assert out[3] == (0, 0.0)
+
+
 @pytest.mark.parametrize("gate_sf_dir", ["/root/testdata/sf0.01"])
 def test_lsh_gate_assumption_holds_at_gate_scale(spark, gate_sf_dir):
     """The dedup_minhash_lsh / duplicate_clusters_lsh / dedup_against
