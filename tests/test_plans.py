@@ -154,6 +154,27 @@ def test_simhash_partial_aggregation(spark):
     assert "partial_count" in plan, "map-side partial aggregation missing"
 
 
+def test_repeated_spans_shares_one_hash_pass_and_shuffles_longs(spark):
+    """repeated_spans' contract: the L-fold substring+hash explosion is
+    computed ONCE (persisted; both the repeated-gram branch and the
+    position branch read the cache) and only 64-bit hashes ever reach an
+    exchange — the text column stays below the first shuffle."""
+    from kafkastreams_tp3_is_spark import cache
+    from kafkastreams_tp3_is_spark.operators.dedup import repeated_spans
+
+    df = repeated_spans(spark, SF_DIR)
+    try:
+        plan = _plan(spark, df)
+        assert plan.count("InMemoryTableScan") >= 2, \
+            "both branches must reuse the persisted hash arrays"
+        # every exchange partitions on doc_id or the gram hash — never text
+        for line in plan.splitlines():
+            if "Exchange hashpartitioning" in line:
+                assert "text" not in line, line
+    finally:
+        cache.release(df)
+
+
 def test_repetition_signals_is_shuffle_free(spark):
     """The round-3 rewrite's contract: repetition stats are a pure
     row-local projection — any Exchange or Python-worker node means the

@@ -434,6 +434,61 @@ def test_incremental_harness_volume_is_batch_plus_aggregate(
     assert max(h.agg_rows_read_per_trigger) <= total_store_rows
 
 
+@pytest.mark.parametrize("splits", [(6,), (1, 5), (3, 1, 2), (2, 2, 2)])
+def test_incremental_stores_are_split_invariant(spark, tmp_path, splits):
+    """The maintained aggregates must be a pure function of the data, not
+    of how the stream happened to batch it: any partition of the same
+    rows into micro-batches yields the same merged store. Covers the sum
+    combiner (trip counts) and the max_by-latest combiner (route
+    dimension), including a key re-emitted across batch boundaries."""
+    import datetime as dt
+
+    from kafkastreams_tp3_is_spark.streaming.partial_agg import (
+        route_agg_store, trip_route_type_store)
+
+    base = dt.datetime(2024, 1, 1)
+    routes = [(f"R{i % 4}", "O", "D", f"T{i % 2}", 10 + i, f"Op{i % 3}",
+               base + dt.timedelta(hours=i)) for i in range(6)]
+    cols = ("route_id string, origin string, destination string, "
+            "transport_type string, capacity int, operator string, "
+            "event_ts timestamp")
+    full = spark.createDataFrame(routes, cols)
+
+    store = route_agg_store(
+        spark, str(tmp_path / f"r_{'_'.join(map(str, splits))}"))
+    lo = 0
+    for b, size in enumerate(splits):
+        batch = spark.createDataFrame(routes[lo:lo + size], cols)
+        store.update(batch, b)
+        lo += size
+
+    want = {r["route_id"]: (r["cap"], r["operator"], r["transport_type"])
+            for r in full.groupBy("route_id")
+            .agg(F.sum("capacity").alias("cap"),
+                 F.max_by("operator", "event_ts").alias("operator"),
+                 F.max_by("transport_type", "event_ts")
+                 .alias("transport_type")).collect()}
+    got = {r["route_id"]: (r["cap"], r["operator"], r["transport_type"])
+           for r in store.frame().collect()}
+    assert got == want
+
+    trips = [(f"R{i % 3}", f"T{i % 2}") for i in range(6)]
+    tstore = trip_route_type_store(
+        spark, str(tmp_path / f"t_{'_'.join(map(str, splits))}"))
+    lo = 0
+    for b, size in enumerate(splits):
+        batch = spark.createDataFrame(
+            trips[lo:lo + size], "route_id string, transport_type string")
+        tstore.update(batch, b)
+        lo += size
+    got_t = {(r["route_id"], r["transport_type"]): r["n"]
+             for r in tstore.frame().collect()}
+    want_t = {}
+    for rid, tt in trips:
+        want_t[(rid, tt)] = want_t.get((rid, tt), 0) + 1
+    assert got_t == want_t
+
+
 def test_incremental_store_replay_is_idempotent(spark, tmp_path):
     """foreachBatch can replay a batch after a crash; a replayed merge
     must be a no-op (version keyed by batch id), or counts double."""
