@@ -132,6 +132,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # corpus-curation stages (sampling, normalization, PII,
         # benchmark decontamination) — all value-exact oracles
         "sample_deterministic": _cur.sample_deterministic,
+        # reproducible global training-order permutation (seeded
+        # content-addressed keys; per-shard independent sort)
+        "global_shuffle": _cur.global_shuffle,
         "train_val_test_split": _cur.train_val_test_split,
         "normalize_text": _cur.normalize_text,
         "pii_scrub": _cur.pii_scrub,

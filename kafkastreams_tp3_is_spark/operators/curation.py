@@ -38,6 +38,40 @@ def sample_deterministic(spark: SparkSession, sf_dir: str,
                         "n_chars"))
 
 
+# --- deterministic global shuffle --------------------------------------
+
+def global_shuffle(spark: SparkSession, sf_dir: str, seed: str = "s0",
+                   n_shards: int = 16) -> DataFrame:
+    """Reproducible global training-order permutation: every document gets
+    a content-addressed sort key (md5 of seed:doc_id), a shard
+    (key mod n_shards) and a position within its shard (rank by key). Two
+    runs — on any cluster size, in any engine — produce the identical
+    order; changing ``seed`` gives an independent permutation (the
+    epoch-reshuffle knob of a training pipeline).
+
+    Scale: one hash shuffle on shard + an independent per-shard sort —
+    the standard distributed permutation (no global sort, no
+    single-partition bottleneck; shard count scales with the cluster).
+    The key is md5-derived specifically so the DuckDB oracle states the
+    bit-identical arithmetic (('0x'||substring(md5(..)))::BIGINT ==
+    conv(substring(md5(..)),16,10))."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    key = F.conv(F.substring(
+        F.md5(F.concat(F.lit(seed), F.lit(":"),
+                       F.col("doc_id").cast("string"))), 1, 15),
+        16, 10).cast("long")
+    with_key = docs.select("doc_id", key.alias("shuffle_key"))
+    shard = F.pmod(F.col("shuffle_key"), F.lit(n_shards)).cast("int")
+    w = (Window.partitionBy("shard")
+         .orderBy("shuffle_key", "doc_id"))
+    return (with_key.withColumn("shard", shard)
+            .withColumn("pos_in_shard",
+                        (F.row_number().over(w) - 1).cast("long"))
+            .select("doc_id", "shard", "pos_in_shard", "shuffle_key"))
+
+
 # --- normalization -----------------------------------------------------
 
 def normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -579,6 +579,25 @@ FROM documents
 WHERE SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
 """
 
+# Deterministic global shuffle: the md5-derived 60-bit key is computed
+# bit-identically in both engines; shard = key mod 16 (key non-negative,
+# so % == pmod), position = rank by (key, doc_id) within the shard.
+ORACLES["global_shuffle"] = """
+WITH k AS (
+  SELECT doc_id,
+         ('0x' || substring(md5('s0:' || CAST(doc_id AS VARCHAR)), 1, 15))
+           ::BIGINT AS shuffle_key
+  FROM documents
+)
+SELECT doc_id,
+       CAST(shuffle_key % 16 AS INTEGER) AS shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shuffle_key % 16
+                               ORDER BY shuffle_key, doc_id) - 1 AS BIGINT)
+         AS pos_in_shard,
+       shuffle_key
+FROM k
+"""
+
 ORACLES["train_val_test_split"] = """
 SELECT doc_id, SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS split_key,
        CASE WHEN SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'train'

@@ -31,7 +31,7 @@ from pyspark.sql import functions as F  # noqa: E402
 from kafkastreams_tp3_is_spark.operators.curation import (  # noqa: E402
     decontaminate_df)
 from kafkastreams_tp3_is_spark.operators.dedup import (  # noqa: E402
-    dedup_minhash_lsh_df, dedup_simhash_df)
+    dedup_minhash_lsh_df, dedup_simhash_df, repeated_spans_df)
 from kafkastreams_tp3_is_spark.operators.graph import (  # noqa: E402
     duplicate_clusters_lsh_df)
 from kafkastreams_tp3_is_spark.session import get_spark  # noqa: E402
@@ -66,9 +66,16 @@ def _decontaminate(docs):
 
 
 def timed(fn, df) -> tuple[float, int]:
+    # bit_xor over every output column, like bench.py force_full_eval: a
+    # bare count() lets Catalyst PRUNE work whose output cardinality is
+    # derivable without running it (e.g. repeated_spans' left join to a
+    # distinct-keyed aggregate is eliminated entirely, timing only the
+    # scan)
     t0 = time.perf_counter()
     out = fn(df)
-    row = out.agg(F.count(F.lit(1)).alias("n")).collect()[0]
+    row = out.agg(
+        F.bit_xor(F.xxhash64(*[F.col(c) for c in out.columns])).alias("x"),
+        F.count(F.lit(1)).alias("n")).collect()[0]
     return round(time.perf_counter() - t0, 2), row["n"]
 
 
@@ -80,7 +87,10 @@ def main() -> None:
     ops = [("dedup_minhash_lsh", dedup_minhash_lsh_df),
            ("dedup_simhash", dedup_simhash_df),
            ("duplicate_clusters_lsh", duplicate_clusters_lsh_df),
-           ("decontaminate", _decontaminate)]
+           ("decontaminate", _decontaminate),
+           # hash-grouped span inventory: shuffle volume is linear in
+           # positions, so the 10x ratio should stay near-linear
+           ("repeated_spans", repeated_spans_df)]
     for name, fn in ops:
         d1 = scaled_docs(spark, sf_dir, 1)
         timed(fn, d1)                       # untimed warmup: codegen/JIT

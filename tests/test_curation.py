@@ -161,3 +161,36 @@ def test_mix_temperature_flattens_and_is_deterministic(spark):
             if n_docs[a] >= 4 * n_docs[b]:
                 assert quotas[a] <= quotas[b] * math.sqrt(
                     n_docs[a] / n_docs[b]) + 1
+
+
+def test_global_shuffle_is_a_deterministic_permutation(spark):
+    """(shard, pos_in_shard) must be a bijection over the corpus —
+    positions within each shard are exactly 0..len(shard)-1 — identical
+    across runs, and a different seed must give a genuinely different
+    order while remaining a bijection."""
+    from kafkastreams_tp3_is_spark.operators.curation import global_shuffle
+
+    out1 = global_shuffle(spark, SF_DIR, seed="s0").collect()
+    out2 = global_shuffle(spark, SF_DIR, seed="s0").collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+
+    n_docs = load(spark, SF_DIR, "documents").count()
+    assert len(out1) == n_docs
+    by_shard: dict[int, list[int]] = {}
+    for r in out1:
+        by_shard.setdefault(r["shard"], []).append(r["pos_in_shard"])
+    assert sum(len(v) for v in by_shard.values()) == n_docs
+    for shard, positions in by_shard.items():
+        assert sorted(positions) == list(range(len(positions))), shard
+    # no pathological skew: 500 docs over 16 shards, each shard nonempty
+    # and no shard hoards more than 3x the mean
+    assert len(by_shard) == 16
+    assert max(len(v) for v in by_shard.values()) <= 3 * n_docs / 16
+
+    other = global_shuffle(spark, SF_DIR, seed="s1").collect()
+    order_a = [r["doc_id"] for r in sorted(
+        out1, key=lambda r: (r["shard"], r["pos_in_shard"]))]
+    order_b = [r["doc_id"] for r in sorted(
+        other, key=lambda r: (r["shard"], r["pos_in_shard"]))]
+    assert order_a != order_b, "seed must change the permutation"
+    assert sorted(order_a) == sorted(order_b)
