@@ -489,6 +489,62 @@ def test_incremental_stores_are_split_invariant(spark, tmp_path, splits):
     assert got_t == want_t
 
 
+def test_incremental_harness_resumes_from_disk_state(spark, tmp_path):
+    """Kill-and-resume for the partial-aggregate path: run the topology
+    over half the input files, then start a FRESH harness (new object,
+    same workdir/checkpoint) after the rest arrive. The stores must
+    adopt the on-disk versions and the checkpoint must replay only the
+    unseen files — final state equals the batch answer; reprocessing
+    would double-count, dropping state would under-count."""
+    import shutil
+
+    from kafkastreams_tp3_is_spark.streaming.partial_agg import (
+        FINALIZE, IncrementalAggHarness)
+    from kafkastreams_tp3_is_spark.views import routes as batch_routes
+    from kafkastreams_tp3_is_spark.views import trips as batch_trips
+
+    staging = tmp_path / "stage"
+    for t, df in (("orders", spark.read.parquet(f"{SF_DIR}/orders.parquet")),
+                  ("lineitem",
+                   spark.read.parquet(f"{SF_DIR}/lineitem.parquet"))):
+        df.repartition(4).write.parquet(str(staging / t))
+    srcs = {}
+    for t in ("orders", "lineitem"):
+        src = tmp_path / f"src_{t}"
+        src.mkdir()
+        srcs[t] = sorted(p for p in (staging / t).iterdir()
+                         if p.name.startswith("part-"))
+        for p in srcs[t][:2]:
+            shutil.copy(p, src / p.name)
+
+    work = str(tmp_path / "work")
+    sink = MemoryUpsertSink(["route_id"])
+    sink8 = MemoryUpsertSink([])
+
+    def run_once():
+        routes_s = route_file_stream(spark, str(tmp_path / "src_orders"))
+        trips_s = trip_file_stream(spark, str(tmp_path / "src_lineitem"))
+        IncrementalAggHarness(spark, work).run_many(
+            routes_s, trips_s,
+            {"q4": (FINALIZE["q4"], sink), "q8": (FINALIZE["q8"], sink8)})
+
+    run_once()
+    partial = {d["route_id"]: d["occupancyPercentage"] for d in sink.rows()}
+
+    for t in ("orders", "lineitem"):
+        for p in srcs[t][2:]:
+            shutil.copy(p, tmp_path / f"src_{t}" / p.name)
+    run_once()
+
+    want = {r["route_id"]: r["occupancyPercentage"]
+            for r in q.q4_occupancy_per_route(spark, SF_DIR).collect()}
+    got = {d["route_id"]: d["occupancyPercentage"] for d in sink.rows()}
+    assert got == want
+    assert partial != want, "first run must have been genuinely partial"
+    want8 = q.q8_total_occupancy_percentage(spark, SF_DIR).collect()[0][0]
+    assert sink8.rows()[0]["totalOccupancyPercentage"] == want8
+
+
 def test_incremental_store_replay_is_idempotent(spark, tmp_path):
     """foreachBatch can replay a batch after a crash; a replayed merge
     must be a no-op (version keyed by batch id), or counts double."""
