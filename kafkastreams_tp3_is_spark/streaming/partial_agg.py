@@ -78,11 +78,19 @@ class KeyedAggStore:
         self.merge_exprs = merge_exprs
         self._template: DataFrame | None = None
         # resume support: adopt the newest existing version (parquet state
-        # outlives the harness object, like RecomputeHarness's acc dirs)
-        self.version = max(
-            (int(d[1:]) for d in os.listdir(path)
-             if d.startswith("b") and d[1:].isdigit()),
-            default=-1) if os.path.isdir(path) else -1
+        # outlives the harness object, like RecomputeHarness's acc dirs).
+        # NOTE the store is coupled to its streaming checkpoint: batch ids
+        # must keep increasing across restarts, so reuse workdir and
+        # checkpoint together or clear both.
+        versions = sorted(
+            int(d[1:]) for d in os.listdir(path)
+            if d.startswith("b") and d[1:].isdigit()) if os.path.isdir(
+            path) else []
+        self.version = versions[-1] if versions else -1
+        # a crash between the new-version write and the old-dir removal
+        # leaves stale versions behind; sweep everything below the newest
+        for v in versions[:-1]:
+            shutil.rmtree(self._vdir(v), ignore_errors=True)
         self.rows_read_last_merge = 0
 
     def _vdir(self, v: int) -> str:
