@@ -327,12 +327,19 @@ def frame_kernel_stub(frame_bytes: int, n_frames: int):
 
 
 def frame_kernel_pyav(n_frames: int):
-    """Batch kernel: REAL container demux/decode via PyAV — decode the
-    video stream, keep ``n_frames`` evenly spaced frames (src_frame =
-    floor(j*total/k) over the decoded frame count), hash the raw RGB
-    plane. Same sampling arithmetic as the stub, real decode in the
-    middle; undecodable payloads contribute no rows (countable via an
-    anti-join on media_id)."""
+    """Batch kernel: REAL container demux/decode via PyAV — keep
+    ``n_frames`` evenly spaced frames (src_frame = floor(j*total/k) over
+    the decoded frame count), hash the raw RGB plane. Same sampling
+    arithmetic as the stub, real decode in the middle; undecodable
+    payloads contribute no rows (countable via an anti-join on media_id).
+
+    TWO-PASS decode: pass 1 counts frames (dropping each immediately),
+    pass 2 re-opens the in-memory container and keeps only the sampled
+    indices — memory stays O(n_frames) per row where materializing the
+    decoded stream (a 10-min clip is ~18k multi-MB RGB frames) would OOM
+    the Python worker. Decoding twice is the price of even spacing over
+    an unknown frame count without an index; containers with reliable
+    stream metadata could skip pass 1."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hl
@@ -345,23 +352,31 @@ def frame_kernel_pyav(n_frames: int):
             for media_id, payload in zip(pdf["media_id"], pdf["content"]):
                 try:
                     with av.open(BytesIO(payload or b"")) as container:
-                        frames = list(container.decode(video=0))
+                        total = sum(1 for _ in container.decode(video=0))
                 except Exception:
                     continue
-                total = len(frames)
                 if total == 0:
                     continue
                 k = min(n_frames, total)
-                for j in range(k):
-                    src = j * total // k
-                    fr = frames[src]
-                    ts_ms = int((fr.time or 0) * 1000)
-                    raw = bytes(fr.to_rgb().planes[0])
-                    rows.append((media_id, j, src, ts_ms,
-                                 _hl.sha256(raw).hexdigest()))
-            yield pd.DataFrame(rows, columns=[
+                wanted = {j * total // k: j for j in range(k)}
+                try:
+                    with av.open(BytesIO(payload or b"")) as container:
+                        for src, fr in enumerate(
+                                container.decode(video=0)):
+                            j = wanted.get(src)
+                            if j is None:
+                                continue
+                            ts_ms = int((fr.time or 0) * 1000)
+                            raw = bytes(fr.to_rgb().planes[0])
+                            rows.append((media_id, j, src, ts_ms,
+                                         _hl.sha256(raw).hexdigest()))
+                except Exception:
+                    continue
+            out = pd.DataFrame(rows, columns=[
                 "media_id", "frame_idx", "src_frame", "ts_ms",
                 "frame_sha256"])
+            yield out.sort_values(["media_id", "frame_idx"],
+                                  ignore_index=True)
 
     return run
 

@@ -77,8 +77,12 @@ class KeyedAggStore:
         self.partial_fn = partial_fn
         self.merge_exprs = merge_exprs
         self._template: DataFrame | None = None
-        # resume support: adopt the newest existing version (parquet state
-        # outlives the harness object, like RecomputeHarness's acc dirs).
+        # resume support: adopt the newest COMPLETE version — one whose
+        # write committed (_SUCCESS marker); a dir from a write killed
+        # mid-job must be ignored AND swept, otherwise adopting it would
+        # (a) serve partial state and (b) make the checkpoint's replay of
+        # that batch skip as "already durable". Parquet state outlives
+        # the harness object, like RecomputeHarness's acc dirs.
         # NOTE the store is coupled to its streaming checkpoint: batch ids
         # must keep increasing across restarts, so reuse workdir and
         # checkpoint together or clear both.
@@ -86,11 +90,15 @@ class KeyedAggStore:
             int(d[1:]) for d in os.listdir(path)
             if d.startswith("b") and d[1:].isdigit()) if os.path.isdir(
             path) else []
-        self.version = versions[-1] if versions else -1
-        # a crash between the new-version write and the old-dir removal
-        # leaves stale versions behind; sweep everything below the newest
-        for v in versions[:-1]:
-            shutil.rmtree(self._vdir(v), ignore_errors=True)
+        complete = [v for v in versions
+                    if os.path.exists(os.path.join(self._vdir(v),
+                                                   "_SUCCESS"))]
+        self.version = complete[-1] if complete else -1
+        # sweep every other version: older complete ones (superseded) and
+        # partial ones (crash debris)
+        for v in versions:
+            if v != self.version:
+                shutil.rmtree(self._vdir(v), ignore_errors=True)
         self.rows_read_last_merge = 0
 
     def _vdir(self, v: int) -> str:
@@ -119,21 +127,27 @@ class KeyedAggStore:
         self.rows_read_last_merge = 0
         if batch_id <= self.version:
             return  # replayed batch: merge already durable
-        if part.isEmpty():
-            return  # nothing from this source this trigger
-        cur = self.current()
-        if cur is None:
-            merged = part
-        else:
-            self.rows_read_last_merge = cur.count()
-            merged = (cur.unionByName(part)
-                         .groupBy(*self.key_cols)
-                         .agg(*self.merge_exprs()))
-        old = self._vdir(self.version) if self.version >= 0 else None
-        merged.write.mode("overwrite").parquet(self._vdir(batch_id))
-        self.version = batch_id
-        if old:
-            shutil.rmtree(old, ignore_errors=True)
+        # the aggregate-sized partial is consumed twice (emptiness probe +
+        # merge write); persist so the batch aggregation runs once
+        part = part.persist()
+        try:
+            if part.isEmpty():
+                return  # nothing from this source this trigger
+            cur = self.current()
+            if cur is None:
+                merged = part
+            else:
+                self.rows_read_last_merge = cur.count()
+                merged = (cur.unionByName(part)
+                             .groupBy(*self.key_cols)
+                             .agg(*self.merge_exprs()))
+            old = self._vdir(self.version) if self.version >= 0 else None
+            merged.write.mode("overwrite").parquet(self._vdir(batch_id))
+            self.version = batch_id
+            if old:
+                shutil.rmtree(old, ignore_errors=True)
+        finally:
+            part.unpersist()
 
 
 def route_agg_store(spark: SparkSession, path: str) -> KeyedAggStore:
@@ -207,16 +221,29 @@ def trip_window_type_store(spark: SparkSession, path: str) -> KeyedAggStore:
 
 # --- finalize: aggregate-sized stage 2, bit-identical to *_logic -------
 
+def _uses(*store_names: str):
+    """Declare which stores a finalize function reads, so run_many
+    maintains ONLY the stores its jobs need (a q4+q8 topology should not
+    pay the passenger/window store aggregations and rewrites each
+    trigger). Finalizers without the annotation get every store."""
+    def deco(fn):
+        fn.stores = frozenset(store_names)
+        return fn
+    return deco
+
+
 def _pax_per_route(aggs: dict[str, DataFrame]) -> DataFrame:
     return (aggs["trip_rt"].groupBy("route_id")
             .agg(F.sum("n").alias("passengerCount")))
 
 
+@_uses("route")
 def q1_final(aggs: dict[str, DataFrame]) -> DataFrame:
     return aggs["route"].select(
         "route_id", F.col("cap").alias("totalCapacity"))
 
 
+@_uses("trip_rt")
 def q2_final(aggs: dict[str, DataFrame]) -> DataFrame:
     # sum(n) == COUNT(*) per type; key count == COUNT(DISTINCT route_id)
     # per type (a route_id appears once per type it ever carried)
@@ -226,11 +253,13 @@ def q2_final(aggs: dict[str, DataFrame]) -> DataFrame:
                  .alias("averagePassengers")))
 
 
+@_uses("trip_pax")
 def q3_final(aggs: dict[str, DataFrame]) -> DataFrame:
     return (argmax(aggs["trip_pax"], "n", tiebreak_cols=["passenger_name"])
             .select(F.col("passenger_name").alias("passengerName")))
 
 
+@_uses("route", "trip_rt")
 def q4_final(aggs: dict[str, DataFrame]) -> DataFrame:
     cap = aggs["route"].select("route_id",
                                F.col("cap").alias("totalCapacity"))
@@ -240,10 +269,12 @@ def q4_final(aggs: dict[str, DataFrame]) -> DataFrame:
                        .alias(_OCC)))
 
 
+@_uses("trip_rt")
 def q5_final(aggs: dict[str, DataFrame]) -> DataFrame:
     return _pax_per_route(aggs)
 
 
+@_uses("route", "trip_rt")
 def q6_final(aggs: dict[str, DataFrame]) -> DataFrame:
     cap_dim = aggs["route"].select(
         "route_id", F.col("cap").alias("totalCapacity"), "transport_type")
@@ -257,10 +288,12 @@ def q6_final(aggs: dict[str, DataFrame]) -> DataFrame:
                     "occupancy"))
 
 
+@_uses("route")
 def q7_final(aggs: dict[str, DataFrame]) -> DataFrame:
     return aggs["route"].agg(F.sum("cap").alias("totalCapacity"))
 
 
+@_uses("route", "trip_rt")
 def q8_final(aggs: dict[str, DataFrame]) -> DataFrame:
     cap = aggs["route"].agg(F.sum("cap").alias("c"))
     pax = aggs["trip_rt"].agg(F.sum("n").alias("p"))
@@ -270,11 +303,13 @@ def q8_final(aggs: dict[str, DataFrame]) -> DataFrame:
                        .alias("totalOccupancyPercentage")))
 
 
+@_uses("trip_rt")
 def q9_final(aggs: dict[str, DataFrame]) -> DataFrame:
     return aggs["trip_rt"].agg(
         F.coalesce(F.sum("n"), F.lit(0)).alias("totalPassengers"))
 
 
+@_uses("trip_rt")
 def q10_final(aggs: dict[str, DataFrame]) -> DataFrame:
     counts = (aggs["trip_rt"].groupBy("transport_type")
               .agg(F.sum("n").alias("cnt")))
@@ -282,6 +317,7 @@ def q10_final(aggs: dict[str, DataFrame]) -> DataFrame:
             .select(F.col("transport_type").alias("transportType")))
 
 
+@_uses("trip_wt")
 def q11_final(aggs: dict[str, DataFrame]) -> DataFrame:
     counts = aggs["trip_wt"].select(
         "window_start", "transport_type", F.col("n").alias("maxPassengers"))
@@ -292,6 +328,7 @@ def q11_final(aggs: dict[str, DataFrame]) -> DataFrame:
                     "maxPassengers"))
 
 
+@_uses("route", "trip_wt")
 def q12_final(aggs: dict[str, DataFrame]) -> DataFrame:
     cap_per_type = (aggs["route"].groupBy("transport_type")
                     .agg(F.sum("cap").alias("cap")))
@@ -306,6 +343,7 @@ def q12_final(aggs: dict[str, DataFrame]) -> DataFrame:
                     "occupancy"))
 
 
+@_uses("route", "trip_rt")
 def q13_final(aggs: dict[str, DataFrame]) -> DataFrame:
     dim = aggs["route"].select("route_id", "operator", "cap")
     cap_per_op = dim.groupBy("operator").agg(F.sum("cap").alias("cap"))
@@ -371,7 +409,13 @@ class IncrementalAggHarness:
         maintained store set — the MainStreamApp all-queries-one-runtime
         shape with stage-1 state maintained ONCE, where the reference
         rebuilds the same per-route aggregates query by query (SURVEY
-        section 4 'Topology/plan reuse')."""
+        section 4 'Topology/plan reuse'). Only stores some job's finalize
+        declares (via ``_uses``) are maintained: a q4+q8 topology pays
+        neither the passenger- nor window-store aggregation/rewrite.
+        Undeclared finalizers conservatively require every store."""
+        needed = set()
+        for finalize, _ in jobs.values():
+            needed |= getattr(finalize, "stores", set(self.stores))
         self._schemas = {"routes": routes_stream.schema,
                         "trips": trips_stream.schema}
         tagged = (
@@ -395,13 +439,15 @@ class IncrementalAggHarness:
                         .select("r.*"))
                 self.fact_rows_per_trigger.append(
                     slices["routes"].count() + slices["trips"].count())
-                self.stores["route"].update(slices["routes"], batch_id)
-                self.stores["trip_rt"].update(slices["trips"], batch_id)
-                self.stores["trip_pax"].update(slices["trips"], batch_id)
-                self.stores["trip_wt"].update(slices["trips"], batch_id)
+                source_of = {"route": "routes", "trip_rt": "trips",
+                             "trip_pax": "trips", "trip_wt": "trips"}
+                for name in source_of:
+                    if name in needed:
+                        self.stores[name].update(
+                            slices[source_of[name]], batch_id)
                 self.agg_rows_read_per_trigger.append(sum(
-                    s.rows_read_last_merge for s in self.stores.values()))
-                aggs = {k: s.frame() for k, s in self.stores.items()}
+                    self.stores[n].rows_read_last_merge for n in needed))
+                aggs = {n: self.stores[n].frame() for n in needed}
                 for finalize, sink in jobs.values():
                     sink.process(finalize(aggs), batch_id)
             finally:

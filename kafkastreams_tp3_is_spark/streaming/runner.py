@@ -197,14 +197,19 @@ def q11_windowed_argmax_sink(
                                 watermark_delay_sec=watermark_delay_sec)
 
 
-def q12_windowed_argmin_sink(cap_per_type: dict) -> WindowedExtremumSink:
+def q12_windowed_argmin_sink(cap_per_type: dict,
+                             window_duration_sec: int | None = None,
+                             watermark_delay_sec: int = 0
+                             ) -> WindowedExtremumSink:
     """Q12 native-streaming stage 2: per-window transport type with MIN
     occupancy% = windowed count / all-time capacity per type * 100, with
     the reference's null/zero-capacity -> 0.0 guard
     (LeastOccupiedTransportTypeWindow.java:39-94). ``cap_per_type`` is the
     capacity dimension (transport-type domain, 5 entries — bounded), e.g.
     routes.groupBy(transport_type).sum(capacity) collected, or maintained
-    by a latest-per-key KTable stream at full fidelity."""
+    by a latest-per-key KTable stream at full fidelity. Pass the stream's
+    window duration / watermark delay to bound sink state to open
+    windows, same as the q11 factory."""
     def occupancy(contender, cnt):
         cap = cap_per_type.get(contender)
         if not cap:
@@ -212,7 +217,9 @@ def q12_windowed_argmin_sink(cap_per_type: dict) -> WindowedExtremumSink:
         return cnt / cap * 100
 
     return WindowedExtremumSink(mode="min", out_value="occupancy",
-                                score=occupancy)
+                                score=occupancy,
+                                window_duration_sec=window_duration_sec,
+                                watermark_delay_sec=watermark_delay_sec)
 
 
 def run_update_mode_agg(agg_df: DataFrame, sink, checkpoint_dir: str,

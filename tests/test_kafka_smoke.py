@@ -44,22 +44,33 @@ pytestmark = pytest.mark.skipif(
 
 @pytest.fixture(scope="module")
 def kafka_spark():
-    """Dedicated session with the Kafka connector on the classpath —
-    built fresh so spark.jars.packages can take effect (it is ignored on
-    an already-running JVM, hence not the shared conftest session)."""
+    """Session with the Kafka connector on the classpath.
+
+    spark.jars.packages only takes effect on a FRESH JVM, and stopping
+    another module's shared session to rebuild would leave the rest of a
+    combined suite running on a dead SparkContext — so when package
+    resolution is requested while a session is already active, SKIP with
+    instructions to run this module standalone instead of sabotaging the
+    suite. Without SPARK_GRAFT_KAFKA_PACKAGES the connector must already
+    be on the classpath and any session (existing or new) works."""
     from pyspark.sql import SparkSession
 
-    SparkSession.builder.getOrCreate().stop()
+    pkgs = os.environ.get("SPARK_GRAFT_KAFKA_PACKAGES")
+    active = SparkSession.getActiveSession()
+    if pkgs and active is not None:
+        pytest.skip(
+            "SPARK_GRAFT_KAFKA_PACKAGES needs a fresh JVM; run this "
+            "module standalone: python -m pytest tests/test_kafka_smoke.py")
     builder = (SparkSession.builder.master("local[4]")
                .appName("kafka-smoke")
                .config("spark.sql.shuffle.partitions", "4")
                .config("spark.sql.session.timeZone", "UTC"))
-    pkgs = os.environ.get("SPARK_GRAFT_KAFKA_PACKAGES")
     if pkgs:
         builder = builder.config("spark.jars.packages", pkgs)
     spark = builder.getOrCreate()
     yield spark
-    spark.stop()
+    if active is None:
+        spark.stop()
 
 
 def test_q5_consume_aggregate_emit_roundtrip(kafka_spark, tmp_path):

@@ -426,11 +426,17 @@ def test_incremental_harness_volume_is_batch_plus_aggregate(
     assert len(h.fact_rows_per_trigger) >= 4, "expected multiple triggers"
     assert sum(h.fact_rows_per_trigger) == n_orders + n_lineitem, \
         "each fact row must be aggregated exactly once across all triggers"
+    # only the stores these jobs' finalizers declare are maintained: the
+    # q2/q4/q8/q13 set needs route + trip_rt, so the passenger and
+    # window stores must never have been aggregated or written
+    assert h.stores["route"].version >= 0
+    assert h.stores["trip_rt"].version >= 0
+    assert h.stores["trip_pax"].version == -1
+    assert h.stores["trip_wt"].version == -1
     # merges only ever read the aggregate-sized stores (one row per key),
-    # never fact history. (At this tiny SF the sparse hourly-window store
-    # rivals the fact count; at scale stores shrink relative to facts —
-    # key cardinality grows sublinearly while history grows linearly.)
-    total_store_rows = sum(s.frame().count() for s in h.stores.values())
+    # never fact history
+    total_store_rows = sum(
+        h.stores[n].frame().count() for n in ("route", "trip_rt"))
     assert max(h.agg_rows_read_per_trigger) <= total_store_rows
 
 
@@ -487,6 +493,40 @@ def test_incremental_stores_are_split_invariant(spark, tmp_path, splits):
     for rid, tt in trips:
         want_t[(rid, tt)] = want_t.get((rid, tt), 0) + 1
     assert got_t == want_t
+
+
+def test_incremental_store_ignores_and_sweeps_partial_writes(
+        spark, tmp_path):
+    """A version directory from a write killed mid-job (no _SUCCESS
+    marker) must be neither adopted (it holds partial state, and its
+    batch id would make the checkpoint replay skip as already-durable)
+    nor left on disk. Discovery falls back to the newest COMPLETE
+    version and sweeps the debris."""
+    import os
+
+    from kafkastreams_tp3_is_spark.streaming.partial_agg import (
+        trip_route_type_store)
+
+    trips = spark.createDataFrame(
+        [("R1", "Bus"), ("R2", "Taxi")],
+        "route_id string, transport_type string")
+    path = tmp_path / "s"
+    store = trip_route_type_store(spark, str(path))
+    store.update(trips, 0)
+    assert os.path.exists(path / "b0" / "_SUCCESS")
+    # fabricate crash debris: a newer version dir with no commit marker
+    (path / "b7").mkdir()
+    (path / "b7" / "part-00000.parquet").write_bytes(b"partial garbage")
+
+    store2 = trip_route_type_store(spark, str(path))
+    assert store2.version == 0, "must adopt the newest COMPLETE version"
+    assert not (path / "b7").exists(), "crash debris must be swept"
+    got = {(r["route_id"], r["transport_type"]): r["n"]
+           for r in store2.frame().collect()}
+    assert got == {("R1", "Bus"): 1, ("R2", "Taxi"): 1}
+    # the batch the debris came from replays normally afterwards
+    store2.update(trips, 7)
+    assert store2.version == 7
 
 
 def test_incremental_harness_resumes_from_disk_state(spark, tmp_path):
