@@ -50,6 +50,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_resize": _mm.media_resize,
         "multimodal_frame_sample": _mm.media_frame_sample,
         "corpus_clean": _pipe.corpus_clean,
+        # new this round, so also front-loaded: per-source rate sampling
+        # (zero-shuffle) and overlapping-window document chunking — both
+        # full hash gates
+        "stratified_sample": _cur.stratified_sample,
+        "doc_chunk": _cur.doc_chunk,
         "q1_available_seats_per_route": _q.q1_available_seats_per_route,
         "q2_average_passengers_per_transport_type": _q.q2_average_passengers_per_transport_type,
         # Q2's 100 TB form: HLL sketch distinct (rows-only; error bound

@@ -38,6 +38,84 @@ def sample_deterministic(spark: SparkSession, sf_dir: str,
                         "n_chars"))
 
 
+# --- stratified per-source sampling ------------------------------------
+
+def stratified_sample(spark: SparkSession, sf_dir: str,
+                      fractions: dict[str, float] | None = None,
+                      default_fraction: float = 0.10) -> DataFrame:
+    """Per-stratum content-addressed sampling: each source keeps its own
+    fraction of documents (e.g. downsample 'web' to 5% while keeping
+    'books' at 50%), decided by whether the first 4 hex chars of
+    md5(doc_id) fall below floor(fraction * 65536). Membership is a pure
+    function of (doc_id, its source's fraction): stable across runs,
+    engines, and corpus growth — the per-domain rebalancing knob of a
+    data-mixing recipe, complementing mix_by_source (absolute quota,
+    needs a rank shuffle) with a rate (no shuffle at all).
+
+    Cutoffs are integer-exact (floor of fraction*65536, compared against
+    the hex-decoded 16-bit prefix), so no float threshold can round
+    differently across engines.
+
+    Scale: a scalar predicate on md5 — fully pushed into the scan, zero
+    shuffle, zero state; skew-immune because no grouping happens."""
+    fractions = fractions if fractions is not None else {
+        "web": 0.05, "news": 0.20, "books": 0.50}
+    docs = load(spark, sf_dir, "documents")
+    key16 = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4),
+                   16, 10).cast("long")
+    cutoff = F.lit(int(default_fraction * 65536))
+    for src, frac in sorted(fractions.items()):
+        cutoff = F.when(F.col("source") == src,
+                        F.lit(int(frac * 65536))).otherwise(cutoff)
+    return (docs.select("doc_id", "source", "lang", "n_chars",
+                        key16.alias("sample_key16"),
+                        cutoff.cast("long").alias("stratum_cutoff"))
+            .where(F.col("sample_key16") < F.col("stratum_cutoff")))
+
+
+# --- document chunking --------------------------------------------------
+
+def doc_chunk(spark: SparkSession, sf_dir: str, chunk_chars: int = 600,
+              overlap: int = 100) -> DataFrame:
+    """Split every document into fixed-size overlapping windows — the
+    context-window preprocessing step for training/embedding pipelines.
+    Stride is chunk_chars - overlap; every chunk except the last has
+    exactly chunk_chars characters, the last covers the tail (length in
+    (overlap, chunk_chars] for multi-chunk docs), and a document shorter
+    than one chunk yields a single chunk of itself. The chunk count is
+    computed with pure integer arithmetic (1 + ceil_div(n - chunk,
+    stride)), so both engines agree at every boundary.
+
+    Scale: sequence+posexplode is a narrow per-row generator — no
+    shuffle, no state, output rows ∝ input chars / stride. On a real
+    cluster the explode stays inside the scan stage's codegen, and
+    chunk_text is sliced from the already-loaded text column (no
+    re-read amplification)."""
+    if overlap >= chunk_chars:
+        raise ValueError("overlap must be smaller than chunk_chars")
+    stride = chunk_chars - overlap
+    docs = load(spark, sf_dir, "documents")
+    n = F.length("text")
+    # ceil_div via floor((x + stride - 1) / stride): exact in double for
+    # any realistic document length (< 2^52 chars)
+    num = F.when(n <= chunk_chars, F.lit(1).cast("long")).otherwise(
+        F.lit(1) + F.floor((n - chunk_chars + stride - 1) / stride)
+                     .cast("long"))
+    start = (F.col("chunk_index") * stride).cast("long")
+    return (docs
+            .select("doc_id", "text",
+                    F.posexplode(F.sequence(F.lit(0).cast("long"),
+                                            num - 1))
+                     .alias("chunk_index", "_i"))
+            .select("doc_id",
+                    F.col("chunk_index").cast("bigint").alias("chunk_index"),
+                    start.alias("chunk_start"),
+                    F.substring(F.col("text"), (start + 1).cast("int"),
+                                chunk_chars).alias("chunk_text"))
+            .withColumn("chunk_len",
+                        F.length("chunk_text").cast("bigint")))
+
+
 # --- deterministic global shuffle --------------------------------------
 
 def global_shuffle(spark: SparkSession, sf_dir: str, seed: str = "s0",

@@ -994,3 +994,41 @@ SELECT 'ALL' AS transport_type, TIMESTAMP '1970-01-01 00:00:00' AS day,
        TIMESTAMP '1970-01-01 00:00:00' AS hour, 7 AS level, COUNT(*) AS cnt
 FROM base
 """
+
+# Stratified per-source sampling: cutoff table restated as a CASE; the
+# 16-bit hex prefix decodes identically via '0x'||hex cast.
+ORACLES["stratified_sample"] = """
+WITH k AS (
+  SELECT doc_id, source, lang, n_chars,
+         ('0x' || SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+           AS sample_key16,
+         CAST(CASE source WHEN 'web' THEN 3276
+                          WHEN 'news' THEN 13107
+                          WHEN 'books' THEN 32768
+                          ELSE 6553 END AS BIGINT) AS stratum_cutoff
+  FROM documents
+)
+SELECT doc_id, source, lang, n_chars, sample_key16, stratum_cutoff
+FROM k WHERE sample_key16 < stratum_cutoff
+"""
+
+# Document chunking: chunk count by integer ceil-div, starts on a stride
+# grid, text sliced with 1-based substring in both engines.
+ORACLES["doc_chunk"] = """
+WITH p AS (
+  SELECT doc_id, text,
+         CASE WHEN length(text) <= 600 THEN CAST(1 AS BIGINT)
+              ELSE 1 + (length(text) - 600 + 499) // 500 END AS num
+  FROM documents
+),
+e AS (
+  SELECT doc_id, text, unnest(range(0, num)) AS chunk_index FROM p
+)
+SELECT doc_id, CAST(chunk_index AS BIGINT) AS chunk_index,
+       CAST(chunk_index * 500 AS BIGINT) AS chunk_start,
+       SUBSTRING(text, CAST(chunk_index * 500 + 1 AS INTEGER), 600)
+         AS chunk_text,
+       CAST(length(SUBSTRING(text, CAST(chunk_index * 500 + 1 AS INTEGER),
+                             600)) AS BIGINT) AS chunk_len
+FROM e
+"""

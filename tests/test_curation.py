@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import sys
 
+import pytest
 from pyspark.sql import functions as F
 
 sys.path.insert(0, "/root/repo")
@@ -194,3 +195,86 @@ def test_global_shuffle_is_a_deterministic_permutation(spark):
         other, key=lambda r: (r["shard"], r["pos_in_shard"]))]
     assert order_a != order_b, "seed must change the permutation"
     assert sorted(order_a) == sorted(order_b)
+
+
+def test_doc_chunk_covers_text_exactly(spark):
+    """Chunks must tile each document: chunk 0 starts at 0, consecutive
+    starts differ by the stride, every chunk except the last is full
+    width, the last reaches exactly the end of the text, and
+    concatenating the non-overlapped prefixes reconstructs the text."""
+    from kafkastreams_tp3_is_spark.operators.curation import doc_chunk
+
+    docs = {r["doc_id"]: r["text"]
+            for r in load(spark, SF_DIR, "documents").collect()}
+    rows = doc_chunk(spark, SF_DIR, chunk_chars=600, overlap=100).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(docs)
+    stride = 500
+    for doc_id, chunks in by_doc.items():
+        text = docs[doc_id]
+        n = len(text)
+        chunks.sort(key=lambda r: r["chunk_index"])
+        assert [c["chunk_index"] for c in chunks] == list(range(len(chunks)))
+        for c in chunks:
+            assert c["chunk_start"] == c["chunk_index"] * stride
+            assert c["chunk_text"] == text[c["chunk_start"]:
+                                           c["chunk_start"] + 600]
+            assert c["chunk_len"] == len(c["chunk_text"])
+        last = chunks[-1]
+        if n <= 600:
+            assert len(chunks) == 1 and last["chunk_text"] == text
+        else:
+            # full-width everywhere but the tail; tail lands exactly on n
+            for c in chunks[:-1]:
+                assert c["chunk_len"] == 600
+            assert last["chunk_start"] + last["chunk_len"] == n
+            assert 100 < last["chunk_len"] <= 600
+        # stitching the stride-prefixes of each chunk + the tail of the
+        # last reproduces the document
+        rebuilt = "".join(c["chunk_text"][:stride] for c in chunks[:-1])
+        rebuilt += last["chunk_text"]
+        assert rebuilt == text
+
+
+def test_doc_chunk_rejects_degenerate_overlap(spark):
+    from kafkastreams_tp3_is_spark.operators.curation import doc_chunk
+
+    with pytest.raises(ValueError):
+        doc_chunk(spark, SF_DIR, chunk_chars=100, overlap=100)
+
+
+def test_stratified_sample_rates_and_stability(spark):
+    """Per-source keep-rates track the configured fractions, membership
+    is a pure function of doc_id (subset-stable when fractions shrink),
+    and the plan is shuffle-free (pure filter over the scan)."""
+    from kafkastreams_tp3_is_spark.operators.curation import (
+        stratified_sample)
+
+    docs = load(spark, SF_DIR, "documents")
+    totals = {r["source"]: r["cnt"] for r in
+              docs.groupBy("source").agg(F.count(F.lit(1)).alias("cnt"))
+              .collect()}
+    out = stratified_sample(spark, SF_DIR).collect()
+    kept: dict[str, int] = {}
+    for r in out:
+        kept[r["source"]] = kept.get(r["source"], 0) + 1
+    fracs = {"web": 0.05, "news": 0.20, "books": 0.50}
+    for src, total in totals.items():
+        frac = fracs.get(src, 0.10)
+        # binomial-ish tolerance at small strata: +-4 sqrt(n p (1-p)) + 2
+        tol = 4 * (total * frac * (1 - frac)) ** 0.5 + 2
+        assert abs(kept.get(src, 0) - frac * total) <= tol, src
+
+    # halving a fraction must select a SUBSET (content-addressed keys)
+    half = stratified_sample(
+        spark, SF_DIR, fractions={"web": 0.05, "news": 0.10, "books": 0.25})
+    ids_half = {r["doc_id"] for r in half.collect()}
+    ids_full = {r["doc_id"] for r in out}
+    assert ids_half <= ids_full
+
+    # shuffle-free: no Exchange in the physical plan
+    plan = stratified_sample(spark, SF_DIR)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
