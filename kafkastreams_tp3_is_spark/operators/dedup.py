@@ -482,7 +482,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str,
 # --- cross-document repeated spans -------------------------------------
 
 def repeated_spans_df(docs: DataFrame, span_len: int = 30,
-                      min_docs: int = 2) -> DataFrame:
+                      min_docs: int = 2,
+                      broadcast_max_rep: int = 4_000_000) -> DataFrame:
     """Per-document repeated-substring coverage — the distributed signal
     behind exact-substring train-set dedup (Lee et al., ACL'22
     "Deduplicating Training Data Makes Language Models Better" — public
@@ -497,43 +498,120 @@ def repeated_spans_df(docs: DataFrame, span_len: int = 30,
     intervals / doc length — the "how much of this doc exists elsewhere"
     ratio a curation pass thresholds on).
 
-    Scale: positions explode the text ~L-fold, but each gram immediately
-    becomes a 64-bit xxhash64 long in the same projection — the shuffle
-    carries (doc_id, pos, long), never substrings (xxhash64 is fine here,
-    unlike simhash, because the hash never reaches the output: the gate
-    compares per-doc counts/coverage only). Repeated-gram detection is
-    one map-side-combined agg on the hash; the coverage union is a
-    per-doc sorted window scan (one shuffle on doc_id). Collisions are
+    Scale: every position becomes a 64-bit gram hash, so the shuffle
+    carries (doc_id, pos, long), never substrings. The hashes come from
+    an Arrow-batched rolling-hash kernel (mapInPandas), not per-position
+    JVM substring hashing: UTF8String.substr is O(pos) per call (UTF-8 is
+    variable-width, so char indexing scans from the start), which makes
+    the expression form O(chars x L + positions x pos) per document —
+    measured 1.5-2.2 s at sf0.1 vs ~0.4 s for the kernel. The kernel
+    decodes each text once to a UTF-32 array (O(1) char indexing, exact
+    character positions for any input, not just ASCII) and computes all
+    gram hashes in O(chars) total via a prefix-sum polynomial rolling
+    hash in wrapping uint64 (multiplier odd -> invertible mod 2^64; the
+    hash of a gram depends only on its L characters, so equal grams hash
+    equal across documents). The hash never reaches the output — the
+    gate compares per-doc counts/coverage only, and the DuckDB oracle
+    groups raw grams, so a collision (~positions^2/2^65) would fail the
+    gate loudly. Repeated-gram detection is one map-side-combined agg on
+    the hash (min!=max doc_id for the min_docs=2 default — combinable,
+    single-exchange — count_distinct above that); the coverage union is
+    a per-doc sorted window scan (one shuffle on doc_id).
+
+    The repeated-hash set is usually tiny relative to the position
+    inventory (boilerplate vocabulary vs every position of every doc), so
+    it is measured and broadcast under ``broadcast_max_rep`` hashes
+    (~32 MB of longs at the default) — the full L-fold position explosion
+    then never shuffles on ``h`` at all (map-side broadcast join inside
+    the scan stage); only surviving repeated positions reach the window's
+    doc_id exchange. Above the cap it falls back to a hash-partitioned
+    shuffle join on the 8-byte key, which scales to arbitrarily
+    boilerplate-heavy corpora (decontaminate's measured-broadcast
+    contract). Collisions are
     ~(n_grams^2)/2^65, and the DuckDB oracle groups RAW grams, so the
     driver gate itself would catch one (hash-grouping is the scale path,
     exact-gram grouping the verification path)."""
     from pyspark.sql import Window
 
     L = span_len
-    n = F.length("text")
-    pos_ok = docs.where(n >= L)
-    gram_hashes = F.transform(
-        F.sequence(F.lit(1), n - (L - 1)),
-        lambda i: F.xxhash64(F.col("text").substr(i, F.lit(L))))
-    # repeated-gram detection: array_distinct is row-local, so exploding
-    # distinct-per-doc hashes makes a PLAIN count equal the distinct-doc
-    # count — one map-side-combined exchange instead of count_distinct's
-    # two-stage (h, doc_id) -> (h) shuffle pair over the full explosion.
-    # The hash arrays are persisted because BOTH branches (rep detection,
-    # position inventory) consume them — without the barrier the L-fold
-    # substring+hash pass runs twice. Caller releases via cache.release.
+
+    def gram_hash_kernel(batches):
+        # Self-contained closure: executors must not need the package
+        # importable (mapInPandas pickles by reference at module level).
+        import numpy as np
+
+        import pandas as pd
+
+        MASK = (1 << 64) - 1
+        B = 0x9E3779B97F4A7C15                      # odd -> invertible
+        binv = B
+        for _ in range(6):                          # Newton mod 2^64
+            binv = (binv * (2 - B * binv)) & MASK
+        Bu, BinvU = np.uint64(B), np.uint64(binv)
+        pow_cache: dict = {}
+
+        def pows(base, upto):
+            # wrapping powers base^0..base^(upto-1); grown cache per base
+            cached = pow_cache.get(base)
+            if cached is None or len(cached) < upto:
+                size = max(upto, 2 * len(cached) if cached is not None
+                           else upto)
+                p = np.empty(size, dtype=np.uint64)
+                p[0] = 1
+                if size > 1:
+                    np.cumprod(np.full(size - 1, base, dtype=np.uint64),
+                               out=p[1:])
+                pow_cache[base] = cached = p
+            return cached[:upto]
+
+        for pdf in batches:
+            out_ids, out_pos, out_h = [], [], []
+            for doc_id, text in zip(pdf["doc_id"].values,
+                                    pdf["text"].values):
+                c = np.frombuffer(text.encode("utf-32-le"),
+                                  dtype=np.uint32).astype(np.uint64)
+                nch = len(c)
+                if nch < L:
+                    continue
+                ip = pows(BinvU, nch)               # Binv^j, j in [0, n)
+                P = np.zeros(nch + 1, dtype=np.uint64)
+                np.cumsum(c * ip, out=P[1:])
+                bp = pows(Bu, nch + L)              # B^j
+                i = np.arange(nch - L + 1)
+                h = (P[L:] - P[:nch - L + 1]) * bp[i + L - 1]
+                out_ids.append(np.full(len(i), doc_id, dtype=np.int64))
+                out_pos.append((i + 1).astype(np.int64))
+                out_h.append(h.view(np.int64))
+            if out_ids:
+                yield pd.DataFrame({
+                    "doc_id": np.concatenate(out_ids),
+                    "pos": np.concatenate(out_pos),
+                    "h": np.concatenate(out_h)})
+
+    # The hash rows are persisted because BOTH branches (rep detection,
+    # position inventory) consume them — without the barrier the whole
+    # kernel pass runs twice. Caller releases via cache.release.
     from pyspark import StorageLevel
-    hashed_arr = (pos_ok.select("doc_id", gram_hashes.alias("hs"))
-                  .persist(StorageLevel.MEMORY_AND_DISK))
-    rep = (hashed_arr
-           .select(F.explode(F.array_distinct("hs")).alias("h"))
-           .groupBy("h").agg(F.count(F.lit(1)).alias("nd"))
-           .where(F.col("nd") >= min_docs)
-           .select("h"))
-    hashed = (hashed_arr
-              .select("doc_id", F.posexplode("hs").alias("p0", "h"))
-              .select("doc_id", (F.col("p0") + 1).alias("pos"), "h"))
-    rep_pos = hashed.join(rep, "h").select("doc_id", "pos")
+    n = F.length("text")
+    # spread the corpus over the cluster BEFORE the kernel: a small
+    # input-file count would otherwise serialize the Python stage
+    n_part = docs.sparkSession.sparkContext.defaultParallelism
+    pos_ok = (docs.where(n >= L).select("doc_id", "text")
+              .repartition(n_part, "doc_id"))
+    hashed = (pos_ok.mapInPandas(gram_hash_kernel,
+                                 "doc_id long, pos long, h long")
+              .persist(StorageLevel.MEMORY_AND_DISK))
+    grouped = hashed.groupBy("h")
+    if min_docs == 2:
+        rep = (grouped.agg(F.min("doc_id").alias("mn"),
+                           F.max("doc_id").alias("mx"))
+               .where(F.col("mn") != F.col("mx")).select("h"))
+    else:
+        rep = (grouped.agg(F.count_distinct("doc_id").alias("nd"))
+               .where(F.col("nd") >= min_docs).select("h"))
+    rep = rep.persist(StorageLevel.MEMORY_AND_DISK)
+    build = rep if rep.count() > broadcast_max_rep else F.broadcast(rep)
+    rep_pos = hashed.join(build, "h").select("doc_id", "pos")
     w = (Window.partitionBy("doc_id").orderBy("pos")
          .rowsBetween(Window.unboundedPreceding, -1))
     covered = (rep_pos
@@ -558,7 +636,7 @@ def repeated_spans_df(docs: DataFrame, span_len: int = 30,
                 .otherwise(F.coalesce("dup_chars", F.lit(0)).cast("double")
                            / nc.cast("double"))
                 .alias("dup_char_fraction")))
-    return owned(out, hashed_arr)
+    return owned(out, hashed, rep)
 
 
 def repeated_spans(spark: SparkSession, sf_dir: str, span_len: int = 30,

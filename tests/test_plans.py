@@ -166,7 +166,11 @@ def test_repeated_spans_shares_one_hash_pass_and_shuffles_longs(spark):
     try:
         plan = _plan(spark, df)
         assert plan.count("InMemoryTableScan") >= 2, \
-            "both branches must reuse the persisted hash arrays"
+            "both branches must reuse the persisted hash rows"
+        # the position inventory joins the measured-and-small repeated-hash
+        # set map-side: the full explosion must NOT shuffle on h
+        assert "BroadcastHashJoin" in plan, \
+            "repeated-hash set should broadcast at gate scale"
         # every exchange partitions on doc_id or the gram hash — never text
         for line in plan.splitlines():
             if "Exchange hashpartitioning" in line:
