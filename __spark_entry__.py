@@ -118,6 +118,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # CC); the exact-edge twin is its verification baseline.
         "duplicate_clusters": _graph.duplicate_clusters,
         "duplicate_clusters_lsh": _graph.duplicate_clusters_lsh,
+        # SEMANTIC dedup: embedding-cosine edges -> CC. The IVF variant
+        # is the scale path (rows-only: IVF recall is approximate, with a
+        # cluster-agreement floor pytest); the exact-edge twin carries
+        # the full recursive-closure oracle and benches as a baseline.
+        "semantic_dup_clusters": _graph.semantic_dup_clusters,
+        "semantic_dup_clusters_exact": _graph.semantic_dup_clusters_exact,
         # IVF is the moderate-threshold scale path (rows-only, recall
         # pytest-floored vs the exact baseline); the sign-LSH variant in
         # similarity.py stays the true near-dup (cosine>0.9) path.

@@ -44,7 +44,7 @@ def force_full_eval(df) -> tuple[int, int]:
 # reported, in a separate section, so nothing is hidden — they just
 # don't dominate the headline scale-path metric.
 BASELINE_QUERIES = {"embedding_near_dup_exact", "ngram_jaccard_pairs",
-                    "duplicate_clusters"}
+                    "duplicate_clusters", "semantic_dup_clusters_exact"}
 
 # Streaming-semantics demos: queries whose wall-clock measures micro-batch
 # scheduler latency plus per-key Python state overhead (applyInPandasWithState

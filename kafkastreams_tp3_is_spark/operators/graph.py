@@ -123,13 +123,13 @@ def connected_components_df(edges: DataFrame, src: str = "a_id",
     return nodes.unionByName(roots)
 
 
-def _clusters(pairs: DataFrame) -> DataFrame:
-    """(doc_id, cluster_id, is_canonical) from an (a_id, b_id) edge set:
-    cluster_id = min doc_id of the connected component — the doc a dedup
-    pass keeps. Singleton documents (no near-dup) are not emitted; a full
+def _clusters(pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id_col, cluster_id, is_canonical) from an (a_id, b_id) edge set:
+    cluster_id = min id of the connected component — the record a dedup
+    pass keeps. Singleton records (no near-dup) are not emitted; a full
     manifest is an anti-join away."""
     cc = connected_components_df(pairs.select("a_id", "b_id"))
-    out = cc.select(F.col("node").alias("doc_id"),
+    out = cc.select(F.col("node").alias(id_col),
                     F.col("component").alias("cluster_id"),
                     (F.col("node") == F.col("component"))
                     .alias("is_canonical"))
@@ -162,6 +162,44 @@ def duplicate_clusters_lsh_df(docs: DataFrame, num_hashes: int = 32,
     return _clusters(pairs)
 
 
+def semantic_dup_clusters_df(emb: DataFrame, threshold: float = 0.4,
+                             n_centroids: int = 32, m_assign: int = 4,
+                             ) -> DataFrame:
+    """SEMANTIC dedup end-to-end: embedding-cosine near-dup pairs chained
+    into connected components — the vector-space counterpart of
+    ``duplicate_clusters_lsh`` (paraphrases and translations that shingle
+    dedup can never catch land in one cluster when their embeddings
+    agree). Edges come from the IVF cell-bucketed candidate generator
+    (operators/ivf.py — linear in N with bounded cells, never all-pairs),
+    exact-cosine verified, so the composition keeps every stage
+    sub-quadratic and the cluster step log-round: the same scale shape as
+    the text pipeline. Output (vec_id, cluster_id, is_canonical);
+    cluster_id = min vec_id of the component.
+
+    Gate: rows-only by design (IVF recall is approximate); the exact-edge
+    twin ``semantic_dup_clusters_exact`` carries the full recursive-
+    closure oracle, and tests/test_graph.py floors the IVF variant's
+    cluster agreement against it."""
+    from .ivf import embedding_near_dup_ivf_df
+
+    pairs = embedding_near_dup_ivf_df(emb, threshold, n_centroids,
+                                      m_assign)
+    return _clusters(pairs, id_col="vec_id")
+
+
+def semantic_dup_clusters_exact_df(emb: DataFrame,
+                                   threshold: float = 0.4) -> DataFrame:
+    """Verification twin of ``semantic_dup_clusters_df``: edges from the
+    exact all-pairs cosine baseline (O(N^2) by definition — baseline
+    section of the bench, not the scale path), closure identical. Its
+    DuckDB oracle restates everything: list_dot_product cosine edges +
+    WITH RECURSIVE transitive closure."""
+    from .similarity import embedding_near_dup_exact_df
+
+    pairs = embedding_near_dup_exact_df(emb, threshold)
+    return _clusters(pairs, id_col="vec_id")
+
+
 def duplicate_clusters(spark: SparkSession, sf_dir: str, k: int = 9,
                        threshold: float = 0.8) -> DataFrame:
     return duplicate_clusters_df(load(spark, sf_dir, "documents"), k,
@@ -173,3 +211,15 @@ def duplicate_clusters_lsh(spark: SparkSession, sf_dir: str,
                            threshold: float = 0.8) -> DataFrame:
     return duplicate_clusters_lsh_df(load(spark, sf_dir, "documents"),
                                      num_hashes, bands, threshold)
+
+
+def semantic_dup_clusters(spark: SparkSession, sf_dir: str,
+                          threshold: float = 0.4) -> DataFrame:
+    return semantic_dup_clusters_df(load(spark, sf_dir, "embeddings"),
+                                    threshold)
+
+
+def semantic_dup_clusters_exact(spark: SparkSession, sf_dir: str,
+                                threshold: float = 0.4) -> DataFrame:
+    return semantic_dup_clusters_exact_df(load(spark, sf_dir, "embeddings"),
+                                          threshold)

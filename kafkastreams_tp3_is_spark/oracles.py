@@ -1032,3 +1032,34 @@ SELECT doc_id, CAST(chunk_index AS BIGINT) AS chunk_index,
                              600)) AS BIGINT) AS chunk_len
 FROM e
 """
+
+# Semantic dedup closure (exact-edge twin): cosine >= 0.4 edges (same
+# arithmetic as embedding_near_dup_exact) + recursive transitive closure
+# (same pattern as duplicate_clusters).
+ORACLES["semantic_dup_clusters_exact"] = """
+WITH RECURSIVE e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+  WHERE list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v))
+             * sqrt(list_dot_product(b.v, b.v)))
+        >= 0.4
+),
+sym AS (
+  SELECT a_id AS u, b_id AS v FROM pairs
+  UNION ALL
+  SELECT b_id AS u, a_id AS v FROM pairs
+),
+reach (u, v) AS (
+  SELECT u, v FROM sym
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u WHERE s.v <> r.u
+)
+SELECT u AS vec_id,
+       least(u, MIN(v)) AS cluster_id,
+       least(u, MIN(v)) = u AS is_canonical
+FROM reach GROUP BY u
+"""

@@ -76,3 +76,46 @@ def test_duplicate_clusters_lsh_on_planted_corpus(spark, planted_docs):
              for r in duplicate_clusters_df(df, threshold=0.7).collect()}
     lsh = {d: c for d, (c, _) in clusters.items()}
     assert lsh == exact
+
+
+def test_semantic_dup_clusters_agreement_with_exact(spark):
+    """The IVF-edge semantic clusters must substantially agree with the
+    exact-edge twin: every same-cluster pair the IVF variant emits is a
+    same-cluster pair of the exact closure (IVF edges are a subset of
+    exact edges, so components can only split, never merge wrongly), and
+    pairwise recall clears a floor."""
+    from itertools import combinations
+
+    from kafkastreams_tp3_is_spark import cache
+    from kafkastreams_tp3_is_spark.operators.graph import (
+        semantic_dup_clusters, semantic_dup_clusters_exact)
+    from tests.conftest import SF_DIR
+
+    ivf = semantic_dup_clusters(spark, SF_DIR)
+    exact = semantic_dup_clusters_exact(spark, SF_DIR)
+    try:
+        ivf_rows = {r["vec_id"]: r["cluster_id"] for r in ivf.collect()}
+        exact_rows = {r["vec_id"]: r["cluster_id"] for r in exact.collect()}
+    finally:
+        cache.release(ivf)
+        cache.release(exact)
+
+    def same_pairs(m):
+        byc: dict = {}
+        for vid, c in m.items():
+            byc.setdefault(c, []).append(vid)
+        return {frozenset(p) for vs in byc.values()
+                for p in combinations(sorted(vs), 2)}
+
+    p_ivf, p_exact = same_pairs(ivf_rows), same_pairs(exact_rows)
+    # precision: IVF same-cluster pairs are a subset of the exact closure
+    assert p_ivf <= p_exact
+    # recall floor on same-cluster pairs
+    assert len(p_ivf) >= 0.9 * len(p_exact), (len(p_ivf), len(p_exact))
+    # canonical discipline: one canonical per cluster, = min member
+    for m in (ivf_rows, exact_rows):
+        byc: dict = {}
+        for vid, c in m.items():
+            byc.setdefault(c, []).append(vid)
+        for c, vs in byc.items():
+            assert c == min(vs)
