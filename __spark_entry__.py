@@ -23,7 +23,9 @@ from kafkastreams_tp3_is_spark.operators import multimodal as _mm
 from kafkastreams_tp3_is_spark.operators import olap as _olap
 from kafkastreams_tp3_is_spark.operators import curation as _cur
 from kafkastreams_tp3_is_spark.operators import pipeline as _pipe
+from kafkastreams_tp3_is_spark.operators import retrieval as _ret
 from kafkastreams_tp3_is_spark.operators import similarity as _sim
+from kafkastreams_tp3_is_spark.operators import sketch as _sketch
 from kafkastreams_tp3_is_spark.operators import temporal as _temporal
 from kafkastreams_tp3_is_spark.operators import text as _text
 from kafkastreams_tp3_is_spark.streaming import envelope as _env
@@ -55,6 +57,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # full hash gates
         "stratified_sample": _cur.stratified_sample,
         "doc_chunk": _cur.doc_chunk,
+        # round-4 additions, front-loaded for the same reason: lexical
+        # retrieval (TF-IDF/BM25/hash-vocab tokenizer), bounded-state
+        # heavy hitters with exact recount, the per-slice corpus report,
+        # and graded benchmark contamination — all full hash gates —
+        # plus k-means embedding bucketing (rows-only by nature)
+        "tfidf_topk": _ret.tfidf_topk,
+        "bm25_search": _ret.bm25_search,
+        "tokenize_ids": _ret.tokenize_ids,
+        "heavy_hitters": _sketch.heavy_hitters,
+        "corpus_stats": _text.corpus_stats,
+        "contamination_overlap": _cur.contamination_overlap,
+        "embedding_kmeans_assign": _ivf.embedding_kmeans_assign,
         "q1_available_seats_per_route": _q.q1_available_seats_per_route,
         "q2_average_passengers_per_transport_type": _q.q2_average_passengers_per_transport_type,
         # Q2's 100 TB form: HLL sketch distinct (rows-only; error bound

@@ -113,19 +113,47 @@ def main() -> None:
     total = round(sum(timings.values()), 4)
     ref_total = round(sum(timings[k] for k in _REFERENCE_QUERIES
                           if k in timings), 4)
-    print(json.dumps({
-        "metric": "total_query_wall_seconds",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,           # median of n_runs per query
-        "queries_min": timings_min,   # min of n_runs: the noise floor
-        "bench_runs": n_runs,
-        "baselines": baselines,
-        "demos": demos,
-        # cross-round comparability: the 13 reference queries alone
-        "reference_queries_sec": ref_total,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }))
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Full-fidelity record for the judge / local iteration. The stdout
+    # line cannot carry it all: the driver parses the JSON line out of a
+    # 2000-char stdout tail window (BENCH_r03.json has parsed:null with
+    # the line intact-but-truncated in "tail" — the r3 line with
+    # queries_min was ~4k chars), so everything lands here and the line
+    # below stays under the window.
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json")
+    with open(detail_path, "w") as f:
+        json.dump({
+            "metric": "total_query_wall_seconds",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,           # median of n_runs per query
+            "queries_min": timings_min,   # min of n_runs: the noise floor
+            "bench_runs": n_runs,
+            "baselines": baselines,
+            "demos": demos,
+            "reference_queries_sec": ref_total,
+            "sf": sf_val,
+        }, f, indent=1)
+
+    def line_for(qdict: dict[str, float]) -> str:
+        return json.dumps({
+            "metric": "total_query_wall_seconds",
+            "value": total,
+            "unit": "sec",
+            "queries": {k: round(v, 2) for k, v in qdict.items()},
+            "bench_runs": n_runs,
+            # cross-round comparability: the 13 reference queries alone
+            "reference_queries_sec": ref_total,
+            "detail": "BENCH_DETAIL.json",
+            "sf": sf_val,
+        }, separators=(",", ":"))
+
+    out_line = line_for(timings)
+    if len(out_line) > 1900:  # driver tail window is 2000 chars
+        out_line = line_for({k: timings[k] for k in _REFERENCE_QUERIES
+                             if k in timings})
+    print(out_line)
 
 
 if __name__ == "__main__":

@@ -386,6 +386,46 @@ def decontaminate_df(train: DataFrame, benchmark: DataFrame, k: int = 5,
             .withColumn("contaminated", F.col("n_shared") >= min_overlap))
 
 
+def contamination_overlap_df(train: DataFrame, benchmark: DataFrame,
+                             k: int = 5,
+                             broadcast_max_shingles: int = 2_000_000
+                             ) -> DataFrame:
+    """Graded contamination signal: for every training document, the
+    FRACTION of its distinct character k-grams that appear anywhere in
+    the benchmark — the score a curation run thresholds or buckets,
+    where decontaminate_df only gives the binary verdict. Output:
+    (doc_id, n_grams, n_shared, overlap_frac); overlap_frac is the
+    single division n_shared/n_grams of exact integers (0.0 for a doc
+    shorter than k, which contributes its whole text as one gram — the
+    guard in _hashed_kgram_set keeps n_grams >= 1).
+
+    Scale: identical join discipline to contamination_hits_df
+    (size-guarded broadcast of the bounded benchmark shingle set, hash
+    join on 8-byte keys otherwise); the per-doc gram count is a row-local
+    expression, no extra shuffle."""
+    hits = contamination_hits_df(train, benchmark, k,
+                                 broadcast_max_shingles)
+    n_grams = F.size(_hashed_kgram_set(k)).cast("bigint")
+    return (train.select("doc_id", n_grams.alias("n_grams"))
+            .join(hits, "doc_id", "left")
+            .select("doc_id", "n_grams",
+                    F.coalesce(F.col("n_shared"), F.lit(0).cast("bigint"))
+                     .alias("n_shared"))
+            .withColumn("overlap_frac",
+                        F.col("n_shared").cast("double")
+                        / F.col("n_grams").cast("double")))
+
+
+def contamination_overlap(spark: SparkSession, sf_dir: str,
+                          k: int = 5) -> DataFrame:
+    """Driver-gate fixture: same every-50th-doc benchmark split as
+    decontaminate, but emitting the graded per-doc overlap fraction."""
+    docs = load(spark, sf_dir, "documents")
+    is_bench = F.col("doc_id") % 50 == 0
+    return contamination_overlap_df(docs.where(~is_bench),
+                                    docs.where(is_bench), k)
+
+
 def decontaminate(spark: SparkSession, sf_dir: str, k: int = 5,
                   min_overlap: int = 10) -> DataFrame:
     """Driver-gate fixture: every 50th document plays the held-out

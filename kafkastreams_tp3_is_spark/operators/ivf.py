@@ -112,6 +112,36 @@ def _exact_cosine_for_pairs(pairs: DataFrame, emb: DataFrame,
                  .where(F.col("cosine") >= threshold))
 
 
+def embedding_kmeans_assign_df(emb: DataFrame, n_clusters: int = 16,
+                               n_iters: int = 5,
+                               sample_n: int = 4096) -> DataFrame:
+    """(vec_id, cluster): spherical k-means assignment of every embedding
+    to its nearest centroid — the topic/domain bucketing stage of a data
+    -mixing pipeline (cluster-balanced sampling, per-domain mixture
+    weights over learned clusters instead of source labels).
+
+    Deterministic end-to-end: centroids come from train_centroids'
+    hash-ordered bounded sample, assignment is the argmax over a fixed
+    centroid list with stable tie order. Rows-only at the driver gate
+    (k-means is not SQL-restatable); determinism, full coverage, and
+    multi-cluster spread are pytest-pinned.
+
+    Scale: the only collect is the bounded centroid sample; assignment is
+    a narrow Arrow-batched matmul map — no shuffle at all."""
+    centroids = train_centroids(emb, n_centroids=n_clusters,
+                                n_iters=n_iters, sample_n=sample_n)
+    assigned = assign_cells(emb, centroids, m_assign=1, out_col="cells")
+    return assigned.select(
+        "vec_id", F.element_at(F.col("cells"), 1).alias("cluster"))
+
+
+def embedding_kmeans_assign(spark: SparkSession, sf_dir: str,
+                            n_clusters: int = 16) -> DataFrame:
+    """Driver-gate fixture (rows-only): k-means cluster id per vector."""
+    return embedding_kmeans_assign_df(load(spark, sf_dir, "embeddings"),
+                                      n_clusters=n_clusters)
+
+
 def embedding_near_dup_ivf_df(emb: DataFrame, threshold: float = 0.4,
                               n_centroids: int = 32, m_assign: int = 4,
                               n_iters: int = 5,

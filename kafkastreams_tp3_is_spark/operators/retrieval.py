@@ -1,0 +1,174 @@
+"""Lexical retrieval operators over the ``documents`` table: TF-IDF term
+weighting, BM25 keyword search, and hash-vocabulary tokenization — the
+index-building / query-scoring stages of a corpus search or
+training-data-selection pipeline.
+
+Reference scope note: the reference app (Kafka Streams, MainStreamApp.java)
+has no text-retrieval surface; this module is part of the
+training-data-pipeline capabilities the engine adds on top.
+
+Cross-engine exactness: every score here is built from integer aggregates
+combined with a FIXED, explicitly-parenthesized sequence of double
+``+ - * /`` — operations that IEEE 754 defines exactly, so Spark and the
+DuckDB oracle produce bit-identical doubles and the driver's value-hash
+gate holds. That is why the idf factors are kept in smoothed *rational*
+form ((N+1)/(df+1); BM25's (N-df+0.5)/(df+0.5)+1) instead of wrapping
+them in ln(): the two engines' libm ``log`` implementations are not
+guaranteed to agree in the last ulp, and a last-ulp disagreement flips
+near-tied rankings. The rational form is a monotone transform of the
+log form in df (for fixed N), so per-term orderings are preserved; the
+docstrings of each operator state the exact formula used.
+
+Scale: TF/DF are map-side-combined hash aggregations whose shuffle
+carries one row per distinct (doc, term) / term; BM25 over a fixed query
+pivots the per-term counts into columns, so it is ONE narrow projection
+plus one 1-row stats broadcast — no per-term explode at all; the
+tokenizer is a pure per-row flatMap (posexplode) with no shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..views import load
+
+
+def lower_tokens_col(text_col: str = "text") -> F.Column:
+    """Lowercased whitespace tokens with empty-token filtering — the
+    shared tokenization contract of this module (the oracle restates it
+    as list_filter(string_split_regex(lower(text), '\\s+'), ...))."""
+    return F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
+                    lambda x: x != "")
+
+
+def tfidf_topk_df(docs: DataFrame, k: int = 5) -> DataFrame:
+    """Top-``k`` terms per document by smoothed TF-IDF.
+
+    score = tf * (N + 1) / (df + 1), computed as
+    ``(CAST(tf) * CAST(N+1)) / CAST(df+1)`` in that exact order; ranking
+    is (score DESC, term ASC) per document, emitted as ``rnk``.
+
+    Scale: two hash aggregations (doc-term tf, then term df over the
+    aggregate-sized tf frame), a shuffle join tf ⋈ df on term (the df
+    side is vocab-sized — AQE broadcasts it when small, partitions it
+    when a real web-scale vocabulary isn't), one broadcast 1-row corpus
+    count, and a per-doc window. No step touches more than one row per
+    distinct (doc, term)."""
+    terms = docs.select("doc_id", F.explode(lower_tokens_col()).alias("term"))
+    tf = (terms.groupBy("doc_id", "term")
+               .agg(F.count(F.lit(1)).alias("tf")))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    score = (F.col("tf").cast("double")
+             * (F.col("n_docs") + F.lit(1)).cast("double")
+             / (F.col("df") + F.lit(1)).cast("double"))
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(),
+                                             F.col("term").asc())
+    return (tf.join(dfreq, "term")
+              .crossJoin(F.broadcast(n))
+              .withColumn("tfidf", score)
+              .withColumn("rnk", F.row_number().over(w))
+              .where(F.col("rnk") <= k)
+              .select("doc_id", "term", "tf", "df", "tfidf", "rnk"))
+
+
+def tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gate fixture: top-5 TF-IDF terms for every document."""
+    return tfidf_topk_df(load(spark, sf_dir, "documents"), k=5)
+
+
+# The fixed gate query for bm25_search: three terms that occur widely in
+# the synthetic corpus so tf>0 and tf=0 branches are both exercised.
+BM25_QUERY_TERMS = ("spark", "query", "vector")
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_search_df(docs: DataFrame, query_terms=BM25_QUERY_TERMS,
+                   top_n: int = 20, k1: float = BM25_K1,
+                   b: float = BM25_B) -> DataFrame:
+    """BM25 ranking of documents against a fixed keyword query.
+
+    Per term t (Robertson-Sparck Jones, the public BM25 formula with the
+    idf kept rational — see module docstring):
+
+      idf_t  = (N - df_t + 0.5) / (df_t + 0.5) + 1.0
+      s_t    = idf_t * (tf_t * (k1+1)) / (tf_t + k1 * (1 - b + b * dl/avgdl))
+      score  = s_t1 + s_t2 + ...   (fixed query-term order)
+
+    tf_t / dl are per-row array expressions (no explode); N, total token
+    count, and every df_t come from ONE aggregate pass pivoted into a
+    1-row frame that is broadcast — so the whole search is a single
+    narrow projection over the corpus plus a 1-row join, no shuffle of
+    document data at any width. Output: the ``top_n`` documents by
+    (score DESC, doc_id ASC) with per-term tfs for auditability."""
+    toks = lower_tokens_col()
+    stats_aggs = [F.count(F.lit(1)).alias("n_docs"),
+                  F.sum(F.size(toks)).alias("total_tokens")]
+    for t in query_terms:
+        stats_aggs.append(
+            F.sum(F.when(F.array_contains(toks, t), 1).otherwise(0))
+             .alias(f"df_{t}"))
+    stats = docs.agg(*stats_aggs)
+
+    dl = F.size(toks).cast("bigint")
+    avgdl = (F.col("total_tokens").cast("double")
+             / F.col("n_docs").cast("double"))
+    # written-order arithmetic; every factor double, every source integer
+    norm_len = (F.lit(1.0 - b) + F.lit(b) * (dl.cast("double") / avgdl))
+    score = F.lit(0.0)
+    tf_cols = []
+    for t in query_terms:
+        tf = F.size(F.filter(toks, lambda x: x == t)).cast("bigint")
+        tf_cols.append(tf.alias(f"tf_{t}"))
+        idf = ((F.col("n_docs").cast("double") - F.col(f"df_{t}").cast("double")
+                + F.lit(0.5))
+               / (F.col(f"df_{t}").cast("double") + F.lit(0.5)) + F.lit(1.0))
+        s_t = (idf * (tf.cast("double") * F.lit(k1 + 1.0))
+               / (tf.cast("double") + F.lit(k1) * norm_len))
+        score = score + s_t
+    scored = (docs.crossJoin(F.broadcast(stats))
+                  .select("doc_id", *tf_cols, dl.alias("dl"),
+                          score.alias("score")))
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (scored.withColumn("rnk", F.row_number().over(w))
+                  .where(F.col("rnk") <= top_n))
+
+
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gate fixture: BM25 top-20 for the fixed 3-term query."""
+    return bm25_search_df(load(spark, sf_dir, "documents"))
+
+
+VOCAB_SIZE = 32000
+
+
+def tokenize_ids_df(docs: DataFrame,
+                    vocab_size: int = VOCAB_SIZE) -> DataFrame:
+    """Hash-vocabulary tokenization: every document becomes ordered
+    (doc_id, pos, token, token_id) rows, token_id = first-32-bits of
+    md5(token) mod ``vocab_size`` — the feature-hashing trick (public:
+    Weinberger et al., ICML'09), md5-derived specifically so the DuckDB
+    oracle states the bit-identical arithmetic
+    (('0x'||substring(md5(t),1,8))::BIGINT % vocab ==
+    conv(substring(md5(t),1,8),16,10) % vocab).
+
+    A real learned-BPE tokenizer is a library call this container lacks;
+    the hash vocabulary is the deterministic stand-in with the same
+    Spark-side shape (per-row flatMap, no shuffle, linear in corpus
+    bytes). Downstream pack_sequences consumes exactly this row layout.
+    """
+    pos_tok = docs.select(
+        "doc_id", F.posexplode(lower_tokens_col()).alias("pos", "token"))
+    token_id = F.pmod(
+        F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10)
+         .cast("bigint"),
+        F.lit(vocab_size))
+    return pos_tok.select("doc_id", "pos", "token",
+                          token_id.alias("token_id"))
+
+
+def tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gate fixture: hash-vocab tokenization of every document."""
+    return tokenize_ids_df(load(spark, sf_dir, "documents"))

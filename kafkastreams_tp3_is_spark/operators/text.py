@@ -232,6 +232,47 @@ def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         top_frac(3).alias("top_3gram_frac"))
 
 
+def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, lang) corpus report card: document count, exact
+    character/token totals, average and lower-median document length —
+    the first artifact a curation run produces (what is in this corpus,
+    per slice?).
+
+    The median is the LOWER median (row_number == (n+1) div 2 over
+    (n_chars, doc_id) order) rather than an interpolated percentile:
+    integer in, integer out, restated identically in the oracle — exact
+    cross-engine, no quantile-interpolation formula drift. avg_chars is
+    the single division of two exact integers.
+
+    Scale: one hash aggregation on (source, lang) plus one window over
+    the same partitioning — the sort is per-group, and group count is
+    bounded by sources x languages, so the join back is broadcast-sized.
+    """
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select("source", "lang", "doc_id",
+                       F.length(F.col("text")).cast("bigint").alias("nc"),
+                       F.size(tokens_col()).cast("bigint").alias("nt"))
+    aggs = base.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nc").alias("total_chars"),
+        F.min("nc").alias("min_chars"),
+        F.max("nc").alias("max_chars"),
+        F.sum("nt").alias("total_tokens"))
+    w = Window.partitionBy("source", "lang").orderBy("nc", "doc_id")
+    cnt_w = Window.partitionBy("source", "lang")
+    med = (base
+           .withColumn("rn", F.row_number().over(w))
+           .withColumn("cnt", F.count(F.lit(1)).over(cnt_w))
+           .where(F.col("rn") == F.floor((F.col("cnt") + F.lit(1)) / F.lit(2)))
+           .select("source", "lang", F.col("nc").alias("median_chars")))
+    return (aggs.join(med, ["source", "lang"])
+            .select("source", "lang", "n_docs", "total_chars",
+                    (F.col("total_chars").cast("double")
+                     / F.col("n_docs").cast("double")).alias("avg_chars"),
+                    "min_chars", "max_chars", "median_chars",
+                    "total_tokens"))
+
+
 def quality_filter(spark: SparkSession, sf_dir: str,
                    min_tokens: int = 15,
                    max_mean_word_len: float = 5.9,

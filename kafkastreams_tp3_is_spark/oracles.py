@@ -1063,3 +1063,165 @@ SELECT u AS vec_id,
        least(u, MIN(v)) = u AS is_canonical
 FROM reach GROUP BY u
 """
+
+# --- round-4 retrieval / reporting operators ---------------------------
+
+# Shared lowercased-token list (operators/retrieval.py lower_tokens_col)
+_LTOKS = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+
+# Smoothed TF-IDF top-5 per doc: score = tf * (N+1) / (df+1) as doubles
+# in that exact operation order (retrieval.py module docstring explains
+# why the idf stays rational instead of ln()).
+ORACLES["tfidf_topk"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_LTOKS}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT doc_id, term, tf, df, tfidf, rnk FROM (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+         CAST(tf.tf AS DOUBLE) * CAST(n.n_docs + 1 AS DOUBLE)
+           / CAST(dfreq.df + 1 AS DOUBLE) AS tfidf,
+         ROW_NUMBER() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY CAST(tf.tf AS DOUBLE) * CAST(n.n_docs + 1 AS DOUBLE)
+                      / CAST(dfreq.df + 1 AS DOUBLE) DESC,
+                    tf.term ASC) AS rnk
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+WHERE rnk <= 5
+"""
+
+# BM25 top-20 for the fixed query (spark, query, vector); k1=1.2 b=0.75;
+# idf rational; all arithmetic written in the engine's exact order.
+ORACLES["bm25_search"] = f"""
+WITH tok AS (
+  SELECT doc_id, {_LTOKS} AS toks FROM documents
+),
+st AS (
+  SELECT COUNT(*) AS n_docs,
+         SUM(len(toks)) AS total_tokens,
+         SUM(CASE WHEN list_contains(toks, 'spark') THEN 1 ELSE 0 END) AS df_spark,
+         SUM(CASE WHEN list_contains(toks, 'query') THEN 1 ELSE 0 END) AS df_query,
+         SUM(CASE WHEN list_contains(toks, 'vector') THEN 1 ELSE 0 END) AS df_vector
+  FROM tok
+),
+scored AS (
+  SELECT doc_id,
+         CAST(len(list_filter(toks, x -> x = 'spark')) AS BIGINT) AS tf_spark,
+         CAST(len(list_filter(toks, x -> x = 'query')) AS BIGINT) AS tf_query,
+         CAST(len(list_filter(toks, x -> x = 'vector')) AS BIGINT) AS tf_vector,
+         CAST(len(toks) AS BIGINT) AS dl
+  FROM tok
+),
+parts AS (
+  SELECT doc_id, tf_spark, tf_query, tf_vector, dl,
+         0.25 + 0.75 * (CAST(dl AS DOUBLE)
+                        / (CAST(st.total_tokens AS DOUBLE)
+                           / CAST(st.n_docs AS DOUBLE))) AS norm_len,
+         CAST(st.n_docs AS DOUBLE) AS nd,
+         CAST(st.df_spark AS DOUBLE) AS dfs,
+         CAST(st.df_query AS DOUBLE) AS dfq,
+         CAST(st.df_vector AS DOUBLE) AS dfv
+  FROM scored CROSS JOIN st
+),
+s AS (
+  SELECT doc_id, tf_spark, tf_query, tf_vector, dl,
+         0.0
+         + ((nd - dfs + 0.5) / (dfs + 0.5) + 1.0)
+             * (CAST(tf_spark AS DOUBLE) * 2.2)
+             / (CAST(tf_spark AS DOUBLE) + 1.2 * norm_len)
+         + ((nd - dfq + 0.5) / (dfq + 0.5) + 1.0)
+             * (CAST(tf_query AS DOUBLE) * 2.2)
+             / (CAST(tf_query AS DOUBLE) + 1.2 * norm_len)
+         + ((nd - dfv + 0.5) / (dfv + 0.5) + 1.0)
+             * (CAST(tf_vector AS DOUBLE) * 2.2)
+             / (CAST(tf_vector AS DOUBLE) + 1.2 * norm_len)
+         AS score
+  FROM parts
+)
+SELECT doc_id, tf_spark, tf_query, tf_vector, dl, score, rnk FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rnk
+  FROM s)
+WHERE rnk <= 20
+"""
+
+# Hash-vocab tokenization: md5-derived 32-bit ids mod 32000; DuckDB's
+# zipped parallel unnests give (position, token) pairs.
+ORACLES["tokenize_ids"] = f"""
+SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, t AS token,
+       ('0x' || substring(md5(t), 1, 8))::BIGINT % 32000 AS token_id
+FROM (SELECT doc_id,
+             unnest(generate_series(1, len(toks))) AS i,
+             unnest(toks) AS t
+      FROM (SELECT doc_id, {_LTOKS} AS toks FROM documents))
+"""
+
+# Heavy hitters at support 1/32: the oracle is the full-vocabulary
+# aggregation (fine at gate scale); the engine reaches the same exact
+# answer through bounded-state MG candidates + exact recount. Integer
+# keep predicate (n*32 >= total) — no float boundary.
+ORACLES["heavy_hitters"] = f"""
+WITH occ AS (
+  SELECT unnest({_LTOKS}) AS token FROM documents
+),
+tot AS (SELECT COUNT(*) AS total FROM occ),
+c AS (SELECT token, COUNT(*) AS n_occurrences FROM occ GROUP BY 1)
+SELECT token, n_occurrences,
+       CAST(n_occurrences AS DOUBLE) / CAST(tot.total AS DOUBLE) AS share
+FROM c CROSS JOIN tot
+WHERE n_occurrences * 32 >= tot.total
+"""
+
+# Per-(source, lang) corpus report; median is the LOWER median
+# (rn == (cnt+1) // 2 over (n_chars, doc_id) order) — integer-exact.
+ORACLES["corpus_stats"] = """
+WITH base AS (
+  SELECT source, lang, doc_id,
+         CAST(length(text) AS BIGINT) AS nc,
+         CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                              x -> x <> '')) AS BIGINT) AS nt
+  FROM documents
+),
+aggs AS (
+  SELECT source, lang, COUNT(*) AS n_docs,
+         CAST(SUM(nc) AS BIGINT) AS total_chars,
+         MIN(nc) AS min_chars, MAX(nc) AS max_chars,
+         CAST(SUM(nt) AS BIGINT) AS total_tokens
+  FROM base GROUP BY 1, 2
+),
+med AS (
+  SELECT source, lang, nc AS median_chars FROM (
+    SELECT source, lang, nc,
+           ROW_NUMBER() OVER (PARTITION BY source, lang
+                              ORDER BY nc, doc_id) AS rn,
+           COUNT(*) OVER (PARTITION BY source, lang) AS cnt
+    FROM base)
+  WHERE rn = (cnt + 1) // 2
+)
+SELECT a.source, a.lang, a.n_docs, a.total_chars,
+       CAST(a.total_chars AS DOUBLE) / CAST(a.n_docs AS DOUBLE) AS avg_chars,
+       a.min_chars, a.max_chars, m.median_chars, a.total_tokens
+FROM aggs a JOIN med m ON a.source = m.source AND a.lang = m.lang
+"""
+
+# Graded contamination: same every-50th-doc split and raw-gram relation
+# as the decontaminate oracle, plus the per-doc distinct-gram count and
+# the single-division fraction.
+ORACLES["contamination_overlap"] = """
+WITH sh AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, GREATEST(LENGTH(text)-4, 1)),
+                               i -> substr(text, CAST(i AS INTEGER), 5))) AS s
+  FROM documents
+),
+bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0),
+train_sh AS (SELECT DISTINCT doc_id, s FROM sh WHERE doc_id % 50 <> 0),
+ng AS (SELECT doc_id, COUNT(*) AS n_grams FROM train_sh GROUP BY doc_id),
+hits AS (SELECT doc_id, COUNT(*) AS n_shared
+         FROM train_sh JOIN bench USING (s) GROUP BY doc_id)
+SELECT ng.doc_id, ng.n_grams, COALESCE(h.n_shared, 0) AS n_shared,
+       CAST(COALESCE(h.n_shared, 0) AS DOUBLE)
+         / CAST(ng.n_grams AS DOUBLE) AS overlap_frac
+FROM ng LEFT JOIN hits h USING (doc_id)
+"""

@@ -1,0 +1,195 @@
+"""Hand-computed and property checks for the round-4 retrieval /
+reporting operators (retrieval.py, sketch.py, corpus_stats,
+contamination_overlap, embedding_kmeans_assign). The sf0.001 oracle
+parity runs in test_queries_oracle.py; these pin the semantics on inputs
+small enough to verify by hand and the scale behaviors the oracle can't
+see (MG state bounds, candidate-superset, plan shapes)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafkastreams_tp3_is_spark.operators.retrieval import (
+    bm25_search_df, tfidf_topk_df, tokenize_ids_df)
+from kafkastreams_tp3_is_spark.operators.sketch import (
+    _mg_partition_candidates, heavy_hitters_df)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# --- tfidf -------------------------------------------------------------
+
+def test_tfidf_hand_computed(spark):
+    # 3 docs; "rare" only in doc 0, "common" everywhere
+    docs = _docs(spark, [(0, "rare common common"),
+                         (1, "common"),
+                         (2, "common common")])
+    out = {(r["doc_id"], r["term"]): r
+           for r in tfidf_topk_df(docs, k=5).collect()}
+    # doc0: rare tf=1 df=1 -> 1*(4)/(2)=2.0 ; common tf=2 df=3 -> 2*4/4=2.0
+    # tie on score -> term asc: "common" rnk 1, "rare" rnk 2
+    assert out[(0, "common")]["tfidf"] == 2.0
+    assert out[(0, "rare")]["tfidf"] == 2.0
+    assert out[(0, "common")]["rnk"] == 1
+    assert out[(0, "rare")]["rnk"] == 2
+    assert out[(1, "common")]["tf"] == 1 and out[(1, "common")]["df"] == 3
+
+
+def test_tfidf_k_truncates(spark):
+    docs = _docs(spark, [(0, "a b c d e f g h")])
+    assert tfidf_topk_df(docs, k=3).count() == 3
+
+
+# --- bm25 --------------------------------------------------------------
+
+def test_bm25_ranks_matching_docs_first_and_scores_zero_without_hits(spark):
+    docs = _docs(spark, [(0, "spark spark query"),
+                         (1, "spark other words here"),
+                         (2, "nothing relevant at all")])
+    rows = {r["doc_id"]: r for r in bm25_search_df(docs, top_n=10).collect()}
+    assert rows[2]["score"] == 0.0
+    assert rows[0]["score"] > rows[1]["score"] > 0.0
+    assert [rows[i]["rnk"] for i in (0, 1, 2)] == [1, 2, 3]
+    assert rows[0]["tf_spark"] == 2 and rows[0]["tf_query"] == 1
+    assert rows[1]["tf_query"] == 0
+
+
+def test_bm25_length_normalization_prefers_shorter_doc(spark):
+    # same tf, different lengths -> shorter doc scores higher
+    docs = _docs(spark, [(0, "spark x"),
+                         (1, "spark " + "x " * 60)])
+    rows = {r["doc_id"]: r for r in bm25_search_df(docs, top_n=10).collect()}
+    assert rows[0]["score"] > rows[1]["score"]
+
+
+def test_bm25_is_shuffle_free_over_documents(spark):
+    """One narrow projection + a broadcast 1-row stats frame: the only
+    Exchange allowed is the single-partition one feeding the global
+    stats aggregate and the final top-n window — never a hash shuffle
+    of document rows."""
+    docs = _docs(spark, [(0, "spark query"), (1, "vector")])
+    plan = (bm25_search_df(docs)._jdf.queryExecution().executedPlan()
+            .toString())
+    assert "Exchange hashpartitioning" not in plan
+
+
+# --- tokenize_ids ------------------------------------------------------
+
+def test_tokenize_ids_layout_and_determinism(spark):
+    docs = _docs(spark, [(7, "The  quick fox"), (8, "")])
+    rows = sorted(tokenize_ids_df(docs).collect(),
+                  key=lambda r: (r["doc_id"], r["pos"]))
+    assert [(r["doc_id"], r["pos"], r["token"]) for r in rows] == [
+        (7, 0, "the"), (7, 1, "quick"), (7, 2, "fox")]
+    assert all(0 <= r["token_id"] < 32000 for r in rows)
+    # same token -> same id across docs
+    docs2 = _docs(spark, [(9, "fox fox")])
+    ids = {r["token"]: r["token_id"]
+           for r in tokenize_ids_df(docs2).collect()}
+    assert ids["fox"] == [r["token_id"] for r in rows if r["token"] == "fox"][0]
+
+
+def test_tokenize_ids_no_shuffle(spark):
+    docs = _docs(spark, [(0, "a b c")])
+    plan = (tokenize_ids_df(docs)._jdf.queryExecution().executedPlan()
+            .toString())
+    assert "Exchange" not in plan
+
+
+# --- heavy hitters -----------------------------------------------------
+
+def test_mg_kernel_bounds_state_and_keeps_heavy_key(spark):
+    """Adversarial stream: one key at 30% share drowned in unique noise.
+    The MG summary must keep it while never holding more than capacity
+    entries after compression."""
+    import pandas as pd
+    n_noise = 7000
+    tokens = ["HEAVY"] * 3000 + [f"noise{i}" for i in range(n_noise)]
+    kernel = _mg_partition_candidates(capacity=8)
+    batches = [pd.DataFrame({"token": tokens[i:i + 500]})
+               for i in range(0, len(tokens), 500)]
+    out = list(kernel(iter(batches)))
+    assert len(out) == 1
+    kept = set(out[0]["token"])
+    assert "HEAVY" in kept
+    assert len(kept) <= 8 + 500  # capacity + one uncompressed batch
+
+
+def test_heavy_hitters_exact_on_skewed_corpus(spark):
+    # 60% a, 25% b, ~15% unique junk; support 1/4 -> exactly {a, b}
+    text_hot = " ".join(["a"] * 60 + ["b"] * 25)
+    junk = " ".join(f"junk{i}" for i in range(15))
+    docs = _docs(spark, [(0, text_hot), (1, junk)])
+    out = {r["token"]: r for r in
+           heavy_hitters_df(docs, support_inv=4).collect()}
+    assert set(out) == {"a", "b"}
+    assert out["a"]["n_occurrences"] == 60
+    assert out["a"]["share"] == 60.0 / 100.0
+
+
+def test_heavy_hitters_candidates_survive_partitioning(spark):
+    """The superset guarantee must hold when the heavy key's occurrences
+    are spread across many partitions mixed with per-partition-local
+    noise."""
+    rows = []
+    for p in range(8):
+        body = ("hot " * 40) + " ".join(f"p{p}w{i}" for i in range(60))
+        rows.append((p, body))
+    docs = _docs(spark, rows).repartition(8, "doc_id")
+    out = {r["token"] for r in
+           heavy_hitters_df(docs, support_inv=5).collect()}
+    assert "hot" in out
+
+
+# --- corpus_stats ------------------------------------------------------
+
+def test_corpus_stats_lower_median(spark, tmp_path):
+    from kafkastreams_tp3_is_spark.operators.text import corpus_stats
+    rows = [(i, "x" * n, "en", "s", n)
+            for i, n in enumerate([1, 5, 9, 100])]  # even n -> lower median 5
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long")
+    df.write.parquet(f"{tmp_path}/documents.parquet")
+    out = corpus_stats(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["median_chars"] == 5
+    assert r["n_docs"] == 4 and r["min_chars"] == 1 and r["max_chars"] == 100
+    assert r["avg_chars"] == (1 + 5 + 9 + 100) / 4.0
+
+
+# --- contamination_overlap --------------------------------------------
+
+def test_contamination_overlap_fraction(spark):
+    from kafkastreams_tp3_is_spark.operators.curation import (
+        contamination_overlap_df)
+    bench = _docs(spark, [(100, "abcdefgh")])
+    # doc 0 is an exact substring copy -> every gram shared; doc 1 disjoint
+    train = _docs(spark, [(0, "abcdefgh"), (1, "zzzzzzzz")])
+    out = {r["doc_id"]: r for r in
+           contamination_overlap_df(train, bench, k=5).collect()}
+    assert out[0]["overlap_frac"] == 1.0
+    assert out[1]["n_shared"] == 0 and out[1]["overlap_frac"] == 0.0
+    assert out[0]["n_grams"] == 4  # 8 chars -> 4 distinct 5-grams
+
+
+# --- embedding_kmeans_assign ------------------------------------------
+
+def test_kmeans_assign_covers_all_vectors_deterministically(spark):
+    from kafkastreams_tp3_is_spark.operators.ivf import (
+        embedding_kmeans_assign)
+    a = embedding_kmeans_assign(spark, "/root/testdata/sf0.001",
+                                n_clusters=8)
+    b = embedding_kmeans_assign(spark, "/root/testdata/sf0.001",
+                                n_clusters=8)
+    pa = sorted((r["vec_id"], r["cluster"]) for r in a.collect())
+    pb = sorted((r["vec_id"], r["cluster"]) for r in b.collect())
+    assert pa == pb  # deterministic
+    n_vecs = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet").count()
+    assert len(pa) == n_vecs  # total coverage, one row per vector
+    clusters = {c for _, c in pa}
+    assert len(clusters) > 1 and all(0 <= c < 8 for c in clusters)
