@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": _sketch.heavy_hitters,
         "corpus_stats": _text.corpus_stats,
         "contamination_overlap": _cur.contamination_overlap,
+        "contamination_attribution": _cur.contamination_attribution,
         "embedding_kmeans_assign": _ivf.embedding_kmeans_assign,
         "q1_available_seats_per_route": _q.q1_available_seats_per_route,
         "q2_average_passengers_per_transport_type": _q.q2_average_passengers_per_transport_type,

@@ -426,6 +426,49 @@ def contamination_overlap(spark: SparkSession, sf_dir: str,
                                     docs.where(is_bench), k)
 
 
+def contamination_attribution_df(train: DataFrame, benchmark: DataFrame,
+                                 k: int = 5,
+                                 broadcast_max_shingles: int = 2_000_000
+                                 ) -> DataFrame:
+    """WHICH benchmark document contaminated each training document: for
+    every training doc sharing >= 1 distinct k-gram with the benchmark,
+    the benchmark doc with the largest shared-distinct-gram count
+    (ties -> smallest bench_doc_id). The audit trail a decontamination
+    report needs — 'dropped because of eval doc X', not just 'dropped'.
+
+    Scale: unlike contamination_hits_df the benchmark side keeps its
+    doc_id (the join key is still the 8-byte gram hash, the build side is
+    still size-guarded broadcast); the groupBy is (train doc, bench doc)
+    — bounded by actual overlap, not the cross product — and the final
+    argmax runs on that aggregate-sized frame."""
+    from .extremum import argmax
+
+    bench_sh = (benchmark.select(
+        F.col("doc_id").alias("bench_doc_id"),
+        F.explode(_hashed_kgram_set(k)).alias("s")))
+    small = (bench_sh.select("s").distinct().count()
+             <= broadcast_max_shingles)
+    build = F.broadcast(bench_sh) if small else bench_sh
+    train_sh = train.select("doc_id",
+                            F.explode(_hashed_kgram_set(k)).alias("s"))
+    pair_counts = (train_sh.join(build, "s")
+                   .groupBy("doc_id", "bench_doc_id")
+                   .agg(F.count(F.lit(1)).alias("n_shared")))
+    return argmax(pair_counts, "n_shared",
+                  group_cols=["doc_id"],
+                  tiebreak_cols=["bench_doc_id"])
+
+
+def contamination_attribution(spark: SparkSession, sf_dir: str,
+                              k: int = 5) -> DataFrame:
+    """Driver-gate fixture: every-50th-doc benchmark split; top
+    contaminating benchmark doc per affected training doc."""
+    docs = load(spark, sf_dir, "documents")
+    is_bench = F.col("doc_id") % 50 == 0
+    return contamination_attribution_df(docs.where(~is_bench),
+                                        docs.where(is_bench), k)
+
+
 def decontaminate(spark: SparkSession, sf_dir: str, k: int = 5,
                   min_overlap: int = 10) -> DataFrame:
     """Driver-gate fixture: every 50th document plays the held-out

@@ -1225,3 +1225,24 @@ SELECT ng.doc_id, ng.n_grams, COALESCE(h.n_shared, 0) AS n_shared,
          / CAST(ng.n_grams AS DOUBLE) AS overlap_frac
 FROM ng LEFT JOIN hits h USING (doc_id)
 """
+
+# Contamination attribution: per affected training doc, the benchmark
+# doc with the most shared distinct k-grams (ties -> smallest bench id).
+ORACLES["contamination_attribution"] = """
+WITH sh AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, GREATEST(LENGTH(text)-4, 1)),
+                               i -> substr(text, CAST(i AS INTEGER), 5))) AS s
+  FROM documents
+),
+bench AS (SELECT DISTINCT doc_id AS bench_doc_id, s FROM sh WHERE doc_id % 50 = 0),
+train_sh AS (SELECT DISTINCT doc_id, s FROM sh WHERE doc_id % 50 <> 0),
+pc AS (SELECT t.doc_id, b.bench_doc_id, COUNT(*) AS n_shared
+       FROM train_sh t JOIN bench b USING (s)
+       GROUP BY 1, 2)
+SELECT doc_id, bench_doc_id, n_shared FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY n_shared DESC, bench_doc_id ASC) AS rn
+  FROM pc)
+WHERE rn = 1
+"""

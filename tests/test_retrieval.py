@@ -176,6 +176,27 @@ def test_contamination_overlap_fraction(spark):
     assert out[0]["n_grams"] == 4  # 8 chars -> 4 distinct 5-grams
 
 
+def test_contamination_attribution_picks_max_overlap_bench_doc(spark):
+    from kafkastreams_tp3_is_spark.operators.curation import (
+        contamination_attribution_df)
+    # bench 100 shares 4 grams with doc 0; bench 101 shares only 1
+    bench = _docs(spark, [(100, "abcdefgh"), (101, "abcdeZZZ")])
+    train = _docs(spark, [(0, "abcdefgh"), (1, "qqqqqqqq")])
+    out = contamination_attribution_df(train, bench, k=5).collect()
+    assert len(out) == 1  # doc 1 shares nothing -> absent
+    r = out[0]
+    assert (r["doc_id"], r["bench_doc_id"], r["n_shared"]) == (0, 100, 4)
+
+
+def test_contamination_attribution_tie_breaks_on_smaller_bench_id(spark):
+    from kafkastreams_tp3_is_spark.operators.curation import (
+        contamination_attribution_df)
+    bench = _docs(spark, [(7, "abcdef"), (3, "abcdef")])
+    train = _docs(spark, [(0, "abcdef")])
+    r = contamination_attribution_df(train, bench, k=5).collect()[0]
+    assert r["bench_doc_id"] == 3
+
+
 # --- embedding_kmeans_assign ------------------------------------------
 
 def test_kmeans_assign_covers_all_vectors_deterministically(spark):
