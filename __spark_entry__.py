@@ -70,6 +70,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_overlap": _cur.contamination_overlap,
         "contamination_attribution": _cur.contamination_attribution,
         "embedding_kmeans_assign": _ivf.embedding_kmeans_assign,
+        # also still without a driver row (added after round 3's
+        # correctness run): keep every not-yet-driver-verified entry
+        # ahead of the re-verifications in case the run is capped
+        "repeated_spans": _dedup.repeated_spans,
+        "semantic_dup_clusters": _graph.semantic_dup_clusters,
+        "semantic_dup_clusters_exact": _graph.semantic_dup_clusters_exact,
+        "global_shuffle": _cur.global_shuffle,
         "q1_available_seats_per_route": _q.q1_available_seats_per_route,
         "q2_average_passengers_per_transport_type": _q.q2_average_passengers_per_transport_type,
         # Q2's 100 TB form: HLL sketch distinct (rows-only; error bound
@@ -126,7 +133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exact-substring dedup signal: per-doc coverage by 30-char spans
         # repeated across documents (hash-grouped in Spark, raw-gram
         # oracle -> the gate doubles as a hash-collision check)
-        "repeated_spans": _dedup.repeated_spans,
+        
         # pairwise edges -> transitive-closure clusters (Large-Star/
         # Small-Star connected components; oracle = WITH RECURSIVE).
         # _lsh is the production composition (sub-quadratic LSH edges ->
@@ -137,8 +144,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # is the scale path (rows-only: IVF recall is approximate, with a
         # cluster-agreement floor pytest); the exact-edge twin carries
         # the full recursive-closure oracle and benches as a baseline.
-        "semantic_dup_clusters": _graph.semantic_dup_clusters,
-        "semantic_dup_clusters_exact": _graph.semantic_dup_clusters_exact,
+        
+        
         # IVF is the moderate-threshold scale path (rows-only, recall
         # pytest-floored vs the exact baseline); the sign-LSH variant in
         # similarity.py stays the true near-dup (cosine>0.9) path.
@@ -160,7 +167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_deterministic": _cur.sample_deterministic,
         # reproducible global training-order permutation (seeded
         # content-addressed keys; per-shard independent sort)
-        "global_shuffle": _cur.global_shuffle,
+        
         "train_val_test_split": _cur.train_val_test_split,
         "normalize_text": _cur.normalize_text,
         "pii_scrub": _cur.pii_scrub,

@@ -403,14 +403,20 @@ def contamination_overlap_df(train: DataFrame, benchmark: DataFrame,
     (size-guarded broadcast of the bounded benchmark shingle set, hash
     join on 8-byte keys otherwise); the per-doc gram count is a row-local
     expression, no extra shuffle."""
-    hits = contamination_hits_df(train, benchmark, k,
-                                 broadcast_max_shingles)
-    n_grams = F.size(_hashed_kgram_set(k)).cast("bigint")
-    return (train.select("doc_id", n_grams.alias("n_grams"))
-            .join(hits, "doc_id", "left")
-            .select("doc_id", "n_grams",
-                    F.coalesce(F.col("n_shared"), F.lit(0).cast("bigint"))
-                     .alias("n_shared"))
+    bench_sh = (benchmark.select(F.explode(_hashed_kgram_set(k)).alias("s"))
+                .withColumn("hit", F.lit(1))
+                .distinct())
+    small = bench_sh.count() <= broadcast_max_shingles
+    build = F.broadcast(bench_sh) if small else bench_sh
+    # ONE shingle pass serves both the denominator and the hit count:
+    # left-join each distinct train gram against the benchmark set, then
+    # a single aggregation per doc
+    train_sh = train.select("doc_id",
+                            F.explode(_hashed_kgram_set(k)).alias("s"))
+    return (train_sh.join(build, "s", "left")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_grams"),
+                 F.count("hit").alias("n_shared"))
             .withColumn("overlap_frac",
                         F.col("n_shared").cast("double")
                         / F.col("n_grams").cast("double")))

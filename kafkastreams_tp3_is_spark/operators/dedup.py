@@ -209,6 +209,54 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str,
                                 num_hashes, bands, jaccard_threshold)
 
 
+def compute_signatures_df(docs: DataFrame, num_hashes: int = 32,
+                          k: int = 9) -> DataFrame:
+    """(doc_id, shingles, minhash) for a (doc_id, text) frame — the
+    STORED form of a document for dedup purposes. Signatures are a pure
+    function of content, so persisting this frame columnar beside the
+    corpus turns every later dedup-against run into a parquet scan
+    instead of a re-shingling of the whole corpus (see
+    streaming/incremental.py's signature store)."""
+    n_part = docs.sparkSession.sparkContext.defaultParallelism
+    return minhash_signatures(
+        hashed_shingle_sets_df(docs.repartition(n_part, "doc_id"), k),
+        num_hashes).select("doc_id", "shingles", "minhash")
+
+
+def dedup_minhash_lsh_from_sigs(sigs: DataFrame, num_hashes: int = 32,
+                                bands: int = 8,
+                                jaccard_threshold: float = 0.8) -> DataFrame:
+    """Within-corpus near-dup pairs from PRECOMPUTED signatures (the
+    compute_signatures_df layout). Caller owns persisting ``sigs`` (it is
+    consumed by the band join and both Jaccard probes)."""
+    cands = minhash_lsh_pairs(sigs, num_hashes, bands)
+    return _verify_jaccard(cands, sigs.select("doc_id", "shingles"),
+                           jaccard_threshold)
+
+
+def dedup_against_sigs_df(sig_new: DataFrame, sig_old: DataFrame,
+                          num_hashes: int = 32, bands: int = 8,
+                          jaccard_threshold: float = 0.8) -> DataFrame:
+    """Incremental dedup on PRECOMPUTED signature frames: (new_id,
+    corpus_id, jaccard >= t). The corpus side is typically a stored
+    signature table — scanned, never recomputed; per-run compute cost is
+    the increment's band join plus candidate verification. Caller owns
+    persisting ``sig_new`` (three consumers); ``sig_old`` is read
+    per-consumer, which for a parquet-backed store is the cheap path."""
+    e_new = (_banded(sig_new, num_hashes, bands, "doc_id")
+             .withColumnRenamed("doc_id", "nid"))
+    e_old = _banded(sig_old, num_hashes, bands, "doc_id")
+    cands = (e_new.join(e_old, ["band", "bucket"])
+             .select(F.col("nid").alias("a_id"),
+                     F.col("doc_id").alias("b_id"))
+             .distinct())
+    return (_verify_jaccard(cands, sig_new.select("doc_id", "shingles"),
+                            jaccard_threshold,
+                            b_sets_df=sig_old.select("doc_id", "shingles"))
+            .select(F.col("a_id").alias("new_id"),
+                    F.col("b_id").alias("corpus_id"), "jaccard"))
+
+
 def dedup_against_df(new_docs: DataFrame, corpus_docs: DataFrame,
                      num_hashes: int = 32, bands: int = 8,
                      jaccard_threshold: float = 0.8,
@@ -225,25 +273,10 @@ def dedup_against_df(new_docs: DataFrame, corpus_docs: DataFrame,
     pairs (at production scale the corpus side's signatures are computed
     once and stored columnar, making the increment the only per-run
     shingling cost)."""
-    n_part = new_docs.sparkSession.sparkContext.defaultParallelism
-    sig_new = minhash_signatures(
-        hashed_shingle_sets_df(new_docs.repartition(n_part, "doc_id"), k),
-        num_hashes).persist()
-    sig_old = minhash_signatures(
-        hashed_shingle_sets_df(corpus_docs.repartition(n_part, "doc_id"), k),
-        num_hashes).persist()
-    e_new = (_banded(sig_new, num_hashes, bands, "doc_id")
-             .withColumnRenamed("doc_id", "nid"))
-    e_old = _banded(sig_old, num_hashes, bands, "doc_id")
-    cands = (e_new.join(e_old, ["band", "bucket"])
-             .select(F.col("nid").alias("a_id"),
-                     F.col("doc_id").alias("b_id"))
-             .distinct())
-    out = (_verify_jaccard(cands, sig_new.select("doc_id", "shingles"),
-                           jaccard_threshold,
-                           b_sets_df=sig_old.select("doc_id", "shingles"))
-           .select(F.col("a_id").alias("new_id"),
-                   F.col("b_id").alias("corpus_id"), "jaccard"))
+    sig_new = compute_signatures_df(new_docs, num_hashes, k).persist()
+    sig_old = compute_signatures_df(corpus_docs, num_hashes, k).persist()
+    out = dedup_against_sigs_df(sig_new, sig_old, num_hashes, bands,
+                                jaccard_threshold)
     return owned(out, sig_new, sig_old)
 
 

@@ -785,34 +785,38 @@ def test_streaming_corpus_dedup_suppresses_cross_batch_near_dups(
     kept = {r["doc_id"] for r in sink.corpus().collect()}
     assert kept == set(range(40)), \
         "all originals kept, every near-dup copy suppressed"
+    # the signature store mirrors the corpus 1:1 and carries the stored
+    # layout (doc_id, shingles, minhash)
+    sigs = spark.read.parquet(sink.sig_dir)
+    assert {r["doc_id"] for r in sigs.select("doc_id").collect()} == kept
+    assert set(sigs.columns) == {"doc_id", "shingles", "minhash"}
 
 
-def test_streaming_corpus_dedup_releases_per_trigger_caches(
+def test_streaming_corpus_dedup_shingling_is_batch_only_and_leak_free(
         spark, planted_docs, tmp_path, monkeypatch):
-    """Each trigger persists operator internals (LSH signatures) inside
-    dedup_minhash_lsh_df and dedup_against_df; a long-running stream must
-    release them after the batch's terminal write or executor storage
-    grows by 1-3 frames per micro-batch. Spy on both operators, collect
-    the owned frames, and assert every one is unpersisted at the end."""
-    from kafkastreams_tp3_is_spark import cache
+    """The signature store makes per-trigger shingling O(|batch|): spy on
+    compute_signatures_df and assert it runs EXACTLY ONCE per non-empty
+    trigger, always over the incoming batch (never the accumulated
+    corpus), and that the one persisted frame per trigger (the batch
+    signatures) is unpersisted after the batch's terminal write."""
     from kafkastreams_tp3_is_spark.streaming import incremental as inc
 
-    owned_frames = []
+    sig_frames, input_counts = [], []
+    real = inc.compute_signatures_df
 
-    real_lsh, real_against = inc.dedup_minhash_lsh_df, inc.dedup_against_df
+    def spy(docs, *a, **kw):
+        input_counts.append(docs.count())
+        out = real(docs, *a, **kw)
+        orig_persist = out.persist
 
-    def spy_lsh(*a, **kw):
-        out = real_lsh(*a, **kw)
-        owned_frames.extend(cache.persisted(out))
+        def persist_and_record(*pa, **pkw):
+            res = orig_persist(*pa, **pkw)
+            sig_frames.append(out)
+            return res
+        out.persist = persist_and_record
         return out
 
-    def spy_against(*a, **kw):
-        out = real_against(*a, **kw)
-        owned_frames.extend(cache.persisted(out))
-        return out
-
-    monkeypatch.setattr(inc, "dedup_minhash_lsh_df", spy_lsh)
-    monkeypatch.setattr(inc, "dedup_against_df", spy_against)
+    monkeypatch.setattr(inc, "compute_signatures_df", spy)
 
     docs, _ = planted_docs
     src = tmp_path / "incoming"
@@ -828,8 +832,11 @@ def test_streaming_corpus_dedup_releases_per_trigger_caches(
     sink.run(stream, str(tmp_path / "ckpt_leak"))
 
     assert sink.batches >= 2
-    # trigger 2 hits the cross-corpus path, so both operators contributed
-    assert len(owned_frames) >= 3
-    leaked = [f for f in owned_frames
+    # one signature computation per trigger, each batch-sized: trigger 2
+    # saw 2 docs, NOT 20+2 — the 20-doc corpus was joined via its stored
+    # signatures, never re-shingled
+    assert input_counts == [20, 2]
+    assert len(sig_frames) == 2
+    leaked = [f for f in sig_frames
               if f.storageLevel.useMemory or f.storageLevel.useDisk]
     assert not leaked, f"{len(leaked)} persisted frames leaked"
