@@ -446,7 +446,14 @@ def contamination_attribution_df(train: DataFrame, benchmark: DataFrame,
     doc_id (the join key is still the 8-byte gram hash, the build side is
     still size-guarded broadcast); the groupBy is (train doc, bench doc)
     — bounded by actual overlap, not the cross product — and the final
-    argmax runs on that aggregate-sized frame."""
+    argmax runs on that aggregate-sized frame. Cost model: the join
+    fan-out is sum over grams of (train docs containing it) x (bench
+    docs containing it), so ``k`` must be large enough that grams are
+    DISCRIMINATIVE — a k so small that every doc shares every gram
+    degenerates toward |train| x |bench|. Pick k at or above the
+    decontamination overlap threshold's gram length (the operator is a
+    drill-down on flagged docs, not a replacement for the cheap
+    distinct-gram-set screen in contamination_hits_df)."""
     from .extremum import argmax
 
     bench_sh = (benchmark.select(
@@ -466,9 +473,13 @@ def contamination_attribution_df(train: DataFrame, benchmark: DataFrame,
 
 
 def contamination_attribution(spark: SparkSession, sf_dir: str,
-                              k: int = 5) -> DataFrame:
+                              k: int = 12) -> DataFrame:
     """Driver-gate fixture: every-50th-doc benchmark split; top
-    contaminating benchmark doc per affected training doc."""
+    contaminating benchmark doc per affected training doc. k=12 (vs the
+    k=5 screen): the synthetic corpus is token soup over a ~30-word
+    vocabulary, so 5-char grams occur in essentially every document and
+    the per-(train, bench) fan-out degenerates (see cost model above);
+    12-char grams span 2-3 tokens and are discriminative."""
     docs = load(spark, sf_dir, "documents")
     is_bench = F.col("doc_id") % 50 == 0
     return contamination_attribution_df(docs.where(~is_bench),

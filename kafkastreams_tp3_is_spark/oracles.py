@@ -1231,8 +1231,8 @@ FROM ng LEFT JOIN hits h USING (doc_id)
 ORACLES["contamination_attribution"] = """
 WITH sh AS (
   SELECT doc_id,
-         unnest(list_transform(generate_series(1, GREATEST(LENGTH(text)-4, 1)),
-                               i -> substr(text, CAST(i AS INTEGER), 5))) AS s
+         unnest(list_transform(generate_series(1, GREATEST(LENGTH(text)-11, 1)),
+                               i -> substr(text, CAST(i AS INTEGER), 12))) AS s
   FROM documents
 ),
 bench AS (SELECT DISTINCT doc_id AS bench_doc_id, s FROM sh WHERE doc_id % 50 = 0),
