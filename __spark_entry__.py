@@ -70,6 +70,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_overlap": _cur.contamination_overlap,
         "contamination_attribution": _cur.contamination_attribution,
         "embedding_kmeans_assign": _ivf.embedding_kmeans_assign,
+        # declarative pipeline composition: a JSON-able stage spec
+        # compiled into ONE fused DataFrame plan; the oracle restates
+        # the composed stages
+        "pipeline_standard_clean": _pipe.pipeline_standard_clean,
         # also still without a driver row (added after round 3's
         # correctness run): keep every not-yet-driver-verified entry
         # ahead of the re-verifications in case the run is capped

@@ -15,6 +15,8 @@ corpus manifest.
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -63,3 +65,120 @@ def corpus_clean(spark: SparkSession, sf_dir: str,
                    & ((F.col("lang_pred") == F.col("lang"))
                       | (F.col("lang_pred") == "und")))
             .select("doc_id", "n_tokens", "lang"))
+
+
+# --- declarative pipeline composer -------------------------------------
+#
+# A curation run is a SEQUENCE of row transforms, filters, and dedup
+# stages. Expressing the sequence as data (a list of {"stage": ..,
+# params} dicts — trivially JSON) instead of hand-written chains gives
+# reproducible, diffable pipeline configs, while the execution stays one
+# lazily-composed DataFrame: Catalyst fuses every narrow stage into the
+# scan, so a 5-stage spec with one dedup costs one shuffle, same as the
+# hand-fused corpus_clean above. No driver-side loops, no per-stage
+# materialization.
+
+def _stage_normalize(df: DataFrame) -> DataFrame:
+    """Lowercase, collapse whitespace runs, trim — in place on text."""
+    return df.withColumn(
+        "text", F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")))
+
+
+def _stage_min_tokens(df: DataFrame, n: int = 10) -> DataFrame:
+    return df.where(F.size(tokens_col()) >= int(n))
+
+
+def _stage_max_punct_ratio(df: DataFrame, ratio: float = 0.25) -> DataFrame:
+    n_chars = F.length("text").cast("bigint")
+    n_punct = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(_PUNCT), 0)).cast("bigint")
+    r = F.when(n_chars == 0, F.lit(0.0)).otherwise(
+        n_punct.cast("double") / n_chars.cast("double"))
+    return df.where(r <= float(ratio))
+
+
+def _stage_dedup_exact(df: DataFrame) -> DataFrame:
+    """Keep the lowest doc_id of every exact-text group (md5 digest
+    shuffle key — text never crosses the wire)."""
+    keep = (df.groupBy(F.md5("text").alias("__h"))
+              .agg(F.min("doc_id").alias("__keep")))
+    return (df.join(keep, (F.md5(df["text"]) == keep["__h"])
+                    & (df["doc_id"] == keep["__keep"]))
+              .drop("__h", "__keep"))
+
+
+def _stage_sample_hex(df: DataFrame, cutoff: str = "1a") -> DataFrame:
+    """Content-addressed sampling on the 2-hex-char md5(doc_id) prefix."""
+    if not (isinstance(cutoff, str) and len(cutoff) == 2):
+        raise ValueError(f"cutoff must be 2 hex chars, got {cutoff!r}")
+    key = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    return df.where(key < cutoff)
+
+
+def _stage_lang_keep(df: DataFrame, langs: list[str] = ("en",)) -> DataFrame:
+    return df.where(F.col("lang").isin(*list(langs)))
+
+
+STAGES: dict[str, Callable[..., DataFrame]] = {
+    "normalize": _stage_normalize,
+    "min_tokens": _stage_min_tokens,
+    "max_punct_ratio": _stage_max_punct_ratio,
+    "dedup_exact": _stage_dedup_exact,
+    "sample_hex": _stage_sample_hex,
+    "lang_keep": _stage_lang_keep,
+}
+
+
+def build_pipeline(spec: list[dict]) -> Callable[[DataFrame], DataFrame]:
+    """Compile a stage-spec list into one DataFrame transform. Validates
+    every stage name and parameter up front (fail at build time, not at
+    the 40th minute of a run)."""
+    import inspect
+
+    steps = []
+    for i, stage_spec in enumerate(spec):
+        if "stage" not in stage_spec:
+            raise ValueError(f"spec[{i}] missing 'stage': {stage_spec!r}")
+        name = stage_spec["stage"]
+        if name not in STAGES:
+            raise ValueError(
+                f"spec[{i}]: unknown stage {name!r}; known: "
+                f"{sorted(STAGES)}")
+        fn = STAGES[name]
+        params = {k: v for k, v in stage_spec.items() if k != "stage"}
+        allowed = set(inspect.signature(fn).parameters) - {"df"}
+        unknown = set(params) - allowed
+        if unknown:
+            raise ValueError(
+                f"spec[{i}] ({name}): unknown params {sorted(unknown)}; "
+                f"allowed: {sorted(allowed)}")
+        steps.append((fn, params))
+
+    def run(df: DataFrame) -> DataFrame:
+        for fn, params in steps:
+            df = fn(df, **params)
+        return df
+
+    return run
+
+
+# The gate fixture's spec: the standard clean a corpus gets before
+# tokenization, as data.
+STANDARD_CLEAN_SPEC = [
+    {"stage": "normalize"},
+    {"stage": "min_tokens", "n": 10},
+    {"stage": "dedup_exact"},
+    {"stage": "sample_hex", "cutoff": "c0"},
+]
+
+
+def pipeline_standard_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gate fixture: STANDARD_CLEAN_SPEC compiled and applied to
+    the documents table; output (doc_id, text, n_tokens) of survivors.
+    The DuckDB oracle restates the composed stages, so the gate checks
+    the COMPOSITION (including that stages see upstream transforms:
+    token counts and dedup hashes are over NORMALIZED text)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    out = build_pipeline(STANDARD_CLEAN_SPEC)(docs)
+    return out.select("doc_id", "text",
+                      F.size(tokens_col()).cast("bigint").alias("n_tokens"))

@@ -1246,3 +1246,26 @@ SELECT doc_id, bench_doc_id, n_shared FROM (
   FROM pc)
 WHERE rn = 1
 """
+
+# Declarative pipeline composition (STANDARD_CLEAN_SPEC): normalize ->
+# min_tokens(10) -> exact-dedup canonical -> md5(doc_id) 75% sample.
+# Restated as chained CTEs — the gate checks the COMPOSITION (token
+# floors and dedup hashes act on the NORMALIZED text).
+ORACLES["pipeline_standard_clean"] = r"""
+WITH n AS (
+  SELECT doc_id,
+         TRIM(regexp_replace(LOWER(text), '\s+', ' ', 'g')) AS text
+  FROM documents
+),
+f AS (
+  SELECT doc_id, text,
+         CAST(len(list_filter(string_split_regex(text, '\s+'),
+                              x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM n
+  WHERE len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) >= 10
+),
+k AS (SELECT md5(text) AS h, MIN(doc_id) AS keep FROM f GROUP BY 1)
+SELECT f.doc_id, f.text, f.n_tokens
+FROM f JOIN k ON md5(f.text) = k.h AND f.doc_id = k.keep
+WHERE SUBSTRING(md5(CAST(f.doc_id AS VARCHAR)), 1, 2) < 'c0'
+"""

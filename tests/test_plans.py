@@ -190,3 +190,34 @@ def test_repetition_signals_is_shuffle_free(spark):
         plan = _plan(spark, fn(spark, SF_DIR))
         assert "Exchange" not in plan, fn.__name__
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_tfidf_df_side_is_aggregate_sized_and_stats_broadcast(spark):
+    """tfidf joins the doc-term tf frame with the term-df frame and a
+    1-row corpus count: the count must come in as a broadcast, and the
+    plan must contain no cartesian product. (The tf<->df join key is the
+    term; AQE picks broadcast vs shuffle by size at runtime.)"""
+    from kafkastreams_tp3_is_spark.operators.retrieval import tfidf_topk
+    plan = _plan(spark, tfidf_topk(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_heavy_hitters_recount_joins_broadcast_candidates(spark):
+    """The exact recount pass must probe a BROADCAST candidate set (the
+    MG output is bounded by partitions x capacity) — a shuffle of the
+    full occurrence stream onto token keys would defeat the sketch."""
+    from kafkastreams_tp3_is_spark.operators.sketch import heavy_hitters
+    plan = _plan(spark, heavy_hitters(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_corpus_stats_single_scan_shared_shuffle(spark):
+    """Aggregates and the lower-median window both partition on
+    (source, lang): the plan must reuse that partitioning rather than
+    introduce extra wide exchanges (<= 3 hash exchanges total: base
+    shuffle + agg + window-side)."""
+    from kafkastreams_tp3_is_spark.operators.text import corpus_stats
+    plan = _plan(spark, corpus_stats(spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") <= 3
