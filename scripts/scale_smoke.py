@@ -34,6 +34,10 @@ from kafkastreams_tp3_is_spark.operators.dedup import (  # noqa: E402
     dedup_minhash_lsh_df, dedup_simhash_df, repeated_spans_df)
 from kafkastreams_tp3_is_spark.operators.graph import (  # noqa: E402
     duplicate_clusters_lsh_df)
+from kafkastreams_tp3_is_spark.operators.retrieval import (  # noqa: E402
+    tfidf_topk_df)
+from kafkastreams_tp3_is_spark.operators.sketch import (  # noqa: E402
+    heavy_hitters_df)
 from kafkastreams_tp3_is_spark.session import get_spark  # noqa: E402
 
 
@@ -90,7 +94,14 @@ def main() -> None:
            ("decontaminate", _decontaminate),
            # hash-grouped span inventory: shuffle volume is linear in
            # positions, so the 10x ratio should stay near-linear
-           ("repeated_spans", repeated_spans_df)]
+           ("repeated_spans", repeated_spans_df),
+           # doc-term/term-df aggregations: shuffle rows are distinct
+           # (doc, term) / term — linear in rows for a fixed vocabulary
+           ("tfidf_topk", tfidf_topk_df),
+           # bounded-state MG candidates + exact recount: per-partition
+           # state is O(capacity) regardless of rows, so the ratio tracks
+           # the scan
+           ("heavy_hitters", heavy_hitters_df)]
     for name, fn in ops:
         d1 = scaled_docs(spark, sf_dir, 1)
         timed(fn, d1)                       # untimed warmup: codegen/JIT
