@@ -74,6 +74,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # compiled into ONE fused DataFrame plan; the oracle restates
         # the composed stages
         "pipeline_standard_clean": _pipe.pipeline_standard_clean,
+        # unigram-LM corpus-fit score (rational perplexity proxy) and
+        # per-user hourly z-score anomalies — integer-aggregate exact
+        "doc_commonness": _text.doc_commonness,
+        "events_user_anomaly": _events.user_anomaly,
         # also still without a driver row (added after round 3's
         # correctness run): keep every not-yet-driver-verified entry
         # ahead of the re-verifications in case the run is capped

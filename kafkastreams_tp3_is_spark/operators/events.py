@@ -86,3 +86,41 @@ def topk_users(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
                   .where(F.col("rank") <= k)
                   .select("event_type", "user_id", "n_events",
                           F.col("rank").cast("int").alias("rank")))
+
+
+def user_anomaly(spark: SparkSession, sf_dir: str,
+                 z_threshold: float = 2.0) -> DataFrame:
+    """Per-user activity anomalies: hourly event counts z-scored against
+    the user's own mean/variance over their observed hours; |z| >=
+    ``z_threshold`` flags a spike or lull hour.
+
+    Exactness: mean and variance are computed from INTEGER count
+    aggregates in explicit rational form
+    (var = (n*sum_sq - total^2) / (n*(n-1)), sample variance), so the
+    doubles — including sqrt, which IEEE 754 defines exactly — are
+    bit-identical to the DuckDB restatement; no avg()/stddev() builtin
+    whose internal summation order could differ. Users with < 2 observed
+    hours or zero variance emit z = 0.0 (null-free gate).
+
+    Scale: one hash agg on (user, hour), one on user (aggregate-sized),
+    one join back keyed on user — the per-user side is one row, AQE
+    broadcasts it. No windows over raw events, no driver state."""
+    ev = load_events(spark, sf_dir)
+    hourly = (ev.groupBy("user_id",
+                         F.date_trunc("hour", F.col("ts")).alias("hour"))
+                .agg(F.count(F.lit(1)).alias("cnt")))
+    per_user = hourly.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum("cnt").alias("total"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("sum_sq"))
+    n = F.col("n_hours").cast("double")
+    mean = F.col("total").cast("double") / n
+    var = ((n * F.col("sum_sq").cast("double")
+            - F.col("total").cast("double") * F.col("total").cast("double"))
+           / (n * (F.col("n_hours") - F.lit(1)).cast("double")))
+    z = F.when((F.col("n_hours") >= 2) & (var > 0),
+               (F.col("cnt").cast("double") - mean) / F.sqrt(var)
+               ).otherwise(F.lit(0.0))
+    return (hourly.join(per_user, "user_id")
+            .select("user_id", "hour", "cnt", z.alias("z"))
+            .withColumn("is_anomaly", F.abs(F.col("z")) >= z_threshold))

@@ -273,6 +273,50 @@ def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "total_tokens"))
 
 
+def doc_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM corpus-fit score per document, in exact rational form:
+
+      commonness = (sum over token occurrences of corpus_count(token))
+                   / (n_tokens * total_occurrences)
+
+    — the per-token mean unigram probability. High = the doc is built
+    from the corpus's common vocabulary; low = rare/garbled content.
+    This is the monotone rational core of the perplexity-style LM
+    filters data pipelines run (CCNet/Gopher use trained LMs — a library
+    call; the unigram form keeps the signal AND the cross-engine
+    bit-exact gate: the numerator is an INTEGER aggregate, the score one
+    division, where a log-space perplexity would hinge on libm ln
+    agreement — see retrieval.py's module note).
+
+    Scale: token counts are one map-side-combined agg; the per-doc sum
+    re-joins occurrences to counts on the token key (vocab-sized build
+    side, AQE-broadcast when small) and aggregates per doc — never more
+    than one row per occurrence in flight, no driver state. Token-less
+    docs emit 0.0 via left join + coalesce (null-free gate)."""
+    docs = load(spark, sf_dir, "documents")
+    occ = docs.select("doc_id",
+                      F.explode(F.transform(tokens_col(),
+                                            lambda x: F.lower(x)))
+                       .alias("token"))
+    counts = occ.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = occ.agg(F.count(F.lit(1)).alias("total"))
+    per_doc = (occ.join(counts, "token")
+               .groupBy("doc_id")
+               .agg(F.count(F.lit(1)).alias("n_tokens"),
+                    F.sum("cnt").alias("sum_cnt")))
+    scored = (per_doc.crossJoin(F.broadcast(total))
+              .select("doc_id", "n_tokens",
+                      (F.col("sum_cnt").cast("double")
+                       / (F.col("n_tokens") * F.col("total")).cast("double"))
+                      .alias("commonness")))
+    return (docs.select("doc_id").join(scored, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce(F.col("n_tokens"),
+                               F.lit(0).cast("bigint")).alias("n_tokens"),
+                    F.coalesce(F.col("commonness"),
+                               F.lit(0.0)).alias("commonness")))
+
+
 def quality_filter(spark: SparkSession, sf_dir: str,
                    min_tokens: int = 15,
                    max_mean_word_len: float = 5.9,

@@ -1269,3 +1269,59 @@ SELECT f.doc_id, f.text, f.n_tokens
 FROM f JOIN k ON md5(f.text) = k.h AND f.doc_id = k.keep
 WHERE SUBSTRING(md5(CAST(f.doc_id AS VARCHAR)), 1, 2) < 'c0'
 """
+
+# Unigram-LM commonness: integer numerator (sum of corpus counts over
+# the doc's token occurrences), one division by n_tokens * total.
+ORACLES["doc_commonness"] = f"""
+WITH occ AS (
+  SELECT doc_id, unnest({_LTOKS}) AS token FROM documents
+),
+counts AS (SELECT token, COUNT(*) AS cnt FROM occ GROUP BY 1),
+tot AS (SELECT COUNT(*) AS total FROM occ),
+per_doc AS (
+  SELECT o.doc_id, COUNT(*) AS n_tokens,
+         CAST(SUM(c.cnt) AS BIGINT) AS sum_cnt
+  FROM occ o JOIN counts c USING (token)
+  GROUP BY o.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(p.n_tokens, 0) AS n_tokens,
+       COALESCE(CAST(p.sum_cnt AS DOUBLE)
+                / CAST(p.n_tokens * tot.total AS DOUBLE), 0.0) AS commonness
+FROM documents d
+LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+CROSS JOIN tot
+"""
+
+# Per-user hourly anomaly: z from integer count aggregates in explicit
+# rational form (sample variance), sqrt is IEEE-exact.
+ORACLES["events_user_anomaly"] = """
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+         COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+per_user AS (
+  SELECT user_id, COUNT(*) AS n_hours,
+         CAST(SUM(cnt) AS BIGINT) AS total,
+         CAST(SUM(cnt * cnt) AS BIGINT) AS sum_sq
+  FROM hourly GROUP BY 1
+),
+z AS (
+  SELECT h.user_id, h.hour, h.cnt,
+         CASE WHEN p.n_hours >= 2
+                   AND (CAST(p.n_hours AS DOUBLE) * CAST(p.sum_sq AS DOUBLE)
+                        - CAST(p.total AS DOUBLE) * CAST(p.total AS DOUBLE))
+                       / (CAST(p.n_hours AS DOUBLE)
+                          * CAST(p.n_hours - 1 AS DOUBLE)) > 0
+              THEN (CAST(h.cnt AS DOUBLE)
+                    - CAST(p.total AS DOUBLE) / CAST(p.n_hours AS DOUBLE))
+                   / sqrt((CAST(p.n_hours AS DOUBLE) * CAST(p.sum_sq AS DOUBLE)
+                           - CAST(p.total AS DOUBLE) * CAST(p.total AS DOUBLE))
+                          / (CAST(p.n_hours AS DOUBLE)
+                             * CAST(p.n_hours - 1 AS DOUBLE)))
+              ELSE 0.0 END AS z
+  FROM hourly h JOIN per_user p USING (user_id)
+)
+SELECT user_id, hour, cnt, z, abs(z) >= 2.0 AS is_anomaly FROM z
+"""

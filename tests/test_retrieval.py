@@ -214,3 +214,59 @@ def test_kmeans_assign_covers_all_vectors_deterministically(spark):
     assert len(pa) == n_vecs  # total coverage, one row per vector
     clusters = {c for _, c in pa}
     assert len(clusters) > 1 and all(0 <= c < 8 for c in clusters)
+
+
+# --- doc_commonness ----------------------------------------------------
+
+def test_doc_commonness_hand_computed(spark, tmp_path):
+    from kafkastreams_tp3_is_spark.operators.text import doc_commonness
+    rows = [(0, "a a b", "en", "s", 5), (1, "b", "en", "s", 1),
+            (2, "", "en", "s", 0)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long")
+    df.write.parquet(f"{tmp_path}/documents.parquet")
+    out = {r["doc_id"]: r for r in doc_commonness(spark, str(tmp_path)).collect()}
+    # corpus counts: a=2, b=2, total=4
+    # doc0: (2+2+2)/(3*4) = 0.5 ; doc1: 2/(1*4) = 0.5 ; doc2: empty -> 0
+    assert out[0]["commonness"] == 6 / 12
+    assert out[1]["commonness"] == 2 / 4
+    assert out[2]["commonness"] == 0.0 and out[2]["n_tokens"] == 0
+
+
+def test_doc_commonness_ranks_rare_doc_lowest(spark, tmp_path):
+    from kafkastreams_tp3_is_spark.operators.text import doc_commonness
+    rows = [(i, "common words here", "en", "s", 1) for i in range(9)]
+    rows.append((9, "xylophone quixotic zephyr", "en", "s", 1))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long")
+    df.write.parquet(f"{tmp_path}/documents.parquet")
+    out = {r["doc_id"]: r["commonness"]
+           for r in doc_commonness(spark, str(tmp_path)).collect()}
+    assert out[9] < min(out[i] for i in range(9))
+
+
+# --- events_user_anomaly ----------------------------------------------
+
+def test_user_anomaly_flags_spike_hour(spark, tmp_path):
+    from kafkastreams_tp3_is_spark.operators.events import user_anomaly
+    import datetime as dt
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # user 1: 2 events/hour for 9 hours, then a 40-event spike hour
+    for h in range(9):
+        for _ in range(2):
+            rows.append((eid, base + dt.timedelta(hours=h), 1, "c", 0.0, "{}")); eid += 1
+    for _ in range(40):
+        rows.append((eid, base + dt.timedelta(hours=9), 1, "c", 0.0, "{}")); eid += 1
+    # user 2: single observed hour -> z must be 0, never flagged
+    rows.append((eid, base, 2, "c", 0.0, "{}")); eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string")
+    df.write.parquet(f"{tmp_path}/events.parquet")
+    out = user_anomaly(spark, str(tmp_path)).collect()
+    flagged = {(r["user_id"], r["hour"].hour) for r in out if r["is_anomaly"]}
+    assert (1, 9) in flagged
+    assert all(u != 2 for u, _ in flagged)
+    z_by_hour = {r["hour"].hour: r["z"] for r in out if r["user_id"] == 1}
+    assert z_by_hour[9] > 2.0 and all(z_by_hour[h] < 0 for h in range(9))
