@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 from ..operators.dedup import (compute_signatures_df, dedup_against_sigs_df,
                                dedup_minhash_lsh_from_sigs)
 from ..operators.graph import connected_components_df
+from ..operators.pipeline import build_pipeline
 
 
 class StreamingCorpusDedup:
@@ -48,7 +49,8 @@ class StreamingCorpusDedup:
     def __init__(self, spark: SparkSession, corpus_dir: str,
                  jaccard_threshold: float = 0.8, k: int = 9,
                  num_hashes: int = 32, bands: int = 8,
-                 sig_dir: str | None = None):
+                 sig_dir: str | None = None,
+                 clean_spec: list[dict] | None = None):
         self.spark = spark
         self.corpus_dir = corpus_dir
         self.sig_dir = sig_dir or corpus_dir.rstrip("/") + "_sigs"
@@ -57,6 +59,12 @@ class StreamingCorpusDedup:
         self.num_hashes = num_hashes
         self.bands = bands
         self.batches = 0
+        # optional declarative pre-clean (operators/pipeline.py stage
+        # spec), validated at construction and applied to every batch
+        # BEFORE dedup — normalization here also canonicalizes what the
+        # shingles see, so case/spacing variants dedup exactly
+        self._clean = (build_pipeline(clean_spec)
+                       if clean_spec is not None else None)
 
     def _stored_sigs(self) -> DataFrame | None:
         if not os.path.isdir(self.sig_dir):
@@ -66,6 +74,8 @@ class StreamingCorpusDedup:
     def process(self, batch_df: DataFrame, batch_id: int) -> None:
         self.batches += 1
         batch = batch_df.select("doc_id", "text")
+        if self._clean is not None:
+            batch = self._clean(batch).select("doc_id", "text")
         if batch.isEmpty():
             return
         # 1. batch signatures, computed ONCE for both dedup directions

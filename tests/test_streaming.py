@@ -840,3 +840,33 @@ def test_streaming_corpus_dedup_shingling_is_batch_only_and_leak_free(
     leaked = [f for f in sig_frames
               if f.storageLevel.useMemory or f.storageLevel.useDisk]
     assert not leaked, f"{len(leaked)} persisted frames leaked"
+
+
+def test_streaming_corpus_dedup_applies_clean_spec_before_dedup(
+        spark, tmp_path):
+    """clean_spec gates ingestion: normalize makes a case/spacing variant
+    an EXACT duplicate of an already-ingested doc (suppressed by the
+    cross-corpus check), and min_tokens drops junk before it can reach
+    the corpus."""
+    from kafkastreams_tp3_is_spark.streaming.incremental import (
+        StreamingCorpusDedup)
+
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    src = tmp_path / "in_spec"
+    d1 = spark.createDataFrame([(0, base)], "doc_id long, text string")
+    d2 = spark.createDataFrame(
+        [(1, base.upper().replace(" ", "   ")),  # normalize-equal to doc 0
+         (2, "too short")],                      # dropped by min_tokens
+        "doc_id long, text string")
+    d1.repartition(1).write.mode("append").parquet(str(src))
+    d2.repartition(1).write.mode("append").parquet(str(src))
+
+    stream = (spark.readStream.schema(d1.schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    sink = StreamingCorpusDedup(
+        spark, str(tmp_path / "corpus_spec"), jaccard_threshold=0.7,
+        clean_spec=[{"stage": "normalize"}, {"stage": "min_tokens", "n": 5}])
+    sink.run(stream, str(tmp_path / "ckpt_spec"))
+
+    kept = {r["doc_id"] for r in sink.corpus().collect()}
+    assert kept == {0}
