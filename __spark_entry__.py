@@ -78,6 +78,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per-user hourly z-score anomalies — integer-aggregate exact
         "doc_commonness": _text.doc_commonness,
         "events_user_anomaly": _events.user_anomaly,
+        # tokenize -> concat-and-cut packing into fixed-length training
+        # sequences (per-shard windows only, no global ordering)
+        "pack_token_sequences": _ret.pack_token_sequences,
         # also still without a driver row (added after round 3's
         # correctness run): keep every not-yet-driver-verified entry
         # ahead of the re-verifications in case the run is capped

@@ -172,3 +172,47 @@ def tokenize_ids_df(docs: DataFrame,
 def tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-gate fixture: hash-vocab tokenization of every document."""
     return tokenize_ids_df(load(spark, sf_dir, "documents"))
+
+
+def pack_token_sequences_df(token_rows: DataFrame, seq_len: int = 128,
+                            n_shards: int = 16) -> DataFrame:
+    """Pack a tokenized corpus ((doc_id, pos, token_id) rows, the
+    tokenize_ids_df layout) into fixed-length training sequences — the
+    final data-prep step before an LLM training run. Documents are laid
+    out back-to-back per shard in a deterministic content-addressed
+    order (md5(doc_id), doc_id, pos) and cut every ``seq_len`` tokens;
+    a document can span a cut, exactly like GPT-style concat-and-chunk
+    packing. Output: (shard, seq_index, pos_in_seq, doc_id, token_id) —
+    one row per token, fully reconstructible.
+
+    Scale: NO global ordering anywhere — the only window partitions by
+    the 16-bit shard key (n_shards parallel streams), so the plan is one
+    hash exchange + per-shard sort. Shard assignment is content-
+    addressed (stable under corpus growth), and raising n_shards is the
+    scale knob a real run sets to executor count. The row_number within
+    a shard is a per-shard sequential scan — the same cost class as
+    writing the shard's output file."""
+    key = F.md5(F.col("doc_id").cast("string"))
+    shard = F.pmod(F.conv(F.substring(key, 1, 4), 16, 10).cast("bigint"),
+                   F.lit(n_shards))
+    w = Window.partitionBy("shard").orderBy("sort_key", "doc_id", "pos")
+    rn = F.row_number().over(w) - 1
+    return (token_rows
+            .select("doc_id", "pos", "token_id",
+                    shard.alias("shard"), key.alias("sort_key"))
+            .withColumn("seq_index", F.floor(rn / seq_len).cast("bigint"))
+            .withColumn("pos_in_seq", F.pmod(rn, F.lit(seq_len))
+                         .cast("bigint"))
+            .select("shard", "seq_index", "pos_in_seq", "doc_id",
+                    "token_id"))
+
+
+def pack_token_sequences(spark: SparkSession, sf_dir: str,
+                         seq_len: int = 128,
+                         n_shards: int = 16) -> DataFrame:
+    """Driver-gate fixture: tokenize + pack, n_shards pinned (shard
+    assignment is part of the output, so the oracle must not depend on
+    the box's parallelism)."""
+    toks = tokenize_ids_df(load(spark, sf_dir, "documents"))
+    return pack_token_sequences_df(toks, seq_len=seq_len,
+                                   n_shards=n_shards)

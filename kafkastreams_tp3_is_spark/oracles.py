@@ -1325,3 +1325,32 @@ z AS (
 )
 SELECT user_id, hour, cnt, z, abs(z) >= 2.0 AS is_anomaly FROM z
 """
+
+# Token-sequence packing: per-shard (16-bit md5 prefix mod 16)
+# content-addressed stream order, cut every 128 tokens.
+ORACLES["pack_token_sequences"] = f"""
+WITH toks AS (
+  SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
+         ('0x' || substring(md5(t), 1, 8))::BIGINT % 32000 AS token_id
+  FROM (SELECT doc_id,
+               unnest(generate_series(1, len(tk))) AS i,
+               unnest(tk) AS t
+        FROM (SELECT doc_id, {_LTOKS} AS tk FROM documents))
+),
+keyed AS (
+  SELECT doc_id, pos, token_id,
+         md5(CAST(doc_id AS VARCHAR)) AS sort_key,
+         ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 16
+           AS shard
+  FROM toks
+),
+numbered AS (
+  SELECT shard, doc_id, token_id,
+         ROW_NUMBER() OVER (PARTITION BY shard
+                            ORDER BY sort_key, doc_id, pos) - 1 AS rn
+  FROM keyed
+)
+SELECT shard, CAST(rn // 128 AS BIGINT) AS seq_index,
+       CAST(rn % 128 AS BIGINT) AS pos_in_seq, doc_id, token_id
+FROM numbered
+"""

@@ -270,3 +270,37 @@ def test_user_anomaly_flags_spike_hour(spark, tmp_path):
     assert all(u != 2 for u, _ in flagged)
     z_by_hour = {r["hour"].hour: r["z"] for r in out if r["user_id"] == 1}
     assert z_by_hour[9] > 2.0 and all(z_by_hour[h] < 0 for h in range(9))
+
+
+# --- pack_token_sequences ---------------------------------------------
+
+def test_pack_token_sequences_layout(spark):
+    from kafkastreams_tp3_is_spark.operators.retrieval import (
+        pack_token_sequences_df, tokenize_ids_df)
+    docs = _docs(spark, [(i, " ".join(f"w{j}" for j in range(10)))
+                         for i in range(6)])
+    toks = tokenize_ids_df(docs)
+    out = pack_token_sequences_df(toks, seq_len=8, n_shards=2).collect()
+    assert len(out) == 60  # one row per token, nothing lost
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, rows in by_shard.items():
+        rows.sort(key=lambda r: (r["seq_index"], r["pos_in_seq"]))
+        # positions are a dense 0..n-1 stream cut every 8 tokens
+        stream = [(r["seq_index"], r["pos_in_seq"]) for r in rows]
+        assert stream == [(i // 8, i % 8) for i in range(len(rows))]
+        # a document's tokens are contiguous in the stream (concat, THEN cut)
+        seen, prev = set(), None
+        for r in rows:
+            if r["doc_id"] != prev:
+                assert r["doc_id"] not in seen, "doc split non-contiguously"
+                seen.add(r["doc_id"]); prev = r["doc_id"]
+
+
+def test_pack_token_sequences_no_single_partition_window(spark):
+    from kafkastreams_tp3_is_spark.operators.retrieval import (
+        pack_token_sequences, )
+    df = pack_token_sequences(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan
