@@ -115,3 +115,88 @@ def test_doc_chunk_df_tiles_arbitrary_unicode(spark, rows):
         for c in chunks:
             assert c["chunk_text"] == t[c["chunk_start"]:
                                         c["chunk_start"] + chunk]
+
+
+# --- round-4 kernels ---------------------------------------------------
+
+_ws_doc = st.text(alphabet=_ALPHA + "\t\n ", min_size=0, max_size=60)
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(_ws_doc, min_size=1, max_size=5))
+def test_tokenize_ids_matches_python_reference(spark, texts):
+    """tokenize_ids on random mixed-width unicode == Python reference:
+    same (pos, token) stream per doc, ids in [0, 32000), equal tokens ->
+    equal ids."""
+    import hashlib
+    import re
+
+    from kafkastreams_tp3_is_spark.operators.retrieval import (
+        tokenize_ids_df)
+
+    docs = spark.createDataFrame(list(enumerate(texts)),
+                                 "doc_id long, text string")
+    got = {}
+    for r in tokenize_ids_df(docs).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["pos"], r["token"], r["token_id"]))
+    for d in got.values():
+        d.sort()
+    want = {}
+    for i, t in enumerate(texts):
+        toks = [w for w in re.split(r"\s+", t.lower()) if w != ""]
+        want[i] = [
+            (p, w,
+             int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % 32000)
+            for p, w in enumerate(toks)]
+    want = {k: v for k, v in want.items() if v}
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.tuples(st.text(alphabet="abc", min_size=1, max_size=3),
+                          st.integers(1, 50)),
+                min_size=1, max_size=12),
+       st.integers(2, 6))
+def test_heavy_hitters_match_exact_counts(spark, weighted, support_inv):
+    """heavy_hitters on a random weighted token multiset == the exact
+    filter count*support_inv >= total, regardless of partitioning."""
+    from kafkastreams_tp3_is_spark.operators.sketch import heavy_hitters_df
+
+    tokens = []
+    for tok, w in weighted:
+        tokens.extend([tok] * w)
+    text = " ".join(tokens)
+    docs = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    got = {(r["token"], r["n_occurrences"])
+           for r in heavy_hitters_df(docs, support_inv=support_inv).collect()}
+    from collections import Counter
+    c = Counter(tokens)
+    total = sum(c.values())
+    want = {(t, n) for t, n in c.items() if n * support_inv >= total}
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(_ws_doc, min_size=1, max_size=6),
+       st.integers(2, 16))
+def test_pack_token_sequences_is_dense_and_lossless(spark, texts, seq_len):
+    """Packing any random corpus yields, per shard, a dense 0..n-1 token
+    stream cut every seq_len, covering exactly the tokenized corpus."""
+    from kafkastreams_tp3_is_spark.operators.retrieval import (
+        pack_token_sequences_df, tokenize_ids_df)
+
+    docs = spark.createDataFrame(list(enumerate(texts)),
+                                 "doc_id long, text string")
+    toks = tokenize_ids_df(docs)
+    n_tokens = toks.count()
+    out = pack_token_sequences_df(toks, seq_len=seq_len, n_shards=4).collect()
+    assert len(out) == n_tokens
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(
+            (r["seq_index"], r["pos_in_seq"]))
+    for stream in by_shard.values():
+        stream.sort()
+        assert stream == [(i // seq_len, i % seq_len)
+                          for i in range(len(stream))]
