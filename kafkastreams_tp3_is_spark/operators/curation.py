@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..cache import owned, persisted
 from ..views import load
 
 # --- deterministic sampling -------------------------------------------
@@ -358,15 +359,21 @@ def contamination_hits_df(train: DataFrame, benchmark: DataFrame,
     Scale: one explode of the training corpus, one join on longs, one
     map-side-combined count per doc_id. Never collects, never broadcasts
     unmeasured input."""
+    # persisted: the size-guard count and the join probe would each
+    # re-shingle the benchmark otherwise (caller releases via
+    # cache.release on the result)
     bench_sh = (benchmark.select(F.explode(_hashed_kgram_set(k)).alias("s"))
-                .distinct())
+                .distinct()
+                .persist())
     small = bench_sh.count() <= broadcast_max_shingles
     build = F.broadcast(bench_sh) if small else bench_sh
     train_sh = train.select("doc_id",
                             F.explode(_hashed_kgram_set(k)).alias("s"))
-    return (train_sh.join(build, "s")
-            .groupBy("doc_id")
-            .agg(F.count(F.lit(1)).alias("n_shared")))
+    return owned(
+        train_sh.join(build, "s")
+                .groupBy("doc_id")
+                .agg(F.count(F.lit(1)).alias("n_shared")),
+        bench_sh)
 
 
 def decontaminate_df(train: DataFrame, benchmark: DataFrame, k: int = 5,
@@ -379,11 +386,14 @@ def decontaminate_df(train: DataFrame, benchmark: DataFrame, k: int = 5,
     Join strategy per contamination_hits_df (size-guarded broadcast with
     shuffle fallback)."""
     hits = contamination_hits_df(train, benchmark, k, broadcast_max_shingles)
-    return (train.select("doc_id").join(hits, "doc_id", "left")
-            .select("doc_id",
-                    F.coalesce(F.col("n_shared"), F.lit(0).cast("bigint"))
-                     .alias("n_shared"))
-            .withColumn("contaminated", F.col("n_shared") >= min_overlap))
+    out = (train.select("doc_id").join(hits, "doc_id", "left")
+           .select("doc_id",
+                   F.coalesce(F.col("n_shared"), F.lit(0).cast("bigint"))
+                    .alias("n_shared"))
+           .withColumn("contaminated", F.col("n_shared") >= min_overlap))
+    # transfer cache ownership: the attachment rides the frame the
+    # caller actually holds (cache.py contract)
+    return owned(out, *persisted(hits))
 
 
 def contamination_overlap_df(train: DataFrame, benchmark: DataFrame,
@@ -405,7 +415,8 @@ def contamination_overlap_df(train: DataFrame, benchmark: DataFrame,
     expression, no extra shuffle."""
     bench_sh = (benchmark.select(F.explode(_hashed_kgram_set(k)).alias("s"))
                 .withColumn("hit", F.lit(1))
-                .distinct())
+                .distinct()
+                .persist())
     small = bench_sh.count() <= broadcast_max_shingles
     build = F.broadcast(bench_sh) if small else bench_sh
     # ONE shingle pass serves both the denominator and the hit count:
@@ -413,13 +424,14 @@ def contamination_overlap_df(train: DataFrame, benchmark: DataFrame,
     # a single aggregation per doc
     train_sh = train.select("doc_id",
                             F.explode(_hashed_kgram_set(k)).alias("s"))
-    return (train_sh.join(build, "s", "left")
-            .groupBy("doc_id")
-            .agg(F.count(F.lit(1)).alias("n_grams"),
-                 F.count("hit").alias("n_shared"))
-            .withColumn("overlap_frac",
-                        F.col("n_shared").cast("double")
-                        / F.col("n_grams").cast("double")))
+    out = (train_sh.join(build, "s", "left")
+           .groupBy("doc_id")
+           .agg(F.count(F.lit(1)).alias("n_grams"),
+                F.count("hit").alias("n_shared"))
+           .withColumn("overlap_frac",
+                       F.col("n_shared").cast("double")
+                       / F.col("n_grams").cast("double")))
+    return owned(out, bench_sh)
 
 
 def contamination_overlap(spark: SparkSession, sf_dir: str,
@@ -458,7 +470,8 @@ def contamination_attribution_df(train: DataFrame, benchmark: DataFrame,
 
     bench_sh = (benchmark.select(
         F.col("doc_id").alias("bench_doc_id"),
-        F.explode(_hashed_kgram_set(k)).alias("s")))
+        F.explode(_hashed_kgram_set(k)).alias("s"))
+        .persist())
     small = (bench_sh.select("s").distinct().count()
              <= broadcast_max_shingles)
     build = F.broadcast(bench_sh) if small else bench_sh
@@ -467,9 +480,10 @@ def contamination_attribution_df(train: DataFrame, benchmark: DataFrame,
     pair_counts = (train_sh.join(build, "s")
                    .groupBy("doc_id", "bench_doc_id")
                    .agg(F.count(F.lit(1)).alias("n_shared")))
-    return argmax(pair_counts, "n_shared",
-                  group_cols=["doc_id"],
-                  tiebreak_cols=["bench_doc_id"])
+    return owned(argmax(pair_counts, "n_shared",
+                        group_cols=["doc_id"],
+                        tiebreak_cols=["bench_doc_id"]),
+                 bench_sh)
 
 
 def contamination_attribution(spark: SparkSession, sf_dir: str,

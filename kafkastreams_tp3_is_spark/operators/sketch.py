@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..cache import owned
 from ..views import load
 from .retrieval import lower_tokens_col
 
@@ -74,10 +75,14 @@ def heavy_hitters_df(docs: DataFrame, support_inv: int = 32,
     the keep predicate is integer-only (n * support_inv >= total)."""
     occurrences = docs.select(
         F.explode(lower_tokens_col()).alias("token"))
+    # persisted: the size-guard count and the recount join would each
+    # re-run the whole MG sketch pass otherwise (caller releases via
+    # cache.release; bench/one-shot callers use clearCache)
     candidates = (occurrences
                   .mapInPandas(_mg_partition_candidates(safety * support_inv),
                                schema=_CAND_SCHEMA)
-                  .distinct())
+                  .distinct()
+                  .persist())
     # candidate cardinality is bounded by shuffle-partitions x capacity,
     # but measure before broadcasting (same contract as decontaminate)
     build = (F.broadcast(candidates)
@@ -87,11 +92,12 @@ def heavy_hitters_df(docs: DataFrame, support_inv: int = 32,
     exact = (occurrences.join(build, "token")
              .groupBy("token")
              .agg(F.count(F.lit(1)).alias("n_occurrences")))
-    return (exact.crossJoin(F.broadcast(total))
-            .where(F.col("n_occurrences") * support_inv >= F.col("total"))
-            .select("token", "n_occurrences",
-                    (F.col("n_occurrences").cast("double")
-                     / F.col("total").cast("double")).alias("share")))
+    out = (exact.crossJoin(F.broadcast(total))
+           .where(F.col("n_occurrences") * support_inv >= F.col("total"))
+           .select("token", "n_occurrences",
+                   (F.col("n_occurrences").cast("double")
+                    / F.col("total").cast("double")).alias("share")))
+    return owned(out, candidates)
 
 
 def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
