@@ -59,3 +59,28 @@ def run_sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
     against the registered views."""
     register_views(spark, sf_dir)
     return spark.sql(QUERY_SQL.get(query, query))
+
+
+def register_operator_views(spark: SparkSession, sf_dir: str,
+                            names: list[str]) -> None:
+    """Publish the OUTPUT of registry operators (``__spark_entry__.
+    queries()`` names) as temp views, so ad-hoc Spark SQL can filter,
+    join, and aggregate over them — e.g. join ``tfidf_topk`` against
+    ``corpus_stats`` without touching the DataFrame API.
+
+    Views are lazy plans: nothing executes until the SQL that reads them
+    runs, and Catalyst optimizes the ad-hoc query TOGETHER with the
+    operator's plan (filters push down into the operator). ``names`` is
+    explicit rather than 'register everything' because a few operators
+    run bounded driver-side work at plan-construction time (size-guard
+    counts, IVF centroid training) that should not be paid for views
+    never queried."""
+    import __spark_entry__ as entrymod
+
+    registry = entrymod.queries()
+    unknown = [n for n in names if n not in registry]
+    if unknown:
+        raise ValueError(f"unknown operator views {unknown}; registry "
+                         f"has {len(registry)} entries")
+    for n in names:
+        registry[n](spark, sf_dir).createOrReplaceTempView(n)
