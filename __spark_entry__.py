@@ -141,22 +141,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the refreshed-training-corpus shape; full hash-match gate
         "dedup_against": _dedup.dedup_against,
         "ngram_jaccard_pairs": _dedup.ngram_jaccard_pairs,
-        # exact-substring dedup signal: per-doc coverage by 30-char spans
-        # repeated across documents (hash-grouped in Spark, raw-gram
-        # oracle -> the gate doubles as a hash-collision check)
-        
         # pairwise edges -> transitive-closure clusters (Large-Star/
         # Small-Star connected components; oracle = WITH RECURSIVE).
         # _lsh is the production composition (sub-quadratic LSH edges ->
-        # CC); the exact-edge twin is its verification baseline.
+        # CC); the exact-edge twin is its verification baseline. (The
+        # semantic_dup_clusters twins and repeated_spans/global_shuffle
+        # are registered in the front block above.)
         "duplicate_clusters": _graph.duplicate_clusters,
         "duplicate_clusters_lsh": _graph.duplicate_clusters_lsh,
-        # SEMANTIC dedup: embedding-cosine edges -> CC. The IVF variant
-        # is the scale path (rows-only: IVF recall is approximate, with a
-        # cluster-agreement floor pytest); the exact-edge twin carries
-        # the full recursive-closure oracle and benches as a baseline.
-        
-        
         # IVF is the moderate-threshold scale path (rows-only, recall
         # pytest-floored vs the exact baseline); the sign-LSH variant in
         # similarity.py stays the true near-dup (cosine>0.9) path.
@@ -176,9 +168,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # corpus-curation stages (sampling, normalization, PII,
         # benchmark decontamination) — all value-exact oracles
         "sample_deterministic": _cur.sample_deterministic,
-        # reproducible global training-order permutation (seeded
-        # content-addressed keys; per-shard independent sort)
-        
         "train_val_test_split": _cur.train_val_test_split,
         "normalize_text": _cur.normalize_text,
         "pii_scrub": _cur.pii_scrub,

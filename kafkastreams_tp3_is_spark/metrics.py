@@ -32,8 +32,10 @@ def observed(df: DataFrame, name: str = "pipeline",
     cols = null_cols if null_cols is not None else df.columns
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c in cols:
-        aggs.append(F.sum(F.col(c).isNull().cast("long"))
-                     .alias(f"nulls_{c}"))
+        # coalesce: SUM over zero rows is null, and an audit must see 0,
+        # not None, exactly on the empty-input edge it exists to catch
+        aggs.append(F.coalesce(F.sum(F.col(c).isNull().cast("long")),
+                               F.lit(0)).alias(f"nulls_{c}"))
     obs = Observation(name)
     return df.observe(obs, *aggs), obs
 
@@ -42,9 +44,8 @@ def collect_metrics(df: DataFrame, name: str = "pipeline",
                     null_cols: list[str] | None = None) -> dict:
     """Run one action over ``df`` and return its observation metrics —
     the single-pass answer to 'how many rows flowed through, and were
-    any keys null'. The action is a count-free foreach-noop (write to
-    the no-op format would need a path; a count() action is the cheapest
-    portable trigger and shares the same scan)."""
+    any keys null'. The triggering action is a count(): the cheapest
+    portable action, and the observation rides its scan."""
     out, obs = observed(df, name, null_cols)
     out.count()
     return dict(obs.get)

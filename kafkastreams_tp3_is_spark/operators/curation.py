@@ -343,6 +343,29 @@ def _hashed_kgram_set(k: int) -> F.Column:
         F.transform(idx, lambda i: F.xxhash64(t.substr(i, F.lit(k)))))
 
 
+def _bench_shingle_build(benchmark: DataFrame, k: int,
+                         broadcast_max_rows: int,
+                         keep_doc_id: bool = False,
+                         mark_hits: bool = False):
+    """Shared build side for the contamination family: the benchmark's
+    hashed k-grams, persisted (the size-guard count and the join probe
+    would each re-shingle the benchmark otherwise), broadcast-hinted
+    only when the count of THE FRAME BEING BROADCAST is within bound —
+    the guard must measure exactly what it ships, so variants that carry
+    extra columns (per-doc attribution rows) are counted in that form.
+    Returns (build_side, persisted_frame); callers attach the persisted
+    frame to their result via cache ownership."""
+    cols = ([F.col("doc_id").alias("bench_doc_id")] if keep_doc_id else [])
+    sh = benchmark.select(*cols, F.explode(_hashed_kgram_set(k)).alias("s"))
+    if mark_hits:
+        sh = sh.withColumn("hit", F.lit(1))
+    if not keep_doc_id:
+        sh = sh.distinct()
+    sh = sh.persist()
+    build = F.broadcast(sh) if sh.count() <= broadcast_max_rows else sh
+    return build, sh
+
+
 def contamination_hits_df(train: DataFrame, benchmark: DataFrame,
                           k: int = 5,
                           broadcast_max_shingles: int = 2_000_000) -> DataFrame:
@@ -359,14 +382,8 @@ def contamination_hits_df(train: DataFrame, benchmark: DataFrame,
     Scale: one explode of the training corpus, one join on longs, one
     map-side-combined count per doc_id. Never collects, never broadcasts
     unmeasured input."""
-    # persisted: the size-guard count and the join probe would each
-    # re-shingle the benchmark otherwise (caller releases via
-    # cache.release on the result)
-    bench_sh = (benchmark.select(F.explode(_hashed_kgram_set(k)).alias("s"))
-                .distinct()
-                .persist())
-    small = bench_sh.count() <= broadcast_max_shingles
-    build = F.broadcast(bench_sh) if small else bench_sh
+    build, bench_sh = _bench_shingle_build(benchmark, k,
+                                           broadcast_max_shingles)
     train_sh = train.select("doc_id",
                             F.explode(_hashed_kgram_set(k)).alias("s"))
     return owned(
@@ -413,12 +430,9 @@ def contamination_overlap_df(train: DataFrame, benchmark: DataFrame,
     (size-guarded broadcast of the bounded benchmark shingle set, hash
     join on 8-byte keys otherwise); the per-doc gram count is a row-local
     expression, no extra shuffle."""
-    bench_sh = (benchmark.select(F.explode(_hashed_kgram_set(k)).alias("s"))
-                .withColumn("hit", F.lit(1))
-                .distinct()
-                .persist())
-    small = bench_sh.count() <= broadcast_max_shingles
-    build = F.broadcast(bench_sh) if small else bench_sh
+    build, bench_sh = _bench_shingle_build(benchmark, k,
+                                           broadcast_max_shingles,
+                                           mark_hits=True)
     # ONE shingle pass serves both the denominator and the hit count:
     # left-join each distinct train gram against the benchmark set, then
     # a single aggregation per doc
@@ -468,13 +482,9 @@ def contamination_attribution_df(train: DataFrame, benchmark: DataFrame,
     distinct-gram-set screen in contamination_hits_df)."""
     from .extremum import argmax
 
-    bench_sh = (benchmark.select(
-        F.col("doc_id").alias("bench_doc_id"),
-        F.explode(_hashed_kgram_set(k)).alias("s"))
-        .persist())
-    small = (bench_sh.select("s").distinct().count()
-             <= broadcast_max_shingles)
-    build = F.broadcast(bench_sh) if small else bench_sh
+    build, bench_sh = _bench_shingle_build(benchmark, k,
+                                           broadcast_max_shingles,
+                                           keep_doc_id=True)
     train_sh = train.select("doc_id",
                             F.explode(_hashed_kgram_set(k)).alias("s"))
     pair_counts = (train_sh.join(build, "s")

@@ -109,8 +109,10 @@ def _stage_dedup_exact(df: DataFrame) -> DataFrame:
 
 def _stage_sample_hex(df: DataFrame, cutoff: str = "1a") -> DataFrame:
     """Content-addressed sampling on the 2-hex-char md5(doc_id) prefix."""
-    if not (isinstance(cutoff, str) and len(cutoff) == 2):
-        raise ValueError(f"cutoff must be 2 hex chars, got {cutoff!r}")
+    import re
+    if not (isinstance(cutoff, str) and re.fullmatch(r"[0-9a-f]{2}", cutoff)):
+        raise ValueError(
+            f"cutoff must be 2 lowercase hex chars, got {cutoff!r}")
     key = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
     return df.where(key < cutoff)
 

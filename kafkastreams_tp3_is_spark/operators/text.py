@@ -293,11 +293,11 @@ def doc_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
     side, AQE-broadcast when small) and aggregates per doc — never more
     than one row per occurrence in flight, no driver state. Token-less
     docs emit 0.0 via left join + coalesce (null-free gate)."""
+    from .retrieval import lower_tokens_col
+
     docs = load(spark, sf_dir, "documents")
     occ = docs.select("doc_id",
-                      F.explode(F.transform(tokens_col(),
-                                            lambda x: F.lower(x)))
-                       .alias("token"))
+                      F.explode(lower_tokens_col()).alias("token"))
     counts = occ.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
     total = occ.agg(F.count(F.lit(1)).alias("total"))
     per_doc = (occ.join(counts, "token")

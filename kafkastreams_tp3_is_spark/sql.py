@@ -62,7 +62,7 @@ def run_sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
 
 
 def register_operator_views(spark: SparkSession, sf_dir: str,
-                            names: list[str]) -> None:
+                            names: list[str]) -> dict[str, DataFrame]:
     """Publish the OUTPUT of registry operators (``__spark_entry__.
     queries()`` names) as temp views, so ad-hoc Spark SQL can filter,
     join, and aggregate over them — e.g. join ``tfidf_topk`` against
@@ -74,7 +74,12 @@ def register_operator_views(spark: SparkSession, sf_dir: str,
     explicit rather than 'register everything' because a few operators
     run bounded driver-side work at plan-construction time (size-guard
     counts, IVF centroid training) that should not be paid for views
-    never queried."""
+    never queried.
+
+    Returns {name: DataFrame} — the frames carrying any operator-owned
+    persisted internals (cache.py ownership), so a long-lived session
+    can ``cache.release`` each one when done with its view instead of
+    reaching for clearCache."""
     import __spark_entry__ as entrymod
 
     registry = entrymod.queries()
@@ -82,5 +87,9 @@ def register_operator_views(spark: SparkSession, sf_dir: str,
     if unknown:
         raise ValueError(f"unknown operator views {unknown}; registry "
                          f"has {len(registry)} entries")
+    out: dict[str, DataFrame] = {}
     for n in names:
-        registry[n](spark, sf_dir).createOrReplaceTempView(n)
+        df = registry[n](spark, sf_dir)
+        df.createOrReplaceTempView(n)
+        out[n] = df
+    return out

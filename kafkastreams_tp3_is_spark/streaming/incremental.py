@@ -66,10 +66,28 @@ class StreamingCorpusDedup:
         self._clean = (build_pipeline(clean_spec)
                        if clean_spec is not None else None)
 
-    def _stored_sigs(self) -> DataFrame | None:
-        if not os.path.isdir(self.sig_dir):
+    def _read_store(self, root: str,
+                    exclude_batch: int | None = None) -> DataFrame | None:
+        if not os.path.isdir(root):
             return None
-        return self.spark.read.parquet(self.sig_dir)
+        subdirs = [d for d in os.listdir(root)
+                   if d.startswith("batch=")
+                   and (exclude_batch is None
+                        or d != f"batch={exclude_batch}")]
+        if not subdirs:
+            return None
+        # partition discovery adds the batch column; drop it — it is a
+        # write-idempotence mechanism, not data
+        return self.spark.read.option("basePath", root).parquet(
+            *[os.path.join(root, d) for d in subdirs]).drop("batch")
+
+    def _stored_sigs(self, exclude_batch: int) -> DataFrame | None:
+        """Stored corpus signatures EXCLUDING the current batch's own
+        subdirectory: on a foreachBatch retry the first attempt's
+        partial writes for this batch_id may exist, and deduping the
+        retried batch against its own prior attempt would suppress every
+        document and overwrite the store with an empty survivor set."""
+        return self._read_store(self.sig_dir, exclude_batch=exclude_batch)
 
     def process(self, batch_df: DataFrame, batch_id: int) -> None:
         self.batches += 1
@@ -82,6 +100,7 @@ class StreamingCorpusDedup:
         # and for the signature-store append
         sigs = compute_signatures_df(batch, self.num_hashes,
                                      self.k).persist()
+        keep_ids = None
         try:
             # 2. within-batch: cluster near-dups, keep canonical docs
             pairs = dedup_minhash_lsh_from_sigs(
@@ -93,7 +112,7 @@ class StreamingCorpusDedup:
                         .join(non_canonical, "doc_id", "left_anti"))
             # 3. cross-corpus: band-join surviving batch signatures
             # against the STORED corpus signatures (scan, no recompute)
-            stored = self._stored_sigs()
+            stored = self._stored_sigs(exclude_batch=batch_id)
             if stored is not None:
                 surviving_sigs = sigs.join(keep_ids, "doc_id", "left_semi")
                 dup_new = (dedup_against_sigs_df(
@@ -102,13 +121,26 @@ class StreamingCorpusDedup:
                            .select(F.col("new_id").alias("doc_id"))
                            .distinct())
                 keep_ids = keep_ids.join(dup_new, "doc_id", "left_anti")
-            # 4. append surviving documents + their signatures
+            # the survivor set feeds BOTH terminal writes — persist it so
+            # the band join + verification run once per trigger, not twice
+            keep_ids = keep_ids.persist()
+            # 4. write surviving documents + signatures into
+            # batch=<epoch id> subdirectories with OVERWRITE semantics:
+            # a foreachBatch retry (crash between the two writes) re-runs
+            # the same batch_id and replaces its own partial output
+            # instead of appending a duplicate — the store stays
+            # exactly-once per document without a transaction across the
+            # two directories
             survivors = batch.join(keep_ids, "doc_id", "left_semi")
-            survivors.write.mode("append").parquet(self.corpus_dir)
+            survivors.write.mode("overwrite").parquet(
+                os.path.join(self.corpus_dir, f"batch={batch_id}"))
             (sigs.join(keep_ids, "doc_id", "left_semi")
-                 .write.mode("append").parquet(self.sig_dir))
+                 .write.mode("overwrite").parquet(
+                     os.path.join(self.sig_dir, f"batch={batch_id}")))
         finally:
             sigs.unpersist()
+            if keep_ids is not None:
+                keep_ids.unpersist()
 
     def run(self, doc_stream: DataFrame, checkpoint_dir: str) -> None:
         q = (doc_stream.writeStream
@@ -120,4 +152,7 @@ class StreamingCorpusDedup:
         q.awaitTermination()
 
     def corpus(self) -> DataFrame:
-        return self.spark.read.parquet(self.corpus_dir)
+        out = self._read_store(self.corpus_dir)
+        if out is None:
+            raise FileNotFoundError(f"no corpus at {self.corpus_dir}")
+        return out

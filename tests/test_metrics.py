@@ -36,3 +36,9 @@ def test_observed_composes_mid_pipeline(spark):
     final = mid.groupBy((F.col("id") % 3).alias("g")).count()
     assert final.count() == 3
     assert dict(obs.get)["n_rows"] == 30
+
+
+def test_collect_metrics_empty_frame_yields_zero_not_null(spark):
+    df = spark.createDataFrame([(1, "a")], "id long, v string").where(F.lit(False))
+    m = collect_metrics(df, "empty")
+    assert m == {"n_rows": 0, "nulls_id": 0, "nulls_v": 0}

@@ -63,3 +63,9 @@ def test_standard_spec_is_jsonable_and_registered_stages_cover_it():
     spec = json.loads(json.dumps(STANDARD_CLEAN_SPEC))
     assert [s["stage"] in STAGES for s in spec] == [True] * len(spec)
     build_pipeline(spec)  # validates
+
+
+def test_sample_hex_rejects_non_hex_cutoffs():
+    for bad in ("C0", "zz", "1", "abc", 12):
+        with pytest.raises(ValueError):
+            build_pipeline([{"stage": "sample_hex", "cutoff": bad}])([])

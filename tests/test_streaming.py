@@ -789,7 +789,11 @@ def test_streaming_corpus_dedup_suppresses_cross_batch_near_dups(
     # layout (doc_id, shingles, minhash)
     sigs = spark.read.parquet(sink.sig_dir)
     assert {r["doc_id"] for r in sigs.select("doc_id").collect()} == kept
-    assert set(sigs.columns) == {"doc_id", "shingles", "minhash"}
+    # raw layout carries the batch=N idempotence partition; the class's
+    # readers drop it
+    assert set(sigs.columns) == {"doc_id", "shingles", "minhash", "batch"}
+    assert set(sink._stored_sigs(exclude_batch=-1).columns) == \
+        {"doc_id", "shingles", "minhash"}
 
 
 def test_streaming_corpus_dedup_shingling_is_batch_only_and_leak_free(
@@ -870,3 +874,33 @@ def test_streaming_corpus_dedup_applies_clean_spec_before_dedup(
 
     kept = {r["doc_id"] for r in sink.corpus().collect()}
     assert kept == {0}
+
+
+def test_streaming_corpus_dedup_retried_batch_is_idempotent(
+        spark, planted_docs, tmp_path):
+    """foreachBatch retry semantics: re-running the SAME batch_id (crash
+    after the corpus write, before/after the signature write) must leave
+    the stores exactly as a single run would — no duplicate documents,
+    no self-suppression against the first attempt's own signatures —
+    and a LATER batch must still dedup against the retried batch."""
+    from kafkastreams_tp3_is_spark.streaming.incremental import (
+        StreamingCorpusDedup)
+
+    docs, _ = planted_docs
+    sink = StreamingCorpusDedup(spark, str(tmp_path / "corpus_retry"),
+                                jaccard_threshold=0.7)
+    first = docs.where(F.col("doc_id") < 20)
+    sink.process(first, batch_id=0)
+    sink.process(first, batch_id=0)  # simulated retry of the same epoch
+    kept = sorted(r["doc_id"] for r in sink.corpus().collect())
+    assert kept == list(range(20)), "retry duplicated or dropped documents"
+    # near-dup copies of docs 0-4 arrive in a later batch: suppressed
+    # against the retried batch's stored signatures
+    later = docs.where(F.col("doc_id").isin(100, 101, 102))
+    sink.process(later, batch_id=1)
+    kept2 = sorted(r["doc_id"] for r in sink.corpus().collect())
+    assert kept2 == list(range(20))
+    sigs = {r["doc_id"] for r in
+            spark.read.option("basePath", sink.sig_dir)
+                 .parquet(sink.sig_dir).collect()}
+    assert sigs == set(range(20))
