@@ -461,3 +461,69 @@ class IncrementalAggHarness:
              .trigger(availableNow=True)
              .start())
         q.awaitTermination()
+
+
+# --- corpus-domain store: incrementally-maintained corpus report -------
+
+def doc_length_histogram_store(spark: SparkSession,
+                               path: str) -> KeyedAggStore:
+    """Document-length histogram per (source, lang): counts keyed on the
+    exact (n_chars, n_tokens) pair. The compressed sufficient statistic
+    for the WHOLE corpus_stats report — counts, sums, extrema, and the
+    exact lower median are all derivable from it, so the report never
+    needs the raw documents again. Store size is bounded by distinct
+    (source, lang, nc, nt) combinations — in the worst case one row per
+    distinct document length, in practice far below document count; the
+    merge is a keyed sum, exact under any batch split."""
+    from ..operators.text import tokens_col
+
+    def partial(docs_df: DataFrame) -> DataFrame:
+        return (docs_df
+                .select("source", "lang",
+                        F.length(F.col("text")).cast("bigint").alias("nc"),
+                        F.size(tokens_col()).cast("bigint").alias("nt"))
+                .groupBy("source", "lang", "nc", "nt")
+                .agg(F.count(F.lit(1)).alias("cnt")))
+
+    def merge():
+        return [F.sum("cnt").alias("cnt")]
+
+    return KeyedAggStore(spark, path, ["source", "lang", "nc", "nt"],
+                         partial, merge)
+
+
+def corpus_stats_from_histogram(hist: DataFrame) -> DataFrame:
+    """Finalize the histogram store into the corpus_stats report —
+    bit-identical to operators/text.py corpus_stats over the same
+    documents (pytest-pinned): integer aggregates, one avg division,
+    lower median = smallest nc whose cumulative count reaches
+    (n_docs + 1) // 2 (weighted form of the batch row_number pick).
+
+    Scale: the input is the aggregate-sized histogram; one groupBy and
+    one per-(source, lang) cumulative window over it — never the raw
+    corpus."""
+    aggs = hist.groupBy("source", "lang").agg(
+        F.sum("cnt").alias("n_docs"),
+        F.sum(F.col("nc") * F.col("cnt")).alias("total_chars"),
+        F.min("nc").alias("min_chars"),
+        F.max("nc").alias("max_chars"),
+        F.sum(F.col("nt") * F.col("cnt")).alias("total_tokens"))
+    from pyspark.sql import Window
+    w = (Window.partitionBy("source", "lang").orderBy("nc")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    by_len = (hist.groupBy("source", "lang", "nc")
+                  .agg(F.sum("cnt").alias("c"))
+                  .withColumn("cum", F.sum("c").over(w)))
+    med = (by_len
+           .join(aggs.select("source", "lang", "n_docs"),
+                 ["source", "lang"])
+           .where(F.col("cum")
+                  >= F.floor((F.col("n_docs") + F.lit(1)) / F.lit(2)))
+           .groupBy("source", "lang")
+           .agg(F.min("nc").alias("median_chars")))
+    return (aggs.join(med, ["source", "lang"])
+            .select("source", "lang", "n_docs", "total_chars",
+                    (F.col("total_chars").cast("double")
+                     / F.col("n_docs").cast("double")).alias("avg_chars"),
+                    "min_chars", "max_chars", "median_chars",
+                    "total_tokens"))

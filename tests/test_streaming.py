@@ -904,3 +904,24 @@ def test_streaming_corpus_dedup_retried_batch_is_idempotent(
             spark.read.option("basePath", sink.sig_dir)
                  .parquet(sink.sig_dir).collect()}
     assert sigs == set(range(20))
+
+
+def test_streaming_corpus_stats_equals_batch(spark, tmp_path):
+    """The incrementally-maintained corpus report: documents arriving in
+    arbitrary micro-batch splits merge into a length histogram whose
+    finalize is BIT-IDENTICAL to the batch corpus_stats — including the
+    exact lower median — and replaying a batch id is a no-op."""
+    from kafkastreams_tp3_is_spark.operators.text import corpus_stats
+    from kafkastreams_tp3_is_spark.streaming.partial_agg import (
+        corpus_stats_from_histogram, doc_length_histogram_store)
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    store = doc_length_histogram_store(spark, str(tmp_path / "hist"))
+    store.update(docs.where(F.col("doc_id") % 3 == 0), 0)
+    store.update(docs.where(F.col("doc_id") % 3 == 1), 1)
+    store.update(docs.where(F.col("doc_id") % 3 == 2), 2)
+    store.update(docs.where(F.col("doc_id") % 3 == 2), 2)  # replay: no-op
+    got = sorted(tuple(r) for r in
+                 corpus_stats_from_histogram(store.frame()).collect())
+    want = sorted(tuple(r) for r in corpus_stats(spark, SF_DIR).collect())
+    assert got == want
