@@ -70,6 +70,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_overlap": _cur.contamination_overlap,
         "contamination_attribution": _cur.contamination_attribution,
         "embedding_kmeans_assign": _ivf.embedding_kmeans_assign,
+        # cluster-balanced sampling over learned domains (rows-only:
+        # k-means; quota/determinism pytest-pinned)
+        "mix_by_cluster": _ivf.mix_by_cluster,
         # declarative pipeline composition: a JSON-able stage spec
         # compiled into ONE fused DataFrame plan; the oracle restates
         # the composed stages

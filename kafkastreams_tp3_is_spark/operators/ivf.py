@@ -142,6 +142,40 @@ def embedding_kmeans_assign(spark: SparkSession, sf_dir: str,
                                       n_clusters=n_clusters)
 
 
+def mix_by_cluster_df(emb: DataFrame, quota: int = 50,
+                      n_clusters: int = 16, n_iters: int = 5,
+                      sample_n: int = 4096) -> DataFrame:
+    """Cluster-balanced sampling: k-means-bucket every embedding, then
+    keep at most ``quota`` vectors per cluster in content-addressed
+    (md5(vec_id)) order — mix_by_source's quota shape over LEARNED
+    domains instead of source labels, the balancing step a data-mixing
+    recipe runs when domain labels are missing or too coarse.
+
+    Deterministic end-to-end (seeded centroids + md5 ranks). Scale: the
+    assignment is a shuffle-free Arrow map; the quota is one window
+    partitioned by cluster — n_clusters parallel streams."""
+    from pyspark.sql import Window
+
+    assigned = embedding_kmeans_assign_df(emb, n_clusters=n_clusters,
+                                          n_iters=n_iters,
+                                          sample_n=sample_n)
+    key = F.md5(F.col("vec_id").cast("string"))
+    w = Window.partitionBy("cluster").orderBy("sample_key", "vec_id")
+    return (assigned
+            .withColumn("sample_key", key)
+            .withColumn("rank_in_cluster", F.row_number().over(w))
+            .where(F.col("rank_in_cluster") <= quota)
+            .select("vec_id", "cluster", "rank_in_cluster"))
+
+
+def mix_by_cluster(spark: SparkSession, sf_dir: str,
+                   quota: int = 20, n_clusters: int = 8) -> DataFrame:
+    """Driver-gate fixture (rows-only: k-means is not SQL-restatable):
+    cluster-balanced sample of the embeddings table."""
+    return mix_by_cluster_df(load(spark, sf_dir, "embeddings"),
+                             quota=quota, n_clusters=n_clusters)
+
+
 def embedding_near_dup_ivf_df(emb: DataFrame, threshold: float = 0.4,
                               n_centroids: int = 32, m_assign: int = 4,
                               n_iters: int = 5,

@@ -121,11 +121,31 @@ def _stage_lang_keep(df: DataFrame, langs: list[str] = ("en",)) -> DataFrame:
     return df.where(F.col("lang").isin(*list(langs)))
 
 
+def _stage_dedup_near(df: DataFrame, threshold: float = 0.8,
+                      k: int = 9) -> DataFrame:
+    """Near-dup removal: MinHash-LSH pairs -> connected components ->
+    keep each cluster's canonical (minimum doc_id) document. The one
+    stage whose cost is a dedup pipeline rather than a narrow map — the
+    composer places it wherever the spec says (canonically after
+    normalize, so spacing/case variants hash together)."""
+    from .. import cache
+    from .dedup import dedup_minhash_lsh_df
+    from .graph import connected_components_df
+
+    pairs = dedup_minhash_lsh_df(df, jaccard_threshold=threshold, k=k)
+    non_canonical = (connected_components_df(pairs)
+                     .where(F.col("node") != F.col("component"))
+                     .select(F.col("node").alias("doc_id")))
+    out = df.join(non_canonical, "doc_id", "left_anti")
+    return cache.owned(out, *cache.persisted(pairs))
+
+
 STAGES: dict[str, Callable[..., DataFrame]] = {
     "normalize": _stage_normalize,
     "min_tokens": _stage_min_tokens,
     "max_punct_ratio": _stage_max_punct_ratio,
     "dedup_exact": _stage_dedup_exact,
+    "dedup_near": _stage_dedup_near,
     "sample_hex": _stage_sample_hex,
     "lang_keep": _stage_lang_keep,
 }
@@ -157,9 +177,17 @@ def build_pipeline(spec: list[dict]) -> Callable[[DataFrame], DataFrame]:
         steps.append((fn, params))
 
     def run(df: DataFrame) -> DataFrame:
+        from .. import cache
+
+        # ownership rides each stage's own output frame; chaining hands
+        # the frame to the next stage, so re-attach every intermediate
+        # stage's persisted internals to the frame the caller receives
+        acc: list = []
         for fn, params in steps:
             df = fn(df, **params)
-        return df
+            acc.extend(f for f in cache.persisted(df) if f not in acc)
+        already = cache.persisted(df)
+        return cache.owned(df, *[f for f in acc if f not in already])
 
     return run
 

@@ -69,3 +69,23 @@ def test_sample_hex_rejects_non_hex_cutoffs():
     for bad in ("C0", "zz", "1", "abc", 12):
         with pytest.raises(ValueError):
             build_pipeline([{"stage": "sample_hex", "cutoff": bad}])([])
+
+
+def test_dedup_near_stage_collapses_variants_after_normalize(spark):
+    """A spacing/case variant survives near-dedup alone (different
+    shingles) but collapses once normalize runs first — and the composed
+    pipeline surfaces the stage's persisted internals for release."""
+    from kafkastreams_tp3_is_spark import cache
+
+    base = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliet kilo lima mike november oscar papa quebec romeo")
+    df = spark.createDataFrame(
+        [(1, base, "en"),
+         (2, base.upper().replace(" ", "  "), "en"),   # variant of 1
+         (3, "completely different words entirely here now", "en")],
+        "doc_id long, text string, lang string")
+    out = build_pipeline([{"stage": "normalize"},
+                          {"stage": "dedup_near", "threshold": 0.7}])(df)
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 3]
+    assert cache.persisted(out), "stage internals must ride the result"
+    cache.release(out)

@@ -304,3 +304,22 @@ def test_pack_token_sequences_no_single_partition_window(spark):
     df = pack_token_sequences(spark, "/root/testdata/sf0.001")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange SinglePartition" not in plan
+
+
+def test_mix_by_cluster_quota_and_determinism(spark):
+    from kafkastreams_tp3_is_spark.operators.ivf import mix_by_cluster
+    a = mix_by_cluster(spark, "/root/testdata/sf0.001", quota=10,
+                       n_clusters=4)
+    rows = [(r["vec_id"], r["cluster"], r["rank_in_cluster"])
+            for r in a.collect()]
+    per_cluster = {}
+    for _, c, rk in rows:
+        per_cluster.setdefault(c, []).append(rk)
+    for c, ranks in per_cluster.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 10
+    b = mix_by_cluster(spark, "/root/testdata/sf0.001", quota=10,
+                       n_clusters=4)
+    assert sorted(rows) == sorted(
+        (r["vec_id"], r["cluster"], r["rank_in_cluster"])
+        for r in b.collect())
