@@ -154,8 +154,6 @@ def mix_by_cluster_df(emb: DataFrame, quota: int = 50,
     Deterministic end-to-end (seeded centroids + md5 ranks). Scale: the
     assignment is a shuffle-free Arrow map; the quota is one window
     partitioned by cluster — n_clusters parallel streams."""
-    from pyspark.sql import Window
-
     assigned = embedding_kmeans_assign_df(emb, n_clusters=n_clusters,
                                           n_iters=n_iters,
                                           sample_n=sample_n)

@@ -76,7 +76,9 @@ def corpus_clean(spark: SparkSession, sf_dir: str,
 # lazily-composed DataFrame: Catalyst fuses every narrow stage into the
 # scan, so a 5-stage spec with one dedup costs one shuffle, same as the
 # hand-fused corpus_clean above. No driver-side loops, no per-stage
-# materialization.
+# materialization — with one declared exception: dedup_near wraps an
+# iterative connected-components job and therefore EXECUTES when the
+# compiled pipeline is applied to a frame (see its docstring).
 
 def _stage_normalize(df: DataFrame) -> DataFrame:
     """Lowercase, collapse whitespace runs, trim — in place on text."""
@@ -123,21 +125,28 @@ def _stage_lang_keep(df: DataFrame, langs: list[str] = ("en",)) -> DataFrame:
 
 def _stage_dedup_near(df: DataFrame, threshold: float = 0.8,
                       k: int = 9) -> DataFrame:
-    """Near-dup removal: MinHash-LSH pairs -> connected components ->
-    keep each cluster's canonical (minimum doc_id) document. The one
-    stage whose cost is a dedup pipeline rather than a narrow map — the
-    composer places it wherever the spec says (canonically after
-    normalize, so spacing/case variants hash together)."""
-    from .. import cache
-    from .dedup import dedup_minhash_lsh_df
-    from .graph import connected_components_df
+    """Near-dup removal: the production LSH -> connected-components
+    pipeline (graph.duplicate_clusters_lsh_df), keeping each cluster's
+    canonical (minimum doc_id) document. Canonically placed after
+    normalize, so spacing/case variants hash together.
 
-    pairs = dedup_minhash_lsh_df(df, jaccard_threshold=threshold, k=k)
-    non_canonical = (connected_components_df(pairs)
-                     .where(F.col("node") != F.col("component"))
-                     .select(F.col("node").alias("doc_id")))
+    EAGER stage: connected components is an iterative job
+    (localCheckpoint per round), so it runs when the compiled pipeline
+    is APPLIED to a frame, not at the terminal action — the one
+    exception to the narrow-stage fusion contract, called out in the
+    composer docstring. Because the CC result derives from its
+    checkpoints, the LSH signature caches are fully consumed by then and
+    are released before the stage returns (nothing stays pinned for the
+    result's lifetime)."""
+    from .. import cache
+    from .graph import duplicate_clusters_lsh_df
+
+    clusters = duplicate_clusters_lsh_df(df, threshold=threshold, k=k)
+    non_canonical = (clusters.where(~F.col("is_canonical"))
+                     .select("doc_id"))
     out = df.join(non_canonical, "doc_id", "left_anti")
-    return cache.owned(out, *cache.persisted(pairs))
+    cache.release(clusters)
+    return out
 
 
 STAGES: dict[str, Callable[..., DataFrame]] = {

@@ -249,9 +249,15 @@ def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by sources x languages, so the join back is broadcast-sized.
     """
     docs = load(spark, sf_dir, "documents")
+    # NULL text counts as an empty document — keeps every downstream
+    # integer non-null, so the median pick and the streaming histogram
+    # twin (streaming/partial_agg.py) agree on nullable corpora too
+    t = F.coalesce(F.col("text"), F.lit(""))
     base = docs.select("source", "lang", "doc_id",
-                       F.length(F.col("text")).cast("bigint").alias("nc"),
-                       F.size(tokens_col()).cast("bigint").alias("nt"))
+                       F.length(t).cast("bigint").alias("nc"),
+                       F.size(F.filter(F.split(t, r"\s+"),
+                                       lambda x: x != ""))
+                        .cast("bigint").alias("nt"))
     aggs = base.groupBy("source", "lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("nc").alias("total_chars"),

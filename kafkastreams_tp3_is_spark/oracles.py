@@ -1178,8 +1178,8 @@ WHERE n_occurrences * 32 >= tot.total
 ORACLES["corpus_stats"] = """
 WITH base AS (
   SELECT source, lang, doc_id,
-         CAST(length(text) AS BIGINT) AS nc,
-         CAST(len(list_filter(string_split_regex(text, '\\s+'),
+         CAST(length(COALESCE(text, '')) AS BIGINT) AS nc,
+         CAST(len(list_filter(string_split_regex(COALESCE(text, ''), '\\s+'),
                               x -> x <> '')) AS BIGINT) AS nt
   FROM documents
 ),

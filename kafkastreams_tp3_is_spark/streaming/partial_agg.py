@@ -475,13 +475,16 @@ def doc_length_histogram_store(spark: SparkSession,
     (source, lang, nc, nt) combinations — in the worst case one row per
     distinct document length, in practice far below document count; the
     merge is a keyed sum, exact under any batch split."""
-    from ..operators.text import tokens_col
-
     def partial(docs_df: DataFrame) -> DataFrame:
+        # NULL text counts as empty, mirroring batch corpus_stats — the
+        # histogram keys must be non-null for the median cumulation
+        t = F.coalesce(F.col("text"), F.lit(""))
         return (docs_df
                 .select("source", "lang",
-                        F.length(F.col("text")).cast("bigint").alias("nc"),
-                        F.size(tokens_col()).cast("bigint").alias("nt"))
+                        F.length(t).cast("bigint").alias("nc"),
+                        F.size(F.filter(F.split(t, r"\s+"),
+                                        lambda x: x != ""))
+                         .cast("bigint").alias("nt"))
                 .groupBy("source", "lang", "nc", "nt")
                 .agg(F.count(F.lit(1)).alias("cnt")))
 

@@ -73,8 +73,9 @@ def test_sample_hex_rejects_non_hex_cutoffs():
 
 def test_dedup_near_stage_collapses_variants_after_normalize(spark):
     """A spacing/case variant survives near-dedup alone (different
-    shingles) but collapses once normalize runs first — and the composed
-    pipeline surfaces the stage's persisted internals for release."""
+    shingles) but collapses once normalize runs first — and the stage
+    leaves NO persisted internals pinned (connected components already
+    consumed them eagerly; the stage releases before returning)."""
     from kafkastreams_tp3_is_spark import cache
 
     base = ("alpha bravo charlie delta echo foxtrot golf hotel india "
@@ -87,5 +88,5 @@ def test_dedup_near_stage_collapses_variants_after_normalize(spark):
     out = build_pipeline([{"stage": "normalize"},
                           {"stage": "dedup_near", "threshold": 0.7}])(df)
     assert sorted(r["doc_id"] for r in out.collect()) == [1, 3]
-    assert cache.persisted(out), "stage internals must ride the result"
-    cache.release(out)
+    assert cache.persisted(out) == [], \
+        "dedup_near must release its consumed LSH caches"
