@@ -81,6 +81,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per-user hourly z-score anomalies — integer-aggregate exact
         "doc_commonness": _text.doc_commonness,
         "events_user_anomaly": _events.user_anomaly,
+        # language-id evaluation report and corpus-relative bottom-decile
+        # quality gate — both exact (integer counts; value-histogram
+        # threshold)
+        "lang_confusion": _text.lang_confusion,
+        "quality_decile_filter": _text.quality_decile_filter,
         # tokenize -> concat-and-cut packing into fixed-length training
         # sequences (per-shard windows only, no global ordering)
         "pack_token_sequences": _ret.pack_token_sequences,

@@ -323,6 +323,57 @@ def doc_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
                                F.lit(0.0)).alias("commonness")))
 
 
+def lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the heuristic language id against the labeled
+    lang column: (lang_true, lang_pred, n_docs, is_correct) — the
+    evaluation report that decides whether the cheap classifier is good
+    enough to gate ingestion per language. One hash aggregation over the
+    per-doc predictions; the matrix is at most |langs|^2 rows."""
+    return (lang_id(spark, sf_dir)
+            .groupBy("lang_true", "lang_pred")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .withColumn("is_correct",
+                        F.col("lang_true") == F.col("lang_pred")))
+
+
+def quality_decile_filter(spark: SparkSession, sf_dir: str,
+                          drop_num: int = 1,
+                          drop_den: int = 10) -> DataFrame:
+    """Corpus-RELATIVE quality gate: drop the lowest-commonness tail of
+    the corpus (default: bottom decile) instead of a fixed threshold —
+    the 'drop the worst X% by model score' pattern curation recipes use
+    when absolute score scales drift between corpus snapshots.
+
+    Semantics are value-based and exact: threshold = the smallest
+    commonness value v whose cumulative doc count reaches
+    ceil(n * drop_num / drop_den); kept = commonness > v. Ties at the
+    threshold value all drop together (deterministic, no doc-level
+    arbitrariness); the realized drop fraction can slightly exceed the
+    target when ties straddle it. All counts integer; the target is
+    integer ceil-division; the comparison is on exact doubles.
+
+    Scale: the cumulation runs over the VALUE HISTOGRAM (one row per
+    distinct score), not per document — a single-partition window over
+    that histogram, which for discrete-structured scores (ratios of
+    small integers) is far smaller than the corpus; a continuous-score
+    variant would swap in the GK quantile sketch (operators/olap.py) at
+    the cost of exactness."""
+    scored = doc_commonness(spark, sf_dir)
+    n = scored.agg(F.count(F.lit(1)).alias("n"))
+    hist = scored.groupBy("commonness").agg(F.count(F.lit(1)).alias("c"))
+    w = (Window.orderBy("commonness")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    target = F.floor((F.col("n") * drop_num + (drop_den - 1)) / drop_den)
+    thresh = (hist.withColumn("cum", F.sum("c").over(w))
+              .crossJoin(F.broadcast(n))
+              .where(F.col("cum") >= target)
+              .agg(F.min("commonness").alias("threshold")))
+    return (scored.crossJoin(F.broadcast(thresh))
+            .select("doc_id", "commonness", "threshold",
+                    (F.col("commonness") > F.col("threshold"))
+                    .alias("kept")))
+
+
 def quality_filter(spark: SparkSession, sf_dir: str,
                    min_tokens: int = 15,
                    max_mean_word_len: float = 5.9,

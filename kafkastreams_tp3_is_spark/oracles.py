@@ -1354,3 +1354,73 @@ SELECT shard, CAST(rn // 128 AS BIGINT) AS seq_index,
        CAST(rn % 128 AS BIGINT) AS pos_in_seq, doc_id, token_id
 FROM numbered
 """
+
+# Language-id confusion matrix: the text_lang_id relation grouped.
+ORACLES["lang_confusion"] = f"""
+WITH toks AS (
+  SELECT doc_id, lang AS lang_true,
+         list_transform({_TOKENS}, x -> lower(x)) AS lt
+  FROM documents
+), hits AS (
+  SELECT doc_id, lang_true,
+         CAST(len(list_filter(lt, x -> x IN ('the','and','of','to','is','in','that','with'))) AS BIGINT) AS h_en,
+         CAST(len(list_filter(lt, x -> x IN ('der','die','das','und','ist','nicht','ein','mit'))) AS BIGINT) AS h_de,
+         CAST(len(list_filter(lt, x -> x IN ('le','la','les','et','est','une','que','dans'))) AS BIGINT) AS h_fr,
+         CAST(len(list_filter(lt, x -> x IN ('el','la','los','es','una','que','por','con'))) AS BIGINT) AS h_es
+  FROM toks
+), pred AS (
+  SELECT doc_id, lang_true,
+         CASE WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'und'
+              WHEN h_de = greatest(h_en, h_de, h_fr, h_es) THEN 'de'
+              WHEN h_en = greatest(h_en, h_de, h_fr, h_es) THEN 'en'
+              WHEN h_es = greatest(h_en, h_de, h_fr, h_es) THEN 'es'
+              ELSE 'fr' END AS lang_pred
+  FROM hits
+)
+SELECT lang_true, lang_pred, COUNT(*) AS n_docs,
+       lang_true = lang_pred AS is_correct
+FROM pred GROUP BY 1, 2
+"""
+
+# Corpus-relative decile filter over the commonness score: threshold =
+# smallest value whose cumulative count reaches ceil(n/10); kept =
+# commonness > threshold. Integer target, exact double comparison.
+ORACLES["quality_decile_filter"] = f"""
+WITH occ AS (
+  SELECT doc_id, unnest({_LTOKS}) AS token FROM documents
+),
+counts AS (SELECT token, COUNT(*) AS cnt FROM occ GROUP BY 1),
+tot AS (SELECT COUNT(*) AS total FROM occ),
+per_doc AS (
+  SELECT o.doc_id, COUNT(*) AS n_tokens,
+         CAST(SUM(c.cnt) AS BIGINT) AS sum_cnt
+  FROM occ o JOIN counts c USING (token)
+  GROUP BY o.doc_id
+),
+scored AS (
+  SELECT d.doc_id,
+         COALESCE(CAST(p.sum_cnt AS DOUBLE)
+                  / CAST(p.n_tokens * tot.total AS DOUBLE), 0.0)
+           AS commonness
+  FROM documents d
+  LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+  CROSS JOIN tot
+),
+n AS (SELECT COUNT(*) AS n FROM scored),
+hist AS (SELECT commonness, COUNT(*) AS c FROM scored GROUP BY 1),
+cum AS (
+  SELECT commonness,
+         SUM(c) OVER (ORDER BY commonness
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM hist
+),
+th AS (
+  SELECT MIN(commonness) AS threshold
+  FROM cum CROSS JOIN n
+  WHERE cum >= (n.n * 1 + 9) // 10
+)
+SELECT s.doc_id, s.commonness, th.threshold,
+       s.commonness > th.threshold AS kept
+FROM scored s CROSS JOIN th
+"""

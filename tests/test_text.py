@@ -43,3 +43,28 @@ def test_repetition_signals_guards_and_dup_frac(spark, monkeypatch):
     assert rows[3]["n_tokens"] == 0
     assert rows[3]["dup_token_frac"] == 0.0
     assert rows[3]["top_2gram_frac"] == 0.0        # guard, not null
+
+
+def test_lang_confusion_counts_cover_all_docs(spark):
+    from kafkastreams_tp3_is_spark.operators.text import lang_confusion
+    from tests.conftest import SF_DIR
+    rows = lang_confusion(spark, SF_DIR).collect()
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    for r in rows:
+        assert r["is_correct"] == (r["lang_true"] == r["lang_pred"])
+
+
+def test_quality_decile_filter_drops_about_a_tenth(spark):
+    from kafkastreams_tp3_is_spark.operators.text import (
+        quality_decile_filter)
+    from tests.conftest import SF_DIR
+    rows = quality_decile_filter(spark, SF_DIR).collect()
+    n = len(rows)
+    dropped = [r for r in rows if not r["kept"]]
+    # at least the ceil(n/10) target; ties can push it higher but never
+    # past the next distinct score value
+    assert len(dropped) >= (n + 9) // 10
+    thresh = rows[0]["threshold"]
+    assert all(r["commonness"] <= thresh for r in dropped)
+    assert all(r["commonness"] > thresh for r in rows if r["kept"])
