@@ -86,6 +86,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # threshold)
         "lang_confusion": _text.lang_confusion,
         "quality_decile_filter": _text.quality_decile_filter,
+        # classic cohort-retention rollup over the event stream
+        "events_cohort_retention": _events.cohort_retention,
         # tokenize -> concat-and-cut packing into fixed-length training
         # sequences (per-shard windows only, no global ordering)
         "pack_token_sequences": _ret.pack_token_sequences,

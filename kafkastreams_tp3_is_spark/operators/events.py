@@ -124,3 +124,31 @@ def user_anomaly(spark: SparkSession, sf_dir: str,
     return (hourly.join(per_user, "user_id")
             .select("user_id", "hour", "cnt", z.alias("z"))
             .withColumn("is_anomaly", F.abs(F.col("z")) >= z_threshold))
+
+
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by their first-active day, with
+    distinct-user counts per (cohort day, day offset) — the classic
+    product-analytics rollup (day-0 cohort size, day-N returners).
+
+    Output: (cohort_day 'yyyy-MM-dd' string, day_offset, n_users).
+    All-integer aggregates; the day is rendered as a string so both
+    engines hash identical values (date dtypes cross the pandas bridge
+    differently per engine).
+
+    Scale: the (user, day) activity set is one distinct per user-day
+    (map-side combined); first-day is an aggregate over it; the final
+    count groups the aggregate-sized activity relation. Never more than
+    one row per user-day in any shuffle."""
+    ev = load_events(spark, sf_dir)
+    days = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    first = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (days.join(first, "user_id")
+            .groupBy("cohort_day",
+                     F.datediff(F.col("day"), F.col("cohort_day"))
+                      .alias("day_offset"))
+            .agg(F.countDistinct("user_id").alias("n_users"))
+            .select(F.date_format("cohort_day", "yyyy-MM-dd")
+                     .alias("cohort_day"),
+                    F.col("day_offset").cast("int").alias("day_offset"),
+                    "n_users"))

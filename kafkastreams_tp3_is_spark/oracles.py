@@ -1424,3 +1424,20 @@ SELECT s.doc_id, s.commonness, th.threshold,
        s.commonness > th.threshold AS kept
 FROM scored s CROSS JOIN th
 """
+
+# Cohort retention: distinct user-day activity, cohort = first day,
+# counts per (cohort, offset). Dates rendered as strings for the gate.
+ORACLES["events_cohort_retention"] = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+  FROM events
+),
+first AS (
+  SELECT user_id, MIN(day) AS cohort_day FROM days GROUP BY 1
+)
+SELECT strftime(f.cohort_day, '%Y-%m-%d') AS cohort_day,
+       CAST(date_diff('day', f.cohort_day, d.day) AS INTEGER) AS day_offset,
+       CAST(COUNT(DISTINCT d.user_id) AS BIGINT) AS n_users
+FROM days d JOIN first f USING (user_id)
+GROUP BY f.cohort_day, date_diff('day', f.cohort_day, d.day)
+"""

@@ -68,3 +68,22 @@ def test_quality_decile_filter_drops_about_a_tenth(spark):
     thresh = rows[0]["threshold"]
     assert all(r["commonness"] <= thresh for r in dropped)
     assert all(r["commonness"] > thresh for r in rows if r["kept"])
+
+
+def test_cohort_retention_hand_computed(spark, tmp_path):
+    from kafkastreams_tp3_is_spark.operators.events import cohort_retention
+    import datetime as dt
+    rows = []
+    eid = 0
+    d0 = dt.datetime(2024, 3, 1, 12)
+    # users 1,2 first seen day 0; user 1 returns day 2; user 3 first day 1
+    for uid, day in [(1, 0), (2, 0), (1, 2), (3, 1)]:
+        rows.append((eid, d0 + dt.timedelta(days=day), uid, "c", 0.0, "{}"))
+        eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string")
+    df.write.parquet(f"{tmp_path}/events.parquet")
+    out = {(r["cohort_day"], r["day_offset"]): r["n_users"]
+           for r in cohort_retention(spark, str(tmp_path)).collect()}
+    assert out == {("2024-03-01", 0): 2, ("2024-03-01", 2): 1,
+                   ("2024-03-02", 0): 1}
