@@ -99,9 +99,13 @@ def bm25_search_df(docs: DataFrame, query_terms=BM25_QUERY_TERMS,
 
     tf_t / dl are per-row array expressions (no explode); N, total token
     count, and every df_t come from ONE aggregate pass pivoted into a
-    1-row frame that is broadcast — so the whole search is a single
-    narrow projection over the corpus plus a 1-row join, no shuffle of
-    document data at any width. Output: the ``top_n`` documents by
+    1-row frame that is broadcast — so scoring is a single narrow
+    projection over the corpus plus a 1-row join. The global top-n is
+    ``orderBy(...).limit(top_n)``, which Catalyst plans as
+    TakeOrderedAndProject: each task keeps a top_n heap and the driver
+    merges task heaps — no single-partition exchange of scored rows at
+    any corpus width. ``rnk`` is then derived by a window over just the
+    surviving top_n rows. Output: the ``top_n`` documents by
     (score DESC, doc_id ASC) with per-term tfs for auditability."""
     toks = lower_tokens_col()
     stats_aggs = [F.count(F.lit(1)).alias("n_docs"),
@@ -131,9 +135,11 @@ def bm25_search_df(docs: DataFrame, query_terms=BM25_QUERY_TERMS,
     scored = (docs.crossJoin(F.broadcast(stats))
                   .select("doc_id", *tf_cols, dl.alias("dl"),
                           score.alias("score")))
+    top = (scored.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+                 .limit(top_n))
+    # rnk over the already-selected top_n rows only (bounded, not corpus)
     w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
-    return (scored.withColumn("rnk", F.row_number().over(w))
-                  .where(F.col("rnk") <= top_n))
+    return top.withColumn("rnk", F.row_number().over(w))
 
 
 def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -76,6 +76,20 @@ def test_bm25_is_shuffle_free_over_documents(spark):
     assert "Exchange hashpartitioning" not in plan
 
 
+def test_bm25_global_topn_is_take_ordered_not_full_sort(spark):
+    """The global top-n must be TakeOrderedAndProject (per-task heaps,
+    driver merge) — never an Exchange SinglePartition funneling every
+    scored document through one task before ranking."""
+    docs = _docs(spark, [(i, f"spark doc {i}") for i in range(50)])
+    plan = (bm25_search_df(docs)._jdf.queryExecution().executedPlan()
+            .toString())
+    assert "TakeOrderedAndProject" in plan
+    # exactly ONE SinglePartition exchange: the 1-row global-stats
+    # aggregate (map-side partials -> merge). The ranking itself must
+    # contribute none — scored rows reach the driver via per-task heaps.
+    assert plan.count("Exchange SinglePartition") == 1
+
+
 # --- tokenize_ids ------------------------------------------------------
 
 def test_tokenize_ids_layout_and_determinism(spark):
