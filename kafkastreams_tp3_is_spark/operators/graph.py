@@ -72,7 +72,8 @@ def _checksum(e: DataFrame):
 
 def connected_components_df(edges: DataFrame, src: str = "a_id",
                             dst: str = "b_id",
-                            max_iter: int = 30) -> DataFrame:
+                            max_iter: int = 30,
+                            checkpoint_dir: str | None = None) -> DataFrame:
     """(node, component) for every node appearing in ``edges``, where
     component = the smallest node id reachable through the undirected
     edge set. Alternating Large-Star / Small-Star until the edge set
@@ -84,10 +85,27 @@ def connected_components_df(edges: DataFrame, src: str = "a_id",
     largest component's diameter. Skewed hub nodes (one doc near-dup to
     millions) land in one neighborhood aggregate — AQE skew splitting
     plus the min-only semantics (the aggregate is a single long) keep
-    that bounded."""
+    that bounded.
+
+    ``checkpoint_dir``: per-round lineage truncation is
+    ``localCheckpoint`` by default — blocks live on executor local disk,
+    so a lost executor forces recomputation from a lineage that no
+    longer exists (fatal mid-iteration at long job lengths). Pass a
+    durable path (HDFS/S3 at cluster scale) to switch every round to a
+    reliable ``checkpoint()``: rounds survive executor loss at the cost
+    of a filesystem write per round. Both modes produce identical
+    components (pytest-pinned)."""
+
+    def _truncate(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is None:
+            return df.localCheckpoint(eager=True)
+        return df.checkpoint(eager=True)
+
+    if checkpoint_dir is not None:
+        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
     e = _canonical(edges.select(F.col(src).alias("u"),
                                 F.col(dst).alias("v")))
-    e = e.localCheckpoint(eager=True)
+    e = _truncate(e)
     n_prev, h_prev = _checksum(e)
     for _ in range(max_iter):
         # large-star: neighborhoods of BOTH directions; m = min(N(u) + {u});
@@ -108,7 +126,7 @@ def connected_components_df(edges: DataFrame, src: str = "a_id",
         e = _canonical(
             with_m.select(F.col("v").alias("u"), F.col("m").alias("v"))
                   .unionByName(with_m.select("u", F.col("m").alias("v"))))
-        e = e.localCheckpoint(eager=True)
+        e = _truncate(e)
         n_cur, h_cur = _checksum(e)
         if (n_cur, h_cur) == (n_prev, h_prev):
             break
@@ -123,12 +141,14 @@ def connected_components_df(edges: DataFrame, src: str = "a_id",
     return nodes.unionByName(roots)
 
 
-def _clusters(pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def _clusters(pairs: DataFrame, id_col: str = "doc_id",
+              checkpoint_dir: str | None = None) -> DataFrame:
     """(id_col, cluster_id, is_canonical) from an (a_id, b_id) edge set:
     cluster_id = min id of the connected component — the record a dedup
     pass keeps. Singleton records (no near-dup) are not emitted; a full
     manifest is an anti-join away."""
-    cc = connected_components_df(pairs.select("a_id", "b_id"))
+    cc = connected_components_df(pairs.select("a_id", "b_id"),
+                                 checkpoint_dir=checkpoint_dir)
     out = cc.select(F.col("node").alias(id_col),
                     F.col("component").alias("cluster_id"),
                     (F.col("node") == F.col("component"))
@@ -149,7 +169,8 @@ def duplicate_clusters_df(docs: DataFrame, k: int = 9,
 
 def duplicate_clusters_lsh_df(docs: DataFrame, num_hashes: int = 32,
                               bands: int = 8, threshold: float = 0.8,
-                              k: int = 9) -> DataFrame:
+                              k: int = 9,
+                              checkpoint_dir: str | None = None) -> DataFrame:
     """The production dedup pipeline end-to-end: MinHash-LSH candidate
     pairs (bucketed, never all-pairs — dedup.py dedup_minhash_lsh_df)
     verified by exact Jaccard, then chained into Large-Star/Small-Star
@@ -159,12 +180,12 @@ def duplicate_clusters_lsh_df(docs: DataFrame, num_hashes: int = 32,
     pairs only, and CC runs O(log n) rounds over an edge set that near-dup
     structure keeps sparse. scripts/scale_smoke.py runs this at 10x."""
     pairs = dedup_minhash_lsh_df(docs, num_hashes, bands, threshold, k)
-    return _clusters(pairs)
+    return _clusters(pairs, checkpoint_dir=checkpoint_dir)
 
 
 def semantic_dup_clusters_df(emb: DataFrame, threshold: float = 0.4,
                              n_centroids: int = 32, m_assign: int = 4,
-                             ) -> DataFrame:
+                             checkpoint_dir: str | None = None) -> DataFrame:
     """SEMANTIC dedup end-to-end: embedding-cosine near-dup pairs chained
     into connected components — the vector-space counterpart of
     ``duplicate_clusters_lsh`` (paraphrases and translations that shingle
@@ -184,7 +205,7 @@ def semantic_dup_clusters_df(emb: DataFrame, threshold: float = 0.4,
 
     pairs = embedding_near_dup_ivf_df(emb, threshold, n_centroids,
                                       m_assign)
-    return _clusters(pairs, id_col="vec_id")
+    return _clusters(pairs, id_col="vec_id", checkpoint_dir=checkpoint_dir)
 
 
 def semantic_dup_clusters_exact_df(emb: DataFrame,

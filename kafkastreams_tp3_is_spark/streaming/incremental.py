@@ -28,6 +28,7 @@ All heavy work is DataFrame-distributed; the driver only coordinates.
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -50,7 +51,8 @@ class StreamingCorpusDedup:
                  jaccard_threshold: float = 0.8, k: int = 9,
                  num_hashes: int = 32, bands: int = 8,
                  sig_dir: str | None = None,
-                 clean_spec: list[dict] | None = None):
+                 clean_spec: list[dict] | None = None,
+                 cc_checkpoint_dir: str | None = None):
         self.spark = spark
         self.corpus_dir = corpus_dir
         self.sig_dir = sig_dir or corpus_dir.rstrip("/") + "_sigs"
@@ -65,6 +67,10 @@ class StreamingCorpusDedup:
         # shingles see, so case/spacing variants dedup exactly
         self._clean = (build_pipeline(clean_spec)
                        if clean_spec is not None else None)
+        # durable lineage truncation for the per-batch CC rounds: under
+        # executor loss mid-trigger, localCheckpoint state dies with the
+        # executor (see connected_components_df docstring)
+        self.cc_checkpoint_dir = cc_checkpoint_dir
 
     def _read_store(self, root: str,
                     exclude_batch: int | None = None) -> DataFrame | None:
@@ -105,7 +111,8 @@ class StreamingCorpusDedup:
             # 2. within-batch: cluster near-dups, keep canonical docs
             pairs = dedup_minhash_lsh_from_sigs(
                 sigs, self.num_hashes, self.bands, self.threshold)
-            cc = connected_components_df(pairs)
+            cc = connected_components_df(
+                pairs, checkpoint_dir=self.cc_checkpoint_dir)
             non_canonical = (cc.where(F.col("node") != F.col("component"))
                                .select(F.col("node").alias("doc_id")))
             keep_ids = (sigs.select("doc_id")
@@ -142,7 +149,41 @@ class StreamingCorpusDedup:
             if keep_ids is not None:
                 keep_ids.unpersist()
 
+    def _guard_checkpoint(self, checkpoint_dir: str) -> None:
+        """Overwrite-per-batch_id idempotence assumes THIS checkpoint's
+        batch-id sequence owns the store. A fresh checkpoint restarts
+        batch ids at 0, and mode('overwrite') would silently clobber
+        batch=0,1,... from the earlier run while leaving higher batches —
+        a corrupted mixed corpus with no error. Record the checkpoint
+        path in a marker file beside the batch subdirectories and fail
+        fast on mismatch instead of overwriting."""
+        ckpt = os.path.abspath(checkpoint_dir)
+        marker = os.path.join(self.corpus_dir, "_checkpoint_marker.json")
+        has_batches = os.path.isdir(self.corpus_dir) and any(
+            d.startswith("batch=") for d in os.listdir(self.corpus_dir))
+        if os.path.isfile(marker):
+            with open(marker) as f:
+                recorded = json.load(f).get("checkpoint_dir")
+            if recorded != ckpt:
+                raise RuntimeError(
+                    f"corpus store {self.corpus_dir!r} was built by the "
+                    f"stream checkpointed at {recorded!r}; running it with "
+                    f"checkpoint {ckpt!r} would restart batch ids at 0 and "
+                    "overwrite earlier batches. Resume with the original "
+                    "checkpoint, or point at a fresh corpus_dir.")
+        elif has_batches:
+            raise RuntimeError(
+                f"corpus store {self.corpus_dir!r} contains batch "
+                "subdirectories but no checkpoint marker — refusing to "
+                "run a stream over it (batch-id collisions would "
+                "silently overwrite data). Point at a fresh corpus_dir.")
+        else:
+            os.makedirs(self.corpus_dir, exist_ok=True)
+            with open(marker, "w") as f:
+                json.dump({"checkpoint_dir": ckpt}, f)
+
     def run(self, doc_stream: DataFrame, checkpoint_dir: str) -> None:
+        self._guard_checkpoint(checkpoint_dir)
         q = (doc_stream.writeStream
              .foreachBatch(self.process)
              .outputMode("append")

@@ -119,3 +119,23 @@ def test_semantic_dup_clusters_agreement_with_exact(spark):
             byc.setdefault(c, []).append(vid)
         for c, vs in byc.items():
             assert c == min(vs)
+
+
+def test_durable_checkpoint_mode_matches_local(spark, tmp_path):
+    """checkpoint_dir switches per-round lineage truncation from
+    localCheckpoint (executor-local blocks) to reliable checkpoint()
+    (durable storage, survives executor loss). Both modes must produce
+    identical components, and the durable mode must actually write
+    round state under the given directory."""
+    import os
+    edges = [(i + 1, i) for i in range(1, 32)] + [(100, 99), (101, 100)]
+    df = spark.createDataFrame(edges, "a_id long, b_id long")
+    local = {(r["node"], r["component"])
+             for r in connected_components_df(df).collect()}
+    ckpt = str(tmp_path / "cc_ckpt")
+    durable = {(r["node"], r["component"])
+               for r in connected_components_df(
+                   df, checkpoint_dir=ckpt).collect()}
+    assert durable == local
+    walked = [f for _, _, fs in os.walk(ckpt) for f in fs]
+    assert walked, "reliable checkpoint wrote nothing under checkpoint_dir"

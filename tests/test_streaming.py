@@ -7,6 +7,7 @@ answer over the same data.
 from __future__ import annotations
 
 import json
+import os
 
 import pytest
 
@@ -925,3 +926,49 @@ def test_streaming_corpus_stats_equals_batch(spark, tmp_path):
                  corpus_stats_from_histogram(store.frame()).collect())
     want = sorted(tuple(r) for r in corpus_stats(spark, SF_DIR).collect())
     assert got == want
+
+
+def test_streaming_corpus_dedup_guards_against_foreign_checkpoint(
+        spark, planted_docs, tmp_path):
+    """Overwrite-per-batch_id idempotence is only safe under ONE
+    checkpoint's batch-id sequence. Re-running over an existing corpus
+    with a fresh checkpoint restarts batch ids at 0 and would silently
+    clobber earlier batches — the sink must fail fast instead; the same
+    checkpoint must still resume, and a pre-marker store must be
+    refused outright."""
+    import pytest as _pytest
+    from kafkastreams_tp3_is_spark.streaming.incremental import (
+        StreamingCorpusDedup)
+
+    docs, _ = planted_docs
+    src = tmp_path / "guard_incoming"
+    (docs.where(F.col("doc_id") < 20).repartition(1)
+         .write.mode("append").parquet(str(src)))
+
+    def stream():
+        return (spark.readStream.schema(docs.schema)
+                .option("maxFilesPerTrigger", 1).parquet(str(src)))
+
+    corpus_dir = str(tmp_path / "guard_corpus")
+    sink = StreamingCorpusDedup(spark, corpus_dir, jaccard_threshold=0.7)
+    sink.run(stream(), str(tmp_path / "ckpt_a"))
+    kept = sorted(r["doc_id"] for r in sink.corpus().collect())
+    assert kept == list(range(20))
+
+    # same checkpoint: resumes cleanly (no new files -> no-op run)
+    sink2 = StreamingCorpusDedup(spark, corpus_dir, jaccard_threshold=0.7)
+    sink2.run(stream(), str(tmp_path / "ckpt_a"))
+    assert sorted(r["doc_id"] for r in sink2.corpus().collect()) == kept
+
+    # fresh checkpoint over the same store: refuse before any write
+    sink3 = StreamingCorpusDedup(spark, corpus_dir, jaccard_threshold=0.7)
+    with _pytest.raises(RuntimeError, match="checkpoint"):
+        sink3.run(stream(), str(tmp_path / "ckpt_b"))
+    assert sorted(r["doc_id"] for r in sink3.corpus().collect()) == kept
+
+    # batch subdirectories but no marker (pre-marker store): refuse too
+    marker = os.path.join(corpus_dir, "_checkpoint_marker.json")
+    os.remove(marker)
+    sink4 = StreamingCorpusDedup(spark, corpus_dir, jaccard_threshold=0.7)
+    with _pytest.raises(RuntimeError, match="no checkpoint marker"):
+        sink4.run(stream(), str(tmp_path / "ckpt_a"))
