@@ -87,6 +87,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # cap so the driver re-verifies the new code paths.
         "bm25_search": _ret.bm25_search,
         "pipeline_standard_clean": _pipe.pipeline_standard_clean,
+        # NEW round 5: the full production clean — standard stages plus
+        # the corpus-relative gates (repeated-span coverage, bottom-decile
+        # quality, benchmark decontamination), all one composed plan with
+        # a sequentially-restated oracle
+        "pipeline_full_clean": _pipe.pipeline_full_clean,
         "mix_temperature": _cur.mix_temperature,
         "latest_route_capacity_stateful": _stateful.latest_route_capacity_stateful,
         # --- r4-VERIFIED BACKLOG ------------------------------------------

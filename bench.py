@@ -54,6 +54,14 @@ BASELINE_QUERIES = {"embedding_near_dup_exact", "ngram_jaccard_pairs",
 # separately so nothing is hidden.
 DEMO_QUERIES = {"latest_route_capacity_stateful"}
 
+# Composed pipelines: one registry entry that chains stages which are
+# EACH already a headline query (repeated_spans, quality_decile_filter,
+# decontaminate, dedup_exact...). Timing the composition in the headline
+# would double-count work benchmarked elsewhere and swing the
+# cross-round total by the sum of its parts; reported separately (one
+# run — its cost is the sum of already-medianed stages).
+COMPOSED_QUERIES = {"pipeline_full_clean"}
+
 # the 13 reference queries by EXACT registered name (shared allowlist —
 # a prefix match would silently count variants; q2_approx_... inflated
 # the r2 metric by ~1.5s)
@@ -92,11 +100,13 @@ def main() -> None:
     timings_min: dict[str, float] = {}
     baselines: dict[str, float] = {}
     demos: dict[str, float] = {}
+    composed: dict[str, float] = {}
     for name, fn in queries.items():
         out = (baselines if name in BASELINE_QUERIES
-               else demos if name in DEMO_QUERIES else timings)
+               else demos if name in DEMO_QUERIES
+               else composed if name in COMPOSED_QUERIES else timings)
         samples = []
-        for _ in range(1 if out is demos else n_runs):
+        for _ in range(1 if out in (demos, composed) else n_runs):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             _, n = force_full_eval(df)
@@ -132,12 +142,13 @@ def main() -> None:
             "bench_runs": n_runs,
             "baselines": baselines,
             "demos": demos,
+            "composed": composed,
             "reference_queries_sec": ref_total,
             "sf": sf_val,
         }, f, indent=1)
 
-    def line_for(qdict: dict[str, float]) -> str:
-        return json.dumps({
+    def line_for(qdict: dict[str, float], truncated: bool = False) -> str:
+        payload = {
             "metric": "total_query_wall_seconds",
             "value": total,
             "unit": "sec",
@@ -147,12 +158,17 @@ def main() -> None:
             "reference_queries_sec": ref_total,
             "detail": "BENCH_DETAIL.json",
             "sf": sf_val,
-        }, separators=(",", ":"))
+        }
+        if truncated:
+            # the queries map is partial (reference queries only) — let a
+            # consumer of the line tell, rather than infer from its size
+            payload["queries_truncated"] = True
+        return json.dumps(payload, separators=(",", ":"))
 
     out_line = line_for(timings)
     if len(out_line) > 1900:  # driver tail window is 2000 chars
         out_line = line_for({k: timings[k] for k in _REFERENCE_QUERIES
-                             if k in timings})
+                             if k in timings}, truncated=True)
     print(out_line)
 
 

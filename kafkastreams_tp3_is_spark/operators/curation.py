@@ -280,7 +280,10 @@ def mix_temperature(spark: SparkSession, sf_dir: str,
 
     Scale: one count per source (map-side combined), a 20-row broadcast
     back onto the corpus, and a per-source top-quota window — the same
-    bounded-group shape as mix_by_source."""
+    bounded-group shape as mix_by_source. The denominator is a window
+    SUM over the source-count frame itself (one SinglePartition exchange
+    of ~20 aggregate rows), not a separate ``.agg`` branch — a second
+    branch re-triggers the corpus scan through the weights lineage."""
     from pyspark.sql import Window
 
     docs = load(spark, sf_dir, "documents")
@@ -288,8 +291,8 @@ def mix_temperature(spark: SparkSession, sf_dir: str,
                .agg(F.count(F.lit(1)).alias("n_docs"))
                .withColumn("w", F.floor(F.sqrt(F.col("n_docs")))
                            .cast("bigint")))
-    denom = weights.agg(F.sum("w").alias("s"))
-    quotas = (weights.crossJoin(F.broadcast(denom))
+    quotas = (weights
+              .withColumn("s", F.sum("w").over(Window.partitionBy(F.lit(1))))
               .select("source", "n_docs",
                       F.greatest(
                           F.lit(1).cast("bigint"),

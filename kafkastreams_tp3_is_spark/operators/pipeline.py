@@ -101,10 +101,14 @@ def _stage_max_punct_ratio(df: DataFrame, ratio: float = 0.25) -> DataFrame:
 
 def _stage_dedup_exact(df: DataFrame) -> DataFrame:
     """Keep the lowest doc_id of every exact-text group (md5 digest
-    shuffle key — text never crosses the wire)."""
-    keep = (df.groupBy(F.md5("text").alias("__h"))
+    shuffle key — text never crosses the wire). NULL text hashes as the
+    empty string so the stage is total over nullable corpora: all
+    NULL/'' rows form one group and keep one canonical row (md5(NULL)
+    would be NULL and the equi-join would silently drop them)."""
+    h = F.md5(F.coalesce(F.col("text"), F.lit("")))
+    keep = (df.groupBy(h.alias("__h"))
               .agg(F.min("doc_id").alias("__keep")))
-    return (df.join(keep, (F.md5(df["text"]) == keep["__h"])
+    return (df.join(keep, (h == keep["__h"])
                     & (df["doc_id"] == keep["__keep"]))
               .drop("__h", "__keep"))
 
@@ -149,6 +153,74 @@ def _stage_dedup_near(df: DataFrame, threshold: float = 0.8,
     return out
 
 
+def _stage_repeated_spans_max_frac(df: DataFrame, max_frac: float = 0.5,
+                                   span_len: int = 30,
+                                   min_docs: int = 2) -> DataFrame:
+    """Drop documents whose repeated-span coverage (fraction of chars in
+    ``span_len``-grams occurring in >= ``min_docs`` docs of THIS frame —
+    dedup.repeated_spans_df, the Lee et al. exact-substring signal)
+    exceeds ``max_frac``: boilerplate-heavy docs whose content mostly
+    exists elsewhere. Corpus-relative, so it sees upstream transforms.
+
+    The input frame is PERSISTED here: the stage consumes ``df`` twice
+    (span inventory + semi-join probe), and without a persist each branch
+    re-executes the entire upstream stage chain — measured 10x wall-clock
+    on the composed FULL_CLEAN_SPEC. Ownership rides the stage output
+    (cache.py contract; the composer re-attaches it to the final frame)."""
+    from .. import cache
+    from .dedup import repeated_spans_df
+
+    df = df.persist()
+    rep = repeated_spans_df(df.select("doc_id", "text"), span_len, min_docs)
+    keep = (rep.where(F.col("dup_char_fraction") <= float(max_frac))
+               .select("doc_id"))
+    out = df.join(keep, "doc_id", "left_semi")
+    return cache.owned(out, df, *cache.persisted(rep))
+
+
+def _stage_quality_decile(df: DataFrame, drop_num: int = 1,
+                          drop_den: int = 10) -> DataFrame:
+    """Corpus-relative quality gate: drop the lowest-commonness
+    ``drop_num/drop_den`` tail of THIS frame (text.quality_decile_flags_df
+    — exact value-histogram threshold, ties drop together). Placed after
+    dedup so duplicate mass doesn't distort the distribution. Persists
+    the input frame (consumed by the scoring pass AND the semi-join
+    probe; see _stage_repeated_spans_max_frac)."""
+    from .. import cache
+    from .text import quality_decile_flags_df
+
+    df = df.persist()
+    flags = quality_decile_flags_df(df, int(drop_num), int(drop_den))
+    keep = flags.where(F.col("kept")).select("doc_id")
+    out = df.join(keep, "doc_id", "left_semi")
+    return cache.owned(out, df, *cache.persisted(flags))
+
+
+def _stage_decontaminate(df: DataFrame, bench_mod: int = 50, k: int = 5,
+                         min_overlap: int = 10) -> DataFrame:
+    """Benchmark decontamination over a JSON-able deterministic split:
+    rows with doc_id % ``bench_mod`` == 0 play the held-out benchmark
+    (they are eval data — excluded from the cleaned corpus), and
+    training rows sharing >= ``min_overlap`` distinct char ``k``-grams
+    with any benchmark text drop as contaminated
+    (curation.decontaminate_df). Real pipelines with an external eval
+    suite call decontaminate_df directly with that frame; a stage spec
+    must stay pure data, hence the modulus split. Persists the input
+    frame (read three times: train split, benchmark split, semi-join
+    probe; see _stage_repeated_spans_max_frac)."""
+    from .. import cache
+    from .curation import decontaminate_df
+
+    df = df.persist()
+    is_bench = F.col("doc_id") % int(bench_mod) == 0
+    train = df.where(~is_bench)
+    flags = decontaminate_df(train, df.where(is_bench), int(k),
+                             int(min_overlap))
+    keep = flags.where(~F.col("contaminated")).select("doc_id")
+    out = train.join(keep, "doc_id", "left_semi")
+    return cache.owned(out, df, *cache.persisted(flags))
+
+
 STAGES: dict[str, Callable[..., DataFrame]] = {
     "normalize": _stage_normalize,
     "min_tokens": _stage_min_tokens,
@@ -157,6 +229,9 @@ STAGES: dict[str, Callable[..., DataFrame]] = {
     "dedup_near": _stage_dedup_near,
     "sample_hex": _stage_sample_hex,
     "lang_keep": _stage_lang_keep,
+    "repeated_spans_max_frac": _stage_repeated_spans_max_frac,
+    "quality_decile": _stage_quality_decile,
+    "decontaminate": _stage_decontaminate,
 }
 
 
@@ -219,5 +294,33 @@ def pipeline_standard_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     token counts and dedup hashes are over NORMALIZED text)."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
     out = build_pipeline(STANDARD_CLEAN_SPEC)(docs)
+    return out.select("doc_id", "text",
+                      F.size(tokens_col()).cast("bigint").alias("n_tokens"))
+
+
+# The full clean a production corpus gets: the standard stages plus the
+# corpus-relative gates (repeated-span coverage, bottom-decile quality,
+# benchmark decontamination). Every stage's corpus-relative statistic is
+# computed over the frame AS IT ARRIVES at that stage — the oracle
+# restates the whole chain sequentially.
+FULL_CLEAN_SPEC = [
+    {"stage": "normalize"},
+    {"stage": "min_tokens", "n": 10},
+    {"stage": "dedup_exact"},
+    {"stage": "repeated_spans_max_frac", "max_frac": 0.5},
+    {"stage": "quality_decile", "drop_num": 1, "drop_den": 10},
+    {"stage": "decontaminate", "bench_mod": 50, "k": 5, "min_overlap": 190},
+]
+
+
+def pipeline_full_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gate fixture: FULL_CLEAN_SPEC compiled and applied to the
+    documents table; output (doc_id, text, n_tokens) of survivors. The
+    DuckDB oracle restates all six stages in sequence, so the gate pins
+    the corpus-relative stages' sequential dependence (the decile
+    histogram is over span-filtered survivors, the contamination split
+    over decile survivors)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    out = build_pipeline(FULL_CLEAN_SPEC)(docs)
     return out.select("doc_id", "text",
                       F.size(tokens_col()).cast("bigint").alias("n_tokens"))

@@ -299,9 +299,16 @@ def doc_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
     side, AQE-broadcast when small) and aggregates per doc — never more
     than one row per occurrence in flight, no driver state. Token-less
     docs emit 0.0 via left join + coalesce (null-free gate)."""
+    return doc_commonness_df(load(spark, sf_dir, "documents"))
+
+
+def doc_commonness_df(docs: DataFrame) -> DataFrame:
+    """Frame form of :func:`doc_commonness` — the commonness statistics
+    are computed over exactly the rows of ``docs`` (so a pipeline stage
+    scores a partially-cleaned corpus against ITSELF, not the raw
+    table)."""
     from .retrieval import lower_tokens_col
 
-    docs = load(spark, sf_dir, "documents")
     occ = docs.select("doc_id",
                       F.explode(lower_tokens_col()).alias("token"))
     counts = occ.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
@@ -358,7 +365,23 @@ def quality_decile_filter(spark: SparkSession, sf_dir: str,
     small integers) is far smaller than the corpus; a continuous-score
     variant would swap in the GK quantile sketch (operators/olap.py) at
     the cost of exactness."""
-    scored = doc_commonness(spark, sf_dir)
+    return quality_decile_flags_df(load(spark, sf_dir, "documents"),
+                                   drop_num, drop_den)
+
+
+def quality_decile_flags_df(docs: DataFrame, drop_num: int = 1,
+                            drop_den: int = 10) -> DataFrame:
+    """Frame form of :func:`quality_decile_filter`: (doc_id, commonness,
+    threshold, kept) with the commonness distribution and the decile
+    threshold computed over exactly the rows of ``docs``.
+
+    ``scored`` is persisted: three consumers (corpus count, value
+    histogram, final flag projection) would each re-run the
+    occurrence-join scoring pass. Ownership rides the result frame
+    (cache.py contract)."""
+    from ..cache import owned
+
+    scored = doc_commonness_df(docs).persist()
     n = scored.agg(F.count(F.lit(1)).alias("n"))
     hist = scored.groupBy("commonness").agg(F.count(F.lit(1)).alias("c"))
     w = (Window.orderBy("commonness")
@@ -368,10 +391,11 @@ def quality_decile_filter(spark: SparkSession, sf_dir: str,
               .crossJoin(F.broadcast(n))
               .where(F.col("cum") >= target)
               .agg(F.min("commonness").alias("threshold")))
-    return (scored.crossJoin(F.broadcast(thresh))
-            .select("doc_id", "commonness", "threshold",
-                    (F.col("commonness") > F.col("threshold"))
-                    .alias("kept")))
+    out = (scored.crossJoin(F.broadcast(thresh))
+           .select("doc_id", "commonness", "threshold",
+                   (F.col("commonness") > F.col("threshold"))
+                   .alias("kept")))
+    return owned(out, scored)
 
 
 def quality_filter(spark: SparkSession, sf_dir: str,

@@ -502,11 +502,11 @@ re AS (
   SELECT 'Route_' || CAST(o_orderkey AS VARCHAR) AS route_id,
          CAST(((CAST(floor(o_totalprice) AS BIGINT) + 37) % 200) + 1 AS INTEGER) AS capacity,
          o_orderdate + INTERVAL 1 DAY AS event_ts
-  FROM orders WHERE o_orderkey % 10 = 0
+  FROM orders WHERE o_orderkey % 40 = 0
 ),
 chg AS (
   SELECT route_id, capacity, event_ts FROM routes
-  WHERE CAST(SUBSTRING(route_id, 7) AS BIGINT) % 10 = 0
+  WHERE CAST(SUBSTRING(route_id, 7) AS BIGINT) % 40 = 0
   UNION ALL
   SELECT route_id, capacity, event_ts FROM re
 )
@@ -1268,6 +1268,112 @@ k AS (SELECT md5(text) AS h, MIN(doc_id) AS keep FROM f GROUP BY 1)
 SELECT f.doc_id, f.text, f.n_tokens
 FROM f JOIN k ON md5(f.text) = k.h AND f.doc_id = k.keep
 WHERE SUBSTRING(md5(CAST(f.doc_id AS VARCHAR)), 1, 2) < 'c0'
+"""
+
+# The full production clean (pipeline.py FULL_CLEAN_SPEC): standard
+# stages plus the corpus-relative gates, restated SEQUENTIALLY — each
+# stage's statistic (span inventory, commonness histogram + decile
+# threshold, contamination split) is computed over the survivors of the
+# previous stage, exactly as the composed DataFrame chain does.
+ORACLES["pipeline_full_clean"] = r"""
+WITH n AS (
+  SELECT doc_id,
+         TRIM(regexp_replace(LOWER(text), '\s+', ' ', 'g')) AS text
+  FROM documents
+),
+f AS (
+  SELECT doc_id, text,
+         CAST(len(list_filter(string_split_regex(text, '\s+'),
+                              x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM n
+  WHERE len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) >= 10
+),
+k AS (SELECT md5(text) AS h, MIN(doc_id) AS keep FROM f GROUP BY 1),
+d1 AS (
+  SELECT f.doc_id, f.text, f.n_tokens
+  FROM f JOIN k ON md5(f.text) = k.h AND f.doc_id = k.keep
+),
+pos AS (
+  SELECT doc_id, CAST(g AS INTEGER) AS pos,
+         substring(text, CAST(g AS INTEGER), 30) AS s
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(1, length(text) - 29)) AS g
+        FROM d1 WHERE length(text) >= 30)
+),
+rep AS (SELECT s FROM pos GROUP BY s HAVING COUNT(DISTINCT doc_id) >= 2),
+rp AS (SELECT doc_id, pos FROM pos JOIN rep USING (s)),
+cov AS (
+  SELECT doc_id, pos,
+         MAX(pos + 30) OVER (PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+  FROM rp
+),
+agg AS (
+  SELECT doc_id,
+         SUM(greatest(pos + 30 - greatest(pos, COALESCE(prev_end, pos)), 0))
+           AS dup_chars
+  FROM cov GROUP BY doc_id
+),
+d2 AS (
+  SELECT d1.doc_id, d1.text, d1.n_tokens
+  FROM d1 LEFT JOIN agg USING (doc_id)
+  WHERE (CASE WHEN length(d1.text) = 0 THEN 0.0
+              ELSE CAST(COALESCE(agg.dup_chars, 0) AS DOUBLE)
+                   / CAST(length(d1.text) AS DOUBLE) END) <= 0.5
+),
+occ AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            x -> x <> '')) AS token
+  FROM d2
+),
+counts AS (SELECT token, COUNT(*) AS cnt FROM occ GROUP BY 1),
+tot AS (SELECT COUNT(*) AS total FROM occ),
+per_doc AS (
+  SELECT o.doc_id, COUNT(*) AS n_toks,
+         CAST(SUM(c.cnt) AS BIGINT) AS sum_cnt
+  FROM occ o JOIN counts c USING (token)
+  GROUP BY o.doc_id
+),
+scored AS (
+  SELECT d.doc_id,
+         COALESCE(CAST(p.sum_cnt AS DOUBLE)
+                  / CAST(p.n_toks * tot.total AS DOUBLE), 0.0) AS commonness
+  FROM d2 d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+  CROSS JOIN tot
+),
+nn AS (SELECT COUNT(*) AS n FROM scored),
+hist AS (SELECT commonness, COUNT(*) AS c FROM scored GROUP BY 1),
+cum AS (
+  SELECT commonness,
+         SUM(c) OVER (ORDER BY commonness
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM hist
+),
+th AS (
+  SELECT MIN(commonness) AS threshold
+  FROM cum CROSS JOIN nn
+  WHERE cum >= (nn.n * 1 + 9) // 10
+),
+d3 AS (
+  SELECT d2.doc_id, d2.text, d2.n_tokens
+  FROM d2 JOIN scored USING (doc_id) CROSS JOIN th
+  WHERE scored.commonness > th.threshold
+),
+sh AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, GREATEST(LENGTH(text)-4, 1)),
+                               i -> substr(text, CAST(i AS INTEGER), 5))) AS s
+  FROM d3
+),
+bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0),
+train_sh AS (SELECT DISTINCT doc_id, s FROM sh WHERE doc_id % 50 <> 0),
+hits AS (SELECT doc_id, COUNT(*) AS n_shared
+         FROM train_sh JOIN bench USING (s) GROUP BY doc_id)
+SELECT d3.doc_id, d3.text, d3.n_tokens
+FROM d3 LEFT JOIN hits USING (doc_id)
+WHERE d3.doc_id % 50 <> 0 AND COALESCE(hits.n_shared, 0) < 190
 """
 
 # Unigram-LM commonness: integer numerator (sum of corpus counts over

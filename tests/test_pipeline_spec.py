@@ -90,3 +90,64 @@ def test_dedup_near_stage_collapses_variants_after_normalize(spark):
     assert sorted(r["doc_id"] for r in out.collect()) == [1, 3]
     assert cache.persisted(out) == [], \
         "dedup_near must release its consumed LSH caches"
+
+
+def test_dedup_exact_stage_is_total_over_null_text(spark):
+    """md5(NULL) is NULL and an equi-join would silently drop NULL-text
+    rows; the stage hashes COALESCE(text, '') so all NULL/'' rows form
+    one group and exactly one canonical (lowest doc_id) survives."""
+    pipe = build_pipeline([{"stage": "dedup_exact"}])
+    docs = _docs(spark, [(1, None, "en"), (2, None, "en"), (3, "", "en"),
+                         (4, "real text", "en")])
+    kept = {r["doc_id"] for r in pipe(docs).collect()}
+    assert kept == {1, 4}, "one canonical for the NULL/'' group + the real doc"
+
+
+def test_decontaminate_stage_drops_bench_rows_and_contaminated_train(spark):
+    """bench_mod rows are eval data (always excluded); training rows
+    sharing >= min_overlap distinct 5-grams with any benchmark text drop
+    as contaminated; disjoint-content training rows survive."""
+    bench_text = "the quick brown fox jumps over the lazy dog tonight"
+    pipe = build_pipeline([
+        {"stage": "decontaminate", "bench_mod": 2, "min_overlap": 5}])
+    docs = _docs(spark, [
+        (2, bench_text, "en"),                       # benchmark (id % 2 == 0)
+        (1, bench_text + " extra tail", "en"),       # contaminated train
+        (3, "zzz qqq xxx www vvv uuu ttt", "en"),    # clean train
+    ])
+    kept = {r["doc_id"] for r in pipe(docs).collect()}
+    assert kept == {3}
+
+
+def test_quality_decile_stage_is_corpus_relative(spark):
+    """The decile threshold is computed over the frame the stage
+    receives: with drop_den=4, the bottom quarter (the one doc built
+    from vocabulary no other doc shares) drops, common-vocabulary docs
+    survive."""
+    common = "alpha beta gamma delta epsilon"
+    pipe = build_pipeline([{"stage": "quality_decile", "drop_num": 1,
+                            "drop_den": 4}])
+    docs = _docs(spark, [(i, common, "en") for i in range(3)]
+                 + [(99, "qq ww ee rr tt", "en")])
+    kept = {r["doc_id"] for r in pipe(docs).collect()}
+    assert kept == {0, 1, 2}
+
+
+def test_repeated_spans_stage_drops_boilerplate_heavy_docs(spark):
+    """A doc whose chars are fully covered by 30-char spans recurring in
+    another doc exceeds max_frac and drops; unique-content docs stay."""
+    shared = "x" * 80  # every 30-gram recurs in both copies
+    pipe = build_pipeline([
+        {"stage": "repeated_spans_max_frac", "max_frac": 0.5}])
+    docs = _docs(spark, [
+        (1, shared, "en"), (2, shared, "en"),
+        (3, "".join(chr(97 + (i * 7) % 26) for i in range(80)), "en")])
+    kept = {r["doc_id"] for r in pipe(docs).collect()}
+    assert kept == {3}
+
+
+def test_full_clean_spec_is_jsonable_and_covered():
+    import json as _json
+    from kafkastreams_tp3_is_spark.operators.pipeline import FULL_CLEAN_SPEC
+    assert _json.loads(_json.dumps(FULL_CLEAN_SPEC)) == FULL_CLEAN_SPEC
+    build_pipeline(FULL_CLEAN_SPEC)  # validates stages + params

@@ -47,6 +47,7 @@ def test_bench_classification_names_exist():
     names = set(QUERIES)
     assert bench.BASELINE_QUERIES <= names
     assert bench.DEMO_QUERIES <= names
+    assert bench.COMPOSED_QUERIES <= names
     assert set(Q_NAMES) <= names
     assert len(Q_NAMES) == 13
     assert set(Q_NAMES) <= set(ORACLES)
