@@ -219,11 +219,20 @@ def pack_sequences(spark: SparkSession, sf_dir: str, budget: int = 2048,
     (see __spark_entry__), because shard assignment is part of the output
     and an oracle keyed to the machine's CPU count would not be a pure
     function of the data."""
-    from pyspark.sql import Window
-
     if n_shards is None:
         n_shards = spark.sparkContext.defaultParallelism
-    docs = load(spark, sf_dir, "documents")
+    return pack_sequences_df(load(spark, sf_dir, "documents"), budget,
+                             n_shards)
+
+
+def pack_sequences_df(docs: DataFrame, budget: int = 2048,
+                      n_shards: int = 16) -> DataFrame:
+    """Frame form of :func:`pack_sequences`: packs any (doc_id, text)
+    frame — e.g. the survivors of a streaming dedup corpus — with the
+    identical layout rule, so streamed and batch corpora of the same
+    content produce identical (shard, pack_id, offset) placements."""
+    from pyspark.sql import Window
+
     toks = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
     base = docs.select(
         "doc_id", (F.col("doc_id") % n_shards).alias("shard"),

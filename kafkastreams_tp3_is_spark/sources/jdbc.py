@@ -88,15 +88,33 @@ class DbUpsertSink:
         self._created = False
 
     def _ensure_table(self, schema: T.StructType) -> None:
-        if self._created:
-            return
+        """Auto-create, then auto-EVOLVE: when the batch schema carries
+        columns the existing table lacks, issue ALTER TABLE ADD COLUMN
+        for each (added nullable — they can never join the primary key).
+        This is the Connect sink's ``auto.evolve=true`` behavior
+        (config/sink-passangers_per_route.json:16-17): a mid-stream
+        schema widening keeps upserting instead of failing. Runs per
+        micro-batch (cheap: one LIMIT-0 describe) because widening can
+        arrive on ANY batch, not just the first."""
         con = self.connect_fn()
         try:
-            con.execute(create_table_ddl(schema, self.table, self.key_cols))
-            con.commit()
+            if not self._created:
+                con.execute(
+                    create_table_ddl(schema, self.table, self.key_cols))
+                con.commit()
+                self._created = True
+            cur = con.execute(f"SELECT * FROM {self.table} LIMIT 0")
+            existing = {d[0].lower() for d in cur.description}
+            added = False
+            for f in schema.fields:
+                if f.name.lower() not in existing:
+                    con.execute(f"ALTER TABLE {self.table} ADD COLUMN "
+                                f"{f.name} {_sql_type(f.dataType)}")
+                    added = True
+            if added:
+                con.commit()
         finally:
             con.close()
-        self._created = True
 
     def process(self, batch_df: DataFrame, batch_id: int = 0) -> None:
         self._ensure_table(batch_df.schema)
@@ -160,3 +178,37 @@ class IncrementalSource:
         schema = self._schema or T.StructType(
             [T.StructField(n, T.StringType(), True) for n in names])
         return self.spark.createDataFrame([], schema)
+
+    def partitioned_options(self, url: str, upper_bound: int,
+                            num_partitions: int = 32,
+                            fetch_size: int = 10_000) -> dict[str, str]:
+        """The fact-scale form of ``poll``: option map for a PARTITIONED
+        ``spark.read.jdbc`` scan of the same incremental slice
+        (id > last_max), split into ``num_partitions`` executor-side
+        range reads on the id column — the 100 TB shape, where the
+        driver-side DBAPI poll above is only right for dimension-sized
+        tables like the reference's route_suppliers
+        (config/route-suppliers.json:9-13).
+
+        The incremental predicate is pushed into the dbtable subquery, so
+        every partition's generated WHERE clause ANDs onto rows the
+        database already filtered by index. Usage:
+        ``spark.read.format("jdbc").options(**src.partitioned_options(
+        url, upper)).load()``; after the batch lands, advance
+        ``last_max`` to the max id it contained. upper_bound is a plain
+        ``SELECT MAX(id)`` the caller runs (stale is fine — rows landing
+        after it are picked up by the next poll)."""
+        lower = self.last_max + 1
+        if upper_bound < lower:
+            upper_bound = lower
+        return {
+            "url": url,
+            "dbtable": (f"(SELECT * FROM {self.table} "
+                        f"WHERE {self.id_col} > {self.last_max}) "
+                        f"AS {self.table}_inc"),
+            "partitionColumn": self.id_col,
+            "lowerBound": str(lower),
+            "upperBound": str(upper_bound),
+            "numPartitions": str(num_partitions),
+            "fetchsize": str(fetch_size),
+        }

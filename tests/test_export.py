@@ -45,3 +45,47 @@ def test_export_one_file_per_shard(spark, tmp_path):
                               / "*.parquet"))
         assert len(files) == 1, \
             f"shard {shard}: repartition-on-shard must yield one file"
+
+
+def test_streamed_export_manifest_equals_batch_pipeline(
+        spark, planted_docs, tmp_path):
+    """The full streaming loop: planted docs arrive in micro-batches
+    (near-dup copies in LATER batches than their originals), stream
+    through StreamingCorpusDedup, and export as training shards under
+    ONE availableNow run. The manifest must equal the batch pipeline's
+    (batch LSH clustering -> canonical survivors -> same exporter) on
+    the same input — streamed and batch corpora of identical content
+    produce byte-identical shard layouts."""
+    from kafkastreams_tp3_is_spark.operators.graph import (
+        duplicate_clusters_lsh_df)
+    from kafkastreams_tp3_is_spark.sources.export import (
+        export_corpus_shards, export_streamed_corpus)
+
+    docs, _ = planted_docs
+    src = tmp_path / "stream_in"
+    for lo, hi in ((0, 20), (20, 100), (100, 300)):
+        (docs.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+             .repartition(1).write.mode("append").parquet(str(src)))
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    streamed = export_streamed_corpus(
+        spark, stream, str(tmp_path / "work"), str(tmp_path / "out_stream"),
+        jaccard_threshold=0.7, budget=256, n_shards=4)
+
+    clusters = duplicate_clusters_lsh_df(docs, threshold=0.7)
+    survivors = docs.join(
+        clusters.where(~F.col("is_canonical")).select("doc_id"),
+        "doc_id", "left_anti")
+    batch = export_corpus_shards(survivors, str(tmp_path / "out_batch"),
+                                 budget=256, n_shards=4)
+
+    key = ["shard", "n_docs", "n_tokens", "content_xor"]
+    got = sorted(tuple(r[k] for k in key) for r in streamed.collect())
+    want = sorted(tuple(r[k] for k in key) for r in batch.collect())
+    assert got == want and len(got) == 4
+    # and the exported DATA directories agree row-for-row
+    a = spark.read.parquet(str(tmp_path / "out_stream" / "data"))
+    b = spark.read.parquet(str(tmp_path / "out_batch" / "data"))
+    cols = sorted(a.columns)
+    assert sorted(map(tuple, a.select(cols).collect())) == \
+        sorted(map(tuple, b.select(cols).collect()))

@@ -98,3 +98,56 @@ def test_ensure_topics_without_kafka_clients_raises_actionable(spark):
     # with the remediation in the message, not a raw py4j stack
     with pytest.raises(RuntimeError, match="spark-sql-kafka"):
         ensure_topics(spark, "localhost:9092", [{"name": "out_topic"}])
+
+
+def test_upsert_auto_evolves_widened_schema(spark, db_path):
+    """auto.evolve: a batch carrying a NEW column against a previously
+    created table must ALTER TABLE ADD COLUMN and keep upserting —
+    earlier rows read NULL for it, re-upserted keys get the value
+    (the Connect sink's auto.evolve=true,
+    config/sink-passangers_per_route.json:16-17)."""
+    sink = DbUpsertSink("evolving", ["k"], _connect_fn(db_path),
+                        max_writers=1)
+    v1 = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v long")
+    sink.process(v1, 0)
+    v2 = spark.createDataFrame([("b", 20, 0.5), ("c", 30, 0.7)],
+                               "k string, v long, score double")
+    sink.process(v2, 1)
+    con = sqlite3.connect(db_path)
+    rows = {k: (v, s) for k, v, s in
+            con.execute("SELECT k, v, score FROM evolving").fetchall()}
+    con.close()
+    assert rows == {"a": (1, None), "b": (20, 0.5), "c": (30, 0.7)}
+
+
+def test_upsert_evolves_even_when_table_preexists(spark, db_path):
+    """A sink attached to an already-existing table (fresh sink object,
+    _created False but CREATE IF NOT EXISTS no-ops) must still evolve."""
+    con = sqlite3.connect(db_path)
+    con.execute("CREATE TABLE pre (k TEXT, PRIMARY KEY (k))")
+    con.commit(); con.close()
+    sink = DbUpsertSink("pre", ["k"], _connect_fn(db_path), max_writers=1)
+    widened = spark.createDataFrame([("x", 7)], "k string, n long")
+    sink.process(widened, 0)
+    con = sqlite3.connect(db_path)
+    assert con.execute("SELECT k, n FROM pre").fetchall() == [("x", 7)]
+    con.close()
+
+
+def test_partitioned_incremental_options_push_down_watermark(spark):
+    """The fact-scale S8 form: the option map must push the incremental
+    predicate into the dbtable subquery AND carry consistent range-split
+    bounds so executors read disjoint id ranges in parallel."""
+    src = IncrementalSource(spark, lambda: None, "route_suppliers",
+                            id_col="id")
+    src.last_max = 41
+    opts = src.partitioned_options("jdbc:postgresql://db/x",
+                                   upper_bound=100_041, num_partitions=16)
+    assert "WHERE id > 41" in opts["dbtable"]
+    assert opts["partitionColumn"] == "id"
+    assert (opts["lowerBound"], opts["upperBound"]) == ("42", "100041")
+    assert opts["numPartitions"] == "16"
+    # degenerate watermark (no rows beyond last_max): bounds stay ordered
+    empty = src.partitioned_options("jdbc:postgresql://db/x",
+                                    upper_bound=0)
+    assert int(empty["upperBound"]) >= int(empty["lowerBound"])
