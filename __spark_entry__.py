@@ -92,6 +92,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # quality, benchmark decontamination), all one composed plan with
         # a sequentially-restated oracle
         "pipeline_full_clean": _pipe.pipeline_full_clean,
+        # NEW round 5: paragraph(block)-level dedup with rewrite
+        # (RefinedWeb pattern — canonical owner keeps a shared block,
+        # other docs are rebuilt without it)
+        "paragraph_dedup": _dedup.paragraph_dedup,
+        # NEW round 5: Bloom-prefiltered decontamination — exact verdicts,
+        # sketch only prunes the exact-recount join
+        "bloom_decontaminate": _sketch.bloom_decontaminate,
+        # NEW round 5: packing-utilization report, corpus snapshot diff,
+        # sequential-min conversion funnel
+        "pack_efficiency": _cur.pack_efficiency,
+        "corpus_diff": _cur.corpus_diff,
+        "events_funnel": _events.funnel,
         "mix_temperature": _cur.mix_temperature,
         "latest_route_capacity_stateful": _stateful.latest_route_capacity_stateful,
         # --- r4-VERIFIED BACKLOG ------------------------------------------

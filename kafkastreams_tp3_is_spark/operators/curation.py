@@ -534,3 +534,92 @@ def decontaminate(spark: SparkSession, sf_dir: str, k: int = 5,
     is_bench = F.col("doc_id") % 50 == 0
     return decontaminate_df(docs.where(~is_bench), docs.where(is_bench),
                             k, min_overlap)
+
+
+# --- packing efficiency report ------------------------------------------
+
+def pack_efficiency_df(docs: DataFrame, budget: int = 2048,
+                       n_shards: int = 16) -> DataFrame:
+    """Per-shard packing utilization for the concat-and-cut layout of
+    :func:`pack_sequences_df` — the report a training job reads before
+    committing GPU-hours to a corpus: how many fixed-``budget`` samples
+    each shard yields and how much of the final sample is padding.
+
+    Under concat-and-cut the token stream is gapless, so per shard:
+      n_packs      = ceil(total_tokens / budget)   (0 tokens -> 0 packs)
+      waste_tokens = n_packs * budget - total_tokens (tail padding only)
+      utilization  = total_tokens / (n_packs * budget)  (1.0 when empty)
+    All integers until the single final division (float-exactness
+    doctrine). One map-side-combined aggregation on the shard key — the
+    same single shuffle as the packer itself."""
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
+    per_shard = (docs
+                 .select((F.col("doc_id") % n_shards).alias("shard"),
+                         F.size(toks).cast("bigint").alias("n_tokens"))
+                 .groupBy("shard")
+                 .agg(F.count(F.lit(1)).alias("n_docs"),
+                      F.sum("n_tokens").alias("total_tokens")))
+    n_packs = F.ceil(F.col("total_tokens").cast("double") / budget) \
+               .cast("bigint")
+    return (per_shard
+            .withColumn("n_packs", n_packs)
+            .withColumn("waste_tokens",
+                        F.col("n_packs") * budget - F.col("total_tokens"))
+            .withColumn("utilization",
+                        F.when(F.col("n_packs") == 0, F.lit(1.0))
+                         .otherwise(F.col("total_tokens").cast("double")
+                                    / (F.col("n_packs") * budget)
+                                    .cast("double"))))
+
+
+def pack_efficiency(spark: SparkSession, sf_dir: str, budget: int = 2048,
+                    n_shards: int = 16) -> DataFrame:
+    """Driver-gate fixture: packing report over the documents table with
+    the gate's pinned shard layout."""
+    return pack_efficiency_df(load(spark, sf_dir, "documents"), budget,
+                              n_shards)
+
+
+# --- corpus snapshot diff ------------------------------------------------
+
+def corpus_diff_df(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Training-data versioning: diff two corpus snapshots by content
+    hash. Output one row per doc_id present in either snapshot with
+    status 'added' / 'removed' / 'changed' / 'unchanged' — the audit
+    a pipeline publishes alongside a refreshed corpus so downstream
+    consumers know exactly what moved (and reproducibility reviews can
+    anti-join 'changed' against release notes).
+
+    Scale: both sides reduce to (doc_id, md5) projections before the
+    full outer join — content never crosses the shuffle, the join key is
+    the natural primary key, and the output is one narrow row per doc."""
+    oh = old.select("doc_id",
+                    F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("old_h"))
+    nh = new.select("doc_id",
+                    F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("new_h"))
+    status = (F.when(F.col("old_h").isNull(), F.lit("added"))
+               .when(F.col("new_h").isNull(), F.lit("removed"))
+               .when(F.col("old_h") == F.col("new_h"), F.lit("unchanged"))
+               .otherwise(F.lit("changed")))
+    return (oh.join(nh, "doc_id", "full_outer")
+              .select("doc_id", status.alias("status"),
+                      F.coalesce("old_h", F.lit("")).alias("old_h"),
+                      F.coalesce("new_h", F.lit("")).alias("new_h")))
+
+
+def corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gate fixture: documents vs a deterministically mutated
+    next snapshot — every 13th doc removed, every 7th (surviving) doc
+    edited (' rev2' appended), every 11th doc re-added under a shifted
+    id — so all four statuses appear and the DuckDB oracle restates the
+    mutation exactly."""
+    docs = load(spark, sf_dir, "documents")
+    kept = docs.where(F.col("doc_id") % 13 != 0)
+    edited = kept.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.col("text"), F.lit(" rev2")))
+         .otherwise(F.col("text")).alias("text"))
+    added = (docs.where(F.col("doc_id") % 11 == 0)
+             .select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text"))
+    return corpus_diff_df(docs, edited.unionByName(added))

@@ -676,3 +676,71 @@ def repeated_spans(spark: SparkSession, sf_dir: str, span_len: int = 30,
                    min_docs: int = 2) -> DataFrame:
     return repeated_spans_df(load(spark, sf_dir, "documents"), span_len,
                              min_docs)
+
+
+# --- paragraph-level dedup (block rewrite) ------------------------------
+
+def paragraph_dedup_df(docs: DataFrame, block_tokens: int = 20) -> DataFrame:
+    """Sub-document deduplication with REWRITE — the RefinedWeb/Falcon
+    production pattern (Penedo et al., NeurIPS'23 — public work): when a
+    paragraph occurs in multiple documents, the canonical owner (minimum
+    doc_id) keeps it and every other document is rewritten with that
+    paragraph removed, so shared boilerplate survives exactly once in
+    the corpus while whole documents are not thrown away (doc-level
+    dedup's failure mode on mostly-distinct pages sharing a header).
+
+    The synthetic corpus has no newline structure, so a 'paragraph' here
+    is a fixed ``block_tokens``-token block (the splitter is the
+    pluggable part; the ownership/rewrite dataflow is the operator).
+    Output: (doc_id, clean_text, n_blocks, n_dropped).
+
+    Scale: blocks explode ~n_tokens/block rows per doc; ownership is ONE
+    groupBy on the md5 digest of the block (16-byte shuffle key — block
+    text never crosses the wire for the ownership side), and the rewrite
+    is a per-doc ordered string_agg — a second shuffle on doc_id. Both
+    keys are high-cardinality and skew-free."""
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
+    n_blocks = F.ceil(F.size(toks).cast("double") / block_tokens) \
+                .cast("bigint")
+    blocks = (docs
+              .select("doc_id", toks.alias("t"), n_blocks.alias("nb"))
+              .where(F.col("nb") > 0)
+              .select("doc_id", "nb",
+                      F.posexplode(F.sequence(F.lit(0).cast("long"),
+                                              F.col("nb") - 1))
+                       .alias("block_id", "_b"), "t")
+              .select("doc_id", "nb", "block_id",
+                      F.array_join(
+                          F.slice(F.col("t"),
+                                  (F.col("block_id") * block_tokens + 1)
+                                  .cast("int"),
+                                  block_tokens), " ").alias("s")))
+    own = (blocks
+           .groupBy(F.md5("s").alias("h"))
+           .agg(F.min("doc_id").alias("owner"),
+                F.countDistinct("doc_id").alias("nd")))
+    kept = (blocks.join(own, F.md5(blocks["s"]) == own["h"])
+            .where((F.col("nd") < 2) | (F.col("owner") == F.col("doc_id"))))
+    rebuilt = (kept.groupBy("doc_id")
+               .agg(F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(
+                                F.struct("block_id", "s"))),
+                            lambda x: x["s"]), " ").alias("clean_text"),
+                    F.count(F.lit(1)).alias("n_kept")))
+    base = docs.select("doc_id", n_blocks.alias("n_blocks"))
+    return (base.join(rebuilt, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+                    "n_blocks",
+                    (F.col("n_blocks") - F.coalesce(F.col("n_kept"),
+                                                    F.lit(0).cast("bigint")))
+                    .alias("n_dropped")))
+
+
+def paragraph_dedup(spark: SparkSession, sf_dir: str,
+                    block_tokens: int = 20) -> DataFrame:
+    """Driver-gate fixture: block-level dedup-with-rewrite over the
+    documents table."""
+    return paragraph_dedup_df(load(spark, sf_dir, "documents"),
+                              block_tokens)

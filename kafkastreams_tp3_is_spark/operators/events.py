@@ -152,3 +152,52 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .alias("cohort_day"),
                     F.col("day_offset").cast("int").alias("day_offset"),
                     "n_users"))
+
+
+def funnel(spark: SparkSession, sf_dir: str,
+           steps: tuple[str, ...] = ("view", "click", "purchase")) -> DataFrame:
+    """Sequential conversion funnel: per user, the earliest time each
+    step was reached with every prior step completed STRICTLY earlier —
+    the product-analytics primitive (view -> click -> purchase). Step
+    semantics are sequential-min: t1 = min(view), t2 = min(click with
+    ts > t1), t3 = min(purchase with ts > t2); a purchase before the
+    first valid click does not count. Output per user: epoch-micro
+    times per step (-1 sentinel when the step was never reached — the
+    gate is null-free) and steps_completed.
+
+    Scale: one aggregation plus one user-key equi-join per funnel step,
+    all shuffling on the same user_id key — with co-partitioned exchange
+    reuse the event table moves once per step and nothing is ever
+    collected; step count is a constant of the query, not of the data.
+    Timestamps compare as the micro-truncated values both engines store
+    (load_events DIV-truncation == DuckDB CAST)."""
+    ev = load_events(spark, sf_dir).select("user_id", "event_type", "ts")
+    users = ev.select("user_id").distinct()
+    prev = None  # (frame with user_id + t{i}, column name)
+    outs = []
+    for i, step in enumerate(steps, start=1):
+        col = f"t{i}"
+        if prev is None:
+            s = (ev.where(F.col("event_type") == step)
+                   .groupBy("user_id").agg(F.min("ts").alias(col)))
+        else:
+            pf, pc = prev
+            s = (ev.where(F.col("event_type") == step)
+                   .join(pf, "user_id")
+                   .where(F.col("ts") > F.col(pc))
+                   .groupBy("user_id").agg(F.min("ts").alias(col)))
+        outs.append((s, col))
+        prev = (s, col)
+    out = users
+    for s, _ in outs:
+        out = out.join(s, "user_id", "left")
+    reached = [F.col(c).isNotNull().cast("bigint") for _, c in outs]
+    steps_completed = reached[0]
+    for r in reached[1:]:
+        steps_completed = steps_completed + r
+    sel = [F.col("user_id")]
+    for i, (_, c) in enumerate(outs):
+        sel.append(F.coalesce(F.unix_micros(F.col(c)), F.lit(-1))
+                   .alias(f"t_{steps[i]}_us"))
+    sel.append(steps_completed.alias("steps_completed"))
+    return out.select(*sel)

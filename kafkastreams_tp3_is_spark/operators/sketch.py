@@ -106,3 +106,121 @@ def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold splits it: both the kept and dropped branches run)."""
     return heavy_hitters_df(load(spark, sf_dir, "documents"),
                             support_inv=32)
+
+
+# --- Bloom-prefiltered benchmark decontamination ------------------------
+
+# The second bit position derives from the shingle hash via XOR/shift
+# mixing ONLY: bitwise ops can neither overflow (Spark 4 runs ANSI mode,
+# where a 64-bit multiply like the splitmix64 finalizer would ERROR) nor
+# diverge between the JVM build side and the numpy probe side, which
+# must replay the derivation bit-identically. xxhash64-of-a-long would
+# be JVM-only.
+
+def _bloom_positions(h: F.Column, m_bits: int) -> F.Column:
+    """The two bit positions a shingle hash sets/tests."""
+    mixed = (h.bitwiseXOR(F.shiftrightunsigned(h, 33))
+              .bitwiseXOR(F.shiftleft(h, 21)))
+    return F.array(F.pmod(h, F.lit(m_bits)),
+                   F.pmod(mixed, F.lit(m_bits)))
+
+
+def bloom_decontaminate_df(train: DataFrame, benchmark: DataFrame,
+                           k: int = 5, min_overlap: int = 10,
+                           m_bits: int = 1 << 17) -> DataFrame:
+    """Decontamination with a Bloom prefilter — the 100 TB shape of
+    curation.decontaminate_df when the benchmark's shingle table is too
+    large to broadcast but a BITSET over it is not: a benchmark of 100M
+    distinct shingles needs ~800 MB as longs yet ~16 MB as a 2^27-bit
+    Bloom filter, and the filter prunes the expensive join down to
+    candidate documents only.
+
+    Three phases, final verdicts EXACT (full hash-match oracle — the
+    sketch only decides which documents get the exact recount):
+
+      build  the benchmark's distinct shingle hashes (8-byte longs, the
+             curation discipline) each set 2 bit positions: pmod(h, m)
+             and a splitmix64-derived second. The DISTINCT set-bit list
+             is a bounded driver collect (<= m_bits rows — the same
+             budget class as IVF's 4096-row centroid sample; at real
+             scale this becomes one array-agg over bit-blocks).
+      probe  an Arrow-batched numpy kernel upper-bounds each training
+             doc's shared-shingle count by testing both bits per shingle
+             hash. Bloom filters have NO false negatives, so
+             upper_bound >= true n_shared always; docs with
+             upper_bound < min_overlap are provably clean and skip
+             phase 3 (pytest pins the superset invariant).
+      exact  candidates (upper_bound >= min_overlap) alone re-join the
+             real benchmark shingles for exact counts; verdicts merge
+             back over all training docs.
+
+    Output: (doc_id, contaminated) for every training doc — identical
+    verdicts to decontaminate_df (pytest + shared-restatement oracle),
+    at a join cost proportional to the contaminated tail instead of the
+    whole corpus."""
+    from collections.abc import Iterator as _Iter
+
+    import numpy as np
+
+    from ..cache import persisted as _persisted
+    from .curation import _hashed_kgram_set, contamination_hits_df
+
+    bench_pos = (benchmark
+                 .select(F.explode(_hashed_kgram_set(k)).alias("h"))
+                 .distinct()
+                 .select(F.explode(_bloom_positions(F.col("h"), m_bits))
+                         .alias("p"))
+                 .distinct())
+    # bounded driver collect: <= m_bits ints (the bitset itself)
+    bits = np.zeros(m_bits, dtype=bool)
+    bits[[r["p"] for r in bench_pos.collect()]] = True
+
+    def probe(batches: _Iter) -> _Iter:
+        import numpy as _np
+        import pandas as _pd
+
+        with _np.errstate(over="ignore"):
+            for pdf in batches:
+                ubs = []
+                for hs in pdf["hs"]:
+                    h = _np.asarray(hs, dtype=_np.int64)
+                    if h.size == 0:
+                        ubs.append(0)
+                        continue
+                    p1 = _np.mod(h, m_bits)
+                    hu = h.view(_np.uint64)
+                    # unsigned >>33 / wrapping <<21, matching the JVM's
+                    # shiftrightunsigned / shiftleft bit-for-bit
+                    mixed = (h
+                             ^ (hu >> _np.uint64(33)).view(_np.int64)
+                             ^ (hu << _np.uint64(21)).view(_np.int64))
+                    p2 = _np.mod(mixed, m_bits)
+                    ubs.append(int(_np.count_nonzero(bits[p1] & bits[p2])))
+                yield _pd.DataFrame({"doc_id": pdf["doc_id"], "ub": ubs})
+
+    train_sh = train.select("doc_id", _hashed_kgram_set(k).alias("hs"))
+    ub_schema = T.StructType([T.StructField("doc_id", T.LongType()),
+                              T.StructField("ub", T.LongType())])
+    ub = train_sh.mapInPandas(probe, schema=ub_schema)
+    candidates = ub.where(F.col("ub") >= min_overlap).select("doc_id")
+    cand_train = train.join(candidates, "doc_id", "left_semi")
+    exact = contamination_hits_df(cand_train, benchmark, k)
+    verdict = (train.select("doc_id")
+               .join(exact, "doc_id", "left")
+               .select("doc_id",
+                       (F.coalesce(F.col("n_shared"),
+                                   F.lit(0).cast("bigint"))
+                        >= min_overlap).alias("contaminated")))
+    return owned(verdict, *_persisted(exact))
+
+
+def bloom_decontaminate(spark: SparkSession, sf_dir: str, k: int = 5,
+                        min_overlap: int = 190) -> DataFrame:
+    """Driver-gate fixture: the decontaminate split (every 50th doc is
+    the benchmark) through the Bloom-prefiltered path. min_overlap=190
+    is the discriminative threshold (curation n_shared spans ~20-250 on
+    this corpus), so both verdict branches appear in the gate output."""
+    docs = load(spark, sf_dir, "documents")
+    is_bench = F.col("doc_id") % 50 == 0
+    return bloom_decontaminate_df(docs.where(~is_bench),
+                                  docs.where(is_bench), k, min_overlap)

@@ -1547,3 +1547,152 @@ SELECT strftime(f.cohort_day, '%Y-%m-%d') AS cohort_day,
 FROM days d JOIN first f USING (user_id)
 GROUP BY f.cohort_day, date_diff('day', f.cohort_day, d.day)
 """
+
+# Packing-efficiency report: all integers until the single utilization
+# division; n_packs = ceil of a double division in BOTH engines.
+ORACLES["pack_efficiency"] = r"""
+WITH per AS (
+  SELECT doc_id % 16 AS shard,
+         CAST(len(list_filter(string_split_regex(text, '\s+'),
+                              x -> x <> '')) AS BIGINT) AS n
+  FROM documents
+)
+SELECT shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n) AS BIGINT) AS total_tokens,
+       CAST(ceil(CAST(SUM(n) AS DOUBLE) / 2048) AS BIGINT) AS n_packs,
+       CAST(CAST(ceil(CAST(SUM(n) AS DOUBLE) / 2048) AS BIGINT) * 2048
+            - SUM(n) AS BIGINT) AS waste_tokens,
+       CASE WHEN SUM(n) = 0 THEN 1.0
+            ELSE CAST(SUM(n) AS DOUBLE)
+                 / CAST(CAST(ceil(CAST(SUM(n) AS DOUBLE) / 2048) AS BIGINT)
+                        * 2048 AS DOUBLE)
+       END AS utilization
+FROM per GROUP BY shard
+"""
+
+# Corpus snapshot diff: the fixture's deterministic mutation restated
+# (every 13th removed, every surviving 7th edited, every 11th re-added
+# under a shifted id), then a content-hash full outer join.
+ORACLES["corpus_diff"] = """
+WITH old AS (
+  SELECT doc_id, md5(COALESCE(text, '')) AS h FROM documents
+),
+mutated AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN text || ' rev2' ELSE text END AS text
+  FROM documents WHERE doc_id % 13 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text
+  FROM documents WHERE doc_id % 11 = 0
+),
+new AS (SELECT doc_id, md5(COALESCE(text, '')) AS h FROM mutated)
+SELECT doc_id,
+       CASE WHEN o.h IS NULL THEN 'added'
+            WHEN n.h IS NULL THEN 'removed'
+            WHEN o.h = n.h THEN 'unchanged'
+            ELSE 'changed' END AS status,
+       COALESCE(o.h, '') AS old_h,
+       COALESCE(n.h, '') AS new_h
+FROM old o FULL OUTER JOIN new n USING (doc_id)
+"""
+
+# Sequential-min conversion funnel: each step's time is the earliest
+# event of that type STRICTLY after the previous step's time; epoch
+# micros with -1 sentinels (null-free gate), integer step count.
+ORACLES["events_funnel"] = """
+WITH ev AS (
+  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+),
+u AS (SELECT DISTINCT user_id FROM ev),
+s1 AS (
+  SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN ts END) AS t1
+  FROM ev GROUP BY 1
+),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM ev e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND s1.t1 IS NOT NULL AND e.ts > s1.t1
+  GROUP BY 1
+),
+s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM ev e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+  GROUP BY 1
+)
+SELECT u.user_id,
+       COALESCE(epoch_us(s1.t1), -1) AS t_view_us,
+       COALESCE(epoch_us(s2.t2), -1) AS t_click_us,
+       COALESCE(epoch_us(s3.t3), -1) AS t_purchase_us,
+       CAST(CASE WHEN s1.t1 IS NOT NULL THEN 1 ELSE 0 END
+            + CASE WHEN s2.t2 IS NOT NULL THEN 1 ELSE 0 END
+            + CASE WHEN s3.t3 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+         AS steps_completed
+FROM u
+LEFT JOIN s1 USING (user_id)
+LEFT JOIN s2 USING (user_id)
+LEFT JOIN s3 USING (user_id)
+"""
+
+# Paragraph(block)-level dedup with rewrite: 20-token blocks, canonical
+# owner = min doc_id keeps a repeated block, everyone else drops it and
+# the doc is rebuilt from surviving blocks in order.
+ORACLES["paragraph_dedup"] = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+  FROM documents
+),
+nb AS (
+  SELECT doc_id, t,
+         CAST(ceil(CAST(len(t) AS DOUBLE) / 20) AS BIGINT) AS n_blocks
+  FROM toks
+),
+blocks AS (
+  SELECT doc_id, CAST(b AS BIGINT) AS block_id,
+         array_to_string(t[(CAST(b AS INTEGER) * 20 + 1)
+                           :(CAST(b AS INTEGER) * 20 + 20)], ' ') AS s
+  FROM (SELECT doc_id, t,
+               unnest(generate_series(0, CAST(n_blocks AS INTEGER) - 1)) AS b
+        FROM nb WHERE n_blocks > 0)
+),
+own AS (
+  SELECT s, MIN(doc_id) AS owner, COUNT(DISTINCT doc_id) AS nd
+  FROM blocks GROUP BY s
+),
+kept AS (
+  SELECT b.doc_id, b.block_id, b.s
+  FROM blocks b JOIN own o USING (s)
+  WHERE o.nd < 2 OR o.owner = b.doc_id
+),
+reb AS (
+  SELECT doc_id, string_agg(s, ' ' ORDER BY block_id) AS clean_text,
+         CAST(COUNT(*) AS BIGINT) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT n.doc_id,
+       COALESCE(r.clean_text, '') AS clean_text,
+       n.n_blocks,
+       n.n_blocks - COALESCE(r.n_kept, 0) AS n_dropped
+FROM nb n LEFT JOIN reb r USING (doc_id)
+"""
+
+# Bloom-prefiltered decontamination: the sketch only prunes which docs
+# get the exact recount — final verdicts are exact, so the oracle is the
+# plain exact-overlap restatement at the fixture threshold (190).
+ORACLES["bloom_decontaminate"] = """
+WITH sh AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, GREATEST(LENGTH(text)-4, 1)),
+                               i -> substr(text, CAST(i AS INTEGER), 5))) AS s
+  FROM documents
+),
+bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0),
+train_sh AS (SELECT DISTINCT doc_id, s FROM sh WHERE doc_id % 50 <> 0),
+hits AS (SELECT doc_id, COUNT(*) AS n_shared
+         FROM train_sh JOIN bench USING (s) GROUP BY doc_id)
+SELECT d.doc_id, COALESCE(h.n_shared, 0) >= 190 AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0) d
+LEFT JOIN hits h USING (doc_id)
+"""

@@ -294,3 +294,32 @@ def test_stratified_sample_rates_and_stability(spark):
     plan = stratified_sample(spark, SF_DIR)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_pack_efficiency_arithmetic(spark):
+    from kafkastreams_tp3_is_spark.operators.curation import (
+        pack_efficiency_df)
+    docs = spark.createDataFrame(
+        [(0, " ".join(["w"] * 100)),    # shard 0: 100 tokens
+         (2, " ".join(["w"] * 50)),     # shard 0: +50 -> 150 total
+         (1, " ".join(["w"] * 64))],    # shard 1: exactly one pack
+        "doc_id long, text string")
+    rows = {r["shard"]: r for r in
+            pack_efficiency_df(docs, budget=64, n_shards=2).collect()}
+    s0 = rows[0]
+    assert (s0["n_docs"], s0["total_tokens"], s0["n_packs"],
+            s0["waste_tokens"]) == (2, 150, 3, 42)
+    assert s0["utilization"] == 150 / 192
+    s1 = rows[1]
+    assert (s1["n_packs"], s1["waste_tokens"], s1["utilization"]) == (1, 0, 1.0)
+
+
+def test_corpus_diff_statuses(spark):
+    from kafkastreams_tp3_is_spark.operators.curation import corpus_diff_df
+    old = spark.createDataFrame(
+        [(1, "same"), (2, "before"), (3, "gone")], "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(1, "same"), (2, "after"), (4, "fresh")], "doc_id long, text string")
+    got = {r["doc_id"]: r["status"]
+           for r in corpus_diff_df(old, new).collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}

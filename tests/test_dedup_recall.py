@@ -214,3 +214,25 @@ def test_dedup_against_recovers_cross_corpus_planted(spark, planted_docs):
     assert want <= got
     # and nothing from the corpus side ever appears as a new_id
     assert all(nid >= 100 for nid, _ in got)
+
+
+def test_paragraph_dedup_rewrites_shared_blocks_to_canonical_owner(spark):
+    """A 20-token block shared by two docs survives only in the minimum
+    doc_id; the other doc is rebuilt without it. Unique blocks and
+    within-doc-only repetition are untouched."""
+    from kafkastreams_tp3_is_spark.operators.dedup import paragraph_dedup_df
+
+    shared = " ".join(f"s{i}" for i in range(20))
+    a_tail = " ".join(f"a{i}" for i in range(20))
+    b_tail = " ".join(f"b{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [(1, shared + " " + a_tail),
+         (2, shared + " " + b_tail),
+         (3, " ".join(f"c{i}" for i in range(40)))],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in paragraph_dedup_df(docs, 20).collect()}
+    assert rows[1]["clean_text"] == shared + " " + a_tail   # owner keeps
+    assert rows[1]["n_dropped"] == 0
+    assert rows[2]["clean_text"] == b_tail                  # copy rewritten
+    assert rows[2]["n_dropped"] == 1
+    assert rows[3]["n_dropped"] == 0 and rows[3]["n_blocks"] == 2

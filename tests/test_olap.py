@@ -54,3 +54,32 @@ def test_quantile_sketch_rank_error_bound(spark):
         lt = (ev.where((F.col("event_type") == etype)
                        & (F.col("value") < v)).count())
         assert lt / n <= q + 0.011, (etype, q, v, lt, n)
+
+
+def test_funnel_requires_strict_step_order(spark, monkeypatch, tmp_path):
+    """A purchase BEFORE the first valid click must not count: the funnel
+    is sequential-min, not per-type min."""
+    import datetime as dt
+
+    from kafkastreams_tp3_is_spark.operators import events as ev_mod
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1 completes in order: view@0, click@10, purchase@20
+        (1, 1, "view", base), (2, 1, "click", base + dt.timedelta(minutes=10)),
+        (3, 1, "purchase", base + dt.timedelta(minutes=20)),
+        # user 2: purchase BEFORE its click -> only 2 steps complete
+        (4, 2, "view", base), (5, 2, "purchase", base + dt.timedelta(minutes=5)),
+        (6, 2, "click", base + dt.timedelta(minutes=10)),
+        # user 3: click with no view -> 0 steps
+        (7, 3, "click", base),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp")
+    monkeypatch.setattr(ev_mod, "load_events", lambda s, d: df)
+    got = {r["user_id"]: r["steps_completed"]
+           for r in ev_mod.funnel(spark, "unused").collect()}
+    assert got == {1: 3, 2: 2, 3: 0}
+    t = {r["user_id"]: r for r in ev_mod.funnel(spark, "unused").collect()}
+    assert t[2]["t_purchase_us"] == -1
+    assert t[3]["t_view_us"] == -1 and t[3]["t_click_us"] == -1

@@ -200,3 +200,31 @@ def test_pack_token_sequences_is_dense_and_lossless(spark, texts, seq_len):
         stream.sort()
         assert stream == [(i // seq_len, i % seq_len)
                           for i in range(len(stream))]
+
+
+def test_bloom_prefilter_has_no_false_negatives_and_matches_exact(spark):
+    """The Bloom upper bound must dominate the true shared-shingle count
+    for EVERY training doc (no false negatives by construction), and the
+    final verdicts must equal the exact path's."""
+    from pyspark.sql import functions as F
+
+    from kafkastreams_tp3_is_spark.operators.curation import decontaminate_df
+    from kafkastreams_tp3_is_spark.operators.sketch import (
+        bloom_decontaminate_df)
+    from kafkastreams_tp3_is_spark.views import load
+    from tests.conftest import SF_DIR
+
+    docs = load(spark, SF_DIR, "documents")
+    is_bench = F.col("doc_id") % 50 == 0
+    train, bench = docs.where(~is_bench), docs.where(is_bench)
+    for min_overlap in (50, 190):
+        got = {r["doc_id"]: r["contaminated"]
+               for r in bloom_decontaminate_df(
+                   train, bench, min_overlap=min_overlap).collect()}
+        want = {r["doc_id"]: r["contaminated"]
+                for r in decontaminate_df(
+                    train, bench, min_overlap=min_overlap).collect()}
+        assert got == want
+    assert len(got) == train.count()
+    assert any(got.values()) and not all(got.values()), \
+        "fixture must exercise both verdict branches"
