@@ -106,7 +106,12 @@ def main() -> None:
                else demos if name in DEMO_QUERIES
                else composed if name in COMPOSED_QUERIES else timings)
         samples = []
-        for _ in range(1 if out in (demos, composed) else n_runs):
+        # identity, not equality: while all dicts are still empty they
+        # compare EQUAL, and `out in (demos, composed)` would silently
+        # single-run the first registry query (recording its codegen-
+        # heavy first execution as the median)
+        single_run = out is demos or out is composed
+        for _ in range(1 if single_run else n_runs):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             _, n = force_full_eval(df)

@@ -31,13 +31,14 @@ from pyspark.sql import functions as F  # noqa: E402
 from kafkastreams_tp3_is_spark.operators.curation import (  # noqa: E402
     decontaminate_df)
 from kafkastreams_tp3_is_spark.operators.dedup import (  # noqa: E402
-    dedup_minhash_lsh_df, dedup_simhash_df, repeated_spans_df)
+    dedup_minhash_lsh_df, dedup_simhash_df, paragraph_dedup_df,
+    repeated_spans_df)
 from kafkastreams_tp3_is_spark.operators.graph import (  # noqa: E402
     duplicate_clusters_lsh_df)
 from kafkastreams_tp3_is_spark.operators.retrieval import (  # noqa: E402
     tfidf_topk_df)
 from kafkastreams_tp3_is_spark.operators.sketch import (  # noqa: E402
-    heavy_hitters_df)
+    bloom_decontaminate_df, heavy_hitters_df)
 from kafkastreams_tp3_is_spark.session import get_spark  # noqa: E402
 
 
@@ -67,6 +68,15 @@ def _decontaminate(docs):
     # size-guarded broadcast fallback path
     return decontaminate_df(docs.where(F.col("doc_id") % 50 != 0),
                             docs.where(F.col("doc_id") % 50 == 0))
+
+
+def _bloom_decontaminate(docs):
+    # the Bloom-prefiltered twin under the same split; the bitset build
+    # grows with the benchmark but the probe stays a per-row numpy pass,
+    # so the ratio should track the scan + the contaminated tail
+    return bloom_decontaminate_df(docs.where(F.col("doc_id") % 50 != 0),
+                                  docs.where(F.col("doc_id") % 50 == 0),
+                                  min_overlap=190)
 
 
 def timed(fn, df) -> tuple[float, int]:
@@ -101,7 +111,13 @@ def main() -> None:
            # bounded-state MG candidates + exact recount: per-partition
            # state is O(capacity) regardless of rows, so the ratio tracks
            # the scan
-           ("heavy_hitters", heavy_hitters_df)]
+           ("heavy_hitters", heavy_hitters_df),
+           # block ownership = one md5-key groupBy + one doc-key rebuild:
+           # shuffle rows linear in blocks
+           ("paragraph_dedup", paragraph_dedup_df),
+           # bitset prefilter: probe linear in shingles, exact join only
+           # on the contaminated tail
+           ("bloom_decontaminate", _bloom_decontaminate)]
     for name, fn in ops:
         d1 = scaled_docs(spark, sf_dir, 1)
         timed(fn, d1)                       # untimed warmup: codegen/JIT
