@@ -104,6 +104,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_efficiency": _cur.pack_efficiency,
         "corpus_diff": _cur.corpus_diff,
         "events_funnel": _events.funnel,
+        # NEW round 5: last-touch attribution (as-of join reuse over the
+        # event stream) and token-distribution drift between snapshots
+        "events_attribution": _temporal.events_attribution,
+        "vocab_drift": _text.vocab_drift,
         "mix_temperature": _cur.mix_temperature,
         "latest_route_capacity_stateful": _stateful.latest_route_capacity_stateful,
         # --- r4-VERIFIED BACKLOG ------------------------------------------

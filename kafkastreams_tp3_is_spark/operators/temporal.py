@@ -165,3 +165,39 @@ def error_incident_events(spark: SparkSession, sf_dir: str,
                               start_col="start_ts", end_col="end_ts",
                               bin_width_sec=window_minutes * 60)
     return joined.select("incident_id", "event_id", "event_type")
+
+
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution over the event stream: every purchase is
+    attributed to the same user's LATEST click at-or-before it — the
+    classic marketing-attribution query, expressed as a direct reuse of
+    the backward as-of join (asof_join_df: single-shuffle union trick,
+    no join operator in the plan). Clicks are canonicalized to one row
+    per (user, ts) (max event_id — deterministic under timestamp
+    collisions, the changelog invariant the join requires). Output is
+    null-free: -1 sentinels for never-clicked purchases.
+
+    Scale: exactly the as-of join's shape — one shuffle of purchases +
+    clicks on user_id, a sorted per-key scan, no explosion on
+    click-heavy users."""
+    from .events import load_events
+
+    ev = load_events(spark, sf_dir)
+    purchases = (ev.where(F.col("event_type") == "purchase")
+                 .select(F.col("event_id").alias("purchase_id"),
+                         "user_id", "ts"))
+    clicks = (ev.where(F.col("event_type") == "click")
+              .groupBy("user_id", "ts")
+              .agg(F.max("event_id").alias("click_id")))
+    joined = asof_join_df(purchases, clicks, on=["user_id"],
+                          left_ts="ts", right_ts="ts",
+                          value_cols=["click_id"],
+                          version_ts_col="click_ts")
+    return joined.select(
+        "purchase_id", "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_purchase_us"),
+        F.coalesce(F.col("click_id"), F.lit(-1).cast("bigint"))
+         .alias("click_id"),
+        F.coalesce(F.unix_micros(F.col("ts").cast("timestamp"))
+                   - F.unix_micros(F.col("click_ts")),
+                   F.lit(-1).cast("bigint")).alias("gap_us"))

@@ -425,3 +425,55 @@ def quality_filter(spark: SparkSession, sf_dir: str,
         "doc_id", "flag_too_short", "flag_long_words", "flag_repetitive",
         (~(F.col("flag_too_short") | F.col("flag_long_words")
            | F.col("flag_repetitive"))).alias("kept"))
+
+
+def vocab_drift_df(old: DataFrame, new: DataFrame,
+                   top_n: int = 100) -> DataFrame:
+    """Token-distribution drift between two corpus snapshots: the
+    ``top_n`` tokens whose corpus counts moved the most (risers AND
+    fallers), the monitoring report a training pipeline publishes when a
+    corpus refresh lands — a sudden vocabulary shift is the cheapest
+    tripwire for scraping regressions or contamination floods. Ordering
+    is fully deterministic: (|delta| DESC, token ASC).
+
+    Counts are exact integers; no rates or logs, so the gate is
+    bit-exact. Scale: two map-side-combined token aggregations, one
+    full-outer join on the token key (vocabulary-sized, not
+    corpus-sized), and a TakeOrderedAndProject top-n — never a global
+    sort of the vocabulary."""
+    from .retrieval import lower_tokens_col
+
+    def counts(df: DataFrame, name: str) -> DataFrame:
+        return (df.select(F.explode(lower_tokens_col()).alias("token"))
+                  .groupBy("token")
+                  .agg(F.count(F.lit(1)).alias(name)))
+    co, cn = counts(old, "cnt_old"), counts(new, "cnt_new")
+    merged = (co.join(cn, "token", "full_outer")
+              .select("token",
+                      F.coalesce("cnt_old", F.lit(0).cast("bigint"))
+                       .alias("cnt_old"),
+                      F.coalesce("cnt_new", F.lit(0).cast("bigint"))
+                       .alias("cnt_new")))
+    merged = merged.withColumn("delta",
+                               F.col("cnt_new") - F.col("cnt_old"))
+    return (merged.orderBy(F.abs(F.col("delta")).desc(),
+                           F.col("token").asc())
+                  .limit(top_n))
+
+
+def vocab_drift(spark: SparkSession, sf_dir: str,
+                top_n: int = 100) -> DataFrame:
+    """Driver-gate fixture: drift between the documents table and the
+    same deterministic mutation the corpus_diff gate uses (every 13th
+    doc removed, surviving 7th edited with ' rev2', every 11th re-added
+    under a shifted id)."""
+    docs = load(spark, sf_dir, "documents")
+    kept = docs.where(F.col("doc_id") % 13 != 0)
+    edited = kept.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.col("text"), F.lit(" rev2")))
+         .otherwise(F.col("text")).alias("text"))
+    added = (docs.where(F.col("doc_id") % 11 == 0)
+             .select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text"))
+    return vocab_drift_df(docs, edited.unionByName(added), top_n)

@@ -1696,3 +1696,61 @@ SELECT d.doc_id, COALESCE(h.n_shared, 0) >= 190 AS contaminated
 FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0) d
 LEFT JOIN hits h USING (doc_id)
 """
+
+# Last-touch attribution: every purchase joined to the user's latest
+# click at-or-before it (DuckDB native ASOF LEFT JOIN — ties included,
+# matching asof_join_df's >= semantics); clicks canonicalized to one row
+# per (user, ts) by max event_id; -1 sentinels keep the gate null-free.
+ORACLES["events_attribution"] = """
+WITH ev AS (
+  SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+  FROM events
+),
+p AS (
+  SELECT event_id AS purchase_id, user_id, ts
+  FROM ev WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT user_id, ts, MAX(event_id) AS click_id
+  FROM ev WHERE event_type = 'click' GROUP BY 1, 2
+)
+SELECT p.purchase_id, p.user_id,
+       epoch_us(p.ts) AS t_purchase_us,
+       COALESCE(c.click_id, -1) AS click_id,
+       COALESCE(epoch_us(p.ts) - epoch_us(c.ts), -1) AS gap_us
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+# Vocabulary drift: exact integer token-count deltas between the
+# documents table and the corpus_diff mutation; top movers by
+# (|delta| DESC, token ASC) — fully deterministic.
+ORACLES["vocab_drift"] = r"""
+WITH mutated AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN text || ' rev2' ELSE text END AS text
+  FROM documents WHERE doc_id % 13 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text
+  FROM documents WHERE doc_id % 11 = 0
+),
+co AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt_old
+  FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                  x -> x <> '')) AS token FROM documents)
+  GROUP BY 1
+),
+cn AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt_new
+  FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                  x -> x <> '')) AS token FROM mutated)
+  GROUP BY 1
+)
+SELECT COALESCE(co.token, cn.token) AS token,
+       COALESCE(cnt_old, 0) AS cnt_old,
+       COALESCE(cnt_new, 0) AS cnt_new,
+       COALESCE(cnt_new, 0) - COALESCE(cnt_old, 0) AS delta
+FROM co FULL OUTER JOIN cn ON co.token = cn.token
+ORDER BY abs(COALESCE(cnt_new, 0) - COALESCE(cnt_old, 0)) DESC,
+         COALESCE(co.token, cn.token) ASC
+LIMIT 100
+"""

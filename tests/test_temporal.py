@@ -130,3 +130,32 @@ def test_interval_join_long_intervals_stay_exact(spark):
                             bin_width_sec=600).collect()
     ids = sorted(r["event_id"] for r in rows)
     assert ids == list(range(1, 36))
+
+
+def test_events_attribution_last_touch_semantics(spark, monkeypatch):
+    """A purchase attributes to the LATEST click at-or-before it; a
+    purchase with no prior click carries -1 sentinels; a click after the
+    purchase never attributes."""
+    import datetime as dt
+
+    from kafkastreams_tp3_is_spark.operators import events as ev_mod
+    from kafkastreams_tp3_is_spark.operators.temporal import (
+        events_attribution)
+
+    base = dt.datetime(2024, 1, 1)
+    m = dt.timedelta(minutes=1)
+    rows = [
+        (1, 1, "click", base),           # earlier click
+        (2, 1, "click", base + 5 * m),   # latest prior click -> wins
+        (3, 1, "purchase", base + 9 * m),
+        (4, 2, "purchase", base),        # user 2: click only AFTER
+        (5, 2, "click", base + 1 * m),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp")
+    monkeypatch.setattr(ev_mod, "load_events", lambda s, d: df)
+    got = {r["purchase_id"]: r for r in
+           events_attribution(spark, "unused").collect()}
+    assert got[3]["click_id"] == 2
+    assert got[3]["gap_us"] == 4 * 60 * 1_000_000
+    assert got[4]["click_id"] == -1 and got[4]["gap_us"] == -1

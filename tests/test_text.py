@@ -87,3 +87,18 @@ def test_cohort_retention_hand_computed(spark, tmp_path):
            for r in cohort_retention(spark, str(tmp_path)).collect()}
     assert out == {("2024-03-01", 0): 2, ("2024-03-01", 2): 1,
                    ("2024-03-02", 0): 1}
+
+
+def test_vocab_drift_counts_and_ordering(spark):
+    from kafkastreams_tp3_is_spark.operators.text import vocab_drift_df
+
+    old = spark.createDataFrame(
+        [(1, "aa aa aa bb cc"), (2, "bb dd")], "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(1, "aa bb bb bb cc"), (2, "ee ee")], "doc_id long, text string")
+    rows = vocab_drift_df(old, new, top_n=3).collect()
+    # deltas: aa 3->1 = -2, ee 0->2 = +2, bb 2->3 = +1, dd 1->0 = -1,
+    # cc 0 -> top3 by (|delta| desc, token asc) = aa, ee, bb
+    assert [(r["token"], r["delta"]) for r in rows] == \
+        [("aa", -2), ("ee", 2), ("bb", 1)]
+    assert rows[0]["cnt_old"] == 3 and rows[0]["cnt_new"] == 1
