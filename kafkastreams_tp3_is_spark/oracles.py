@@ -502,11 +502,11 @@ re AS (
   SELECT 'Route_' || CAST(o_orderkey AS VARCHAR) AS route_id,
          CAST(((CAST(floor(o_totalprice) AS BIGINT) + 37) % 200) + 1 AS INTEGER) AS capacity,
          o_orderdate + INTERVAL 1 DAY AS event_ts
-  FROM orders WHERE o_orderkey % 40 = 0
+  FROM orders WHERE o_orderkey % 80 = 0
 ),
 chg AS (
   SELECT route_id, capacity, event_ts FROM routes
-  WHERE CAST(SUBSTRING(route_id, 7) AS BIGINT) % 40 = 0
+  WHERE CAST(SUBSTRING(route_id, 7) AS BIGINT) % 80 = 0
   UNION ALL
   SELECT route_id, capacity, event_ts FROM re
 )

@@ -96,15 +96,15 @@ def latest_route_capacity_stateful(spark: SparkSession,
     changelog by key (what the Connect JDBC upsert sink does), and return
     the final state — checked against a dedicated DuckDB row_number oracle.
 
-    The replay keeps only keys that actually receive an update, and only
-    a quarter of those (route ids divisible by 40 — a subset of the
+    The replay keeps only keys that actually receive an update, and an
+    eighth of those (route ids divisible by 80 — a subset of the
     every-10th re-emission set), so EVERY key in the demo still exercises
     the duplicate-key state transition while the per-key Python
     state-kernel invocation count stays bounded
     (``applyInPandasWithState`` calls the kernel once per key per batch;
     that per-key cost is the price of true incremental state and is paid
     on the changelog's key cardinality, by design — the demo buys the
-    same semantic coverage at 1/40 of the full key space).
+    same semantic coverage at 1/80 of the full key space).
 
     The in-process sink receives only route-level changelog rows (key-
     cardinality, not fact-cardinality); a production deployment points the
@@ -114,7 +114,7 @@ def latest_route_capacity_stateful(spark: SparkSession,
     from .runner import MemoryUpsertSink
 
     changelog = routes_reemitted(spark, sf_dir).where(
-        F.substring("route_id", 7, 30).cast("long") % 40 == 0)
+        F.substring("route_id", 7, 30).cast("long") % 80 == 0)
     workdir = tempfile.mkdtemp(prefix="latest_stateful_")
     src_dir = os.path.join(workdir, "in")
     # 2 files / maxFilesPerTrigger=1 -> exactly 2 micro-batches: the
