@@ -607,13 +607,13 @@ def corpus_diff_df(old: DataFrame, new: DataFrame) -> DataFrame:
                       F.coalesce("new_h", F.lit("")).alias("new_h")))
 
 
-def corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Driver-gate fixture: documents vs a deterministically mutated
-    next snapshot — every 13th doc removed, every 7th (surviving) doc
-    edited (' rev2' appended), every 11th doc re-added under a shifted
-    id — so all four statuses appear and the DuckDB oracle restates the
-    mutation exactly."""
-    docs = load(spark, sf_dir, "documents")
+def mutated_snapshot(docs: DataFrame) -> DataFrame:
+    """THE deterministic next-snapshot mutation both snapshot-comparison
+    gates (corpus_diff, text.vocab_drift) diff against — one definition,
+    so the cross-fixture 'same mutation' claim is structural: every 13th
+    doc removed, every surviving 7th edited (' rev2' appended), every
+    11th re-added under a +1e6-shifted id. The oracles restate it in
+    SQL (unavoidable duplication; this is the single Spark copy)."""
     kept = docs.where(F.col("doc_id") % 13 != 0)
     edited = kept.select(
         "doc_id",
@@ -622,4 +622,12 @@ def corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
          .otherwise(F.col("text")).alias("text"))
     added = (docs.where(F.col("doc_id") % 11 == 0)
              .select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text"))
-    return corpus_diff_df(docs, edited.unionByName(added))
+    return edited.unionByName(added)
+
+
+def corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gate fixture: documents vs the shared deterministic
+    mutation (``mutated_snapshot``) — all four statuses appear and the
+    DuckDB oracle restates the mutation exactly."""
+    docs = load(spark, sf_dir, "documents")
+    return corpus_diff_df(docs, mutated_snapshot(docs))

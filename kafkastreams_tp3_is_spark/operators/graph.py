@@ -94,15 +94,40 @@ def connected_components_df(edges: DataFrame, src: str = "a_id",
     durable path (HDFS/S3 at cluster scale) to switch every round to a
     reliable ``checkpoint()``: rounds survive executor loss at the cost
     of a filesystem write per round. Both modes produce identical
-    components (pytest-pinned)."""
+    components (pytest-pinned). Each round checkpoints into its own
+    ``round-N`` subdirectory and the PREVIOUS round's files are deleted
+    as soon as the new checkpoint has materialized (Spark's own cleaner
+    only removes reliable checkpoints under a non-default conf, so a
+    long-running caller — the streaming sink checkpoints per
+    micro-batch — would otherwise fill the filesystem with
+    batches x rounds edge-set snapshots). Only the FINAL round's files
+    survive the call: the returned frame still reads them lazily, so the
+    caller deletes checkpoint_dir after consuming the result."""
+
+    def _fs_delete(sc, path: str) -> None:
+        # Hadoop FileSystem API via the JVM: works for local paths,
+        # HDFS, and object stores alike
+        jp = sc._jvm.org.apache.hadoop.fs.Path(path)
+        jp.getFileSystem(sc._jsc.hadoopConfiguration()).delete(jp, True)
+
+    rounds = {"i": 0, "prev": None}
 
     def _truncate(df: DataFrame) -> DataFrame:
         if checkpoint_dir is None:
             return df.localCheckpoint(eager=True)
-        return df.checkpoint(eager=True)
+        import os as _os
+        sc = df.sparkSession.sparkContext
+        path = _os.path.join(checkpoint_dir, f"round-{rounds['i']}")
+        sc.setCheckpointDir(path)
+        out = df.checkpoint(eager=True)
+        # eager=True has fully materialized round-i; round-(i-1) is no
+        # longer referenced by any live lineage — reclaim it now
+        if rounds["prev"] is not None:
+            _fs_delete(sc, rounds["prev"])
+        rounds["prev"] = path
+        rounds["i"] += 1
+        return out
 
-    if checkpoint_dir is not None:
-        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
     e = _canonical(edges.select(F.col(src).alias("u"),
                                 F.col(dst).alias("v")))
     e = _truncate(e)

@@ -127,7 +127,7 @@ def _bloom_positions(h: F.Column, m_bits: int) -> F.Column:
 
 def bloom_decontaminate_df(train: DataFrame, benchmark: DataFrame,
                            k: int = 5, min_overlap: int = 10,
-                           m_bits: int = 1 << 17) -> DataFrame:
+                           m_bits: int = 1 << 20) -> DataFrame:
     """Decontamination with a Bloom prefilter — the 100 TB shape of
     curation.decontaminate_df when the benchmark's shingle table is too
     large to broadcast but a BITSET over it is not: a benchmark of 100M
@@ -140,10 +140,15 @@ def bloom_decontaminate_df(train: DataFrame, benchmark: DataFrame,
 
       build  the benchmark's distinct shingle hashes (8-byte longs, the
              curation discipline) each set 2 bit positions: pmod(h, m)
-             and a splitmix64-derived second. The DISTINCT set-bit list
+             and an XOR/shift-derived second. The DISTINCT set-bit list
              is a bounded driver collect (<= m_bits rows — the same
              budget class as IVF's 4096-row centroid sample; at real
-             scale this becomes one array-agg over bit-blocks).
+             scale this becomes one array-agg over bit-blocks). SIZE m
+             to ~10x the benchmark's distinct-shingle count (default
+             2^20 covers ~10^5 shingles at ~18% fill with 2 probes);
+             an undersized filter saturates and the prefilter
+             degenerates to the plain exact join — verdicts stay
+             correct, pruning stops.
       probe  an Arrow-batched numpy kernel upper-bounds each training
              doc's shared-shingle count by testing both bits per shingle
              hash. Bloom filters have NO false negatives, so
@@ -162,13 +167,17 @@ def bloom_decontaminate_df(train: DataFrame, benchmark: DataFrame,
 
     import numpy as np
 
-    from ..cache import persisted as _persisted
-    from .curation import _hashed_kgram_set, contamination_hits_df
+    from .curation import _hashed_kgram_set
 
-    bench_pos = (benchmark
-                 .select(F.explode(_hashed_kgram_set(k)).alias("h"))
-                 .distinct()
-                 .select(F.explode(_bloom_positions(F.col("h"), m_bits))
+    # ONE distinct benchmark shingle-hash frame serves both phases: the
+    # bit positions here AND the exact recount join below (re-shingling
+    # the benchmark for phase 3 would be a second full benchmark scan)
+    bench_sh = (benchmark
+                .select(F.explode(_hashed_kgram_set(k)).alias("s"))
+                .distinct()
+                .persist())
+    bench_pos = (bench_sh
+                 .select(F.explode(_bloom_positions(F.col("s"), m_bits))
                          .alias("p"))
                  .distinct())
     # bounded driver collect: <= m_bits ints (the bitset itself)
@@ -204,14 +213,23 @@ def bloom_decontaminate_df(train: DataFrame, benchmark: DataFrame,
     ub = train_sh.mapInPandas(probe, schema=ub_schema)
     candidates = ub.where(F.col("ub") >= min_overlap).select("doc_id")
     cand_train = train.join(candidates, "doc_id", "left_semi")
-    exact = contamination_hits_df(cand_train, benchmark, k)
+    # exact recount against the SAME persisted benchmark hashes, with
+    # the curation module's measured-broadcast discipline (count what is
+    # shipped; shuffle join above the bound)
+    build = (F.broadcast(bench_sh)
+             if bench_sh.count() <= 2_000_000 else bench_sh)
+    exact = (cand_train
+             .select("doc_id", F.explode(_hashed_kgram_set(k)).alias("s"))
+             .join(build, "s")
+             .groupBy("doc_id")
+             .agg(F.count(F.lit(1)).alias("n_shared")))
     verdict = (train.select("doc_id")
                .join(exact, "doc_id", "left")
                .select("doc_id",
                        (F.coalesce(F.col("n_shared"),
                                    F.lit(0).cast("bigint"))
                         >= min_overlap).alias("contaminated")))
-    return owned(verdict, *_persisted(exact))
+    return owned(verdict, bench_sh)
 
 
 def bloom_decontaminate(spark: SparkSession, sf_dir: str, k: int = 5,

@@ -464,16 +464,10 @@ def vocab_drift_df(old: DataFrame, new: DataFrame,
 def vocab_drift(spark: SparkSession, sf_dir: str,
                 top_n: int = 100) -> DataFrame:
     """Driver-gate fixture: drift between the documents table and the
-    same deterministic mutation the corpus_diff gate uses (every 13th
-    doc removed, surviving 7th edited with ' rev2', every 11th re-added
-    under a shifted id)."""
+    SAME deterministic mutation the corpus_diff gate uses — shared
+    definition in curation.mutated_snapshot, so the claim is
+    structural, not a comment."""
+    from .curation import mutated_snapshot
+
     docs = load(spark, sf_dir, "documents")
-    kept = docs.where(F.col("doc_id") % 13 != 0)
-    edited = kept.select(
-        "doc_id",
-        F.when(F.col("doc_id") % 7 == 0,
-               F.concat(F.col("text"), F.lit(" rev2")))
-         .otherwise(F.col("text")).alias("text"))
-    added = (docs.where(F.col("doc_id") % 11 == 0)
-             .select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text"))
-    return vocab_drift_df(docs, edited.unionByName(added), top_n)
+    return vocab_drift_df(docs, mutated_snapshot(docs), top_n)

@@ -201,11 +201,15 @@ class IncrementalSource:
         lower = self.last_max + 1
         if upper_bound < lower:
             upper_bound = lower
+        # subquery alias must be a bare identifier — a schema-qualified
+        # source table ('public.route_suppliers') would otherwise produce
+        # an invalid dotted alias
+        alias = self.table.replace(".", "_").replace('"', "")
         return {
             "url": url,
             "dbtable": (f"(SELECT * FROM {self.table} "
                         f"WHERE {self.id_col} > {self.last_max}) "
-                        f"AS {self.table}_inc"),
+                        f"AS {alias}_inc"),
             "partitionColumn": self.id_col,
             "lowerBound": str(lower),
             "upperBound": str(upper_bound),

@@ -149,41 +149,64 @@ class StreamingCorpusDedup:
             if keep_ids is not None:
                 keep_ids.unpersist()
 
-    def _guard_checkpoint(self, checkpoint_dir: str) -> None:
+    def _has_batches(self) -> bool:
+        """Batch subdirectories in EITHER store: the corpus and the
+        signature store share the batch-id overwrite discipline, so a
+        stale sig_dir under a fresh corpus_dir is just as corrupting
+        (cross-corpus dedup would match new documents against ghost
+        signatures of documents no longer in the corpus)."""
+        return any(
+            os.path.isdir(root) and any(d.startswith("batch=")
+                                        for d in os.listdir(root))
+            for root in (self.corpus_dir, self.sig_dir))
+
+    def _guard_checkpoint(self, checkpoint_dir: str,
+                          adopt: bool = False) -> None:
         """Overwrite-per-batch_id idempotence assumes THIS checkpoint's
-        batch-id sequence owns the store. A fresh checkpoint restarts
-        batch ids at 0, and mode('overwrite') would silently clobber
-        batch=0,1,... from the earlier run while leaving higher batches —
-        a corrupted mixed corpus with no error. Record the checkpoint
-        path in a marker file beside the batch subdirectories and fail
-        fast on mismatch instead of overwriting."""
+        batch-id sequence owns BOTH stores (corpus + signatures). A fresh
+        checkpoint restarts batch ids at 0, and mode('overwrite') would
+        silently clobber batch=0,1,... from the earlier run while leaving
+        higher batches — a corrupted mixed store with no error. Record
+        the checkpoint path in a marker file beside the corpus batches
+        and fail fast on mismatch instead of overwriting. A marker
+        pointing elsewhere over EMPTY stores is harmless (nothing to
+        clobber) and is rewritten. ``adopt=True`` claims a pre-marker
+        store (e.g. one built before markers existed) for this
+        checkpoint — an explicit operator decision, never the default."""
         ckpt = os.path.abspath(checkpoint_dir)
         marker = os.path.join(self.corpus_dir, "_checkpoint_marker.json")
-        has_batches = os.path.isdir(self.corpus_dir) and any(
-            d.startswith("batch=") for d in os.listdir(self.corpus_dir))
+        has_batches = self._has_batches()
         if os.path.isfile(marker):
             with open(marker) as f:
                 recorded = json.load(f).get("checkpoint_dir")
-            if recorded != ckpt:
+            if recorded == ckpt:
+                return
+            if has_batches and not adopt:
                 raise RuntimeError(
-                    f"corpus store {self.corpus_dir!r} was built by the "
-                    f"stream checkpointed at {recorded!r}; running it with "
-                    f"checkpoint {ckpt!r} would restart batch ids at 0 and "
-                    "overwrite earlier batches. Resume with the original "
-                    "checkpoint, or point at a fresh corpus_dir.")
-        elif has_batches:
+                    f"store {self.corpus_dir!r} (+ sigs {self.sig_dir!r}) "
+                    f"was built by the stream checkpointed at {recorded!r}; "
+                    f"running it with checkpoint {ckpt!r} would restart "
+                    "batch ids at 0 and overwrite earlier batches. Resume "
+                    "with the original checkpoint, point at a fresh "
+                    "corpus_dir, or pass adopt_checkpoint=True to claim "
+                    "the store deliberately.")
+        elif has_batches and not adopt:
             raise RuntimeError(
-                f"corpus store {self.corpus_dir!r} contains batch "
-                "subdirectories but no checkpoint marker — refusing to "
-                "run a stream over it (batch-id collisions would "
-                "silently overwrite data). Point at a fresh corpus_dir.")
-        else:
-            os.makedirs(self.corpus_dir, exist_ok=True)
-            with open(marker, "w") as f:
-                json.dump({"checkpoint_dir": ckpt}, f)
+                f"store {self.corpus_dir!r} (or its signature store "
+                f"{self.sig_dir!r}) contains batch subdirectories but no "
+                "checkpoint marker — refusing to run a stream over it "
+                "(batch-id collisions would silently overwrite data). "
+                "Point at a fresh corpus_dir, or pass "
+                "adopt_checkpoint=True if this checkpoint genuinely owns "
+                "the store (pre-marker deployments resuming their "
+                "original checkpoint).")
+        os.makedirs(self.corpus_dir, exist_ok=True)
+        with open(marker, "w") as f:
+            json.dump({"checkpoint_dir": ckpt}, f)
 
-    def run(self, doc_stream: DataFrame, checkpoint_dir: str) -> None:
-        self._guard_checkpoint(checkpoint_dir)
+    def run(self, doc_stream: DataFrame, checkpoint_dir: str,
+            adopt_checkpoint: bool = False) -> None:
+        self._guard_checkpoint(checkpoint_dir, adopt=adopt_checkpoint)
         q = (doc_stream.writeStream
              .foreachBatch(self.process)
              .outputMode("append")

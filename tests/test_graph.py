@@ -139,3 +139,9 @@ def test_durable_checkpoint_mode_matches_local(spark, tmp_path):
     assert durable == local
     walked = [f for _, _, fs in os.walk(ckpt) for f in fs]
     assert walked, "reliable checkpoint wrote nothing under checkpoint_dir"
+    # per-round rotation: earlier rounds are reclaimed as soon as the
+    # next checkpoint materializes — only the FINAL round's directory
+    # survives (the returned frame still reads it lazily)
+    round_dirs = [d for d in os.listdir(ckpt) if d.startswith("round-")]
+    assert len(round_dirs) == 1, \
+        f"stale per-round checkpoints not reclaimed: {sorted(round_dirs)}"

@@ -151,3 +151,12 @@ def test_partitioned_incremental_options_push_down_watermark(spark):
     empty = src.partitioned_options("jdbc:postgresql://db/x",
                                     upper_bound=0)
     assert int(empty["upperBound"]) >= int(empty["lowerBound"])
+
+
+def test_partitioned_options_alias_handles_schema_qualified_tables(spark):
+    src = IncrementalSource(spark, lambda: None, "public.route_suppliers",
+                            id_col="id")
+    opts = src.partitioned_options("jdbc:postgresql://db/x", 100)
+    alias = opts["dbtable"].rsplit(" AS ", 1)[1]
+    assert "." not in alias, f"dotted subquery alias is invalid SQL: {alias}"
+    assert "FROM public.route_suppliers" in opts["dbtable"]

@@ -972,3 +972,51 @@ def test_streaming_corpus_dedup_guards_against_foreign_checkpoint(
     sink4 = StreamingCorpusDedup(spark, corpus_dir, jaccard_threshold=0.7)
     with _pytest.raises(RuntimeError, match="no checkpoint marker"):
         sink4.run(stream(), str(tmp_path / "ckpt_a"))
+
+
+def test_streaming_corpus_dedup_guard_covers_sig_store_and_adoption(
+        spark, planted_docs, tmp_path):
+    """(a) a stale SIGNATURE store under a fresh corpus_dir must refuse
+    (ghost signatures would suppress new documents forever); (b) a
+    marker pointing elsewhere over EMPTY stores is harmless and is
+    rewritten; (c) adopt_checkpoint=True claims a pre-marker store."""
+    from kafkastreams_tp3_is_spark.streaming.incremental import (
+        StreamingCorpusDedup)
+
+    docs, _ = planted_docs
+    src = tmp_path / "gsig_in"
+    (docs.where(F.col("doc_id") < 20).repartition(1)
+         .write.mode("append").parquet(str(src)))
+
+    def stream():
+        return (spark.readStream.schema(docs.schema)
+                .option("maxFilesPerTrigger", 1).parquet(str(src)))
+
+    # build a store, then wipe ONLY the corpus dir (sig store survives)
+    corpus = tmp_path / "gsig_corpus"
+    sink = StreamingCorpusDedup(spark, str(corpus), jaccard_threshold=0.7)
+    sink.run(stream(), str(tmp_path / "gsig_ckpt"))
+    import shutil
+    shutil.rmtree(corpus)
+    stale = StreamingCorpusDedup(spark, str(corpus), jaccard_threshold=0.7)
+    with pytest.raises(RuntimeError, match="signature store"):
+        stale.run(stream(), str(tmp_path / "gsig_ckpt_b"))
+
+    # marker-only store (no batches anywhere): foreign checkpoint is fine
+    empty_corpus = tmp_path / "gsig_empty"
+    e1 = StreamingCorpusDedup(spark, str(empty_corpus), sig_dir=str(
+        tmp_path / "gsig_empty_sigs"))
+    e1._guard_checkpoint(str(tmp_path / "ck_a"))
+    e2 = StreamingCorpusDedup(spark, str(empty_corpus), sig_dir=str(
+        tmp_path / "gsig_empty_sigs"))
+    e2._guard_checkpoint(str(tmp_path / "ck_b"))  # must not raise
+
+    # pre-marker store + original checkpoint: adoption path works
+    corpus2 = tmp_path / "gsig_adopt"
+    sink2 = StreamingCorpusDedup(spark, str(corpus2), jaccard_threshold=0.7)
+    sink2.run(stream(), str(tmp_path / "gsig_ckpt2"))
+    os.remove(os.path.join(str(corpus2), "_checkpoint_marker.json"))
+    sink3 = StreamingCorpusDedup(spark, str(corpus2), jaccard_threshold=0.7)
+    sink3.run(stream(), str(tmp_path / "gsig_ckpt2"), adopt_checkpoint=True)
+    assert sorted(r["doc_id"] for r in sink3.corpus().collect()) == \
+        list(range(20))
