@@ -108,6 +108,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # event stream) and token-distribution drift between snapshots
         "events_attribution": _temporal.events_attribution,
         "vocab_drift": _text.vocab_drift,
+        # NEW round 5: strict verbatim-span decontamination (shared
+        # rolling-hash inventory with repeated_spans)
+        "decontaminate_spans": _dedup.decontaminate_spans,
         "mix_temperature": _cur.mix_temperature,
         "latest_route_capacity_stateful": _stateful.latest_route_capacity_stateful,
         # --- r4-VERIFIED BACKLOG ------------------------------------------

@@ -514,58 +514,15 @@ def dedup_simhash(spark: SparkSession, sf_dir: str,
 
 # --- cross-document repeated spans -------------------------------------
 
-def repeated_spans_df(docs: DataFrame, span_len: int = 30,
-                      min_docs: int = 2,
-                      broadcast_max_rep: int = 4_000_000) -> DataFrame:
-    """Per-document repeated-substring coverage — the distributed signal
-    behind exact-substring train-set dedup (Lee et al., ACL'22
-    "Deduplicating Training Data Makes Language Models Better" — public
-    work; they delete 50-token repeats found via suffix arrays, which
-    don't distribute; fixed-length span inventories do and catch the same
-    boilerplate/contamination mass).
-
-    A span = ``span_len`` consecutive chars; a span is REPEATED when it
-    occurs in >= ``min_docs`` distinct documents. Output per doc:
-    n_repeated_spans (positions whose span recurs elsewhere) and
-    dup_char_fraction (chars covered by the UNION of those [pos, pos+L)
-    intervals / doc length — the "how much of this doc exists elsewhere"
-    ratio a curation pass thresholds on).
-
-    Scale: every position becomes a 64-bit gram hash, so the shuffle
-    carries (doc_id, pos, long), never substrings. The hashes come from
-    an Arrow-batched rolling-hash kernel (mapInPandas), not per-position
-    JVM substring hashing: UTF8String.substr is O(pos) per call (UTF-8 is
-    variable-width, so char indexing scans from the start), which makes
-    the expression form O(chars x L + positions x pos) per document —
-    measured 1.5-2.2 s at sf0.1 vs ~0.4 s for the kernel. The kernel
-    decodes each text once to a UTF-32 array (O(1) char indexing, exact
-    character positions for any input, not just ASCII) and computes all
-    gram hashes in O(chars) total via a prefix-sum polynomial rolling
-    hash in wrapping uint64 (multiplier odd -> invertible mod 2^64; the
-    hash of a gram depends only on its L characters, so equal grams hash
-    equal across documents). The hash never reaches the output — the
-    gate compares per-doc counts/coverage only, and the DuckDB oracle
-    groups raw grams, so a collision (~positions^2/2^65) would fail the
-    gate loudly. Repeated-gram detection is one map-side-combined agg on
-    the hash (min!=max doc_id for the min_docs=2 default — combinable,
-    single-exchange — count_distinct above that); the coverage union is
-    a per-doc sorted window scan (one shuffle on doc_id).
-
-    The repeated-hash set is usually tiny relative to the position
-    inventory (boilerplate vocabulary vs every position of every doc), so
-    it is measured and broadcast under ``broadcast_max_rep`` hashes
-    (~32 MB of longs at the default) — the full L-fold position explosion
-    then never shuffles on ``h`` at all (map-side broadcast join inside
-    the scan stage); only surviving repeated positions reach the window's
-    doc_id exchange. Above the cap it falls back to a hash-partitioned
-    shuffle join on the 8-byte key, which scales to arbitrarily
-    boilerplate-heavy corpora (decontaminate's measured-broadcast
-    contract). Collisions are
-    ~(n_grams^2)/2^65, and the DuckDB oracle groups RAW grams, so the
-    driver gate itself would catch one (hash-grouping is the scale path,
-    exact-gram grouping the verification path)."""
-    from pyspark.sql import Window
-
+def span_hash_rows(docs: DataFrame, span_len: int) -> DataFrame:
+    """(doc_id, pos, h) for EVERY ``span_len``-char span of every doc —
+    the O(chars) Arrow-batched rolling-hash inventory shared by
+    repeated_spans_df (within-corpus repetition) and
+    decontaminate_spans_df (cross-corpus verbatim containment). Equal
+    spans hash equal across documents AND across calls (the hash is a
+    pure function of the characters), so two inventories join on ``h``.
+    See repeated_spans_df for the full cost analysis; output rows are
+    (long, long, long) — substrings never leave the kernel."""
     L = span_len
 
     def gram_hash_kernel(batches):
@@ -621,18 +578,75 @@ def repeated_spans_df(docs: DataFrame, span_len: int = 30,
                     "pos": np.concatenate(out_pos),
                     "h": np.concatenate(out_h)})
 
-    # The hash rows are persisted because BOTH branches (rep detection,
-    # position inventory) consume them — without the barrier the whole
-    # kernel pass runs twice. Caller releases via cache.release.
-    from pyspark import StorageLevel
-    n = F.length("text")
     # spread the corpus over the cluster BEFORE the kernel: a small
     # input-file count would otherwise serialize the Python stage
     n_part = docs.sparkSession.sparkContext.defaultParallelism
-    pos_ok = (docs.where(n >= L).select("doc_id", "text")
+    pos_ok = (docs.where(F.length("text") >= L).select("doc_id", "text")
               .repartition(n_part, "doc_id"))
-    hashed = (pos_ok.mapInPandas(gram_hash_kernel,
-                                 "doc_id long, pos long, h long")
+    return pos_ok.mapInPandas(gram_hash_kernel,
+                              "doc_id long, pos long, h long")
+
+
+def repeated_spans_df(docs: DataFrame, span_len: int = 30,
+                      min_docs: int = 2,
+                      broadcast_max_rep: int = 4_000_000) -> DataFrame:
+    """Per-document repeated-substring coverage — the distributed signal
+    behind exact-substring train-set dedup (Lee et al., ACL'22
+    "Deduplicating Training Data Makes Language Models Better" — public
+    work; they delete 50-token repeats found via suffix arrays, which
+    don't distribute; fixed-length span inventories do and catch the same
+    boilerplate/contamination mass).
+
+    A span = ``span_len`` consecutive chars; a span is REPEATED when it
+    occurs in >= ``min_docs`` distinct documents. Output per doc:
+    n_repeated_spans (positions whose span recurs elsewhere) and
+    dup_char_fraction (chars covered by the UNION of those [pos, pos+L)
+    intervals / doc length — the "how much of this doc exists elsewhere"
+    ratio a curation pass thresholds on).
+
+    Scale: every position becomes a 64-bit gram hash, so the shuffle
+    carries (doc_id, pos, long), never substrings. The hashes come from
+    an Arrow-batched rolling-hash kernel (mapInPandas), not per-position
+    JVM substring hashing: UTF8String.substr is O(pos) per call (UTF-8 is
+    variable-width, so char indexing scans from the start), which makes
+    the expression form O(chars x L + positions x pos) per document —
+    measured 1.5-2.2 s at sf0.1 vs ~0.4 s for the kernel. The kernel
+    decodes each text once to a UTF-32 array (O(1) char indexing, exact
+    character positions for any input, not just ASCII) and computes all
+    gram hashes in O(chars) total via a prefix-sum polynomial rolling
+    hash in wrapping uint64 (multiplier odd -> invertible mod 2^64; the
+    hash of a gram depends only on its L characters, so equal grams hash
+    equal across documents). The hash never reaches the output — the
+    gate compares per-doc counts/coverage only, and the DuckDB oracle
+    groups raw grams, so a collision (~positions^2/2^65) would fail the
+    gate loudly. Repeated-gram detection is one map-side-combined agg on
+    the hash (min!=max doc_id for the min_docs=2 default — combinable,
+    single-exchange — count_distinct above that); the coverage union is
+    a per-doc sorted window scan (one shuffle on doc_id).
+
+    The repeated-hash set is usually tiny relative to the position
+    inventory (boilerplate vocabulary vs every position of every doc), so
+    it is measured and broadcast under ``broadcast_max_rep`` hashes
+    (~32 MB of longs at the default) — the full L-fold position explosion
+    then never shuffles on ``h`` at all (map-side broadcast join inside
+    the scan stage); only surviving repeated positions reach the window's
+    doc_id exchange. Above the cap it falls back to a hash-partitioned
+    shuffle join on the 8-byte key, which scales to arbitrarily
+    boilerplate-heavy corpora (decontaminate's measured-broadcast
+    contract). Collisions are
+    ~(n_grams^2)/2^65, and the DuckDB oracle groups RAW grams, so the
+    driver gate itself would catch one (hash-grouping is the scale path,
+    exact-gram grouping the verification path)."""
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    L = span_len
+    n = F.length("text")
+    # The hash rows are persisted because BOTH branches (rep detection,
+    # position inventory) consume them — without the barrier the whole
+    # kernel pass (span_hash_rows, shared with decontaminate_spans_df)
+    # runs twice. Caller releases via cache.release.
+    hashed = (span_hash_rows(docs, L)
               .persist(StorageLevel.MEMORY_AND_DISK))
     grouped = hashed.groupBy("h")
     if min_docs == 2:
@@ -744,3 +758,54 @@ def paragraph_dedup(spark: SparkSession, sf_dir: str,
     documents table."""
     return paragraph_dedup_df(load(spark, sf_dir, "documents"),
                               block_tokens)
+
+
+# --- verbatim-span benchmark decontamination -----------------------------
+
+def decontaminate_spans_df(train: DataFrame, benchmark: DataFrame,
+                           span_len: int = 30, min_spans: int = 1,
+                           broadcast_max_spans: int = 4_000_000) -> DataFrame:
+    """The STRICT form of benchmark decontamination (Lee et al. ACL'22
+    appendix; the n-gram-count form lives in curation.decontaminate_df):
+    a training document is span-contaminated when it contains ANY
+    ``span_len``-char substring that appears VERBATIM in a benchmark
+    text — long verbatim copies are the contamination that inflates
+    eval scores even when overall k-gram overlap is unremarkable.
+    Output per training doc: (doc_id, n_bench_spans — positions whose
+    span occurs in the benchmark — and span_contaminated).
+
+    Scale: both sides run the shared O(chars) rolling-hash inventory
+    (span_hash_rows — substrings never leave the Python kernel, the
+    join key is an 8-byte long). The benchmark's DISTINCT span-hash set
+    is measured and broadcast under ``broadcast_max_spans`` (~32 MB of
+    longs), shuffle join above it; the training inventory then never
+    shuffles at all in the broadcast regime. A hash collision
+    (~positions^2 / 2^65) could only perturb one count by 1; the DuckDB
+    oracle joins RAW substrings, so the driver gate doubles as the
+    collision check."""
+    bench_h = (span_hash_rows(benchmark, span_len)
+               .select("h").distinct().persist())
+    build = (F.broadcast(bench_h)
+             if bench_h.count() <= broadcast_max_spans else bench_h)
+    hits = (span_hash_rows(train, span_len)
+            .join(build, "h")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_bench_spans")))
+    out = (train.select("doc_id")
+           .join(hits, "doc_id", "left")
+           .select("doc_id",
+                   F.coalesce("n_bench_spans", F.lit(0).cast("bigint"))
+                    .alias("n_bench_spans"))
+           .withColumn("span_contaminated",
+                       F.col("n_bench_spans") >= int(min_spans)))
+    return owned(out, bench_h)
+
+
+def decontaminate_spans(spark: SparkSession, sf_dir: str,
+                        span_len: int = 30) -> DataFrame:
+    """Driver-gate fixture: the decontaminate split (every 50th doc is
+    the benchmark) under verbatim-span semantics."""
+    docs = load(spark, sf_dir, "documents")
+    is_bench = F.col("doc_id") % 50 == 0
+    return decontaminate_spans_df(docs.where(~is_bench),
+                                  docs.where(is_bench), span_len)

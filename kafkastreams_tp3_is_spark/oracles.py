@@ -1754,3 +1754,27 @@ ORDER BY abs(COALESCE(cnt_new, 0) - COALESCE(cnt_old, 0)) DESC,
          COALESCE(co.token, cn.token) ASC
 LIMIT 100
 """
+
+# Verbatim-span decontamination: raw-substring restatement (the engine
+# joins rolling-hash longs; grouping raw grams here doubles as the
+# collision check, same discipline as repeated_spans).
+ORACLES["decontaminate_spans"] = """
+WITH tr AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0),
+be AS (SELECT text FROM documents WHERE doc_id % 50 = 0),
+bs AS (
+  SELECT DISTINCT substring(text, CAST(g AS INTEGER), 30) AS s
+  FROM (SELECT text, unnest(generate_series(1, length(text) - 29)) AS g
+        FROM be WHERE length(text) >= 30)
+),
+tp AS (
+  SELECT doc_id, substring(text, CAST(g AS INTEGER), 30) AS s
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(1, length(text) - 29)) AS g
+        FROM tr WHERE length(text) >= 30)
+),
+hits AS (SELECT doc_id, COUNT(*) AS n FROM tp JOIN bs USING (s) GROUP BY 1)
+SELECT t.doc_id,
+       CAST(COALESCE(h.n, 0) AS BIGINT) AS n_bench_spans,
+       COALESCE(h.n, 0) >= 1 AS span_contaminated
+FROM tr t LEFT JOIN hits h USING (doc_id)
+"""

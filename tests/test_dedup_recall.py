@@ -236,3 +236,23 @@ def test_paragraph_dedup_rewrites_shared_blocks_to_canonical_owner(spark):
     assert rows[2]["clean_text"] == b_tail                  # copy rewritten
     assert rows[2]["n_dropped"] == 1
     assert rows[3]["n_dropped"] == 0 and rows[3]["n_blocks"] == 2
+
+
+def test_decontaminate_spans_verbatim_containment(spark):
+    """A training doc containing a 30-char substring of a benchmark doc
+    verbatim flags as span-contaminated; a doc with heavy k-gram-level
+    vocabulary overlap but no 30-char verbatim run does not."""
+    from kafkastreams_tp3_is_spark.operators.dedup import (
+        decontaminate_spans_df)
+
+    bench_text = "".join(chr(97 + (i * 11) % 26) for i in range(60))
+    train = spark.createDataFrame(
+        [(1, "prefix " + bench_text[10:45] + " suffix"),   # 35-char copy
+         (2, " ".join(bench_text[i:i + 3] for i in range(0, 57, 3)))],
+        "doc_id long, text string")                        # shreds only
+    bench = spark.createDataFrame([(100, bench_text)],
+                                  "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           decontaminate_spans_df(train, bench, span_len=30).collect()}
+    assert got[1]["span_contaminated"] and got[1]["n_bench_spans"] == 6
+    assert not got[2]["span_contaminated"] and got[2]["n_bench_spans"] == 0
