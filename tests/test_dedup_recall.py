@@ -256,3 +256,21 @@ def test_decontaminate_spans_verbatim_containment(spark):
            decontaminate_spans_df(train, bench, span_len=30).collect()}
     assert got[1]["span_contaminated"] and got[1]["n_bench_spans"] == 6
     assert not got[2]["span_contaminated"] and got[2]["n_bench_spans"] == 0
+
+
+def test_span_kernel_handles_non_ascii_positions(spark):
+    """The rolling-hash kernel decodes UTF-32, so char positions are
+    exact for multi-byte text too: a verbatim 30-CHAR CJK/emoji span is
+    caught, and positions agree with 1-based char indexing."""
+    from kafkastreams_tp3_is_spark.operators.dedup import (
+        decontaminate_spans_df, span_hash_rows)
+
+    cjk = "".join(chr(0x4E00 + (i * 7) % 500) for i in range(40)) + "🙂🙃"
+    train = spark.createDataFrame([(1, "αβ " + cjk[5:37] + " ω")],
+                                  "doc_id long, text string")
+    bench = spark.createDataFrame([(9, cjk)], "doc_id long, text string")
+    got = decontaminate_spans_df(train, bench, span_len=30).collect()[0]
+    assert got["span_contaminated"] and got["n_bench_spans"] == 3  # 32-30+1
+    rows = span_hash_rows(train, 30).collect()
+    assert len(rows) == len("αβ " + cjk[5:37] + " ω") - 30 + 1
+    assert min(r["pos"] for r in rows) == 1
