@@ -546,12 +546,15 @@ def pack_efficiency_df(docs: DataFrame, budget: int = 2048,
     each shard yields and how much of the final sample is padding.
 
     Under concat-and-cut the token stream is gapless, so per shard:
-      n_packs      = ceil(total_tokens / budget)   (0 tokens -> 0 packs)
+      n_packs      = ceil_div(total_tokens, budget)  (0 tokens -> 0 packs)
       waste_tokens = n_packs * budget - total_tokens (tail padding only)
       utilization  = total_tokens / (n_packs * budget)  (1.0 when empty)
     All integers until the single final division (float-exactness
-    doctrine). One map-side-combined aggregation on the shard key — the
-    same single shuffle as the packer itself."""
+    doctrine): ceil_div is bigint ``(total + budget - 1) div budget``,
+    exact for ANY token total — a double-ceil would drift above 2^53
+    tokens, which a 100 TB corpus exceeds. One map-side-combined
+    aggregation on the shard key — the same single shuffle as the packer
+    itself."""
     toks = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
     per_shard = (docs
                  .select((F.col("doc_id") % n_shards).alias("shard"),
@@ -559,8 +562,8 @@ def pack_efficiency_df(docs: DataFrame, budget: int = 2048,
                  .groupBy("shard")
                  .agg(F.count(F.lit(1)).alias("n_docs"),
                       F.sum("n_tokens").alias("total_tokens")))
-    n_packs = F.ceil(F.col("total_tokens").cast("double") / budget) \
-               .cast("bigint")
+    n_packs = F.expr(
+        f"(total_tokens + {int(budget) - 1}) div {int(budget)}")
     return (per_shard
             .withColumn("n_packs", n_packs)
             .withColumn("waste_tokens",

@@ -714,10 +714,14 @@ def paragraph_dedup_df(docs: DataFrame, block_tokens: int = 20) -> DataFrame:
     is a per-doc ordered string_agg — a second shuffle on doc_id. Both
     keys are high-cardinality and skew-free."""
     toks = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
-    n_blocks = F.ceil(F.size(toks).cast("double") / block_tokens) \
-                .cast("bigint")
+    bt = int(block_tokens)
+    # bigint ceil-division (exact for any token count; a double ceil
+    # drifts above 2^53 tokens) — `div` is SQL-only, hence the expr over
+    # the aliased token array
+    nb_expr = F.expr(f"(size(t) + {bt - 1}) div {bt}")
     blocks = (docs
-              .select("doc_id", toks.alias("t"), n_blocks.alias("nb"))
+              .select("doc_id", toks.alias("t"))
+              .withColumn("nb", nb_expr)
               .where(F.col("nb") > 0)
               .select("doc_id", "nb",
                       F.posexplode(F.sequence(F.lit(0).cast("long"),
@@ -742,7 +746,8 @@ def paragraph_dedup_df(docs: DataFrame, block_tokens: int = 20) -> DataFrame:
                                 F.struct("block_id", "s"))),
                             lambda x: x["s"]), " ").alias("clean_text"),
                     F.count(F.lit(1)).alias("n_kept")))
-    base = docs.select("doc_id", n_blocks.alias("n_blocks"))
+    base = (docs.select("doc_id", toks.alias("t"))
+            .select("doc_id", nb_expr.alias("n_blocks")))
     return (base.join(rebuilt, "doc_id", "left")
             .select("doc_id",
                     F.coalesce("clean_text", F.lit("")).alias("clean_text"),

@@ -110,13 +110,19 @@ def connected_components_df(edges: DataFrame, src: str = "a_id",
         jp = sc._jvm.org.apache.hadoop.fs.Path(path)
         jp.getFileSystem(sc._jsc.hadoopConfiguration()).delete(jp, True)
 
-    rounds = {"i": 0, "prev": None}
+    rounds = {"i": 0, "prev": None, "saved_ckpt": None}
 
     def _truncate(df: DataFrame) -> DataFrame:
         if checkpoint_dir is None:
             return df.localCheckpoint(eager=True)
         import os as _os
         sc = df.sparkSession.sparkContext
+        # setCheckpointDir mutates GLOBAL SparkContext state; remember the
+        # caller's dir the first time so the function can put it back
+        # (restored after the iteration below) — otherwise any later
+        # checkpoint() in the session silently lands in our round dir
+        if rounds["i"] == 0:
+            rounds["saved_ckpt"] = sc.getCheckpointDir()
         path = _os.path.join(checkpoint_dir, f"round-{rounds['i']}")
         sc.setCheckpointDir(path)
         out = df.checkpoint(eager=True)
@@ -128,8 +134,42 @@ def connected_components_df(edges: DataFrame, src: str = "a_id",
         rounds["i"] += 1
         return out
 
+    def _restore_ckpt_dir(sc) -> None:
+        # best effort: the public API cannot UNSET a checkpoint dir, so a
+        # session that never had one keeps the last round dir configured
+        # (harmless — the files there are the final round's, still read
+        # lazily by the returned frame). A saved dir that no longer
+        # EXISTS is not restored either: setCheckpointDir mkdirs its
+        # target, which would resurrect a directory its owner already
+        # reclaimed (the streaming sink deletes per-batch CC subtrees;
+        # restoring batch N's dir from batch N+1 leaked an empty copy)
+        saved = rounds["saved_ckpt"]
+        if checkpoint_dir is None or saved is None:
+            return
+        jp = sc._jvm.org.apache.hadoop.fs.Path(saved)
+        if jp.getFileSystem(sc._jsc.hadoopConfiguration()).exists(jp):
+            sc.setCheckpointDir(saved)
+
     e = _canonical(edges.select(F.col(src).alias("u"),
                                 F.col(dst).alias("v")))
+    try:
+        e = _run_rounds(e, _truncate, max_iter)
+    finally:
+        _restore_ckpt_dir(edges.sparkSession.sparkContext)
+    # fixed point is a star forest: u -> component min. Roots appear only
+    # on the v side; give them a self row.
+    nodes = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    roots = (e.select(F.col("v").alias("node"))
+              .exceptAll(e.select(F.col("u").alias("node")))
+              .distinct()
+              .select("node", F.col("node").alias("component")))
+    return nodes.unionByName(roots)
+
+
+def _run_rounds(e: DataFrame, _truncate, max_iter: int) -> DataFrame:
+    """The alternating Large-Star / Small-Star iteration of
+    connected_components_df, split out so the caller can wrap it in the
+    checkpoint-dir restore."""
     e = _truncate(e)
     n_prev, h_prev = _checksum(e)
     for _ in range(max_iter):
@@ -156,14 +196,7 @@ def connected_components_df(edges: DataFrame, src: str = "a_id",
         if (n_cur, h_cur) == (n_prev, h_prev):
             break
         n_prev, h_prev = n_cur, h_cur
-    # fixed point is a star forest: u -> component min. Roots appear only
-    # on the v side; give them a self row.
-    nodes = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
-    roots = (e.select(F.col("v").alias("node"))
-              .exceptAll(e.select(F.col("u").alias("node")))
-              .distinct()
-              .select("node", F.col("node").alias("component")))
-    return nodes.unionByName(roots)
+    return e
 
 
 def _clusters(pairs: DataFrame, id_col: str = "doc_id",

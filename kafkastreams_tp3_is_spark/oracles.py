@@ -1264,9 +1264,10 @@ f AS (
   FROM n
   WHERE len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) >= 10
 ),
-k AS (SELECT md5(text) AS h, MIN(doc_id) AS keep FROM f GROUP BY 1)
+k AS (SELECT md5(COALESCE(text, '')) AS h, MIN(doc_id) AS keep
+      FROM f GROUP BY 1)
 SELECT f.doc_id, f.text, f.n_tokens
-FROM f JOIN k ON md5(f.text) = k.h AND f.doc_id = k.keep
+FROM f JOIN k ON md5(COALESCE(f.text, '')) = k.h AND f.doc_id = k.keep
 WHERE SUBSTRING(md5(CAST(f.doc_id AS VARCHAR)), 1, 2) < 'c0'
 """
 
@@ -1288,10 +1289,11 @@ f AS (
   FROM n
   WHERE len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) >= 10
 ),
-k AS (SELECT md5(text) AS h, MIN(doc_id) AS keep FROM f GROUP BY 1),
+k AS (SELECT md5(COALESCE(text, '')) AS h, MIN(doc_id) AS keep
+      FROM f GROUP BY 1),
 d1 AS (
   SELECT f.doc_id, f.text, f.n_tokens
-  FROM f JOIN k ON md5(f.text) = k.h AND f.doc_id = k.keep
+  FROM f JOIN k ON md5(COALESCE(f.text, '')) = k.h AND f.doc_id = k.keep
 ),
 pos AS (
   SELECT doc_id, CAST(g AS INTEGER) AS pos,
@@ -1549,7 +1551,8 @@ GROUP BY f.cohort_day, date_diff('day', f.cohort_day, d.day)
 """
 
 # Packing-efficiency report: all integers until the single utilization
-# division; n_packs = ceil of a double division in BOTH engines.
+# division; n_packs = bigint ceil-division in BOTH engines
+# ((total + 2047) // 2048 — exact past 2^53, where a double ceil drifts).
 ORACLES["pack_efficiency"] = r"""
 WITH per AS (
   SELECT doc_id % 16 AS shard,
@@ -1560,12 +1563,12 @@ WITH per AS (
 SELECT shard,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(n) AS BIGINT) AS total_tokens,
-       CAST(ceil(CAST(SUM(n) AS DOUBLE) / 2048) AS BIGINT) AS n_packs,
-       CAST(CAST(ceil(CAST(SUM(n) AS DOUBLE) / 2048) AS BIGINT) * 2048
+       CAST((SUM(n) + 2047) // 2048 AS BIGINT) AS n_packs,
+       CAST(CAST((SUM(n) + 2047) // 2048 AS BIGINT) * 2048
             - SUM(n) AS BIGINT) AS waste_tokens,
        CASE WHEN SUM(n) = 0 THEN 1.0
             ELSE CAST(SUM(n) AS DOUBLE)
-                 / CAST(CAST(ceil(CAST(SUM(n) AS DOUBLE) / 2048) AS BIGINT)
+                 / CAST(CAST((SUM(n) + 2047) // 2048 AS BIGINT)
                         * 2048 AS DOUBLE)
        END AS utilization
 FROM per GROUP BY shard
@@ -1646,7 +1649,7 @@ WITH toks AS (
 ),
 nb AS (
   SELECT doc_id, t,
-         CAST(ceil(CAST(len(t) AS DOUBLE) / 20) AS BIGINT) AS n_blocks
+         CAST((len(t) + 19) // 20 AS BIGINT) AS n_blocks
   FROM toks
 ),
 blocks AS (

@@ -95,6 +95,14 @@ class StreamingCorpusDedup:
         document and overwrite the store with an empty survivor set."""
         return self._read_store(self.sig_dir, exclude_batch=exclude_batch)
 
+    def _delete_dir(self, path: str) -> None:
+        """Recursive delete via the Hadoop FileSystem API — works for
+        local paths, HDFS, and object stores alike (the same route
+        graph.py's round rotation uses)."""
+        sc = self.spark.sparkContext
+        jp = sc._jvm.org.apache.hadoop.fs.Path(path)
+        jp.getFileSystem(sc._jsc.hadoopConfiguration()).delete(jp, True)
+
     def process(self, batch_df: DataFrame, batch_id: int) -> None:
         self.batches += 1
         batch = batch_df.select("doc_id", "text")
@@ -107,12 +115,18 @@ class StreamingCorpusDedup:
         sigs = compute_signatures_df(batch, self.num_hashes,
                                      self.k).persist()
         keep_ids = None
+        # per-BATCH subdirectory: graph.py keeps only the final round's
+        # files alive for the returned frame, and once this trigger's
+        # terminal writes land even those are dead weight — without the
+        # delete below a long-running stream accumulates one edge-set
+        # snapshot per micro-batch
+        cc_dir = (os.path.join(self.cc_checkpoint_dir, f"batch-{batch_id}")
+                  if self.cc_checkpoint_dir is not None else None)
         try:
             # 2. within-batch: cluster near-dups, keep canonical docs
             pairs = dedup_minhash_lsh_from_sigs(
                 sigs, self.num_hashes, self.bands, self.threshold)
-            cc = connected_components_df(
-                pairs, checkpoint_dir=self.cc_checkpoint_dir)
+            cc = connected_components_df(pairs, checkpoint_dir=cc_dir)
             non_canonical = (cc.where(F.col("node") != F.col("component"))
                                .select(F.col("node").alias("doc_id")))
             keep_ids = (sigs.select("doc_id")
@@ -148,6 +162,11 @@ class StreamingCorpusDedup:
             sigs.unpersist()
             if keep_ids is not None:
                 keep_ids.unpersist()
+            # the terminal parquet writes (or the retry that will redo
+            # them) are the last consumers of the CC result — reclaim the
+            # batch's whole checkpoint subtree either way
+            if cc_dir is not None:
+                self._delete_dir(cc_dir)
 
     def _has_batches(self) -> bool:
         """Batch subdirectories in EITHER store: the corpus and the
@@ -172,13 +191,33 @@ class StreamingCorpusDedup:
         pointing elsewhere over EMPTY stores is harmless (nothing to
         clobber) and is rewritten. ``adopt=True`` claims a pre-marker
         store (e.g. one built before markers existed) for this
-        checkpoint — an explicit operator decision, never the default."""
+        checkpoint — an explicit operator decision, never the default.
+
+        The marker lives on a LOCAL filesystem (plain open/os.replace —
+        the store dirs themselves may be remote, but this guard's
+        read-modify-write protocol assumes POSIX semantics; a fully
+        remote deployment would keep the marker in its coordination
+        store instead). Writes go through a temp file + os.replace so a
+        crash mid-write can never leave truncated JSON; an unreadable
+        marker fails fast with the same refuse-to-run guidance as a
+        missing one, instead of an opaque decode error."""
         ckpt = os.path.abspath(checkpoint_dir)
         marker = os.path.join(self.corpus_dir, "_checkpoint_marker.json")
         has_batches = self._has_batches()
         if os.path.isfile(marker):
-            with open(marker) as f:
-                recorded = json.load(f).get("checkpoint_dir")
+            try:
+                with open(marker) as f:
+                    recorded = json.load(f).get("checkpoint_dir")
+            except (json.JSONDecodeError, OSError) as exc:
+                if not adopt:
+                    raise RuntimeError(
+                        f"checkpoint marker {marker!r} exists but cannot "
+                        f"be read ({exc}) — refusing to run a stream over "
+                        f"{self.corpus_dir!r} (batch-id collisions would "
+                        "silently overwrite data). Restore or delete the "
+                        "marker, or pass adopt_checkpoint=True if this "
+                        "checkpoint genuinely owns the store.") from exc
+                recorded = None  # adopt: rewrite the marker below
             if recorded == ckpt:
                 return
             if has_batches and not adopt:
@@ -201,8 +240,10 @@ class StreamingCorpusDedup:
                 "the store (pre-marker deployments resuming their "
                 "original checkpoint).")
         os.makedirs(self.corpus_dir, exist_ok=True)
-        with open(marker, "w") as f:
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as f:
             json.dump({"checkpoint_dir": ckpt}, f)
+        os.replace(tmp, marker)
 
     def run(self, doc_stream: DataFrame, checkpoint_dir: str,
             adopt_checkpoint: bool = False) -> None:

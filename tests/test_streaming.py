@@ -1020,3 +1020,48 @@ def test_streaming_corpus_dedup_guard_covers_sig_store_and_adoption(
     sink3.run(stream(), str(tmp_path / "gsig_ckpt2"), adopt_checkpoint=True)
     assert sorted(r["doc_id"] for r in sink3.corpus().collect()) == \
         list(range(20))
+
+
+def test_streaming_corpus_dedup_marker_is_crash_safe_and_cc_dir_reclaimed(
+        spark, planted_docs, tmp_path):
+    """(a) a truncated marker (crash mid-write before os.replace existed)
+    must fail fast with the refuse-to-run guidance, not a JSON decode
+    traceback, and adopt_checkpoint=True must recover by rewriting it;
+    (b) with cc_checkpoint_dir set, every micro-batch's checkpoint
+    subtree is deleted once its terminal writes land — a long-running
+    stream must not accumulate edge-set snapshots."""
+    import pytest as _pytest
+    from kafkastreams_tp3_is_spark.streaming.incremental import (
+        StreamingCorpusDedup)
+
+    docs, _ = planted_docs
+    src = tmp_path / "ccclean_in"
+    (docs.where(F.col("doc_id") < 20).repartition(2)
+         .write.mode("append").parquet(str(src)))
+
+    def stream():
+        return (spark.readStream.schema(docs.schema)
+                .option("maxFilesPerTrigger", 1).parquet(str(src)))
+
+    corpus = tmp_path / "ccclean_corpus"
+    cc_dir = tmp_path / "ccclean_cc"
+    sink = StreamingCorpusDedup(spark, str(corpus), jaccard_threshold=0.7,
+                                cc_checkpoint_dir=str(cc_dir))
+    sink.run(stream(), str(tmp_path / "ccclean_ckpt"))
+    assert sorted(r["doc_id"] for r in sink.corpus().collect()) == \
+        list(range(20))
+    leftovers = ([] if not cc_dir.is_dir()
+                 else [p.name for p in cc_dir.iterdir()])
+    assert leftovers == [], f"per-batch CC checkpoints leaked: {leftovers}"
+
+    # truncated marker: actionable error, not json.JSONDecodeError
+    marker = corpus / "_checkpoint_marker.json"
+    marker.write_text('{"checkpoint_dir": "/some/pa')
+    sink2 = StreamingCorpusDedup(spark, str(corpus), jaccard_threshold=0.7)
+    with _pytest.raises(RuntimeError, match="cannot be read"):
+        sink2._guard_checkpoint(str(tmp_path / "ccclean_ckpt"))
+    # adopt rewrites the marker atomically and the store works again
+    sink2._guard_checkpoint(str(tmp_path / "ccclean_ckpt"), adopt=True)
+    import json as _json
+    assert _json.loads(marker.read_text())["checkpoint_dir"] == \
+        os.path.abspath(str(tmp_path / "ccclean_ckpt"))
