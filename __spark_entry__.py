@@ -42,92 +42,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # --- ROTATION BLOCK (round 5) -------------------------------------
+        # --- ROTATION BLOCK (round 6) -------------------------------------
         # The driver's correctness run caps near 50 entries in registration
-        # order; round 4 recorded the first 50 and left these 28 riding on
-        # their round-3 rows. All 28 move to the FRONT this round so every
-        # registry entry has a green row dated r4 or r5. dedup_simhash
-        # leads: its oracle was upgraded from rows-only to a full
-        # hash-match (md5-half restatement in oracles.py) after its last
-        # driver execution, so this is its first-ever full-hash driver row.
-        "dedup_simhash": _dedup.dedup_simhash,
-        "dedup_exact": _dedup.dedup_exact,
-        "dedup_minhash_lsh": _dedup.dedup_minhash_lsh,
-        "dedup_against": _dedup.dedup_against,
-        "ngram_jaccard_pairs": _dedup.ngram_jaccard_pairs,
-        "duplicate_clusters": _graph.duplicate_clusters,
-        "duplicate_clusters_lsh": _graph.duplicate_clusters_lsh,
-        "decontaminate": _cur.decontaminate,
-        "embedding_near_dup": _ivf.embedding_near_dup_ivf,      # rows-only
-        "embedding_near_dup_exact": _sim.embedding_near_dup_exact,
-        "ann_cosine_topk": _sim.cosine_topk_bruteforce,
-        "ann_cosine_topk_lsh": _sim.cosine_topk_lsh,            # rows-only
-        "ann_cosine_topk_ivf": _ivf.cosine_topk_ivf,            # rows-only
-        "text_token_count": _text.token_count,
-        "text_quality_score": _text.quality_score,
-        "text_lang_id": _text.lang_id,
-        "text_fingerprint": _text.fingerprint,
-        "text_vocab_topk": _text.vocab_top_tokens,
-        "repetition_signals": _text.repetition_signals,
-        "quality_filter": _text.quality_filter,
-        "sample_deterministic": _cur.sample_deterministic,
-        "train_val_test_split": _cur.train_val_test_split,
-        "normalize_text": _cur.normalize_text,
-        "pii_scrub": _cur.pii_scrub,
-        # n_shards pinned: shard assignment is part of the output, and the
-        # oracle must be a pure function of the data, not of the box's CPU
-        # count (the library default is defaultParallelism)
-        "pack_sequences": lambda spark, sf_dir: _cur.pack_sequences(
-            spark, sf_dir, n_shards=16),
-        "error_incident_events": _temporal.error_incident_events,
-        "trip_time_rollup": _olap.trip_time_rollup,
-        "events_value_quantiles": _olap.events_value_quantiles,  # rows-only
-        # --- TOUCHED THIS ROUND -------------------------------------------
-        # Entries whose implementation changed in round 5, kept inside the
-        # cap so the driver re-verifies the new code paths.
-        "bm25_search": _ret.bm25_search,
-        "pipeline_standard_clean": _pipe.pipeline_standard_clean,
-        # NEW round 5: the full production clean — standard stages plus
-        # the corpus-relative gates (repeated-span coverage, bottom-decile
-        # quality, benchmark decontamination), all one composed plan with
-        # a sequentially-restated oracle
-        "pipeline_full_clean": _pipe.pipeline_full_clean,
-        # NEW round 5: paragraph(block)-level dedup with rewrite
-        # (RefinedWeb pattern — canonical owner keeps a shared block,
-        # other docs are rebuilt without it)
-        "paragraph_dedup": _dedup.paragraph_dedup,
-        # NEW round 5: Bloom-prefiltered decontamination — exact verdicts,
-        # sketch only prunes the exact-recount join
-        "bloom_decontaminate": _sketch.bloom_decontaminate,
-        # NEW round 5: packing-utilization report, corpus snapshot diff,
-        # sequential-min conversion funnel
-        "pack_efficiency": _cur.pack_efficiency,
-        "corpus_diff": _cur.corpus_diff,
-        "events_funnel": _events.funnel,
-        # NEW round 5: last-touch attribution (as-of join reuse over the
-        # event stream) and token-distribution drift between snapshots
-        "events_attribution": _temporal.events_attribution,
-        "vocab_drift": _text.vocab_drift,
-        # NEW round 5: strict verbatim-span decontamination (shared
-        # rolling-hash inventory with repeated_spans)
-        "decontaminate_spans": _dedup.decontaminate_spans,
-        "mix_temperature": _cur.mix_temperature,
-        "latest_route_capacity_stateful": _stateful.latest_route_capacity_stateful,
-        # --- r4-VERIFIED BACKLOG ------------------------------------------
-        # Everything below holds a green hash/rows row in
-        # CORRECTNESS_r04.json under unchanged code; entries past the cap
-        # this round ride on that row and rotate forward next round.
-        "q1_available_seats_per_route": _q.q1_available_seats_per_route,
-        "q2_average_passengers_per_transport_type": _q.q2_average_passengers_per_transport_type,
-        # Q2's 100 TB form: HLL sketch distinct (rows-only; error bound
-        # vs exact is pytest-asserted)
-        "q2_approx_average_passengers": _q.q2_approx_average_passengers_per_transport_type,
-        "q3_name_passenger_most_trips": _q.q3_name_passenger_most_trips,
-        "q4_occupancy_per_route": _q.q4_occupancy_per_route,
-        "q5_passengers_per_route": _q.q5_passengers_per_route,
-        "q6_route_least_occupancy_per_transport_type": _q.q6_route_least_occupancy_per_transport_type,
-        "q7_total_capacity_available": _q.q7_total_capacity_available,
-        "q8_total_occupancy_percentage": _q.q8_total_occupancy_percentage,
+        # order; round 5 recorded the first 51 and left these 37 riding on
+        # their round-4 rows. All 37 move to the FRONT this round so every
+        # registry entry has a green row dated r5 or r6.
         "q9_total_passengers": _q.q9_total_passengers,
         "q10_transport_type_max_passengers": _q.q10_transport_type_max_passengers,
         "q11_transport_type_max_passengers_window": _q.q11_transport_type_max_passengers_window,
@@ -136,7 +55,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # S5 sink path: Q5 through the Connect-envelope renderer
         "envelope_passengers_per_route": _env.envelope_passengers_per_route,
         # A9 latest-per-key over a changelog with duplicate keys; the
-        # stateful streaming twin is in the touched block above
+        # stateful streaming twin is in the touched block below
         "latest_route_capacity": _views.latest_route_capacity,
         # event-stream analytics beyond the reference's surface
         "events_sessionize": _events.sessionize,
@@ -175,6 +94,80 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_resize": _mm.media_resize,
         "multimodal_frame_sample": _mm.media_frame_sample,
         "corpus_clean": _pipe.corpus_clean,
+        # --- NEW / TOUCHED THIS ROUND -------------------------------------
+        # NEW round 6: Bloom-prefiltered verbatim-span decontamination —
+        # the row-level prefilter only prunes the exact join, so it
+        # shares decontaminate_spans' full hash oracle verbatim
+        "decontaminate_spans_bloom": _dedup.decontaminate_spans_bloom,
+        # NEW round 6: dHash image near-dup — perceptual fingerprints
+        # through the shared Manku block-combination machinery, with an
+        # all-pairs bit-exact DuckDB oracle over planted twins
+        "media_dhash_pairs": _mm.media_dhash_pairs,
+        # implementations (or their oracles) changed in round 6: bigint
+        # ceil-div (paragraph_dedup, pack_efficiency), distributed Bloom
+        # bitset build (bloom_decontaminate), NULL-text oracle parity
+        # (pipeline_*_clean), hamming_pairs_df refactor (dedup_simhash),
+        # prefiltered derive + 16-partition state store (stateful demo)
+        "paragraph_dedup": _dedup.paragraph_dedup,
+        "pack_efficiency": _cur.pack_efficiency,
+        "bloom_decontaminate": _sketch.bloom_decontaminate,
+        "pipeline_standard_clean": _pipe.pipeline_standard_clean,
+        "pipeline_full_clean": _pipe.pipeline_full_clean,
+        "dedup_simhash": _dedup.dedup_simhash,
+        "decontaminate_spans": _dedup.decontaminate_spans,
+        "latest_route_capacity_stateful": _stateful.latest_route_capacity_stateful,
+        # --- r5-VERIFIED BACKLOG ------------------------------------------
+        # Everything below holds a green hash/rows row in
+        # CORRECTNESS_r05.json under unchanged code; entries past the cap
+        # this round ride on that row and rotate forward next round.
+        "dedup_exact": _dedup.dedup_exact,
+        "dedup_minhash_lsh": _dedup.dedup_minhash_lsh,
+        "dedup_against": _dedup.dedup_against,
+        "ngram_jaccard_pairs": _dedup.ngram_jaccard_pairs,
+        "duplicate_clusters": _graph.duplicate_clusters,
+        "duplicate_clusters_lsh": _graph.duplicate_clusters_lsh,
+        "decontaminate": _cur.decontaminate,
+        "embedding_near_dup": _ivf.embedding_near_dup_ivf,      # rows-only
+        "embedding_near_dup_exact": _sim.embedding_near_dup_exact,
+        "ann_cosine_topk": _sim.cosine_topk_bruteforce,
+        "ann_cosine_topk_lsh": _sim.cosine_topk_lsh,            # rows-only
+        "ann_cosine_topk_ivf": _ivf.cosine_topk_ivf,            # rows-only
+        "text_token_count": _text.token_count,
+        "text_quality_score": _text.quality_score,
+        "text_lang_id": _text.lang_id,
+        "text_fingerprint": _text.fingerprint,
+        "text_vocab_topk": _text.vocab_top_tokens,
+        "repetition_signals": _text.repetition_signals,
+        "quality_filter": _text.quality_filter,
+        "sample_deterministic": _cur.sample_deterministic,
+        "train_val_test_split": _cur.train_val_test_split,
+        "normalize_text": _cur.normalize_text,
+        "pii_scrub": _cur.pii_scrub,
+        # n_shards pinned: shard assignment is part of the output, and the
+        # oracle must be a pure function of the data, not of the box's CPU
+        # count (the library default is defaultParallelism)
+        "pack_sequences": lambda spark, sf_dir: _cur.pack_sequences(
+            spark, sf_dir, n_shards=16),
+        "error_incident_events": _temporal.error_incident_events,
+        "trip_time_rollup": _olap.trip_time_rollup,
+        "events_value_quantiles": _olap.events_value_quantiles,  # rows-only
+        "bm25_search": _ret.bm25_search,
+        "corpus_diff": _cur.corpus_diff,
+        "events_funnel": _events.funnel,
+        "events_attribution": _temporal.events_attribution,
+        "vocab_drift": _text.vocab_drift,
+        "mix_temperature": _cur.mix_temperature,
+        "q1_available_seats_per_route": _q.q1_available_seats_per_route,
+        "q2_average_passengers_per_transport_type": _q.q2_average_passengers_per_transport_type,
+        # Q2's 100 TB form: HLL sketch distinct (rows-only; error bound
+        # vs exact is pytest-asserted)
+        "q2_approx_average_passengers": _q.q2_approx_average_passengers_per_transport_type,
+        "q3_name_passenger_most_trips": _q.q3_name_passenger_most_trips,
+        "q4_occupancy_per_route": _q.q4_occupancy_per_route,
+        "q5_passengers_per_route": _q.q5_passengers_per_route,
+        "q6_route_least_occupancy_per_transport_type": _q.q6_route_least_occupancy_per_transport_type,
+        "q7_total_capacity_available": _q.q7_total_capacity_available,
+        "q8_total_occupancy_percentage": _q.q8_total_occupancy_percentage,
     }
 
 

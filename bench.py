@@ -68,6 +68,26 @@ COMPOSED_QUERIES = {"pipeline_full_clean"}
 from kafkastreams_tp3_is_spark.oracles import Q_NAMES as _REFERENCE_QUERIES  # noqa: E402
 
 
+def _git_sha() -> str:
+    """Short SHA (+ '-dirty' when the tree has uncommitted changes) of
+    the repo the bench ran against — stamped into both the detail file
+    and the stdout line so the judged numbers and the committed numbers
+    can never diverge silently."""
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        sha = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"], cwd=here,
+            capture_output=True, text=True, timeout=10).stdout.strip()
+        dirty = subprocess.run(
+            ["git", "status", "--porcelain"], cwd=here,
+            capture_output=True, text=True, timeout=10).stdout.strip()
+        return (sha or "unknown") + ("-dirty" if dirty else "")
+    except Exception:
+        return "unknown"
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -137,11 +157,13 @@ def main() -> None:
     # below stays under the window.
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_DETAIL.json")
+    git_sha = _git_sha()
     with open(detail_path, "w") as f:
         json.dump({
             "metric": "total_query_wall_seconds",
             "value": total,
             "unit": "sec",
+            "git_sha": git_sha,
             "queries": timings,           # median of n_runs per query
             "queries_min": timings_min,   # min of n_runs: the noise floor
             "bench_runs": n_runs,
@@ -162,6 +184,7 @@ def main() -> None:
             # cross-round comparability: the 13 reference queries alone
             "reference_queries_sec": ref_total,
             "detail": "BENCH_DETAIL.json",
+            "git_sha": git_sha,
             "sf": sf_val,
         }
         if truncated:

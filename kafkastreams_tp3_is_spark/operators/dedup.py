@@ -440,6 +440,61 @@ _SIM_COMBOS = [(i, j, l)
                for l in range(j + 1, 6)]  # C(6,3) = 20 tables
 
 
+def hamming_pairs_df(fps: DataFrame, id_col: str = "doc_id",
+                     fp_col: str = "sim_long",
+                     max_hamming: int = 3) -> DataFrame:
+    """All pairs within hamming distance ``max_hamming`` (<= 3) over a
+    frame of PACKED 64-bit fingerprints — the block-combination candidate
+    machinery of ``dedup_simhash_df`` (Manku WWW'07), factored out so any
+    64-bit perceptual fingerprint rides it: simhash over tokens,
+    multimodal's image dHash, audio chromaprints. 20 tables keyed on
+    exact 3-block (~32-bit) prefixes; every true pair within hamming<=3
+    shares a key in >= 1 table (pigeonhole over the 6 blocks); candidates
+    verified by one ``bit_count(a XOR b)``. Output
+    (a_id, b_id, hamming), a_id < b_id.
+
+    Scale: shuffle on (table_id, 32-bit key); key cardinality grows with
+    the corpus, so within-bucket joins stay sub-quadratic. Caller owns
+    persisting ``fps`` (the self-join consumes it twice)."""
+    if max_hamming > 3:
+        raise ValueError(
+            f"the 3-of-6 block scheme guarantees recall only to hamming "
+            f"3; got max_hamming={max_hamming} (add block tables to go "
+            "wider)")
+    bits = sum(_SIM_BLOCKS)
+    offs = []
+    off = 0
+    for s in _SIM_BLOCKS:
+        offs.append((off, s))
+        off += s
+    blk = [F.shiftrightunsigned(F.col(fp_col), bits - o - s)
+            .bitwiseAND(F.lit((1 << s) - 1)).alias(f"blk{i}")
+           for i, (o, s) in enumerate(offs)]
+    blocks = fps.select(F.col(id_col), F.col(fp_col), *blk)
+    combos = F.array(*[
+        F.struct(
+            F.lit(ci).alias("table"),
+            ((F.col(f"blk{i}") * (1 << (offs[j][1] + offs[l][1]))
+              + F.col(f"blk{j}") * (1 << offs[l][1])
+              + F.col(f"blk{l}"))).alias("key"))
+        for ci, (i, j, l) in enumerate(_SIM_COMBOS)
+    ])
+    exploded = (blocks.withColumn("t", F.explode(combos))
+                .select(id_col, fp_col,
+                        F.col("t.table").alias("table"),
+                        F.col("t.key").alias("key")))
+    a, b = exploded.alias("a"), exploded.alias("b")
+    hamming = F.bit_count(
+        F.col(f"a.{fp_col}").bitwiseXOR(F.col(f"b.{fp_col}"))).cast("long")
+    return (a.join(b, ["table", "key"])
+            .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(F.col(f"a.{id_col}").alias("a_id"),
+                    F.col(f"b.{id_col}").alias("b_id"),
+                    hamming.alias("hamming"))
+            .where(F.col("hamming") <= max_hamming)
+            .distinct())
+
+
 def dedup_simhash_df(docs: DataFrame, max_hamming: int = 3,
                      bits: int = 64, token_hash: str = "md5") -> DataFrame:
     """SimHash near-dup pairs via block-combination tables (Manku et al.,
@@ -469,39 +524,9 @@ def dedup_simhash_df(docs: DataFrame, max_hamming: int = 3,
     pack = F.aggregate(
         F.col("sim_bits"), F.lit(0).cast("long"),
         lambda acc, x: F.shiftleft(acc, 1).bitwiseOR(x.cast("long")))
-    offs = []
-    off = 0
-    for s in _SIM_BLOCKS:
-        offs.append((off, s))
-        off += s
     packed = (fps.select("doc_id", pack.alias("sim_long"))
               .persist(StorageLevel.MEMORY_AND_DISK))
-    blk = [F.shiftrightunsigned(F.col("sim_long"), bits - o - s)
-            .bitwiseAND(F.lit((1 << s) - 1)).alias(f"blk{i}")
-           for i, (o, s) in enumerate(offs)]
-    blocks = packed.select("doc_id", "sim_long", *blk)
-    combos = F.array(*[
-        F.struct(
-            F.lit(ci).alias("table"),
-            ((F.col(f"blk{i}") * (1 << (offs[j][1] + offs[l][1]))
-              + F.col(f"blk{j}") * (1 << offs[l][1])
-              + F.col(f"blk{l}"))).alias("key"))
-        for ci, (i, j, l) in enumerate(_SIM_COMBOS)
-    ])
-    exploded = (blocks.withColumn("t", F.explode(combos))
-                .select("doc_id", "sim_long",
-                        F.col("t.table").alias("table"),
-                        F.col("t.key").alias("key")))
-    a, b = exploded.alias("a"), exploded.alias("b")
-    hamming = F.bit_count(
-        F.col("a.sim_long").bitwiseXOR(F.col("b.sim_long"))).cast("long")
-    out = (a.join(b, ["table", "key"])
-            .where(F.col("a.doc_id") < F.col("b.doc_id"))
-            .select(F.col("a.doc_id").alias("a_id"),
-                    F.col("b.doc_id").alias("b_id"),
-                    hamming.alias("hamming"))
-            .where(F.col("hamming") <= max_hamming)
-            .distinct())
+    out = hamming_pairs_df(packed, max_hamming=max_hamming)
     return owned(out, packed)
 
 
@@ -814,3 +839,96 @@ def decontaminate_spans(spark: SparkSession, sf_dir: str,
     is_bench = F.col("doc_id") % 50 == 0
     return decontaminate_spans_df(docs.where(~is_bench),
                                   docs.where(is_bench), span_len)
+
+
+def bloom_decontaminate_spans_df(train: DataFrame, benchmark: DataFrame,
+                                 span_len: int = 30, min_spans: int = 1,
+                                 m_bits: int = 1 << 20,
+                                 broadcast_max_spans: int = 4_000_000
+                                 ) -> DataFrame:
+    """``decontaminate_spans_df`` with a Bloom prefilter — the 100 TB
+    shape when the benchmark's distinct span-hash set outgrows a
+    broadcast (span inventories are exactly where that happens: every
+    position of every benchmark doc is a key, so the distinct set runs
+    ~chars-sized where k-gram decontamination's runs ~vocabulary-sized).
+    Same composition as ``sketch.bloom_decontaminate_df``, but the
+    prefilter prunes at ROW level, which is stronger than its
+    candidate-document pruning: a per-position Bloom test has no false
+    negatives, so the positions that pass are a SUPERSET of the truly
+    matching positions (pytest-pinned) and the exact join's probe side
+    shrinks from the full O(chars) inventory to passing positions only —
+    on a clean corpus, nearly nothing. Verdicts stay EXACT (the filter
+    only prunes; false positives die in the exact join), so the oracle
+    is the same verbatim-substring restatement as the unfiltered
+    operator's.
+
+    Build side: each distinct benchmark span hash sets 2 bit positions
+    (sketch's XOR/shift derivation — replayed bit-identically in the
+    numpy probe); the positions pack into 64-bit blocks executor-side
+    (``sketch.packed_bitset``), and the driver broadcasts the ~m/8-byte
+    bitset. Output: (doc_id, n_bench_spans, span_contaminated), equal to
+    ``decontaminate_spans_df`` row-for-row."""
+    from collections.abc import Iterator as _Iter
+
+    from .sketch import _bloom_positions, packed_bitset
+
+    # ONE distinct bench span-hash frame serves both the bitset build
+    # and the exact join below
+    bench_h = (span_hash_rows(benchmark, span_len)
+               .select("h").distinct().persist())
+    pos = (bench_h
+           .select(F.explode(_bloom_positions(F.col("h"), m_bits))
+                   .alias("p"))
+           .distinct())
+    bc_bits = train.sparkSession.sparkContext.broadcast(
+        packed_bitset(pos, m_bits))
+
+    def prefilter(batches: _Iter) -> _Iter:
+        import numpy as _np
+
+        w = bc_bits.value
+
+        def isset(p):
+            return ((w[p >> 6]
+                     >> (p & _np.int64(63)).astype(_np.uint64))
+                    & _np.uint64(1)).astype(bool)
+
+        with _np.errstate(over="ignore"):
+            for pdf in batches:
+                h = pdf["h"].to_numpy(dtype=_np.int64, copy=False)
+                if h.size == 0:
+                    continue
+                p1 = _np.mod(h, m_bits)
+                hu = h.view(_np.uint64)
+                mixed = (h
+                         ^ (hu >> _np.uint64(33)).view(_np.int64)
+                         ^ (hu << _np.uint64(21)).view(_np.int64))
+                p2 = _np.mod(mixed, m_bits)
+                yield pdf[isset(p1) & isset(p2)]
+
+    cand = (span_hash_rows(train, span_len)
+            .mapInPandas(prefilter, "doc_id long, pos long, h long"))
+    build = (F.broadcast(bench_h)
+             if bench_h.count() <= broadcast_max_spans else bench_h)
+    hits = (cand.join(build, "h")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_bench_spans")))
+    out = (train.select("doc_id")
+           .join(hits, "doc_id", "left")
+           .select("doc_id",
+                   F.coalesce("n_bench_spans", F.lit(0).cast("bigint"))
+                    .alias("n_bench_spans"))
+           .withColumn("span_contaminated",
+                       F.col("n_bench_spans") >= int(min_spans)))
+    return owned(out, bench_h)
+
+
+def decontaminate_spans_bloom(spark: SparkSession, sf_dir: str,
+                              span_len: int = 30) -> DataFrame:
+    """Driver-gate fixture: the decontaminate split through the
+    Bloom-prefiltered span path — same oracle as decontaminate_spans
+    (the prefilter only prunes)."""
+    docs = load(spark, sf_dir, "documents")
+    is_bench = F.col("doc_id") % 50 == 0
+    return bloom_decontaminate_spans_df(docs.where(~is_bench),
+                                        docs.where(is_bench), span_len)

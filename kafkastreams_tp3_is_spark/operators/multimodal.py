@@ -393,6 +393,129 @@ def frame_sample(media: DataFrame, frame_bytes: int = 64,
                  .mapInPandas(run, FRAME_SCHEMA))
 
 
+# --- perceptual-hash image near-dup (dHash) ----------------------------
+
+DHASH_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("dhash", T.LongType(), False),
+])
+
+
+def dhash_kernel_stub():
+    """Batch kernel: difference hash over the RAW payload bytes — the
+    payload resamples to an 8-row x 9-column byte grid (grid[i] =
+    payload[i*n//72], the same nearest-neighbor arithmetic as the resize
+    stub), and bit r*8+c of the fingerprint is grid[r][c+1] > grid[r][c]
+    (MSB = bit 0). Deterministic and SQL-restatable byte-for-byte, which
+    is what lets the driver hash-gate the candidate machinery end to
+    end; the PIL kernel swaps only the grid source."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def grid_of(payload: bytes):
+            n = len(payload or b"")
+            if n == 0:
+                return None
+            arr = np.frombuffer(payload, dtype=np.uint8)
+            return arr[(np.arange(72) * n) // 72].reshape(8, 9)
+
+        def pack(grid) -> int:
+            if grid is None:
+                return 0
+            bits = (grid[:, 1:] > grid[:, :-1]).ravel()  # 8x8, row-major
+            v = int.from_bytes(np.packbits(bits).tobytes(), "big")
+            return v - (1 << 64) if v >= (1 << 63) else v  # signed long
+
+        for pdf in batches:
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "dhash": [pack(grid_of(c)) for c in pdf["content"]],
+            })
+
+    return run
+
+
+def dhash_kernel_pil():
+    """Batch kernel: the CLASSIC image dHash — decode, grayscale, resize
+    to 9x8 (bilinear), bit r*8+c = px[r][c+1] > px[r][c]. Undecodable
+    payloads fall back to the stub's byte-grid hash so a mixed table
+    still yields one fingerprint per row (lineage 1:1, same contract as
+    the other PIL kernels)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from io import BytesIO
+
+        import numpy as np
+        from PIL import Image
+
+        def stub_grid(payload: bytes):
+            n = len(payload or b"")
+            if n == 0:
+                return None
+            arr = np.frombuffer(payload, dtype=np.uint8)
+            return arr[(np.arange(72) * n) // 72].reshape(8, 9)
+
+        def grid_of(payload: bytes):
+            try:
+                img = Image.open(BytesIO(payload or b"")).convert("L")
+                px = np.asarray(img.resize((9, 8), Image.BILINEAR))
+                return px.reshape(8, 9)
+            except Exception:
+                return stub_grid(payload)
+
+        def pack(grid) -> int:
+            if grid is None:
+                return 0
+            bits = (grid[:, 1:] > grid[:, :-1]).ravel()
+            v = int.from_bytes(np.packbits(bits).tobytes(), "big")
+            return v - (1 << 64) if v >= (1 << 63) else v
+
+        for pdf in batches:
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "dhash": [pack(grid_of(c)) for c in pdf["content"]],
+            })
+
+    return run
+
+
+def image_dhash(media: DataFrame, kernel: str = "stub") -> DataFrame:
+    """(media_id, dhash): 64-bit difference-hash fingerprints of the
+    image rows — a narrow Arrow-batched map, no shuffle. ``kernel``
+    picks the decoder (module docstring)."""
+    k = _resolve(kernel, "image")
+    run = dhash_kernel_pil() if k == "pil" else dhash_kernel_stub()
+    return (media.filter(F.col("media_type") == "image")
+                 .mapInPandas(run, DHASH_SCHEMA))
+
+
+def image_dhash_pairs_df(media: DataFrame, max_hamming: int = 3,
+                         kernel: str = "stub") -> DataFrame:
+    """Near-duplicate IMAGE pairs: dHash fingerprints through the same
+    Manku block-combination candidate machinery the text simhash path
+    uses (dedup.hamming_pairs_df) — multimodal dedup as a first-class
+    member of the dedup family, not a feature-extraction island. Output
+    (a_id, b_id, hamming), hamming <= ``max_hamming`` (<= 3, the
+    3-of-6 recall guarantee).
+
+    Scale: fingerprints are one packed long per image; candidates join
+    on (table, ~32-bit key) whose cardinality grows with the corpus.
+    The fingerprint frame is persisted — the self-join consumes it
+    twice, and without the barrier the decode kernel runs once per join
+    side."""
+    from pyspark import StorageLevel
+
+    from ..cache import owned as _owned
+    from .dedup import hamming_pairs_df
+
+    fps = (image_dhash(media, kernel)
+           .withColumnRenamed("dhash", "sim_long")
+           .persist(StorageLevel.MEMORY_AND_DISK))
+    out = hamming_pairs_df(fps, id_col="media_id", max_hamming=max_hamming)
+    return _owned(out, fps)
+
+
 # --- queries() surface (driver gates pin kernel="stub") ----------------
 
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -421,6 +544,41 @@ def media_resize(spark: SparkSession, sf_dir: str,
         F.col("meta.height").alias("height"),
         F.length("content").cast("bigint").alias("n_bytes"),
         F.lower(F.sha2("content", 256)).alias("content_sha256"))
+
+
+def media_dhash_pairs(spark: SparkSession, sf_dir: str,
+                      max_hamming: int = 3) -> DataFrame:
+    """queries() surface: near-dup image pairs via the stub dHash
+    kernel, over the synthetic images PLUS a planted near-identical twin
+    of every 10th one (media_id + 999999 — a multiple of 3, so the
+    media-type class is preserved — with one character overwritten at a
+    fixed position). A single in-place byte edit moves at most two
+    adjacent-comparison bits of the 8x9 grid, so every twin pair sits
+    inside the hamming<=3 recall guarantee and the gate output is
+    non-empty with both near-zero and zero distances. The DuckDB oracle
+    rebuilds the byte-grid fingerprints with substring/ord arithmetic
+    (ASCII payloads, char index == byte index) and compares ALL pairs
+    bit-for-bit — so the gate checks kernel + candidate machinery end to
+    end (the block tables must find exactly the all-pairs answer)."""
+    from ..views import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = (docs.where(F.col("doc_id") % 30 == 0)
+               .select((F.col("doc_id") + 999_999).alias("doc_id"),
+                       F.concat(
+                           F.substring("text", 1, 10), F.lit("#"),
+                           F.col("text").substr(F.lit(12),
+                                                F.length("text")))
+                       .alias("text")))
+    base = docs.unionByName(planted)
+    media = base.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(F.array(F.lit("image"), F.lit("audio"),
+                             F.lit("video")),
+                     (F.col("doc_id") % 3 + 1).cast("int"))
+         .alias("media_type"),
+        F.encode("text", "utf-8").alias("content"))
+    return image_dhash_pairs_df(media, max_hamming, kernel="stub")
 
 
 def media_frame_sample(spark: SparkSession, sf_dir: str,

@@ -125,6 +125,32 @@ def _bloom_positions(h: F.Column, m_bits: int) -> F.Column:
                    F.pmod(mixed, F.lit(m_bits)))
 
 
+def packed_bitset(positions: DataFrame, m_bits: int):
+    """Distributed bit-block packing: aggregate a frame of bit positions
+    ``p`` (0 <= p < m_bits) into 64-bit blocks EXECUTOR-side —
+    ``groupBy(p div 64) + bit_or(shiftleft(1, p % 64))`` — and collect
+    only the ceil(m_bits/64) packed longs (~16 MB at the 2^27 sizing the
+    docstring below recommends, vs a 134M-row per-position collect).
+    Returns a numpy uint64 array; bit p of the set is
+    ``(arr[p >> 6] >> (p & 63)) & 1``. Real bits, 1/8 the bytes of a
+    bool array — at 2^27 the probe-side payload is ~16 MB, small enough
+    for an ``sc.broadcast`` torrent instead of per-task closure
+    serialization."""
+    import numpy as np
+
+    rows = (positions
+            .groupBy(F.expr("p div 64").alias("blk"))
+            .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), "
+                        "CAST(p % 64 AS INT)))").alias("bits"))
+            .collect())
+    arr = np.zeros((m_bits + 63) // 64, dtype=np.uint64)
+    if rows:
+        blks = np.array([r["blk"] for r in rows], dtype=np.int64)
+        vals = np.array([r["bits"] for r in rows], dtype=np.int64)
+        arr[blks] = vals.view(np.uint64)
+    return arr
+
+
 def bloom_decontaminate_df(train: DataFrame, benchmark: DataFrame,
                            k: int = 5, min_overlap: int = 10,
                            m_bits: int = 1 << 20) -> DataFrame:
@@ -140,10 +166,10 @@ def bloom_decontaminate_df(train: DataFrame, benchmark: DataFrame,
 
       build  the benchmark's distinct shingle hashes (8-byte longs, the
              curation discipline) each set 2 bit positions: pmod(h, m)
-             and an XOR/shift-derived second. The DISTINCT set-bit list
-             is a bounded driver collect (<= m_bits rows — the same
-             budget class as IVF's 4096-row centroid sample; at real
-             scale this becomes one array-agg over bit-blocks). SIZE m
+             and an XOR/shift-derived second. The positions pack into
+             64-bit blocks EXECUTOR-side (``packed_bitset``); the driver
+             collects ceil(m_bits/64) longs and broadcasts the ~m/8-byte
+             bitset to the probe tasks. SIZE m
              to ~10x the benchmark's distinct-shingle count (default
              2^20 covers ~10^5 shingles at ~18% fill with 2 probes);
              an undersized filter saturates and the prefilter
@@ -165,8 +191,6 @@ def bloom_decontaminate_df(train: DataFrame, benchmark: DataFrame,
     whole corpus."""
     from collections.abc import Iterator as _Iter
 
-    import numpy as np
-
     from .curation import _hashed_kgram_set
 
     # ONE distinct benchmark shingle-hash frame serves both phases: the
@@ -180,13 +204,20 @@ def bloom_decontaminate_df(train: DataFrame, benchmark: DataFrame,
                  .select(F.explode(_bloom_positions(F.col("s"), m_bits))
                          .alias("p"))
                  .distinct())
-    # bounded driver collect: <= m_bits ints (the bitset itself)
-    bits = np.zeros(m_bits, dtype=bool)
-    bits[[r["p"] for r in bench_pos.collect()]] = True
+    bc_bits = train.sparkSession.sparkContext.broadcast(
+        packed_bitset(bench_pos, m_bits))
 
     def probe(batches: _Iter) -> _Iter:
         import numpy as _np
         import pandas as _pd
+
+        w = bc_bits.value
+
+        def isset(pos):
+            # pos: nonnegative int64 positions < m_bits
+            return ((w[pos >> 6]
+                     >> (pos & _np.int64(63)).astype(_np.uint64))
+                    & _np.uint64(1)).astype(bool)
 
         with _np.errstate(over="ignore"):
             for pdf in batches:
@@ -204,7 +235,8 @@ def bloom_decontaminate_df(train: DataFrame, benchmark: DataFrame,
                              ^ (hu >> _np.uint64(33)).view(_np.int64)
                              ^ (hu << _np.uint64(21)).view(_np.int64))
                     p2 = _np.mod(mixed, m_bits)
-                    ubs.append(int(_np.count_nonzero(bits[p1] & bits[p2])))
+                    ubs.append(int(_np.count_nonzero(
+                        isset(p1) & isset(p2))))
                 yield _pd.DataFrame({"doc_id": pdf["doc_id"], "ub": ubs})
 
     train_sh = train.select("doc_id", _hashed_kgram_set(k).alias("hs"))

@@ -745,6 +745,45 @@ SELECT v.media_id,
 FROM v, range(4) t(j) WHERE t.j < v.k
 """
 
+# dHash image near-dup: the stub kernel's 8x9 byte grid rebuilt with
+# substring/ord arithmetic (pure-ASCII payloads, same argument as the
+# resize oracle); hamming computed ALL-PAIRS over per-bit rows, so the
+# engine's block-combination candidate tables must recover exactly the
+# exhaustive answer. Empty payloads hash to 0 (every bit 0), matching
+# the kernel's None-grid path.
+ORACLES["media_dhash_pairs"] = """
+WITH img0 AS (
+  SELECT doc_id AS media_id, text FROM documents WHERE doc_id % 3 = 0
+),
+planted AS (
+  SELECT doc_id + 999999 AS media_id,
+         substr(text, 1, 10) || '#' || substr(text, 12) AS text
+  FROM documents WHERE doc_id % 30 = 0
+),
+img AS (
+  SELECT media_id, text, length(text) AS n
+  FROM (SELECT * FROM img0 UNION ALL SELECT * FROM planted)
+),
+bits AS (
+  SELECT media_id, b,
+         CASE WHEN n = 0 THEN 0
+              WHEN ord(substr(text,
+                     CAST((((b // 8) * 9 + (b % 8) + 1) * n) // 72 + 1
+                          AS INTEGER), 1))
+                 > ord(substr(text,
+                     CAST((((b // 8) * 9 + (b % 8)) * n) // 72 + 1
+                          AS INTEGER), 1))
+              THEN 1 ELSE 0 END AS bit
+  FROM img, (SELECT unnest(generate_series(0, 63)) AS b)
+)
+SELECT a.media_id AS a_id, c.media_id AS b_id,
+       CAST(SUM(CASE WHEN a.bit <> c.bit THEN 1 ELSE 0 END) AS BIGINT)
+         AS hamming
+FROM bits a JOIN bits c ON a.b = c.b AND a.media_id < c.media_id
+GROUP BY 1, 2
+HAVING SUM(CASE WHEN a.bit <> c.bit THEN 1 ELSE 0 END) <= 3
+"""
+
 ORACLES["q13_most_occupied_operator"] = f"""{_RT},
 cap AS (SELECT operator, CAST(SUM(capacity) AS BIGINT) AS cap FROM routes GROUP BY operator),
 pax AS (
@@ -1781,3 +1820,9 @@ SELECT t.doc_id,
        COALESCE(h.n, 0) >= 1 AS span_contaminated
 FROM tr t LEFT JOIN hits h USING (doc_id)
 """
+
+# Bloom-prefiltered verbatim-span decontamination: the row-level Bloom
+# prefilter only prunes the exact join's probe side (no false
+# negatives), so the output is identical to the unfiltered operator —
+# same restatement, verbatim.
+ORACLES["decontaminate_spans_bloom"] = ORACLES["decontaminate_spans"]

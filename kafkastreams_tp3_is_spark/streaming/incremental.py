@@ -261,3 +261,46 @@ class StreamingCorpusDedup:
         if out is None:
             raise FileNotFoundError(f"no corpus at {self.corpus_dir}")
         return out
+
+    def compact(self) -> None:
+        """Rewrite every ``batch=...`` subdirectory of BOTH stores into
+        one consolidated directory per store. The per-batch layout is
+        what the overwrite-per-batch_id idempotence needs DURING a run,
+        but it grows one directory (plus file-listing and footer cost)
+        per micro-batch forever; a long-lived store compacts between
+        runs. The checkpoint guard's marker file is untouched, so the
+        original checkpoint still owns the store and resumes cleanly.
+
+        Call OFFLINE only (after ``run`` returns): batch ids under the
+        owning checkpoint are monotone, so a compacted directory named
+        after a past id can never collide with a future trigger's
+        ``batch=<id>`` overwrite — but the id suffix 'c' keeps even a
+        replayed final batch from clobbering it. Crash-safety: the
+        consolidated directory is fully written and renamed into place
+        BEFORE the source directories are deleted; a crash in the
+        delete loop leaves duplicate rows visible, which re-running
+        compact() (it folds the compacted dir in with the stragglers)
+        repairs."""
+        import shutil
+
+        for root in (self.corpus_dir, self.sig_dir):
+            if not os.path.isdir(root):
+                continue
+            subdirs = sorted(d for d in os.listdir(root)
+                             if d.startswith("batch="))
+            if len(subdirs) <= 1:
+                continue
+            max_id = max(int(d.split("=", 1)[1].rstrip("c"))
+                         for d in subdirs
+                         if d.split("=", 1)[1].rstrip("c").isdigit())
+            df = self.spark.read.option("basePath", root).parquet(
+                *[os.path.join(root, d) for d in subdirs]).drop("batch")
+            tmp = os.path.join(root, "_compact_tmp")
+            df.write.mode("overwrite").parquet(tmp)
+            final = os.path.join(root, f"batch={max_id}c")
+            if os.path.isdir(final):          # re-run after a crash
+                shutil.rmtree(final)
+            os.rename(tmp, final)
+            for d in subdirs:
+                if d != f"batch={max_id}c":
+                    shutil.rmtree(os.path.join(root, d))

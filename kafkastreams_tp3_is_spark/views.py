@@ -99,14 +99,15 @@ def latest_per_key(df: DataFrame, key_cols: list[str], ts_col: str,
               .drop("__rn"))
 
 
-def routes_reemitted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Routes WITH re-emissions: every 10th route gets a second, later
-    record with a different capacity — the changelog shape the reference's
-    KTable semantics exists for (updated Route records on the topic). The
-    re-emission is a pure function of the keys so the DuckDB oracle can
-    restate it."""
-    o = load(spark, sf_dir, "orders").where(F.col("o_orderkey") % 10 == 0)
-    update = o.select(
+def route_updates_from_orders(o: DataFrame) -> DataFrame:
+    """The RE-EMISSION projection: a later Route record (capacity
+    shifted, event_ts + 1 day) for each input orders row — a pure
+    function of the keys so the DuckDB oracle can restate it. Shared by
+    ``routes_reemitted`` (every 10th route) and the stateful streaming
+    demo (which pre-filters orders to its 1/80 key subset BEFORE the
+    derivation, so the projection runs on 1/80 of the scan instead of
+    filtering afterwards on a substring of the derived key)."""
+    return o.select(
         F.concat(F.lit("Route_"), F.col("o_orderkey").cast("string")).alias("route_id"),
         F.concat(F.lit("Origin_"), (F.col("o_custkey") % 10).cast("string")).alias("origin"),
         F.concat(F.lit("Destination_"), (F.col("o_orderkey") % 10).cast("string")).alias("destination"),
@@ -115,7 +116,14 @@ def routes_reemitted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("Operator_"), (F.col("o_orderkey") % 7).cast("string")).alias("operator"),
         (F.col("o_orderdate") + F.expr("INTERVAL 1 DAY")).alias("event_ts"),
     )
-    return routes(spark, sf_dir).unionByName(update)
+
+
+def routes_reemitted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Routes WITH re-emissions: every 10th route gets a second, later
+    record with a different capacity — the changelog shape the reference's
+    KTable semantics exists for (updated Route records on the topic)."""
+    o = load(spark, sf_dir, "orders").where(F.col("o_orderkey") % 10 == 0)
+    return routes(spark, sf_dir).unionByName(route_updates_from_orders(o))
 
 
 def latest_route_capacity(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -31,8 +31,10 @@ from pyspark.sql import functions as F  # noqa: E402
 from kafkastreams_tp3_is_spark.operators.curation import (  # noqa: E402
     decontaminate_df)
 from kafkastreams_tp3_is_spark.operators.dedup import (  # noqa: E402
-    dedup_minhash_lsh_df, dedup_simhash_df, paragraph_dedup_df,
-    repeated_spans_df)
+    bloom_decontaminate_spans_df, dedup_minhash_lsh_df, dedup_simhash_df,
+    paragraph_dedup_df, repeated_spans_df)
+from kafkastreams_tp3_is_spark.operators.multimodal import (  # noqa: E402
+    image_dhash_pairs_df)
 from kafkastreams_tp3_is_spark.operators.graph import (  # noqa: E402
     duplicate_clusters_lsh_df)
 from kafkastreams_tp3_is_spark.operators.retrieval import (  # noqa: E402
@@ -79,6 +81,25 @@ def _bloom_decontaminate(docs):
                                   min_overlap=190)
 
 
+def _bloom_decontaminate_spans(docs):
+    # row-level Bloom prefilter over the span inventory: kernel pass is
+    # O(chars), the exact join probe only passing positions
+    return bloom_decontaminate_spans_df(
+        docs.where(F.col("doc_id") % 50 != 0),
+        docs.where(F.col("doc_id") % 50 == 0))
+
+
+def _dhash_pairs(docs):
+    # documents as image payloads (the fixture's shape): fingerprints are
+    # one long per row; candidates join on block-combination keys whose
+    # cardinality grows with the corpus
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("media_type"),
+        F.encode("text", "utf-8").alias("content"))
+    return image_dhash_pairs_df(media)
+
+
 def timed(fn, df) -> tuple[float, int]:
     # bit_xor over every output column, like bench.py force_full_eval: a
     # bare count() lets Catalyst PRUNE work whose output cardinality is
@@ -117,7 +138,13 @@ def main() -> None:
            ("paragraph_dedup", paragraph_dedup_df),
            # bitset prefilter: probe linear in shingles, exact join only
            # on the contaminated tail
-           ("bloom_decontaminate", _bloom_decontaminate)]
+           ("bloom_decontaminate", _bloom_decontaminate),
+           # span-inventory twin: O(chars) rolling-hash kernel + packed
+           # bitset probe; join input is the passing tail only
+           ("bloom_decontaminate_spans", _bloom_decontaminate_spans),
+           # one packed fingerprint per image + 20 block tables: linear
+           # rows, bucket keys grow with the corpus
+           ("media_dhash_pairs", _dhash_pairs)]
     for name, fn in ops:
         d1 = scaled_docs(spark, sf_dir, 1)
         timed(fn, d1)                       # untimed warmup: codegen/JIT

@@ -258,6 +258,40 @@ def test_decontaminate_spans_verbatim_containment(spark):
     assert not got[2]["span_contaminated"] and got[2]["n_bench_spans"] == 0
 
 
+def test_bloom_span_prefilter_is_superset_and_verdicts_exact(spark):
+    """(a) The row-level Bloom prefilter must pass a SUPERSET of the
+    truly matching span positions (Bloom filters have no false
+    negatives); (b) the full Bloom-prefiltered operator must equal the
+    unfiltered one row-for-row — including under a deliberately
+    saturating tiny filter, where pruning degenerates but verdicts may
+    not."""
+    from kafkastreams_tp3_is_spark.operators.dedup import (
+        bloom_decontaminate_spans_df, decontaminate_spans_df,
+        span_hash_rows)
+    from kafkastreams_tp3_is_spark.views import load
+    from tests.conftest import SF_DIR
+
+    docs = load(spark, SF_DIR, "documents")
+    is_bench = F.col("doc_id") % 50 == 0
+    train, bench = docs.where(~is_bench), docs.where(is_bench)
+    want = sorted(tuple(r) for r in
+                  decontaminate_spans_df(train, bench, 30).collect())
+    for m_bits in (1 << 20, 64):  # honest sizing + saturating degenerate
+        got = sorted(tuple(r) for r in bloom_decontaminate_spans_df(
+            train, bench, 30, m_bits=m_bits).collect())
+        assert got == want, f"verdict drift at m_bits={m_bits}"
+    # superset invariant, directly on the inventories: every train span
+    # hash present in the bench set must survive the prefilter
+    bench_hashes = {r["h"] for r in
+                    span_hash_rows(bench, 30).select("h").distinct()
+                    .collect()}
+    true_hits = {(r["doc_id"], r["pos"])
+                 for r in span_hash_rows(train, 30).collect()
+                 if r["h"] in bench_hashes}
+    n_true = sum(t[1] for t in want)  # (doc_id, n_bench_spans, flag)
+    assert len(true_hits) == n_true
+
+
 def test_span_kernel_handles_non_ascii_positions(spark):
     """The rolling-hash kernel decodes UTF-32, so char positions are
     exact for multi-byte text too: a verbatim 30-CHAR CJK/emoji span is

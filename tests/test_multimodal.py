@@ -72,6 +72,115 @@ def test_registered_wrappers_nonempty(spark):
     assert synthetic_media(spark, SF_DIR).count() > 0
 
 
+# --- perceptual-hash image near-dup (dHash) ---------------------------
+
+def _py_dhash(payload: bytes) -> int:
+    """Pure-Python restatement of the stub dHash kernel."""
+    n = len(payload)
+    if n == 0:
+        return 0
+    g = [payload[(i * n) // 72] for i in range(72)]
+    v = 0
+    for r in range(8):
+        for c in range(8):
+            v = (v << 1) | int(g[r * 9 + c + 1] > g[r * 9 + c])
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def test_dhash_stub_exact(spark):
+    """The Arrow kernel's fingerprints must equal a pure-Python
+    restatement on known payloads, including the empty payload and one
+    with the sign bit (bit 0 = MSB) set."""
+    from kafkastreams_tp3_is_spark.operators.multimodal import (
+        MEDIA_SCHEMA, image_dhash)
+
+    payloads = [b"", bytes(range(72)), bytes(reversed(range(72))),
+                b"\x00\xff" * 50, b"abcdefgh"]
+    rows = [(i, "image", p, None) for i, p in enumerate(payloads)]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r["media_id"]: r["dhash"]
+           for r in image_dhash(media, kernel="stub").collect()}
+    want = {i: _py_dhash(p) for i, p in enumerate(payloads)}
+    assert got == want
+    assert want[1] < 0, "ascending grid must set the MSB (sign bit)"
+
+
+def test_dhash_pairs_recall_planted(spark):
+    """A planted near-identical image (one byte edited at a sampled grid
+    position) must be recovered by the block-combination candidate
+    machinery with the exact hamming distance, and the full hamming<=3
+    pair set must equal the brute-force all-pairs answer."""
+    from itertools import combinations
+
+    from kafkastreams_tp3_is_spark.operators.multimodal import (
+        MEDIA_SCHEMA, image_dhash_pairs_df)
+
+    rng_payload = bytes((i * 37 + 11) % 256 for i in range(720))
+    twin = bytearray(rng_payload)
+    twin[0] = (twin[0] + 1) % 256        # position 0 IS sampled (i=0)
+    far = bytes((i * 101 + 5) % 256 for i in range(500))
+    rows = [(1, "image", rng_payload, None),
+            (2, "image", bytes(twin), None),
+            (3, "image", far, None),
+            (4, "audio", rng_payload, None)]   # non-image: excluded
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {(r["a_id"], r["b_id"]): r["hamming"]
+           for r in image_dhash_pairs_df(media, max_hamming=3).collect()}
+    fps = {i: _py_dhash(p) for i, _, p, _ in rows[:3]}
+    want = {(a, b): bin(fps[a] ^ fps[b]).count("1")
+            for a, b in combinations(sorted(fps), 2)
+            if bin(fps[a] ^ fps[b]).count("1") <= 3}
+    assert (1, 2) in want, "fixture must actually plant a near-dup"
+    assert got == want
+    # guarantee ceiling is enforced, not silently ignored
+    with pytest.raises(ValueError, match="hamming"):
+        image_dhash_pairs_df(media, max_hamming=5).collect()
+
+
+def test_dhash_kernel_pil_wiring(monkeypatch):
+    """The PIL dHash kernel must decode -> grayscale -> 9x8 resize and
+    hash the PIXEL grid (asserted via an injected fake whose resized
+    pixels are controlled); undecodable payloads fall back to the stub's
+    byte-grid hash."""
+    import numpy as np
+    import pandas as pd
+
+    import kafkastreams_tp3_is_spark.operators.multimodal as mm
+
+    _install_fake_pil(monkeypatch)
+    import sys as _sys
+    img_mod = _sys.modules["PIL.Image"]
+    img_mod.BILINEAR = 2
+    grid = np.arange(72, dtype=np.uint8).reshape(8, 9)
+
+    class _DhashFake:
+        def __init__(self):
+            pass
+
+        def convert(self, mode):
+            assert mode == "L"
+            return self
+
+        def resize(self, size, resample=None):
+            assert size == (9, 8)
+            return self
+
+        def __array__(self, dtype=None, copy=None):
+            return grid
+
+    monkeypatch.setattr(img_mod, "open", lambda bio: _DhashFake())
+    pdf = pd.DataFrame({"media_id": [7], "content": [b"whatever"]})
+    out = pd.concat(mm.dhash_kernel_pil()(iter([pdf])))
+    # ascending pixel grid: every adjacent comparison is True -> all-ones
+    assert int(out["dhash"].iloc[0]) == -1
+    # undecodable: stub byte-grid fallback
+    monkeypatch.setattr(
+        img_mod, "open",
+        lambda bio: (_ for _ in ()).throw(OSError("bad")))
+    out2 = pd.concat(mm.dhash_kernel_pil()(iter([pdf])))
+    assert int(out2["dhash"].iloc[0]) == _py_dhash(b"whatever")
+
+
 # --- kernel selection: real decoders behind optional imports ----------
 
 class _FakeImage:

@@ -228,3 +228,26 @@ def test_bloom_prefilter_has_no_false_negatives_and_matches_exact(spark):
     assert len(got) == train.count()
     assert any(got.values()) and not all(got.values()), \
         "fixture must exercise both verdict branches"
+
+
+def test_packed_bitset_matches_per_position_build(spark):
+    """The distributed bit-block aggregation (groupBy(p div 64) +
+    bit_or(shiftleft)) must produce the EXACT bitset a per-position
+    driver collect builds — including block 0, the last partial block,
+    and bit 63 (the sign bit of the packed long)."""
+    import numpy as np
+
+    from kafkastreams_tp3_is_spark.operators.sketch import packed_bitset
+
+    m_bits = 200  # deliberately not a multiple of 64: 4 blocks, last partial
+    pos = [0, 1, 63, 64, 65, 127, 128, 190, 199, 199, 63]  # dups too
+    df = spark.createDataFrame([(p,) for p in pos], "p long")
+    got = packed_bitset(df, m_bits)
+    want = np.zeros((m_bits + 63) // 64, dtype=np.uint64)
+    for p in pos:
+        want[p >> 6] |= np.uint64(1) << np.uint64(p & 63)
+    assert got.dtype == np.uint64 and len(got) == 4
+    assert (got == want).all()
+    # empty set -> all-zero bitset of the right shape
+    empty = packed_bitset(df.where("p < 0"), m_bits)
+    assert (empty == 0).all() and len(empty) == 4

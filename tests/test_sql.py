@@ -65,3 +65,55 @@ def test_register_operator_views_enables_adhoc_joins(spark):
     assert joined > 0
     with pytest.raises(ValueError, match="unknown operator views"):
         register_operator_views(spark, SF_DIR, ["nope"])
+
+
+def test_round5_operators_reachable_as_sql_views(spark):
+    """SQL parity for the round-5/6 additions: each registers as a temp
+    view and answers an ad-hoc aggregate consistent with a known
+    invariant of the operator (not just COUNT(*) > 0)."""
+    from kafkastreams_tp3_is_spark import cache
+    from kafkastreams_tp3_is_spark.sql import register_operator_views
+    from tests.conftest import SF_DIR
+
+    frames = register_operator_views(
+        spark, SF_DIR,
+        ["paragraph_dedup", "decontaminate_spans", "events_funnel",
+         "vocab_drift", "corpus_diff", "pack_efficiency",
+         "decontaminate_spans_bloom", "media_dhash_pairs"])
+
+    def one(q):
+        return spark.sql(q).collect()[0][0]
+
+    # paragraph dedup: every document survives with n_dropped <= n_blocks
+    assert one("SELECT COUNT(*) FROM paragraph_dedup "
+               "WHERE n_dropped > n_blocks") == 0
+    assert one("SELECT COUNT(*) FROM paragraph_dedup") > 0
+    # span decontamination: flag agrees with the count, and the Bloom
+    # twin view returns the identical aggregate
+    assert one("SELECT COUNT(*) FROM decontaminate_spans "
+               "WHERE span_contaminated <> (n_bench_spans >= 1)") == 0
+    assert one("SELECT SUM(n_bench_spans) FROM decontaminate_spans") == \
+        one("SELECT SUM(n_bench_spans) FROM decontaminate_spans_bloom")
+    # funnel: sequential-min ordering — a reached step strictly follows
+    # its predecessor
+    assert one("SELECT COUNT(*) FROM events_funnel "
+               "WHERE t_click_us >= 0 "
+               "AND (t_view_us < 0 OR t_click_us <= t_view_us)") == 0
+    assert one("SELECT COUNT(*) FROM events_funnel "
+               "WHERE steps_completed NOT BETWEEN 0 AND 3") == 0
+    # vocab drift: delta is exactly the count difference, top-n bounded
+    assert one("SELECT COUNT(*) FROM vocab_drift "
+               "WHERE delta <> cnt_new - cnt_old") == 0
+    assert 0 < one("SELECT COUNT(*) FROM vocab_drift") <= 100
+    # corpus diff: statuses partition the id space
+    assert one("SELECT COUNT(*) FROM corpus_diff WHERE status NOT IN "
+               "('added','removed','changed','unchanged')") == 0
+    # pack efficiency: waste consistent with the ceil-div pack count
+    assert one("SELECT COUNT(*) FROM pack_efficiency "
+               "WHERE waste_tokens <> n_packs * 2048 - total_tokens") == 0
+    # dHash pairs: inside the guarantee radius
+    assert one("SELECT COUNT(*) FROM media_dhash_pairs "
+               "WHERE hamming > 3") == 0
+    assert one("SELECT COUNT(*) FROM media_dhash_pairs") > 0
+    for df in frames.values():
+        cache.release(df)

@@ -1065,3 +1065,48 @@ def test_streaming_corpus_dedup_marker_is_crash_safe_and_cc_dir_reclaimed(
     import json as _json
     assert _json.loads(marker.read_text())["checkpoint_dir"] == \
         os.path.abspath(str(tmp_path / "ccclean_ckpt"))
+
+
+def test_streaming_corpus_dedup_compaction(spark, planted_docs, tmp_path):
+    """compact() folds the per-batch store layout into one directory per
+    store: corpus content identical, signature store still authoritative
+    (a later run dedups new near-dups against the COMPACTED signatures),
+    directory count drops to 1, the checkpoint marker survives, and the
+    original checkpoint resumes over the compacted store."""
+    from kafkastreams_tp3_is_spark.streaming.incremental import (
+        StreamingCorpusDedup)
+
+    docs, _ = planted_docs
+    src = tmp_path / "compact_in"
+    (docs.where(F.col("doc_id") < 20).repartition(4)
+         .write.mode("append").parquet(str(src)))
+
+    def stream():
+        return (spark.readStream.schema(docs.schema)
+                .option("maxFilesPerTrigger", 1).parquet(str(src)))
+
+    corpus = str(tmp_path / "compact_corpus")
+    ckpt = str(tmp_path / "compact_ckpt")
+    sink = StreamingCorpusDedup(spark, corpus, jaccard_threshold=0.7)
+    sink.run(stream(), ckpt)
+    before = sorted(tuple(r) for r in sink.corpus().collect())
+
+    def n_batch_dirs(root):
+        return sum(1 for d in os.listdir(root) if d.startswith("batch="))
+
+    assert n_batch_dirs(corpus) == 4 and n_batch_dirs(sink.sig_dir) == 4
+    sink.compact()
+    assert n_batch_dirs(corpus) == 1 and n_batch_dirs(sink.sig_dir) == 1
+    assert sorted(tuple(r) for r in sink.corpus().collect()) == before
+    assert os.path.isfile(os.path.join(corpus, "_checkpoint_marker.json"))
+    # idempotent: a second compact over one dir is a no-op
+    sink.compact()
+    assert sorted(tuple(r) for r in sink.corpus().collect()) == before
+
+    # resume the SAME checkpoint with new files: exact re-sends of stored
+    # documents must be suppressed against the COMPACTED signature store
+    (docs.where((F.col("doc_id") >= 5) & (F.col("doc_id") < 10))
+         .repartition(1).write.mode("append").parquet(str(src)))
+    sink2 = StreamingCorpusDedup(spark, corpus, jaccard_threshold=0.7)
+    sink2.run(stream(), ckpt)
+    assert sorted(tuple(r) for r in sink2.corpus().collect()) == before
