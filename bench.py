@@ -80,9 +80,13 @@ def _git_sha() -> str:
         sha = subprocess.run(
             ["git", "rev-parse", "--short", "HEAD"], cwd=here,
             capture_output=True, text=True, timeout=10).stdout.strip()
-        dirty = subprocess.run(
+        status = subprocess.run(
             ["git", "status", "--porcelain"], cwd=here,
-            capture_output=True, text=True, timeout=10).stdout.strip()
+            capture_output=True, text=True, timeout=10).stdout
+        # the detail file this very run (over)writes must not count as
+        # dirt, or every bench self-stamps -dirty
+        dirty = [ln for ln in status.splitlines()
+                 if ln.strip() and not ln.endswith("BENCH_DETAIL.json")]
         return (sha or "unknown") + ("-dirty" if dirty else "")
     except Exception:
         return "unknown"
