@@ -103,6 +103,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # through the shared Manku block-combination machinery, with an
         # all-pairs bit-exact DuckDB oracle over planted twins
         "media_dhash_pairs": _mm.media_dhash_pairs,
+        # NEW round 6: persisted IVF index — build once (postings
+        # partitioned by cell), probe with partition pruning; rows-only
+        # (k-means is not SQL-restatable), recall floor + pruned-plan
+        # pytests
+        "ann_cosine_topk_stored": _ivf.ann_cosine_topk_stored,
         # implementations (or their oracles) changed in round 6: bigint
         # ceil-div (paragraph_dedup, pack_efficiency), distributed Bloom
         # bitset build (bloom_decontaminate), NULL-text oracle parity

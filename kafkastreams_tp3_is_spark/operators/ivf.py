@@ -224,6 +224,101 @@ def embedding_near_dup_ivf(spark: SparkSession, sf_dir: str,
                                      threshold)
 
 
+# --- persisted IVF index (build once, probe with partition pruning) ----
+
+def build_ivf_index(emb: DataFrame, index_dir: str, n_centroids: int = 32,
+                    m_assign: int = 2, n_iters: int = 5,
+                    sample_n: int = 4096) -> None:
+    """Materialize the IVF index beside the corpus — the production form
+    of this family (FAISS persists its index for the same reason the
+    signature store persists shingles: assignment is a pure function of
+    content, so recomputing it per query run is waste):
+
+      ``index_dir/centroids.json``  the K x dim centroid matrix
+          (model-sized, driver-written atomically via temp + rename);
+      ``index_dir/postings/``       parquet PARTITIONED BY cell:
+          (vec_id, embedding, cell) — one directory per inverted list.
+
+    The physical ``cell=N`` partitioning is the probe-time pruning
+    mechanism: a query that probes ``nprobe`` cells lists only those
+    directories (Spark partition pruning — the untouched inverted lists
+    are never opened, the exact analogue of FAISS reading only probed
+    lists). Multi-assign (``m_assign``) duplicates each vector into that
+    many lists, trading ~m x storage for boundary recall, the standard
+    IVF build knob."""
+    import json
+    import os
+
+    cents = train_centroids(emb, n_centroids, n_iters, sample_n)
+    (assign_cells(emb, cents, m_assign)
+     .select("vec_id", "embedding", F.explode("cells").alias("cell"))
+     .write.partitionBy("cell").mode("overwrite")
+     .parquet(os.path.join(index_dir, "postings")))
+    tmp = os.path.join(index_dir, "centroids.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"n_centroids": n_centroids, "m_assign": m_assign,
+                   "centroids": cents}, f)
+    os.replace(tmp, os.path.join(index_dir, "centroids.json"))
+
+
+def query_ivf_index(spark: SparkSession, index_dir: str,
+                    queries: DataFrame, k: int = 10,
+                    nprobe: int = 8) -> DataFrame:
+    """Top-``k`` cosine neighbors for (query_id, embedding) rows against
+    a ``build_ivf_index`` directory, reading ONLY the probed inverted
+    lists. The probe-cell set is bounded by n_queries x nprobe (queries
+    are a small frame by contract — they ride a broadcast), so the
+    ``isin`` literal list stays tiny and Spark prunes the postings scan
+    to those ``cell=`` directories (pytest asserts the file count).
+    Output (query_id, neighbor_id, rank) — the cosine_topk shape."""
+    import json
+    import os
+
+    with open(os.path.join(index_dir, "centroids.json")) as f:
+        meta = json.load(f)
+    cents = meta["centroids"]
+    probed = (assign_cells(queries, cents, nprobe)
+              .select(F.col("vec_id").alias("query_id"),
+                      _as_double("embedding").alias("q_vec"),
+                      F.explode("cells").alias("cell")))
+    cells = sorted({r["cell"] for r in probed.select("cell")
+                    .distinct().collect()})
+    postings = (spark.read.parquet(os.path.join(index_dir, "postings"))
+                .where(F.col("cell").isin(cells))
+                .select(F.col("vec_id").alias("neighbor_id"),
+                        _as_double("embedding").alias("c_vec"), "cell"))
+    cands = (postings.join(F.broadcast(probed), "cell")
+             .where(F.col("neighbor_id") != F.col("query_id"))
+             .dropDuplicates(["query_id", "neighbor_id"]))
+    scored = cands.select(
+        "query_id", "neighbor_id",
+        _cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
+                                               F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .where(F.col("rank") <= k)
+                  .select("query_id", "neighbor_id", "rank"))
+
+
+def ann_cosine_topk_stored(spark: SparkSession, sf_dir: str,
+                           n_queries: int = 5, k: int = 10,
+                           nprobe: int = 12) -> DataFrame:
+    """Driver-gate fixture (rows-only; recall floor pytest-enforced):
+    build the persisted index in a scratch directory, then answer the
+    same query set as the other top-k fixtures through it. The index
+    build is part of the fixture because the gate needs a pure
+    (spark, sf_dir) -> DataFrame function; production builds once and
+    queries many times."""
+    import tempfile
+
+    emb = load(spark, sf_dir, "embeddings")
+    index_dir = tempfile.mkdtemp(prefix="ivf_index_")
+    build_ivf_index(emb, index_dir, n_centroids=32, m_assign=2)
+    queries = emb.orderBy("vec_id").limit(n_queries) \
+                 .select("vec_id", "embedding")
+    return query_ivf_index(spark, index_dir, queries, k=k, nprobe=nprobe)
+
+
 def cosine_topk_ivf(spark: SparkSession, sf_dir: str,
                     n_queries: int = 5, k: int = 10,
                     n_centroids: int = 32, nprobe: int = 12,
