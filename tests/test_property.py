@@ -230,6 +230,75 @@ def test_bloom_prefilter_has_no_false_negatives_and_matches_exact(spark):
         "fixture must exercise both verdict branches"
 
 
+@settings(max_examples=8, deadline=None)
+@given(_corpus())
+def test_bloom_span_decontaminate_matches_unfiltered_on_unicode(spark,
+                                                                corpus):
+    """The Bloom-prefiltered span decontamination must equal the
+    unfiltered operator row-for-row on arbitrary unicode corpora —
+    including multibyte/astral text, empty docs, and docs shorter than
+    one span (the prefilter may only prune, never change a verdict)."""
+    from kafkastreams_tp3_is_spark import cache
+    from kafkastreams_tp3_is_spark.operators.dedup import (
+        bloom_decontaminate_spans_df, decontaminate_spans_df)
+
+    L = 5
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    train = df.where("doc_id % 2 = 0")
+    bench = df.where("doc_id % 2 = 1")
+    a = decontaminate_spans_df(train, bench, span_len=L)
+    b = bloom_decontaminate_spans_df(train, bench, span_len=L,
+                                     m_bits=1 << 12)
+    try:
+        got_a = sorted(tuple(r) for r in a.collect())
+        got_b = sorted(tuple(r) for r in b.collect())
+    finally:
+        cache.release(a)
+        cache.release(b)
+    assert got_a == got_b
+
+
+@st.composite
+def _fingerprints(draw):
+    """Random 64-bit fingerprints with planted near copies: every id
+    10_000+i is id i's fingerprint with 0-3 random bits flipped, so true
+    hamming<=3 pairs exist in every example alongside far pairs."""
+    base = draw(st.lists(st.integers(0, (1 << 64) - 1), min_size=2,
+                         max_size=8, unique=True))
+    rows = [(i, v) for i, v in enumerate(base)]
+    for i, v in enumerate(base[:3]):
+        nflip = draw(st.integers(0, 3))
+        positions = draw(st.lists(st.integers(0, 63), min_size=nflip,
+                                  max_size=nflip, unique=True))
+        for p in positions:
+            v ^= 1 << p
+        rows.append((10_000 + i, v))
+    return rows
+
+
+@settings(max_examples=10, deadline=None)
+@given(_fingerprints())
+def test_hamming_pairs_equal_bruteforce(spark, rows):
+    """The 20-table block-combination machinery must produce EXACTLY the
+    all-pairs hamming<=3 answer on arbitrary fingerprints (recall is
+    guaranteed by pigeonhole; precision by the bit_count verify) —
+    including fingerprints with the sign bit set and exact duplicates."""
+    from itertools import combinations
+
+    from kafkastreams_tp3_is_spark.operators.dedup import hamming_pairs_df
+
+    to_signed = lambda v: v - (1 << 64) if v >= (1 << 63) else v
+    df = spark.createDataFrame(
+        [(i, to_signed(v)) for i, v in rows], "doc_id long, sim_long long")
+    got = {(r["a_id"], r["b_id"]): r["hamming"]
+           for r in hamming_pairs_df(df).collect()}
+    fps = dict(rows)
+    want = {(a, b): bin(fps[a] ^ fps[b]).count("1")
+            for a, b in combinations(sorted(fps), 2)
+            if bin(fps[a] ^ fps[b]).count("1") <= 3}
+    assert got == want
+
+
 def test_packed_bitset_matches_per_position_build(spark):
     """The distributed bit-block aggregation (groupBy(p div 64) +
     bit_or(shiftleft)) must produce the EXACT bitset a per-position
