@@ -108,6 +108,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (k-means is not SQL-restatable), recall floor + pruned-plan
         # pytests
         "ann_cosine_topk_stored": _ivf.ann_cosine_topk_stored,
+        # NEW round 6: epoch-weighted mixture materialization (drop /
+        # fractional / integer upsampling regimes in one fixture)
+        "materialize_mixture": _cur.materialize_mixture,
         # implementations (or their oracles) changed in round 6: bigint
         # ceil-div (paragraph_dedup, pack_efficiency), distributed Bloom
         # bitset build (bloom_decontaminate), NULL-text oracle parity

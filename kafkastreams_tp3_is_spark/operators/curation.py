@@ -316,6 +316,58 @@ def mix_temperature(spark: SparkSession, sf_dir: str,
             .select("doc_id", "source", "sample_rank", "quota"))
 
 
+# --- epoch-weighted mixture materialization -----------------------------
+
+def materialize_mixture_df(docs: DataFrame,
+                           epochs_millis: dict[str, int],
+                           default_millis: int = 1000) -> DataFrame:
+    """Materialize a training mixture with per-source EPOCH weights —
+    the step after quota/temperature selection decides the recipe: a
+    source weighted 2.3 epochs emits every document twice plus a
+    deterministic 30% of documents a third time (the repetition-factor
+    materialization of LLaMA/DoReMi-style mixtures, where upsampled
+    domains repeat and downweighted ones thin out; 0 drops the source).
+    Output one row per (doc_id, copy): (doc_id, source, n_copies, copy).
+
+    Weights are INTEGER thousandths of an epoch (float-exactness
+    doctrine: the fractional-copy decision is ``u * 1000 < frac * 2^32``
+    over the md5-prefix integer u — pure bigint arithmetic, no float
+    threshold whose rounding could flip membership between engines).
+    Membership is content-addressed (md5 of doc_id), so the same doc
+    gets the extra copy in every run and engine.
+
+    Scale: a per-row scalar expression plus an explode bounded by
+    ceil(epochs) — no shuffle at all; the weights map is a literal CASE
+    over the (small) source domain, never a join."""
+    expr = F.lit(int(default_millis)).cast("bigint")
+    for src, millis in sorted(epochs_millis.items()):
+        expr = F.when(F.col("source") == src,
+                      F.lit(int(millis)).cast("bigint")).otherwise(expr)
+    u = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+               16, 10).cast("bigint")
+    base = F.expr("e div 1000")
+    extra = F.when(u * 1000 < (F.col("e") % 1000) * F.lit(1 << 32), 1) \
+             .otherwise(0).cast("bigint")
+    out = (docs.select("doc_id", "source", expr.alias("e"))
+           .withColumn("n_copies", base + extra)
+           .where(F.col("n_copies") > 0)
+           .select("doc_id", "source", "n_copies",
+                   F.explode(F.sequence(
+                       F.lit(0).cast("bigint"),
+                       F.col("n_copies") - 1)).alias("copy")))
+    return out
+
+
+def materialize_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gate fixture: src0 dropped (0 epochs), src1 upsampled 2.5
+    epochs, src2 fractional 1.3, everything else the 1-epoch default —
+    all four weight regimes in one output, restated verbatim by the
+    DuckDB oracle."""
+    return materialize_mixture_df(
+        load(spark, sf_dir, "documents"),
+        {"src0": 0, "src1": 2500, "src2": 1300})
+
+
 # --- deterministic train/val/test split --------------------------------
 
 def train_val_test_split(spark: SparkSession, sf_dir: str,

@@ -572,6 +572,30 @@ WHERE s.doc_id = k.keep_doc_id
 
 # --- curation ops (operators/curation.py) — all value-exact -----------
 
+# Epoch-weighted mixture materialization: weights in integer thousandths
+# of an epoch; the fractional copy keeps iff u * 1000 < frac * 2^32 over
+# the md5-prefix integer — pure bigint arithmetic in both engines.
+ORACLES["materialize_mixture"] = """
+WITH w AS (
+  SELECT doc_id, source,
+         CASE source WHEN 'src0' THEN 0 WHEN 'src1' THEN 2500
+              WHEN 'src2' THEN 1300 ELSE 1000 END AS e,
+         ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+           AS u
+  FROM documents
+),
+n AS (
+  SELECT doc_id, source,
+         CAST(e // 1000 + CASE WHEN u * 1000 < (e % 1000) * 4294967296
+                               THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+  FROM w
+)
+SELECT doc_id, source, n_copies, CAST(c AS BIGINT) AS copy
+FROM (SELECT doc_id, source, n_copies,
+             unnest(generate_series(0, CAST(n_copies AS INTEGER) - 1)) AS c
+      FROM n WHERE n_copies > 0)
+"""
+
 ORACLES["sample_deterministic"] = """
 SELECT doc_id, SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS sample_key,
        lang, source, n_chars

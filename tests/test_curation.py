@@ -323,3 +323,37 @@ def test_corpus_diff_statuses(spark):
     got = {r["doc_id"]: r["status"]
            for r in corpus_diff_df(old, new).collect()}
     assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_materialize_mixture_regimes_and_determinism(spark):
+    """All four weight regimes behave: 0 epochs drops the source, 2.5
+    epochs gives every doc 2 or 3 copies with the 3rd on a deterministic
+    ~50% of docs, unlisted sources default to exactly 1 copy, and copy
+    ids tile [0, n_copies). Membership of the fractional copy is a pure
+    function of doc_id (stable across calls)."""
+    from collections import Counter
+
+    from kafkastreams_tp3_is_spark.operators.curation import (
+        materialize_mixture_df)
+
+    rows = [(i, "A" if i % 3 == 0 else "B" if i % 3 == 1 else "C")
+            for i in range(300)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    out = materialize_mixture_df(docs, {"A": 0, "B": 2500}).collect()
+    by_doc = Counter((r["doc_id"]) for r in out)
+    srcs = {r["doc_id"]: r["source"] for r in out}
+    assert "A" not in srcs.values()                      # dropped
+    b_counts = {d: c for d, c in by_doc.items() if srcs[d] == "B"}
+    c_counts = {d: c for d, c in by_doc.items() if srcs[d] == "C"}
+    assert set(c_counts.values()) == {1}                 # default 1 epoch
+    assert set(b_counts.values()) <= {2, 3} and len(b_counts) == 100
+    frac3 = sum(1 for c in b_counts.values() if c == 3) / len(b_counts)
+    assert 0.3 < frac3 < 0.7, frac3                      # ~50% extra copy
+    # copy ids tile 0..n-1 per doc
+    copies = {}
+    for r in out:
+        copies.setdefault(r["doc_id"], []).append(r["copy"])
+    assert all(sorted(v) == list(range(len(v))) for v in copies.values())
+    # content-addressed: a second run is identical
+    again = materialize_mixture_df(docs, {"A": 0, "B": 2500}).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
