@@ -133,9 +133,7 @@ def latest_route_capacity_stateful(spark: SparkSession,
     # through the per-key Python state kernel.
     o80 = (load(spark, sf_dir, "orders")
            .where(F.col("o_orderkey") % 80 == 0))
-    changelog = (routes_from_orders(o80)
-                 .unionByName(route_updates_from_orders(o80))
-                 .select("route_id", "capacity", "event_ts"))
+    cols = ["route_id", "capacity", "event_ts"]
     # stage + checkpoint on tmpfs when the box has one: the demo's
     # parquet staging, WAL commits, and per-batch state-store commits
     # are all fsync-latency-bound at this tiny size
@@ -143,13 +141,29 @@ def latest_route_capacity_stateful(spark: SparkSession,
     workdir = tempfile.mkdtemp(prefix="latest_stateful_",
                                dir=shm if os.path.isdir(shm) else None)
     src_dir = os.path.join(workdir, "in")
-    # 2 files / maxFilesPerTrigger=1 -> exactly 2 micro-batches: the
-    # cross-batch state transition is exercised with the minimum
-    # streaming-scheduler and file-listing overhead
-    changelog.repartition(2).write.mode("overwrite").parquet(src_dir)
+    # 2 files / maxFilesPerTrigger=1 -> exactly 2 micro-batches, staged
+    # ASYMMETRICALLY in ONE write (single plan compile): batch file b=0
+    # carries every original plus the updates of three quarters of the
+    # keys (within-batch collapse), b=1 only the remaining quarter's
+    # updates (the cross-batch duplicate-key state transition — those
+    # keys' originals are in the other file by construction, whichever
+    # order the trigger picks). Same rows, same final state, same
+    # oracle — but the per-key Python kernel fires 1875 + 469 times
+    # instead of ~2 x 1875 (applyInPandasWithState invokes it once per
+    # key per batch, and the second trigger pays only its own key set).
+    late = F.col("o_orderkey") % 320 == 0
+    (routes_from_orders(o80)
+     .unionByName(route_updates_from_orders(o80.where(~late)))
+     .withColumn("b", F.lit(0))
+     .unionByName(route_updates_from_orders(o80.where(late))
+                  .withColumn("b", F.lit(1)))
+     .select(*cols, "b").coalesce(1)
+     .write.partitionBy("b").mode("overwrite").parquet(src_dir))
+    changelog = spark.read.parquet(src_dir).drop("b")
 
-    stream = (spark.readStream.schema(changelog.schema)
-              .option("maxFilesPerTrigger", "1").parquet(src_dir))
+    stream = (spark.readStream.schema(changelog.schema.add("b", "integer"))
+              .option("maxFilesPerTrigger", "1").parquet(src_dir)
+              .drop("b"))
     latest = latest_per_key_stream(stream, ["route_id"], "event_ts")
     sink = MemoryUpsertSink(["route_id"])
     # A stateful stream's state-store partition count is frozen from
