@@ -115,6 +115,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sketch (full hash oracle — no interpolation, the selected
         # value exists in the data)
         "events_value_quantiles_exact": _olap.events_value_quantiles_exact,
+        # NEW round 6: int8 scalar-quantized ANN — exact integer dot
+        # products, so the quantized ranking is full-hash verifiable
+        # (the float ANN variants are rows-only by construction)
+        "ann_cosine_topk_sq8": _sim.cosine_topk_sq8,
         # implementations (or their oracles) changed in round 6: bigint
         # ceil-div (paragraph_dedup, pack_efficiency), distributed Bloom
         # bitset build (bloom_decontaminate), NULL-text oracle parity

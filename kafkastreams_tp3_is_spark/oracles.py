@@ -415,6 +415,39 @@ FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
 WHERE rank <= 10
 """
 
+# int8 scalar-quantized ANN: quantization is floor(x*127/maxabs + 0.5)
+# (round-half-up via floor — native round() half-modes differ between
+# engines), the dot product is exact integer math (list_dot_product's
+# double accumulation is exact below 2^53), and the quantized cosine is
+# one sqrt-product-divide with identical IEEE spelling both sides.
+ORACLES["ann_cosine_topk_sq8"] = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), q8 AS (
+  SELECT vec_id,
+         list_transform(v, x -> CAST(floor(
+             x * 127.0 / greatest(list_max(list_transform(v, y -> abs(y))),
+                                  1e-30) + 0.5) AS BIGINT)) AS qv
+  FROM e
+), qn AS (
+  SELECT vec_id, qv, CAST(list_dot_product(qv, qv) AS BIGINT) AS qq FROM q8
+), qs AS (
+  SELECT vec_id AS query_id, qv AS a_qv, qq AS a_qq
+  FROM qn ORDER BY vec_id LIMIT 5
+), scored AS (
+  SELECT query_id, c.vec_id AS neighbor_id,
+         CAST(list_dot_product(a_qv, c.qv) AS BIGINT) AS qdot,
+         CAST(list_dot_product(a_qv, c.qv) AS DOUBLE)
+           / (sqrt(CAST(a_qq AS DOUBLE)) * sqrt(CAST(c.qq AS DOUBLE))) AS qcos
+  FROM qn c, qs WHERE c.vec_id <> query_id
+)
+SELECT query_id, neighbor_id, qdot, CAST(rank AS INTEGER) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY qcos DESC, neighbor_id ASC) AS rank
+      FROM scored)
+WHERE rank <= 10
+"""
+
 # ---------------------------------------------------------------------
 # Event-stream analytics over the events table — capabilities beyond the
 # reference (session windows, sliding windows, JSON paths, ranked top-k).

@@ -1,0 +1,63 @@
+"""int8 scalar-quantized ANN (operators/similarity.py sq8 family).
+
+The oracle gate already pins the quantized ranking bit-for-bit against
+DuckDB; these tests pin the properties the oracle can't see — fidelity
+to the FLOAT baseline, the quantizer's error bound, and the zero-vector
+guard.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafkastreams_tp3_is_spark.operators.similarity import (
+    cosine_topk_bruteforce, cosine_topk_sq8, sq8_quantize)
+
+from tests.conftest import SF_DIR
+
+
+def _topk_sets(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    return out
+
+
+def test_sq8_topk_overlap_floor(spark):
+    """int8 quantization of 64-dim vectors must keep >=90% of the float
+    top-10 per query (measured 100% on the synthetic corpus at sf0.001
+    and sf0.01; the floor leaves headroom for unlucky boundary ties)."""
+    exact = _topk_sets(cosine_topk_bruteforce(spark, SF_DIR))
+    quant = _topk_sets(cosine_topk_sq8(spark, SF_DIR))
+    hit = sum(len(exact[q] & quant[q]) for q in exact)
+    tot = sum(len(exact[q]) for q in exact)
+    assert hit / tot >= 0.9, (hit, tot)
+
+
+def test_sq8_quantizer_error_bound(spark):
+    """Round-half-up quantization: every code is within 0.5 of the ideal
+    x*127/scale, and codes never leave [-127, 127]."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qv, scale = sq8_quantize(F.col("embedding"))
+    err = F.array_max(F.zip_with(
+        qv, F.transform("embedding", lambda x: x.cast("double")),
+        lambda q, x: F.abs(q.cast("double") - x * F.lit(127.0) / scale)))
+    row = (emb.select(err.alias("err"),
+                      F.array_max(F.transform(qv, F.abs)).alias("amax"))
+              .agg(F.max("err").alias("e"), F.max("amax").alias("m"))
+              .first())
+    assert row["e"] <= 0.5 + 1e-12, row
+    assert row["m"] <= 127, row
+
+
+def test_sq8_zero_vector_guard(spark):
+    """The all-zero vector must quantize to all zeros (scale floored at
+    1e-30 — no division by zero, no NULL/NaN codes) with qdot 0."""
+    df = spark.createDataFrame(
+        [(1, [0.0] * 8), (2, [0.5, -1.0] + [0.0] * 6)],
+        "vec_id long, embedding array<float>")
+    qv, _ = sq8_quantize(F.col("embedding"))
+    rows = {r["vec_id"]: r["q"] for r in df.select("vec_id",
+                                                   qv.alias("q")).collect()}
+    assert rows[1] == [0] * 8
+    assert None not in rows[2] and rows[2][1] == -127
