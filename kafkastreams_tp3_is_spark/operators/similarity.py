@@ -288,8 +288,8 @@ def _qdot(a: F.Column, b: F.Column) -> F.Column:
                        F.lit(0).cast("bigint"), lambda acc, x: acc + x)
 
 
-def cosine_topk_sq8(spark: SparkSession, sf_dir: str,
-                    n_queries: int = 5, k: int = 10) -> DataFrame:
+def cosine_topk_sq8_df(emb: DataFrame, n_queries: int = 5,
+                       k: int = 10) -> DataFrame:
     """ANN top-k over int8 scalar-quantized vectors — the memory-at-scale
     companion to cosine_topk_bruteforce (same query set, same ranking
     shape). Per pair the score is the QUANTIZED cosine: an exact bigint
@@ -309,7 +309,6 @@ def cosine_topk_sq8(spark: SparkSession, sf_dir: str,
     window over n_queries * |corpus| scored rows. Compose with the IVF
     cell filter (ivf.py) to prune the scan; recall vs the float baseline
     is pytest-floored (tests/test_sq8.py)."""
-    emb = load(spark, sf_dir, "embeddings")
     q_vec, _ = sq8_quantize(F.col("embedding"))
     quant = emb.select("vec_id", q_vec.alias("qv"),
                        _qdot(q_vec, q_vec).alias("qq"))
@@ -333,3 +332,69 @@ def cosine_topk_sq8(spark: SparkSession, sf_dir: str,
     return (scored.withColumn("rank", F.row_number().over(w))
                   .where(F.col("rank") <= k)
                   .select("query_id", "neighbor_id", "qdot", "rank"))
+
+
+def cosine_topk_sq8(spark: SparkSession, sf_dir: str,
+                    n_queries: int = 5, k: int = 10) -> DataFrame:
+    return cosine_topk_sq8_df(load(spark, sf_dir, "embeddings"),
+                              n_queries, k)
+
+
+def cosine_topk_sq8_rescored_df(emb: DataFrame, n_queries: int = 5,
+                                k: int = 10,
+                                shortlist: int = 30) -> DataFrame:
+    """Two-phase retrieval — the production ANN serving pattern (FAISS
+    SQ8 + refine): a cheap int8 scan shortlists ``shortlist`` candidates
+    per query by quantized cosine, then ONLY the shortlist is re-scored
+    with full-precision float cosine to produce the final top-k. At
+    100 TB the first phase reads 1-byte codes (4x less scan than
+    float32) and the second touches shortlist * n_queries rows — the
+    float vectors never stream through the hot loop.
+
+    Exactness contract: the rescore uses the same zip_with/aggregate
+    fold as cosine_topk_bruteforce, so any candidate's final cosine is
+    IDENTICAL to the exact path's; the only approximation is shortlist
+    membership. With shortlist >= 3k the planted-corpus shortlist
+    contains the entire true top-k (pytest-pinned equality with the
+    exact baseline at sf0.001).
+
+    Output: query_id, neighbor_id, cosine, rank."""
+    q_vec, _ = sq8_quantize(F.col("embedding"))
+    quant = emb.select("vec_id", q_vec.alias("qv"),
+                       _qdot(q_vec, q_vec).alias("qq"))
+    queries = (quant.orderBy("vec_id").limit(n_queries)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("qv").alias("a_qv"), F.col("qq").alias("a_qq")))
+    corpus = quant.select(F.col("vec_id").alias("neighbor_id"),
+                          F.col("qv").alias("b_qv"), F.col("qq").alias("b_qq"))
+    scored = (corpus.crossJoin(F.broadcast(queries))
+              .where(F.col("neighbor_id") != F.col("query_id"))
+              .select("query_id", "neighbor_id",
+                      _qdot(F.col("a_qv"), F.col("b_qv")).alias("qdot"),
+                      "a_qq", "b_qq")
+              .select("query_id", "neighbor_id",
+                      (F.col("qdot").cast("double")
+                       / (F.sqrt(F.col("a_qq").cast("double"))
+                          * F.sqrt(F.col("b_qq").cast("double"))))
+                      .alias("qcos")))
+    w1 = Window.partitionBy("query_id").orderBy(F.col("qcos").desc(),
+                                                F.col("neighbor_id").asc())
+    cands = (scored.withColumn("srank", F.row_number().over(w1))
+                   .where(F.col("srank") <= shortlist)
+                   .select("query_id", "neighbor_id"))
+    # phase 2: float vectors fetched for the shortlist only
+    qf = (emb.orderBy("vec_id").limit(n_queries)
+             .select(F.col("vec_id").alias("query_id"),
+                     _as_double("embedding").alias("q_vec")))
+    cf = emb.select(F.col("vec_id").alias("neighbor_id"),
+                    _as_double("embedding").alias("c_vec"))
+    rescored = (cands.join(F.broadcast(qf), "query_id")
+                .join(cf, "neighbor_id")
+                .select("query_id", "neighbor_id",
+                        _cosine(F.col("q_vec"),
+                                F.col("c_vec")).alias("cosine")))
+    w2 = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
+                                                F.col("neighbor_id").asc())
+    return (rescored.withColumn("rank", F.row_number().over(w2))
+                    .where(F.col("rank") <= k)
+                    .select("query_id", "neighbor_id", "cosine", "rank"))

@@ -39,6 +39,8 @@ from kafkastreams_tp3_is_spark.operators.graph import (  # noqa: E402
     duplicate_clusters_lsh_df)
 from kafkastreams_tp3_is_spark.operators.retrieval import (  # noqa: E402
     tfidf_topk_df)
+from kafkastreams_tp3_is_spark.operators.similarity import (  # noqa: E402
+    cosine_topk_sq8_df)
 from kafkastreams_tp3_is_spark.operators.sketch import (  # noqa: E402
     bloom_decontaminate_df, heavy_hitters_df)
 from kafkastreams_tp3_is_spark.session import get_spark  # noqa: E402
@@ -100,6 +102,17 @@ def _dhash_pairs(docs):
     return image_dhash_pairs_df(media)
 
 
+def scaled_embeddings(spark, sf_dir: str, copies: int):
+    base = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = base.count()
+    parts = [base.select((F.col("vec_id") + F.lit(i * n)).alias("vec_id"),
+                         "embedding") for i in range(copies)]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def timed(fn, df) -> tuple[float, int]:
     # bit_xor over every output column, like bench.py force_full_eval: a
     # bare count() lets Catalyst PRUNE work whose output cardinality is
@@ -153,6 +166,21 @@ def main() -> None:
         spark.catalog.clearCache()
         d10 = scaled_docs(spark, sf_dir, 10)
         t10, n10 = timed(fn, d10)
+        spark.catalog.clearCache()
+        results[name] = {"t_1x": t1, "t_10x": t10,
+                         "ratio": round(t10 / t1, 2),
+                         "rows_1x": n1, "rows_10x": n10}
+    # embeddings-table ops: the query head stays fixed while the scanned
+    # corpus grows, so the int8 scan should track rows near-linearly
+    emb_ops = [("ann_cosine_topk_sq8", cosine_topk_sq8_df)]
+    for name, fn in emb_ops:
+        e1 = scaled_embeddings(spark, sf_dir, 1)
+        timed(fn, e1)
+        spark.catalog.clearCache()
+        t1, n1 = timed(fn, e1)
+        spark.catalog.clearCache()
+        e10 = scaled_embeddings(spark, sf_dir, 10)
+        t10, n10 = timed(fn, e10)
         spark.catalog.clearCache()
         results[name] = {"t_1x": t1, "t_10x": t10,
                          "ratio": round(t10 / t1, 2),

@@ -50,6 +50,22 @@ def test_sq8_quantizer_error_bound(spark):
     assert row["m"] <= 127, row
 
 
+def test_sq8_rescored_matches_exact_baseline(spark):
+    """Two-phase retrieval (int8 shortlist of 3k, float rescore) must
+    reproduce the exact float top-k EXACTLY — same neighbor at every
+    (query, rank) — because the rescore fold is the same arithmetic as
+    the brute-force path and the shortlist contains the true top-k."""
+    from kafkastreams_tp3_is_spark.operators.similarity import (
+        cosine_topk_sq8_rescored_df)
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    got = {(r["query_id"], r["rank"]): r["neighbor_id"]
+           for r in cosine_topk_sq8_rescored_df(emb).collect()}
+    want = {(r["query_id"], r["rank"]): r["neighbor_id"]
+            for r in cosine_topk_bruteforce(spark, SF_DIR).collect()}
+    assert got == want
+
+
 def test_sq8_zero_vector_guard(spark):
     """The all-zero vector must quantize to all zeros (scale floored at
     1e-30 — no division by zero, no NULL/NaN codes) with qdot 0."""
