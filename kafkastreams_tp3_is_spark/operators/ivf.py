@@ -228,7 +228,7 @@ def embedding_near_dup_ivf(spark: SparkSession, sf_dir: str,
 
 def build_ivf_index(emb: DataFrame, index_dir: str, n_centroids: int = 32,
                     m_assign: int = 2, n_iters: int = 5,
-                    sample_n: int = 4096) -> None:
+                    sample_n: int = 4096, store_sq8: bool = False) -> None:
     """Materialize the IVF index beside the corpus — the production form
     of this family (FAISS persists its index for the same reason the
     signature store persists shingles: assignment is a pure function of
@@ -245,19 +245,37 @@ def build_ivf_index(emb: DataFrame, index_dir: str, n_centroids: int = 32,
     are never opened, the exact analogue of FAISS reading only probed
     lists). Multi-assign (``m_assign``) duplicates each vector into that
     many lists, trading ~m x storage for boundary recall, the standard
-    IVF build knob."""
+    IVF build knob.
+
+    ``store_sq8=True`` stores int8 scalar-quantized codes instead of the
+    float vectors — the FAISS ``IVF,SQ8`` recipe: postings become
+    (vec_id, qv array<tinyint>, qq bigint self-dot, cell), 1-byte codes
+    in the Arrow/scan hot path (parquet encodes the int8-annotated
+    values dictionary/RLE-compact on disk). Probes then rank by the
+    QUANTIZED cosine; compose with a float rescore of the shortlist
+    (similarity.cosine_topk_sq8_rescored_df's phase 2) when exact final
+    scores matter."""
     import json
     import os
 
     cents = train_centroids(emb, n_centroids, n_iters, sample_n)
-    (assign_cells(emb, cents, m_assign)
-     .select("vec_id", "embedding", F.explode("cells").alias("cell"))
-     .write.partitionBy("cell").mode("overwrite")
+    assigned = (assign_cells(emb, cents, m_assign)
+                .select("vec_id", "embedding",
+                        F.explode("cells").alias("cell")))
+    if store_sq8:
+        from .similarity import _qdot, sq8_quantize
+
+        q_vec, _ = sq8_quantize(F.col("embedding"))
+        assigned = assigned.select(
+            "vec_id",
+            F.transform(q_vec, lambda x: x.cast("tinyint")).alias("qv"),
+            _qdot(q_vec, q_vec).alias("qq"), "cell")
+    (assigned.write.partitionBy("cell").mode("overwrite")
      .parquet(os.path.join(index_dir, "postings")))
     tmp = os.path.join(index_dir, "centroids.json.tmp")
     with open(tmp, "w") as f:
         json.dump({"n_centroids": n_centroids, "m_assign": m_assign,
-                   "centroids": cents}, f)
+                   "sq8": store_sq8, "centroids": cents}, f)
     os.replace(tmp, os.path.join(index_dir, "centroids.json"))
 
 
@@ -270,29 +288,64 @@ def query_ivf_index(spark: SparkSession, index_dir: str,
     are a small frame by contract — they ride a broadcast), so the
     ``isin`` literal list stays tiny and Spark prunes the postings scan
     to those ``cell=`` directories (pytest asserts the file count).
-    Output (query_id, neighbor_id, rank) — the cosine_topk shape."""
+    Output (query_id, neighbor_id, rank) — the cosine_topk shape.
+
+    Against a ``store_sq8`` index the probed lists are 1-byte codes and
+    ranking uses the quantized cosine (exact bigint dot over int8 codes;
+    queries are quantized in-flight with the same floor-half-up rule) —
+    the scan reads a quarter of the bytes and never touches floats."""
     import json
     import os
 
     with open(os.path.join(index_dir, "centroids.json")) as f:
         meta = json.load(f)
     cents = meta["centroids"]
-    probed = (assign_cells(queries, cents, nprobe)
-              .select(F.col("vec_id").alias("query_id"),
-                      _as_double("embedding").alias("q_vec"),
-                      F.explode("cells").alias("cell")))
+    assigned_q = assign_cells(queries, cents, nprobe)
+    if meta.get("sq8"):
+        from .similarity import _qdot, sq8_quantize
+
+        q_vec, _ = sq8_quantize(F.col("embedding"))
+        probed = assigned_q.select(
+            F.col("vec_id").alias("query_id"), q_vec.alias("a_qv"),
+            _qdot(q_vec, q_vec).alias("a_qq"),
+            F.explode("cells").alias("cell"))
+    else:
+        probed = assigned_q.select(
+            F.col("vec_id").alias("query_id"),
+            _as_double("embedding").alias("q_vec"),
+            F.explode("cells").alias("cell"))
     cells = sorted({r["cell"] for r in probed.select("cell")
                     .distinct().collect()})
     postings = (spark.read.parquet(os.path.join(index_dir, "postings"))
-                .where(F.col("cell").isin(cells))
-                .select(F.col("vec_id").alias("neighbor_id"),
-                        _as_double("embedding").alias("c_vec"), "cell"))
+                .where(F.col("cell").isin(cells)))
+    if meta.get("sq8"):
+        postings = postings.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.transform("qv", lambda x: x.cast("bigint")).alias("b_qv"),
+            F.col("qq").alias("b_qq"), "cell")
+    else:
+        postings = postings.select(
+            F.col("vec_id").alias("neighbor_id"),
+            _as_double("embedding").alias("c_vec"), "cell")
     cands = (postings.join(F.broadcast(probed), "cell")
              .where(F.col("neighbor_id") != F.col("query_id"))
              .dropDuplicates(["query_id", "neighbor_id"]))
-    scored = cands.select(
-        "query_id", "neighbor_id",
-        _cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine"))
+    if meta.get("sq8"):
+        from .similarity import _qdot as _qd
+
+        scored = (cands.select(
+            "query_id", "neighbor_id",
+            _qd(F.col("a_qv"), F.col("b_qv")).alias("qdot"),
+            "a_qq", "b_qq")
+            .select("query_id", "neighbor_id",
+                    (F.col("qdot").cast("double")
+                     / (F.sqrt(F.col("a_qq").cast("double"))
+                        * F.sqrt(F.col("b_qq").cast("double"))))
+                    .alias("cosine")))
+    else:
+        scored = cands.select(
+            "query_id", "neighbor_id",
+            _cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
                                                F.col("neighbor_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))

@@ -124,3 +124,37 @@ def test_centroids_deterministic_and_unit_norm(spark):
     cells = assign_cells(emb, c1, m_assign=2).select("cells").collect()
     assert all(len(r["cells"]) == 2 and all(0 <= c < 8 for c in r["cells"])
                for r in cells)
+
+
+def test_stored_sq8_index_quantized_probe(spark, tmp_path):
+    """An ``store_sq8=True`` index must (a) persist 1-byte codes —
+    postings schema array<tinyint> plus the bigint self-dot, no float
+    vector column, (b) keep partition pruning (same layout), and
+    (c) answer the probe with a recall floor vs BOTH the exact float
+    top-k and the float-postings stored index at identical parameters
+    (int8 quantization of 64-dim vectors reorders almost nothing —
+    tests/test_sq8.py measures 100% top-10 agreement for the full
+    scan)."""
+    from kafkastreams_tp3_is_spark.operators.ivf import (
+        build_ivf_index, query_ivf_index)
+
+    emb = load(spark, SF_DIR, "embeddings")
+    idx = str(tmp_path / "ivf_sq8")
+    build_ivf_index(emb, idx, n_centroids=32, m_assign=2, store_sq8=True)
+    postings = spark.read.parquet(f"{idx}/postings")
+    fields = dict(postings.dtypes)
+    assert fields["qv"] == "array<tinyint>" and fields["qq"] == "bigint"
+    assert "embedding" not in fields
+    queries = emb.orderBy("vec_id").limit(5).select("vec_id", "embedding")
+    out = query_ivf_index(spark, idx, queries, k=10, nprobe=12)
+    got = {(r["query_id"], r["neighbor_id"]) for r in out.collect()}
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in cosine_topk_bruteforce(spark, SF_DIR).collect()}
+    assert len(exact & got) / len(exact) >= 0.7
+    # vs the float stored index: same candidates, near-identical ranking
+    idx_f = str(tmp_path / "ivf_float")
+    build_ivf_index(emb, idx_f, n_centroids=32, m_assign=2)
+    flt = {(r["query_id"], r["neighbor_id"])
+           for r in query_ivf_index(spark, idx_f, queries,
+                                    k=10, nprobe=12).collect()}
+    assert len(flt & got) / len(flt) >= 0.9
