@@ -25,6 +25,7 @@ from kafkastreams_tp3_is_spark.operators import curation as _cur
 from kafkastreams_tp3_is_spark.operators import pipeline as _pipe
 from kafkastreams_tp3_is_spark.operators import retrieval as _ret
 from kafkastreams_tp3_is_spark.operators import similarity as _sim
+from kafkastreams_tp3_is_spark.operators import skew as _skew
 from kafkastreams_tp3_is_spark.operators import sketch as _sketch
 from kafkastreams_tp3_is_spark.operators import temporal as _temporal
 from kafkastreams_tp3_is_spark.operators import text as _text
@@ -186,6 +187,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q6_route_least_occupancy_per_transport_type": _q.q6_route_least_occupancy_per_transport_type,
         "q7_total_capacity_available": _q.q7_total_capacity_available,
         "q8_total_occupancy_percentage": _q.q8_total_occupancy_percentage,
+        # NEW round 6, deliberately BELOW the driver cap (the in-cap
+        # slots are spoken for by the r4 rotation + this round's touched
+        # entries): full-hash-oracle-checked by the local pytest suite
+        # at sf0.001 every run; rotates into the cap next round.
+        "key_skew_profile": _skew.key_skew_profile,
     }
 
 

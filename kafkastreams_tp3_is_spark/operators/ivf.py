@@ -263,13 +263,13 @@ def build_ivf_index(emb: DataFrame, index_dir: str, n_centroids: int = 32,
                 .select("vec_id", "embedding",
                         F.explode("cells").alias("cell")))
     if store_sq8:
-        from .similarity import _qdot, sq8_quantize
+        from .similarity import sq8_quantized
 
-        q_vec, _ = sq8_quantize(F.col("embedding"))
-        assigned = assigned.select(
-            "vec_id",
-            F.transform(q_vec, lambda x: x.cast("tinyint")).alias("qv"),
-            _qdot(q_vec, q_vec).alias("qq"), "cell")
+        assigned = (sq8_quantized(assigned, keep=["vec_id", "cell"])
+                    .select("vec_id",
+                            F.transform("qv", lambda x: x.cast("tinyint"))
+                             .alias("qv"),
+                            "qq", "cell"))
     (assigned.write.partitionBy("cell").mode("overwrite")
      .parquet(os.path.join(index_dir, "postings")))
     tmp = os.path.join(index_dir, "centroids.json.tmp")
@@ -302,13 +302,13 @@ def query_ivf_index(spark: SparkSession, index_dir: str,
     cents = meta["centroids"]
     assigned_q = assign_cells(queries, cents, nprobe)
     if meta.get("sq8"):
-        from .similarity import _qdot, sq8_quantize
+        from .similarity import sq8_quantized
 
-        q_vec, _ = sq8_quantize(F.col("embedding"))
-        probed = assigned_q.select(
-            F.col("vec_id").alias("query_id"), q_vec.alias("a_qv"),
-            _qdot(q_vec, q_vec).alias("a_qq"),
-            F.explode("cells").alias("cell"))
+        probed = (sq8_quantized(assigned_q, keep=["vec_id", "cells"])
+                  .select(F.col("vec_id").alias("query_id"),
+                          F.col("qv").alias("a_qv"),
+                          F.col("qq").alias("a_qq"),
+                          F.explode("cells").alias("cell")))
     else:
         probed = assigned_q.select(
             F.col("vec_id").alias("query_id"),

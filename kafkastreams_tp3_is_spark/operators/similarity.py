@@ -275,7 +275,12 @@ def sq8_quantize(vec_col: F.Column) -> tuple[F.Column, F.Column]:
     This is the FAISS ``SQ8`` storage recipe: 4x smaller than float32
     (1 byte + one scale per vector), which at 100 TB of embeddings is
     the difference between a corpus that fits executor memory / Arrow
-    batches and one that doesn't."""
+    batches and one that doesn't.
+
+    NOTE: this returns raw expressions for single-use/test contexts;
+    anything that evaluates the codes per row must go through
+    ``sq8_quantized`` (staged columns) — inlining these expressions
+    costs O(dim^2) interpreted work per occurrence."""
     v = F.transform(vec_col, lambda x: x.cast("double"))
     scale = F.greatest(F.array_max(F.transform(v, F.abs)), F.lit(1e-30))
     q = F.transform(v, lambda x: F.floor(x * F.lit(127.0) / scale
@@ -286,6 +291,33 @@ def sq8_quantize(vec_col: F.Column) -> tuple[F.Column, F.Column]:
 def _qdot(a: F.Column, b: F.Column) -> F.Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
                        F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+
+
+def sq8_quantized(df: DataFrame, vec_col: str = "embedding",
+                  keep: list[str] | None = None) -> DataFrame:
+    """``sq8_quantize`` staged as real columns — the execution path every
+    sq8 consumer must use. Inlining the quantize EXPRESSION re-evaluates
+    the nested scale aggregate once per array element and once per
+    expression occurrence: O(dim^2) interpreted HOF work per row per use
+    (measured 3.5x slower on the sf0.1 top-k). Staging each step as its
+    own column evaluates it once per row; Catalyst keeps the projections
+    separate because the higher-order functions are non-cheap, so
+    CollapseProject cannot re-inline them.
+
+    Returns ``keep`` columns (default: everything but the vector) plus
+    ``qv`` (array<bigint> codes) and ``qq`` (bigint self-dot)."""
+    if keep is None:
+        keep = [c for c in df.columns if c != vec_col]
+    v = df.withColumn("_sq8_v", F.transform(F.col(vec_col),
+                                            lambda x: x.cast("double")))
+    v = v.withColumn("_sq8_s", F.greatest(
+        F.array_max(F.transform(F.col("_sq8_v"), F.abs)), F.lit(1e-30)))
+    v = v.withColumn("qv", F.transform(
+        F.col("_sq8_v"),
+        lambda x: F.floor(x * F.lit(127.0) / F.col("_sq8_s")
+                          + F.lit(0.5)).cast("bigint")))
+    v = v.withColumn("qq", _qdot(F.col("qv"), F.col("qv")))
+    return v.select(*keep, "qv", "qq")
 
 
 def cosine_topk_sq8_df(emb: DataFrame, n_queries: int = 5,
@@ -309,14 +341,15 @@ def cosine_topk_sq8_df(emb: DataFrame, n_queries: int = 5,
     window over n_queries * |corpus| scored rows. Compose with the IVF
     cell filter (ivf.py) to prune the scan; recall vs the float baseline
     is pytest-floored (tests/test_sq8.py)."""
-    q_vec, _ = sq8_quantize(F.col("embedding"))
-    quant = emb.select("vec_id", q_vec.alias("qv"),
-                       _qdot(q_vec, q_vec).alias("qq"))
-    queries = (quant.orderBy("vec_id").limit(n_queries)
+    # the query head is cut BEFORE quantization: quantize n_queries rows,
+    # not the whole corpus twice
+    queries = (sq8_quantized(emb.orderBy("vec_id").limit(n_queries),
+                             keep=["vec_id"])
                .select(F.col("vec_id").alias("query_id"),
                        F.col("qv").alias("a_qv"), F.col("qq").alias("a_qq")))
-    corpus = quant.select(F.col("vec_id").alias("neighbor_id"),
-                          F.col("qv").alias("b_qv"), F.col("qq").alias("b_qq"))
+    corpus = (sq8_quantized(emb, keep=["vec_id"])
+              .select(F.col("vec_id").alias("neighbor_id"),
+                      F.col("qv").alias("b_qv"), F.col("qq").alias("b_qq")))
     scored = (corpus.crossJoin(F.broadcast(queries))
               .where(F.col("neighbor_id") != F.col("query_id"))
               .select("query_id", "neighbor_id",
@@ -359,14 +392,13 @@ def cosine_topk_sq8_rescored_df(emb: DataFrame, n_queries: int = 5,
     exact baseline at sf0.001).
 
     Output: query_id, neighbor_id, cosine, rank."""
-    q_vec, _ = sq8_quantize(F.col("embedding"))
-    quant = emb.select("vec_id", q_vec.alias("qv"),
-                       _qdot(q_vec, q_vec).alias("qq"))
-    queries = (quant.orderBy("vec_id").limit(n_queries)
+    queries = (sq8_quantized(emb.orderBy("vec_id").limit(n_queries),
+                             keep=["vec_id"])
                .select(F.col("vec_id").alias("query_id"),
                        F.col("qv").alias("a_qv"), F.col("qq").alias("a_qq")))
-    corpus = quant.select(F.col("vec_id").alias("neighbor_id"),
-                          F.col("qv").alias("b_qv"), F.col("qq").alias("b_qq"))
+    corpus = (sq8_quantized(emb, keep=["vec_id"])
+              .select(F.col("vec_id").alias("neighbor_id"),
+                      F.col("qv").alias("b_qv"), F.col("qq").alias("b_qq")))
     scored = (corpus.crossJoin(F.broadcast(queries))
               .where(F.col("neighbor_id") != F.col("query_id"))
               .select("query_id", "neighbor_id",

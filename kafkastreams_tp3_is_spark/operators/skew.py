@@ -59,3 +59,53 @@ def salted_join(fact: DataFrame, dim: DataFrame, on: list[str],
     d = dim.withColumn(
         _SALT, F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))))
     return f.join(d, on + [_SALT], how).drop(_SALT)
+
+
+def key_skew_profile_df(df: DataFrame, key_col: str,
+                        top_n: int = 10) -> DataFrame:
+    """Shuffle-planning diagnostics for a join/aggregation key: the
+    ``top_n`` heaviest keys with exact row counts, global share, and
+    cumulative share — the numbers that decide whether a key needs
+    ``salted_join`` / AQE skew splitting (one key holding >1/partitions
+    of the rows will straggle its task) BEFORE the expensive job runs.
+
+    Output: (key, n_rows, rank, share, cum_share), rank 1 = heaviest,
+    ties broken by key value for determinism.
+
+    Exactness: counts and the cumulative sum are exact bigints; share
+    and cum_share are ONE division each of exact integers — bit-stable
+    across engines (full hash oracle).
+
+    Scale: one count aggregation (map-side partial combine), then the
+    global heaviest-N cut runs as TakeOrderedAndProject — per-partition
+    top-N merged on the driver, never a full sort — and the window that
+    ranks/accumulates runs AFTER the cut, over top_n rows only, so its
+    single-partition exchange moves ``top_n`` rows, not the key space."""
+    from pyspark.sql import Window
+
+    counts = (df.groupBy(F.col(key_col).alias("key"))
+                .agg(F.count(F.lit(1)).alias("n_rows")))
+    total = counts.agg(F.sum("n_rows").alias("total"))
+    top = counts.orderBy(F.col("n_rows").desc(), F.col("key").asc()) \
+                .limit(top_n)
+    w = (Window.orderBy(F.col("n_rows").desc(), F.col("key").asc())
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    ranked = (top.withColumn("rank", F.row_number().over(
+                  Window.orderBy(F.col("n_rows").desc(),
+                                 F.col("key").asc())))
+                 .withColumn("cum", F.sum("n_rows").over(w)))
+    return (ranked.crossJoin(F.broadcast(total))
+            .select("key", "n_rows", "rank",
+                    (F.col("n_rows").cast("double")
+                     / F.col("total").cast("double")).alias("share"),
+                    (F.col("cum").cast("double")
+                     / F.col("total").cast("double")).alias("cum_share")))
+
+
+def key_skew_profile(spark, sf_dir: str) -> DataFrame:
+    """Driver-gate fixture: heaviest route keys of the trip fact — the
+    profile a planner would consult before sizing the route-key joins
+    this package runs everywhere (queries.py Q4/Q6, bucketed layout)."""
+    from ..views import trips
+
+    return key_skew_profile_df(trips(spark, sf_dir), "route_id")

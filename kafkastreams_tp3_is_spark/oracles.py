@@ -1083,6 +1083,24 @@ FROM r, (VALUES (0.5), (0.9), (0.99)) t(q)
 WHERE rn = CAST(ceil(q * CAST(n AS DOUBLE)) AS BIGINT)
 """
 
+# Key-skew profile: exact counts, TakeOrdered top-10, one division per
+# ratio of exact integers; ties broken by binary string order of the key
+# (identical collation both engines).
+ORACLES["key_skew_profile"] = f"""{_T},
+c AS (SELECT route_id AS key, COUNT(*) AS n_rows FROM trips
+      GROUP BY route_id),
+t AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS total FROM c),
+r AS (SELECT key, n_rows,
+             ROW_NUMBER() OVER (ORDER BY n_rows DESC, key ASC) AS rank,
+             SUM(n_rows) OVER (ORDER BY n_rows DESC, key ASC
+                               ROWS UNBOUNDED PRECEDING) AS cum
+      FROM c)
+SELECT key, CAST(n_rows AS BIGINT) AS n_rows, CAST(rank AS INTEGER) AS rank,
+       CAST(n_rows AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+       CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) AS cum_share
+FROM r, t WHERE rank <= 10
+"""
+
 ORACLES["trip_time_rollup"] = f"""{_T},
 base AS (
   SELECT transport_type,

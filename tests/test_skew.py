@@ -94,3 +94,33 @@ def test_salted_join_rejects_preexisting_salt_column(spark):
         salted_join(fact, dim, ["k"])
     with pytest.raises(ValueError, match="__salt"):
         salted_join(dim, fact, ["k"])
+
+
+def test_key_skew_profile_detects_planted_hot_key(spark, skewed):
+    """The profiler must rank a planted 90%-hot key first with its exact
+    count and share, and cum_share must be monotone non-decreasing in
+    rank, ending at the top-N coverage (here 100%: only 21 keys, but the
+    fixture asks for 25)."""
+    from kafkastreams_tp3_is_spark.operators.skew import key_skew_profile_df
+
+    fact, _ = skewed
+    rows = (key_skew_profile_df(fact, "k", top_n=25)
+            .orderBy("rank").collect())
+    assert rows[0]["key"] == "hot"
+    assert rows[0]["n_rows"] == 9_000
+    assert abs(rows[0]["share"] - 0.9) < 1e-12
+    cums = [r["cum_share"] for r in rows]
+    assert all(a <= b + 1e-12 for a, b in zip(cums, cums[1:]))
+    assert abs(cums[-1] - 1.0) < 1e-12          # 21 keys < top_n
+
+
+def test_key_skew_profile_cut_is_take_ordered(spark, skewed):
+    """The global heaviest-N cut must compile to TakeOrderedAndProject
+    (per-partition top-N + driver merge), not a full single-partition
+    sort of the key space — the window only ever sees top_n rows."""
+    from kafkastreams_tp3_is_spark.operators.skew import key_skew_profile_df
+
+    fact, _ = skewed
+    plan = (key_skew_profile_df(fact, "k")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "TakeOrderedAndProject" in plan
