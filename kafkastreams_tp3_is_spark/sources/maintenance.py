@@ -1,0 +1,91 @@
+"""Table-maintenance utilities: small-file compaction.
+
+Streaming sinks, fine-grained partitionBy writes, and high-parallelism
+jobs all leave parquet directories with far more files than the data
+warrants; at 100 TB the resulting per-file open/footer costs dominate
+scan planning (the classic "small files problem") and the NameNode/
+object-store listing bill grows with file count, not bytes. Compaction
+is the standard maintenance pass (Delta OPTIMIZE / Iceberg rewrite_
+data_files do the same job): rewrite a directory to files sized near a
+target, preserving the partition layout.
+
+Sizing strategy: measure, don't guess — the target file count per
+partition directory is ceil(directory_bytes / target_bytes) computed
+from the ACTUAL on-disk bytes of the existing files, so compression and
+encoding ratios carry over to the rewrite (estimating bytes from row
+counts would misfire by the compression factor). The rewrite itself is
+one coalesce/repartition + write per job, executor-side only.
+
+No registry entry: this is a write-side maintenance op (its effect is a
+directory layout, not a query result); correctness is pytest-gated —
+content identical pre/post, file count matches the sizing formula,
+partition directories preserved (tests/test_maintenance.py).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+from pyspark.sql import SparkSession
+
+
+def _dir_stats(path: str) -> tuple[int, int]:
+    """(data_bytes, data_files) of a directory tree, counting parquet
+    data files only (not _SUCCESS / checksums / metadata)."""
+    total, files = 0, 0
+    for root, _dirs, names in os.walk(path):
+        for n in names:
+            if n.endswith(".parquet") and not n.startswith((".", "_")):
+                total += os.path.getsize(os.path.join(root, n))
+                files += 1
+    return total, files
+
+
+def plan_file_count(data_bytes: int, target_bytes: int) -> int:
+    """Files a directory of ``data_bytes`` should compact into: integer
+    ceil-division, never zero (bigint-exact, same discipline as
+    pack_efficiency's ceil-div)."""
+    return max(1, -(-data_bytes // max(1, target_bytes)))
+
+
+def compact_parquet(spark: SparkSession, path: str,
+                    target_mb: int = 256) -> dict:
+    """Rewrite the parquet dataset at ``path`` into files of roughly
+    ``target_mb`` each, preserving any Hive-style ``col=value`` partition
+    directory layout (each leaf directory is compacted independently, so
+    partition pruning keeps working unchanged).
+
+    Writes to a sibling temp directory, then atomically swaps via two
+    os.rename calls (local-filesystem assumption, like the signature
+    store's compact; object stores would copy-then-delete). Returns
+    {"files_before": n, "files_after": m, "bytes": b}.
+
+    Scale notes: one Spark write job per leaf directory, sized by that
+    directory's real bytes; the per-leaf coalesce(n) narrows the scan
+    without a shuffle. Row ORDER within the rewritten files is not
+    preserved (parquet datasets are unordered by contract)."""
+    leaves = []
+    for root, dirs, names in os.walk(path):
+        if any(n.endswith(".parquet") and not n.startswith((".", "_"))
+               for n in names):
+            leaves.append(root)
+    bytes_total, files_before = _dir_stats(path)
+    target_bytes = target_mb * (1 << 20)
+    tmp = path.rstrip("/") + "._compact_tmp"
+    for leaf in leaves:
+        rel = os.path.relpath(leaf, path)
+        dest = tmp if rel == "." else os.path.join(tmp, rel)
+        leaf_bytes, _ = _dir_stats(leaf)
+        n_files = plan_file_count(leaf_bytes, target_bytes)
+        (spark.read.parquet(leaf).coalesce(n_files)
+         .write.mode("overwrite").parquet(dest))
+    old = path.rstrip("/") + "._compact_old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    import shutil
+
+    shutil.rmtree(old)
+    _, files_after = _dir_stats(path)
+    return {"files_before": files_before, "files_after": files_after,
+            "bytes": bytes_total}

@@ -320,3 +320,46 @@ def test_packed_bitset_matches_per_position_build(spark):
     # empty set -> all-zero bitset of the right shape
     empty = packed_bitset(df.where("p < 0"), m_bits)
     assert (empty == 0).all() and len(empty) == 4
+
+
+@given(vecs=st.lists(
+    st.lists(st.floats(min_value=-1e6, max_value=1e6,
+                       allow_nan=False, allow_infinity=False,
+                       width=32),
+             min_size=4, max_size=8),
+    min_size=1, max_size=6))
+@settings(max_examples=25, deadline=None)
+def test_sq8_quantizer_properties_on_random_vectors(spark, vecs):
+    """For arbitrary finite float vectors (including all-zero and
+    near-zero), the staged quantizer must (a) emit codes in [-127, 127],
+    (b) keep every code within 0.5 of the ideal x*127/scale computed in
+    python float64 (same IEEE ops), and (c) agree exactly with the
+    expression form sq8_quantize — staging is an execution-plan change,
+    not a semantics change."""
+    from kafkastreams_tp3_is_spark.operators.similarity import (
+        sq8_quantize, sq8_quantized)
+    from pyspark.sql import functions as F
+    import math
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>")
+    staged = {r["vec_id"]: (r["qv"], r["qq"])
+              for r in sq8_quantized(df).collect()}
+    qv_expr, _ = sq8_quantize(F.col("embedding"))
+    expr = {r["vec_id"]: r["q"]
+            for r in df.select("vec_id", qv_expr.alias("q")).collect()}
+    # float32 storage first, like the parquet embeddings
+    as_f32 = {r["vec_id"]: r["e"]
+              for r in df.select("vec_id", F.col("embedding").alias("e"))
+                         .collect()}
+    for vid, (qv, qq) in staged.items():
+        assert qv == expr[vid]
+        v = as_f32[vid]
+        scale = max(max((abs(x) for x in v), default=0.0), 1e-30)
+        for x, code in zip(v, qv):
+            assert -127 <= code <= 127
+            ideal = x * 127.0 / scale
+            assert abs(code - ideal) <= 0.5 + 1e-9, (x, scale, code)
+        assert qq == sum(c * c for c in qv)
+        assert math.isfinite(qq)
