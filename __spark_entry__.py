@@ -192,6 +192,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # entries): full-hash-oracle-checked by the local pytest suite
         # at sf0.001 every run; rotates into the cap next round.
         "key_skew_profile": _skew.key_skew_profile,
+        # NEW round 6, below the cap like key_skew_profile: two-phase
+        # retrieval (int8 shortlist -> float rescore) whose every step is
+        # deterministic, so the oracle is a full hash; rotates next round
+        "ann_cosine_topk_sq8_rescored": _sim.cosine_topk_sq8_rescored,
     }
 
 

@@ -430,3 +430,10 @@ def cosine_topk_sq8_rescored_df(emb: DataFrame, n_queries: int = 5,
     return (rescored.withColumn("rank", F.row_number().over(w2))
                     .where(F.col("rank") <= k)
                     .select("query_id", "neighbor_id", "cosine", "rank"))
+
+
+def cosine_topk_sq8_rescored(spark: SparkSession, sf_dir: str,
+                             n_queries: int = 5, k: int = 10,
+                             shortlist: int = 30) -> DataFrame:
+    return cosine_topk_sq8_rescored_df(load(spark, sf_dir, "embeddings"),
+                                       n_queries, k, shortlist)

@@ -448,6 +448,53 @@ FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
 WHERE rank <= 10
 """
 
+# Two-phase sq8 retrieval: phase 1 is the sq8 oracle's ranking cut at
+# the 30-candidate shortlist; phase 2 re-scores only those pairs with
+# the float cosine (list_dot_product / sqrt-product — the operation
+# order the ann_cosine_topk oracle already proved bit-identical to the
+# Spark fold). Every step deterministic, so the gate is a full hash.
+ORACLES["ann_cosine_topk_sq8_rescored"] = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), q8 AS (
+  SELECT vec_id, v,
+         list_transform(v, x -> CAST(floor(
+             x * 127.0 / greatest(list_max(list_transform(v, y -> abs(y))),
+                                  1e-30) + 0.5) AS BIGINT)) AS qv
+  FROM e
+), qn AS (
+  SELECT vec_id, v, qv,
+         CAST(list_dot_product(qv, qv) AS BIGINT) AS qq FROM q8
+), qs AS (
+  SELECT vec_id AS query_id, v AS q_vec, qv AS a_qv, qq AS a_qq
+  FROM qn ORDER BY vec_id LIMIT 5
+), scored AS (
+  SELECT query_id, c.vec_id AS neighbor_id, q_vec, c.v AS c_vec,
+         CAST(list_dot_product(a_qv, c.qv) AS DOUBLE)
+           / (sqrt(CAST(a_qq AS DOUBLE)) * sqrt(CAST(c.qq AS DOUBLE))) AS qcos
+  FROM qn c, qs WHERE c.vec_id <> query_id
+), shortlist AS (
+  SELECT query_id, neighbor_id, q_vec, c_vec
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY qcos DESC, neighbor_id ASC)
+               AS srank
+        FROM scored)
+  WHERE srank <= 30
+), rescored AS (
+  SELECT query_id, neighbor_id,
+         list_dot_product(q_vec, c_vec)
+           / (sqrt(list_dot_product(q_vec, q_vec))
+              * sqrt(list_dot_product(c_vec, c_vec))) AS cosine
+  FROM shortlist
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id ASC)
+             AS rank
+      FROM rescored)
+WHERE rank <= 10
+"""
+
 # ---------------------------------------------------------------------
 # Event-stream analytics over the events table — capabilities beyond the
 # reference (session windows, sliding windows, JSON paths, ranked top-k).
