@@ -196,6 +196,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # retrieval (int8 shortlist -> float rescore) whose every step is
         # deterministic, so the oracle is a full hash; rotates next round
         "ann_cosine_topk_sq8_rescored": _sim.cosine_topk_sq8_rescored,
+        # NEW round 6, below the cap: cross-source exact-dup overlap
+        # matrix (mixture-weight double-count diagnostic), all-integer
+        "source_overlap_matrix": _cur.source_overlap_matrix,
     }
 
 

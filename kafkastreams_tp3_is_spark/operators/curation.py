@@ -686,3 +686,57 @@ def corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle restates the mutation exactly."""
     docs = load(spark, sf_dir, "documents")
     return corpus_diff_df(docs, mutated_snapshot(docs))
+
+
+def source_overlap_matrix_df(docs: DataFrame) -> DataFrame:
+    """Cross-source exact-duplicate overlap matrix — the mixture-design
+    diagnostic that materialize_mixture's weights should be corrected
+    by: if source A largely duplicates source B, their nominal mixture
+    weights double-count the shared content. For every unordered source
+    pair (source_a <= source_b) the output counts exact-duplicate DOC
+    PAIRS: a text duplicated c_a times in A and c_b times in B
+    contributes c_a*c_b cross pairs, and c*(c-1)/2 within-source pairs
+    on the diagonal — all exact bigint arithmetic (the half product is
+    an integer ceil-free div of an even product).
+
+    Output: (source_a, source_b, n_dup_pairs), rows only where pairs
+    exist.
+
+    Scale: one groupBy on the 16-byte digest (map-side combined), then a
+    digest-key self-join whose per-digest group size is the source
+    count — bounded by |sources|, never by corpus size; the final agg
+    has |sources|^2 keys."""
+    d = (docs.select(F.md5(F.coalesce(F.col("text"), F.lit("")))
+                     .alias("dig"), "source")
+             .groupBy("dig", "source")
+             .agg(F.count(F.lit(1)).alias("n")))
+    a = d.select("dig", F.col("source").alias("source_a"),
+                 F.col("n").alias("n_a"))
+    b = d.select("dig", F.col("source").alias("source_b"),
+                 F.col("n").alias("n_b"))
+    joined = a.join(b, "dig").where(F.col("source_a") <= F.col("source_b"))
+    # integer div, not float /: the product is even so a double divide
+    # happens to be exact below 2^53, but bigint div is exact everywhere
+    pairs = F.when(
+        F.col("source_a") == F.col("source_b"),
+        F.expr("(n_a * (n_a - 1)) div 2")
+    ).otherwise(F.col("n_a") * F.col("n_b")).cast("bigint")
+    return (joined.select("source_a", "source_b", pairs.alias("p"))
+            .groupBy("source_a", "source_b")
+            .agg(F.sum("p").alias("n_dup_pairs"))
+            .where(F.col("n_dup_pairs") > 0))
+
+
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gate fixture: the synthetic corpus has NO exact duplicates
+    (every text is unique), so the fixture unions a 'rescrape' source —
+    every 10th doc verbatim under a new label (the common real-world
+    shape: a later crawl re-collecting earlier content) — making the
+    off-diagonal cells non-empty. The oracle restates the same union."""
+    docs = load(spark, sf_dir, "documents")
+    rescrape = (docs.where(F.col("doc_id") % 10 == 0)
+                    .select((F.col("doc_id") + F.lit(10_000_000))
+                            .alias("doc_id"),
+                            "text", "lang", F.lit("rescrape").alias("source"),
+                            "n_chars"))
+    return source_overlap_matrix_df(docs.unionByName(rescrape))

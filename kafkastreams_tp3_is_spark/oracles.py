@@ -495,6 +495,28 @@ FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
 WHERE rank <= 10
 """
 
+# Cross-source exact-dup overlap: per-digest source counts, unordered
+# source-pair products (within-source: n*(n-1) integer-div 2 — even
+# product, exact bigint both engines), summed per pair.
+ORACLES["source_overlap_matrix"] = """
+WITH u AS (
+  SELECT text, source FROM documents
+  UNION ALL
+  SELECT text, 'rescrape' AS source FROM documents WHERE doc_id % 10 = 0
+), d AS (
+  SELECT md5(COALESCE(text, '')) AS dig, source, COUNT(*) AS n
+  FROM u GROUP BY dig, source
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(SUM(CASE WHEN a.source = b.source
+                     THEN (a.n * (a.n - 1)) // 2
+                     ELSE a.n * b.n END) AS BIGINT) AS n_dup_pairs
+FROM d a JOIN d b ON a.dig = b.dig AND a.source <= b.source
+GROUP BY source_a, source_b
+HAVING SUM(CASE WHEN a.source = b.source THEN (a.n * (a.n - 1)) // 2
+                ELSE a.n * b.n END) > 0
+"""
+
 # ---------------------------------------------------------------------
 # Event-stream analytics over the events table — capabilities beyond the
 # reference (session windows, sliding windows, JSON paths, ranked top-k).

@@ -357,3 +357,21 @@ def test_materialize_mixture_regimes_and_determinism(spark):
     # content-addressed: a second run is identical
     again = materialize_mixture_df(docs, {"A": 0, "B": 2500}).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_source_overlap_matrix_counts_planted_pairs(spark):
+    """Hand-computed matrix: text 'x' appears 2x in A and 3x in B, 'y'
+    1x in each of A and C; uniques contribute nothing. Expected:
+    (A,A)=1 within-pair, (A,B)=6 cross, (A,C)=1, (B,B)=3."""
+    from kafkastreams_tp3_is_spark.operators.curation import (
+        source_overlap_matrix_df)
+
+    rows = ([("x", "A")] * 2 + [("x", "B")] * 3 + [("y", "A"), ("y", "C")]
+            + [("u1", "A"), ("u2", "B"), (None, "C")])
+    docs = spark.createDataFrame(
+        [(i, t, s) for i, (t, s) in enumerate(rows)],
+        "doc_id long, text string, source string")
+    got = {(r["source_a"], r["source_b"]): r["n_dup_pairs"]
+           for r in source_overlap_matrix_df(docs).collect()}
+    assert got == {("A", "A"): 1, ("A", "B"): 6, ("A", "C"): 1,
+                   ("B", "B"): 3}
