@@ -83,16 +83,19 @@ def key_skew_profile_df(df: DataFrame, key_col: str,
     single-partition exchange moves ``top_n`` rows, not the key space."""
     from pyspark.sql import Window
 
+    # NULL is the classic hot key, so it ranks like any other key — but
+    # tie order must be asc_nulls_LAST: Spark's bare ASC sorts nulls
+    # first while DuckDB (and the SQL standard default the oracle uses)
+    # sorts them last, and the cross-engine gate compares tie order
+    order = [F.col("n_rows").desc(), F.col("key").asc_nulls_last()]
     counts = (df.groupBy(F.col(key_col).alias("key"))
                 .agg(F.count(F.lit(1)).alias("n_rows")))
     total = counts.agg(F.sum("n_rows").alias("total"))
-    top = counts.orderBy(F.col("n_rows").desc(), F.col("key").asc()) \
-                .limit(top_n)
-    w = (Window.orderBy(F.col("n_rows").desc(), F.col("key").asc())
+    top = counts.orderBy(*order).limit(top_n)
+    w = (Window.orderBy(*order)
                .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    ranked = (top.withColumn("rank", F.row_number().over(
-                  Window.orderBy(F.col("n_rows").desc(),
-                                 F.col("key").asc())))
+    ranked = (top.withColumn("rank",
+                             F.row_number().over(Window.orderBy(*order)))
                  .withColumn("cum", F.sum("n_rows").over(w)))
     return (ranked.crossJoin(F.broadcast(total))
             .select("key", "n_rows", "rank",

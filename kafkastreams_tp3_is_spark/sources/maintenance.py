@@ -71,6 +71,10 @@ def compact_parquet(spark: SparkSession, path: str,
                for n in names):
             leaves.append(root)
     bytes_total, files_before = _dir_stats(path)
+    if not leaves:
+        # nothing to compact — and proceeding would rename the dataset
+        # away and then fail renaming a temp dir that was never written
+        return {"files_before": 0, "files_after": 0, "bytes": 0}
     target_bytes = target_mb * (1 << 20)
     tmp = path.rstrip("/") + "._compact_tmp"
     for leaf in leaves:

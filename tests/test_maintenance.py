@@ -68,3 +68,11 @@ def test_compact_preserves_hive_partition_layout(spark, tmp_path):
     assert _rows(after) == before_rows
     pruned = after.where(F.col("part") == 1)
     assert pruned.count() == 1_000
+
+
+def test_compact_empty_directory_is_a_safe_noop(spark, tmp_path):
+    path = str(tmp_path / "empty")
+    os.makedirs(path)
+    stats = compact_parquet(spark, path)
+    assert stats == {"files_before": 0, "files_after": 0, "bytes": 0}
+    assert os.path.isdir(path)                     # dataset not destroyed

@@ -124,3 +124,18 @@ def test_key_skew_profile_cut_is_take_ordered(spark, skewed):
     plan = (key_skew_profile_df(fact, "k")
             ._jdf.queryExecution().executedPlan().toString())
     assert "TakeOrderedAndProject" in plan
+
+
+def test_key_skew_profile_null_key_ranks_nulls_last_on_ties(spark):
+    """A NULL key (the classic hot key) must be counted as a group, and
+    on COUNT ties must sort after every non-null key — DuckDB/standard
+    NULLS LAST, which the oracle comparison depends on."""
+    from kafkastreams_tp3_is_spark.operators.skew import key_skew_profile_df
+
+    df = spark.createDataFrame(
+        [(None,)] * 5 + [("a",)] * 5 + [("b",)] * 2,
+        "k string")
+    rows = key_skew_profile_df(df, "k", top_n=10).orderBy("rank").collect()
+    assert [(r["key"], r["n_rows"]) for r in rows] == [
+        ("a", 5), (None, 5), ("b", 2)]
+    assert abs(rows[1]["cum_share"] - 10 / 12) < 1e-12
