@@ -332,16 +332,15 @@ def query_ivf_index(spark: SparkSession, index_dir: str,
              .dropDuplicates(["query_id", "neighbor_id"]))
     if meta.get("sq8"):
         from .similarity import _qdot as _qd
+        from .similarity import qcos
 
         scored = (cands.select(
             "query_id", "neighbor_id",
             _qd(F.col("a_qv"), F.col("b_qv")).alias("qdot"),
             "a_qq", "b_qq")
             .select("query_id", "neighbor_id",
-                    (F.col("qdot").cast("double")
-                     / (F.sqrt(F.col("a_qq").cast("double"))
-                        * F.sqrt(F.col("b_qq").cast("double"))))
-                    .alias("cosine")))
+                    qcos(F.col("qdot"), F.col("a_qq"),
+                         F.col("b_qq")).alias("cosine")))
     else:
         scored = cands.select(
             "query_id", "neighbor_id",

@@ -86,7 +86,12 @@ def events_value_quantiles_exact(spark: SparkSession,
     from pyspark.sql import Window
 
     ev = load_events(spark, sf_dir).select("event_type", "value")
-    w = Window.partitionBy("event_type").orderBy("value")
+    # asc_nulls_last: Spark's bare ASC ranks NULLs first, DuckDB's
+    # ORDER BY ranks them last — with NULL values present the two
+    # engines would select different rows at rank ceil(q*n) (the same
+    # divergence key_skew_profile guards against)
+    w = Window.partitionBy("event_type") \
+              .orderBy(F.col("value").asc_nulls_last())
     wn = Window.partitionBy("event_type")
     ranked = ev.select(
         "event_type", "value",

@@ -320,6 +320,37 @@ def sq8_quantized(df: DataFrame, vec_col: str = "embedding",
     return v.select(*keep, "qv", "qq")
 
 
+def qcos(qdot: F.Column, a_qq: F.Column, b_qq: F.Column) -> F.Column:
+    """Quantized cosine — THE one spelling every sq8 scorer must use
+    (similarity top-k, two-phase shortlist, ivf sq8 probe): the hash
+    oracles restate exactly this operation order, so a second spelling
+    drifting from it would silently break a bit-exact gate."""
+    return (qdot.cast("double")
+            / (F.sqrt(a_qq.cast("double")) * F.sqrt(b_qq.cast("double"))))
+
+
+def _sq8_scored(emb: DataFrame, n_queries: int) -> DataFrame:
+    """Shared sq8 phase 1: quantize the query head (cut BEFORE
+    quantization — n_queries rows, not the corpus twice) and the corpus,
+    broadcast the head, score every pair. Returns (query_id,
+    neighbor_id, qdot, qcos)."""
+    queries = (sq8_quantized(emb.orderBy("vec_id").limit(n_queries),
+                             keep=["vec_id"])
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("qv").alias("a_qv"), F.col("qq").alias("a_qq")))
+    corpus = (sq8_quantized(emb, keep=["vec_id"])
+              .select(F.col("vec_id").alias("neighbor_id"),
+                      F.col("qv").alias("b_qv"), F.col("qq").alias("b_qq")))
+    return (corpus.crossJoin(F.broadcast(queries))
+            .where(F.col("neighbor_id") != F.col("query_id"))
+            .select("query_id", "neighbor_id",
+                    _qdot(F.col("a_qv"), F.col("b_qv")).alias("qdot"),
+                    "a_qq", "b_qq")
+            .select("query_id", "neighbor_id", "qdot",
+                    qcos(F.col("qdot"), F.col("a_qq"),
+                         F.col("b_qq")).alias("qcos")))
+
+
 def cosine_topk_sq8_df(emb: DataFrame, n_queries: int = 5,
                        k: int = 10) -> DataFrame:
     """ANN top-k over int8 scalar-quantized vectors — the memory-at-scale
@@ -341,25 +372,7 @@ def cosine_topk_sq8_df(emb: DataFrame, n_queries: int = 5,
     window over n_queries * |corpus| scored rows. Compose with the IVF
     cell filter (ivf.py) to prune the scan; recall vs the float baseline
     is pytest-floored (tests/test_sq8.py)."""
-    # the query head is cut BEFORE quantization: quantize n_queries rows,
-    # not the whole corpus twice
-    queries = (sq8_quantized(emb.orderBy("vec_id").limit(n_queries),
-                             keep=["vec_id"])
-               .select(F.col("vec_id").alias("query_id"),
-                       F.col("qv").alias("a_qv"), F.col("qq").alias("a_qq")))
-    corpus = (sq8_quantized(emb, keep=["vec_id"])
-              .select(F.col("vec_id").alias("neighbor_id"),
-                      F.col("qv").alias("b_qv"), F.col("qq").alias("b_qq")))
-    scored = (corpus.crossJoin(F.broadcast(queries))
-              .where(F.col("neighbor_id") != F.col("query_id"))
-              .select("query_id", "neighbor_id",
-                      _qdot(F.col("a_qv"), F.col("b_qv")).alias("qdot"),
-                      "a_qq", "b_qq")
-              .select("query_id", "neighbor_id", "qdot",
-                      (F.col("qdot").cast("double")
-                       / (F.sqrt(F.col("a_qq").cast("double"))
-                          * F.sqrt(F.col("b_qq").cast("double"))))
-                      .alias("qcos")))
+    scored = _sq8_scored(emb, n_queries)
     w = Window.partitionBy("query_id").orderBy(F.col("qcos").desc(),
                                                F.col("neighbor_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -392,23 +405,7 @@ def cosine_topk_sq8_rescored_df(emb: DataFrame, n_queries: int = 5,
     exact baseline at sf0.001).
 
     Output: query_id, neighbor_id, cosine, rank."""
-    queries = (sq8_quantized(emb.orderBy("vec_id").limit(n_queries),
-                             keep=["vec_id"])
-               .select(F.col("vec_id").alias("query_id"),
-                       F.col("qv").alias("a_qv"), F.col("qq").alias("a_qq")))
-    corpus = (sq8_quantized(emb, keep=["vec_id"])
-              .select(F.col("vec_id").alias("neighbor_id"),
-                      F.col("qv").alias("b_qv"), F.col("qq").alias("b_qq")))
-    scored = (corpus.crossJoin(F.broadcast(queries))
-              .where(F.col("neighbor_id") != F.col("query_id"))
-              .select("query_id", "neighbor_id",
-                      _qdot(F.col("a_qv"), F.col("b_qv")).alias("qdot"),
-                      "a_qq", "b_qq")
-              .select("query_id", "neighbor_id",
-                      (F.col("qdot").cast("double")
-                       / (F.sqrt(F.col("a_qq").cast("double"))
-                          * F.sqrt(F.col("b_qq").cast("double"))))
-                      .alias("qcos")))
+    scored = _sq8_scored(emb, n_queries)
     w1 = Window.partitionBy("query_id").orderBy(F.col("qcos").desc(),
                                                 F.col("neighbor_id").asc())
     cands = (scored.withColumn("srank", F.row_number().over(w1))

@@ -56,15 +56,33 @@ def compact_parquet(spark: SparkSession, path: str,
     directory layout (each leaf directory is compacted independently, so
     partition pruning keeps working unchanged).
 
-    Writes to a sibling temp directory, then atomically swaps via two
-    os.rename calls (local-filesystem assumption, like the signature
-    store's compact; object stores would copy-then-delete). Returns
+    Writes to a sibling temp directory, then swaps via two os.rename
+    calls (local-filesystem assumption, like the signature store's
+    compact; object stores would copy-then-delete). The swap is NOT a
+    single atomic step: a crash between the renames leaves the data in
+    the ``._compact_old`` sibling — so a leftover ``._compact_old`` /
+    ``._compact_tmp`` makes the next run REFUSE with recovery guidance
+    instead of silently no-opping on the now-missing path. Returns
     {"files_before": n, "files_after": m, "bytes": b}.
 
     Scale notes: one Spark write job per leaf directory, sized by that
-    directory's real bytes; the per-leaf coalesce(n) narrows the scan
-    without a shuffle. Row ORDER within the rewritten files is not
-    preserved (parquet datasets are unordered by contract)."""
+    leaf's OWN on-disk bytes (non-recursive); the rewrite uses
+    coalesce(n) (shuffle-free) when merging down and repartition(n)
+    when the plan needs MORE files than the scan's input partitions —
+    coalesce cannot split, and silently under-producing files would
+    break the sizing contract. Row ORDER within the rewritten files is
+    not preserved (parquet datasets are unordered by contract)."""
+    old = path.rstrip("/") + "._compact_old"
+    tmp = path.rstrip("/") + "._compact_tmp"
+    for leftover in (old, tmp):
+        if os.path.exists(leftover):
+            raise RuntimeError(
+                f"{leftover} exists — a previous compaction crashed "
+                "mid-swap. Recover manually: the complete dataset is in "
+                f"either {path} or {leftover}; move it back into place "
+                "and delete the leftover directories before re-running.")
+    if not os.path.isdir(path):
+        raise FileNotFoundError(f"no dataset directory at {path}")
     leaves = []
     for root, dirs, names in os.walk(path):
         if any(n.endswith(".parquet") and not n.startswith((".", "_"))
@@ -75,16 +93,28 @@ def compact_parquet(spark: SparkSession, path: str,
         # nothing to compact — and proceeding would rename the dataset
         # away and then fail renaming a temp dir that was never written
         return {"files_before": 0, "files_after": 0, "bytes": 0}
+    if len(leaves) > 1 and os.path.normpath(path) in map(
+            os.path.normpath, leaves):
+        # data files at the root of a partitioned layout: Spark's
+        # partition discovery rejects mixed depths — fail BEFORE any
+        # rewrite rather than mid-loop with a half-written tmp
+        raise ValueError(
+            f"{path} mixes root-level parquet files with partition "
+            "subdirectories; clean the stray root files first")
     target_bytes = target_mb * (1 << 20)
-    tmp = path.rstrip("/") + "._compact_tmp"
     for leaf in leaves:
         rel = os.path.relpath(leaf, path)
         dest = tmp if rel == "." else os.path.join(tmp, rel)
-        leaf_bytes, _ = _dir_stats(leaf)
+        leaf_bytes = sum(
+            os.path.getsize(os.path.join(leaf, n))
+            for n in os.listdir(leaf)
+            if n.endswith(".parquet") and not n.startswith((".", "_")))
         n_files = plan_file_count(leaf_bytes, target_bytes)
-        (spark.read.parquet(leaf).coalesce(n_files)
-         .write.mode("overwrite").parquet(dest))
-    old = path.rstrip("/") + "._compact_old"
+        df = spark.read.parquet(leaf)
+        n_parts = df.rdd.getNumPartitions()
+        sized = (df.coalesce(n_files) if n_files <= n_parts
+                 else df.repartition(n_files))
+        sized.write.mode("overwrite").parquet(dest)
     os.rename(path, old)
     os.rename(tmp, path)
     import shutil
