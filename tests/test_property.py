@@ -363,3 +363,30 @@ def test_sq8_quantizer_properties_on_random_vectors(spark, vecs):
             assert abs(code - ideal) <= 0.5 + 1e-9, (x, scale, code)
         assert qq == sum(c * c for c in qv)
         assert math.isfinite(qq)
+
+
+@given(rows=st.lists(
+    st.tuples(st.sampled_from(["t0", "t1", "t2", "t3", ""]),
+              st.sampled_from(["A", "B", "C"])),
+    min_size=0, max_size=24))
+@settings(max_examples=25, deadline=None)
+def test_source_overlap_matrix_matches_bruteforce(spark, rows):
+    """Random (text, source) corpora vs an all-pairs python reference:
+    every unordered doc pair with equal text contributes to exactly one
+    (source_a<=source_b) cell."""
+    from collections import Counter
+    from itertools import combinations
+
+    from kafkastreams_tp3_is_spark.operators.curation import (
+        source_overlap_matrix_df)
+
+    docs = spark.createDataFrame(
+        [(i, t, s) for i, (t, s) in enumerate(rows)],
+        "doc_id long, text string, source string")
+    got = {(r["source_a"], r["source_b"]): r["n_dup_pairs"]
+           for r in source_overlap_matrix_df(docs).collect()}
+    want = Counter()
+    for (i, (ta, sa)), (j, (tb, sb)) in combinations(enumerate(rows), 2):
+        if ta == tb:
+            want[tuple(sorted((sa, sb)))] += 1
+    assert got == dict(want)

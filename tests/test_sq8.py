@@ -77,3 +77,17 @@ def test_sq8_zero_vector_guard(spark):
                                                    qv.alias("q")).collect()}
     assert rows[1] == [0] * 8
     assert None not in rows[2] and rows[2][1] == -127
+
+
+def test_sq8_topk_plan_shape(spark):
+    """The sq8 scorer's plan must keep its scale invariants: the tiny
+    quantized query head rides ONE BroadcastExchange into the pair scan
+    (a broadcast nested-loop, never a CartesianProduct shuffle), and the
+    per-query top-k is pre-pruned map-side — a Partial WindowGroupLimit
+    below the rank Exchange plus the Final above it."""
+    plan = (cosine_topk_sq8(spark, SF_DIR)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastNestedLoopJoin" in plan
+    assert plan.count("BroadcastExchange") == 1
+    assert "CartesianProduct" not in plan
+    assert plan.count("WindowGroupLimit") == 2      # Partial + Final
