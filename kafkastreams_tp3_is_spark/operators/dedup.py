@@ -884,6 +884,13 @@ def bloom_decontaminate_spans_df(train: DataFrame, benchmark: DataFrame,
         packed_bitset(pos, m_bits))
 
     def prefilter(batches: _Iter) -> _Iter:
+        # KEEP IN SYNC with sketch.bloom_decontaminate_df's probe
+        # kernel: the bit test and XOR/shift mixing must replay the JVM
+        # build side (_bloom_positions) bit-for-bit, and the copies
+        # cannot be factored into a module helper — UDF closures must
+        # stay self-contained (cloudpickle serializes module functions
+        # by reference; executors can't import this package under the
+        # driver's default session)
         import numpy as _np
 
         w = bc_bits.value

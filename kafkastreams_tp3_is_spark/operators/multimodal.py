@@ -550,9 +550,12 @@ def media_dhash_pairs(spark: SparkSession, sf_dir: str,
                       max_hamming: int = 3) -> DataFrame:
     """queries() surface: near-dup image pairs via the stub dHash
     kernel, over the synthetic images PLUS a planted near-identical twin
-    of every 10th one (media_id + 999999 — a multiple of 3, so the
-    media-type class is preserved — with one character overwritten at a
-    fixed position). A single in-place byte edit moves at most two
+    of every 10th one (media_id + 3e12 — a multiple of 3 so the
+    media-type class is preserved, and far beyond any real doc_id at
+    any scale factor, so planted ids can never collide with (and merge
+    fingerprints of) a genuine document — an id collision would make the
+    engine/oracle hash gate diverge) with one character overwritten at a
+    fixed position. A single in-place byte edit moves at most two
     adjacent-comparison bits of the 8x9 grid, so every twin pair sits
     inside the hamming<=3 recall guarantee and the gate output is
     non-empty with both near-zero and zero distances. The DuckDB oracle
@@ -564,7 +567,7 @@ def media_dhash_pairs(spark: SparkSession, sf_dir: str,
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     planted = (docs.where(F.col("doc_id") % 30 == 0)
-               .select((F.col("doc_id") + 999_999).alias("doc_id"),
+               .select((F.col("doc_id") + F.lit(3_000_000_000_000)).alias("doc_id"),
                        F.concat(
                            F.substring("text", 1, 10), F.lit("#"),
                            F.col("text").substr(F.lit(12),

@@ -208,6 +208,9 @@ def bloom_decontaminate_df(train: DataFrame, benchmark: DataFrame,
         packed_bitset(bench_pos, m_bits))
 
     def probe(batches: _Iter) -> _Iter:
+        # KEEP IN SYNC with dedup.bloom_decontaminate_spans_df's
+        # prefilter kernel (same bit test + XOR/shift mixing); see the
+        # comment there for why the copies cannot share a module helper
         import numpy as _np
         import pandas as _pd
 

@@ -882,7 +882,7 @@ WITH img0 AS (
   SELECT doc_id AS media_id, text FROM documents WHERE doc_id % 3 = 0
 ),
 planted AS (
-  SELECT doc_id + 999999 AS media_id,
+  SELECT doc_id + 3000000000000 AS media_id,
          substr(text, 1, 10) || '#' || substr(text, 12) AS text
   FROM documents WHERE doc_id % 30 = 0
 ),

@@ -271,16 +271,24 @@ class StreamingCorpusDedup:
         runs. The checkpoint guard's marker file is untouched, so the
         original checkpoint still owns the store and resumes cleanly.
 
-        Call OFFLINE only (after ``run`` returns): batch ids under the
-        owning checkpoint are monotone, so a compacted directory named
-        after a past id can never collide with a future trigger's
-        ``batch=<id>`` overwrite — but the id suffix 'c' keeps even a
-        replayed final batch from clobbering it. Crash-safety: the
-        consolidated directory is fully written and renamed into place
-        BEFORE the source directories are deleted; a crash in the
-        delete loop leaves duplicate rows visible, which re-running
-        compact() (it folds the compacted dir in with the stragglers)
-        repairs."""
+        Replay-safety: the LATEST plain ``batch=<id>`` directory is
+        never folded. It is the only batch a crashed run's checkpoint
+        can replay, and the replay protections are name-based — the
+        per-batch overwrite targets ``batch=<id>`` and ``_stored_sigs``
+        excludes exactly that name — so folding it into a ``...c``
+        directory would turn a replay into duplicate documents (sig
+        write lost) or a silently-empty batch (sig write landed). With
+        it left in place, compact() is safe to run even after a crashed
+        run: the replayed trigger sees precisely the during-run layout.
+        Batch ids under the owning checkpoint are monotone, so a
+        compacted directory named after a past id can never collide
+        with a future trigger's overwrite — and the id suffix 'c'
+        keeps it out of the name-based protections entirely.
+        Crash-safety of compact() itself: the consolidated directory is
+        fully written and renamed into place BEFORE the source
+        directories are deleted; a crash in the delete loop leaves
+        duplicate rows visible, which re-running compact() (it folds
+        the compacted dir in with the stragglers) repairs."""
         import shutil
 
         for root in (self.corpus_dir, self.sig_dir):
@@ -288,19 +296,24 @@ class StreamingCorpusDedup:
                 continue
             subdirs = sorted(d for d in os.listdir(root)
                              if d.startswith("batch="))
-            if len(subdirs) <= 1:
+            plain = [d for d in subdirs
+                     if d.split("=", 1)[1].isdigit()]
+            latest = (max(plain, key=lambda d: int(d.split("=", 1)[1]))
+                      if plain else None)
+            fold = [d for d in subdirs if d != latest]
+            if len(fold) <= 1:
                 continue
             max_id = max(int(d.split("=", 1)[1].rstrip("c"))
-                         for d in subdirs
+                         for d in fold
                          if d.split("=", 1)[1].rstrip("c").isdigit())
             df = self.spark.read.option("basePath", root).parquet(
-                *[os.path.join(root, d) for d in subdirs]).drop("batch")
+                *[os.path.join(root, d) for d in fold]).drop("batch")
             tmp = os.path.join(root, "_compact_tmp")
             df.write.mode("overwrite").parquet(tmp)
             final = os.path.join(root, f"batch={max_id}c")
             if os.path.isdir(final):          # re-run after a crash
                 shutil.rmtree(final)
             os.rename(tmp, final)
-            for d in subdirs:
+            for d in fold:
                 if d != f"batch={max_id}c":
                     shutil.rmtree(os.path.join(root, d))

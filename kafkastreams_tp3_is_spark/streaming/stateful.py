@@ -137,9 +137,25 @@ def latest_route_capacity_stateful(spark: SparkSession,
     # stage + checkpoint on tmpfs when the box has one: the demo's
     # parquet staging, WAL commits, and per-batch state-store commits
     # are all fsync-latency-bound at this tiny size
+    # tmpfs staging is a latency trick at demo scale, not a storage
+    # strategy: the staged changelog grows with sf (orders/80), and
+    # /dev/shm is RAM-backed — filling it ENOSPC-fails the write or
+    # pressures the whole box. Only use it when the source table is
+    # comfortably small; estimate from the orders parquet's on-disk
+    # bytes (a safe over-bound for a 1/80, 3-column slice).
     shm = "/dev/shm"
+    use_shm = False
+    if os.path.isdir(shm):
+        import shutil as _sh
+
+        src_bytes = sum(
+            os.path.getsize(os.path.join(r, n))
+            for r, _d, ns in os.walk(os.path.join(sf_dir))
+            for n in ns if n.startswith("orders") and n.endswith(".parquet"))
+        use_shm = src_bytes < min(_sh.disk_usage(shm).free // 4,
+                                  1 << 30)
     workdir = tempfile.mkdtemp(prefix="latest_stateful_",
-                               dir=shm if os.path.isdir(shm) else None)
+                               dir=shm if use_shm else None)
     src_dir = os.path.join(workdir, "in")
     # 2 files / maxFilesPerTrigger=1 -> exactly 2 micro-batches, staged
     # ASYMMETRICALLY in ONE write (single plan compile): batch file b=0

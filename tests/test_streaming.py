@@ -1068,11 +1068,12 @@ def test_streaming_corpus_dedup_marker_is_crash_safe_and_cc_dir_reclaimed(
 
 
 def test_streaming_corpus_dedup_compaction(spark, planted_docs, tmp_path):
-    """compact() folds the per-batch store layout into one directory per
-    store: corpus content identical, signature store still authoritative
-    (a later run dedups new near-dups against the COMPACTED signatures),
-    directory count drops to 1, the checkpoint marker survives, and the
-    original checkpoint resumes over the compacted store."""
+    """compact() folds all but the latest plain batch directory into one
+    consolidated dir per store: corpus content identical, signature
+    store still authoritative (a later run dedups new near-dups against
+    the COMPACTED signatures), directory count drops 4 -> 2, the
+    checkpoint marker survives, and the original checkpoint resumes
+    over the compacted store."""
     from kafkastreams_tp3_is_spark.streaming.incremental import (
         StreamingCorpusDedup)
 
@@ -1096,11 +1097,17 @@ def test_streaming_corpus_dedup_compaction(spark, planted_docs, tmp_path):
 
     assert n_batch_dirs(corpus) == 4 and n_batch_dirs(sink.sig_dir) == 4
     sink.compact()
-    assert n_batch_dirs(corpus) == 1 and n_batch_dirs(sink.sig_dir) == 1
+    # the LATEST plain batch dir is never folded (it is the only one a
+    # crashed checkpoint can replay, and the replay protections are
+    # name-based), so 4 dirs compact to 2: batch=3 + batch=2c
+    assert n_batch_dirs(corpus) == 2 and n_batch_dirs(sink.sig_dir) == 2
+    assert os.path.isdir(os.path.join(corpus, "batch=3"))
     assert sorted(tuple(r) for r in sink.corpus().collect()) == before
     assert os.path.isfile(os.path.join(corpus, "_checkpoint_marker.json"))
-    # idempotent: a second compact over one dir is a no-op
+    # idempotent: a second compact (latest plain dir + one compacted
+    # dir) is a no-op
     sink.compact()
+    assert n_batch_dirs(corpus) == 2
     assert sorted(tuple(r) for r in sink.corpus().collect()) == before
 
     # resume the SAME checkpoint with new files: exact re-sends of stored
