@@ -1,0 +1,80 @@
+"""Full-registry oracle parity sweep at an arbitrary scale factor.
+
+The pytest gate proves Spark==DuckDB at sf0.001 and the driver at
+sf0.01; this sweep runs the SAME comparison (row count + columns +
+values, floats bit-identical) over every ``queries()`` entry at any
+sf — the scale-dependence check for fixture assumptions that only
+break when the data grows (planted-id ranges, threshold
+discriminativeness, broadcast guards). Too slow for CI at sf0.1
+(~10 min); run it per-round after substantive fixture changes.
+
+Last full run: sf0.1, 96 entries, 0 fails.
+
+Usage: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 python scripts/parity_sweep.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split()
+
+
+def main() -> None:
+    import duckdb
+    from pyspark.sql import SparkSession
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # driver-style defaults on purpose: the registry must hold under a
+    # session the engine did not configure
+    spark = (SparkSession.builder.master(f"local[{os.cpu_count() or 8}]")
+             .config("spark.ui.showConsoleProgress", "false")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+    import __spark_entry__ as entrymod
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf_dir}/{t}.parquet')")
+    queries, oracles = entrymod.queries(), entrymod.oracle_sql()
+    fails = 0
+    for name in sorted(queries):
+        t0 = time.time()
+        try:
+            sdf = queries[name](spark, sf_dir).toPandas()
+            if name not in oracles:
+                print(f"ROWS {name} {len(sdf)} {time.time() - t0:.0f}s",
+                      flush=True)
+                continue
+            ddf = con.execute(oracles[name]).fetchdf()
+            cols = sorted(sdf.columns)
+            a = sdf[cols].sort_values(by=cols).reset_index(drop=True)
+            b = (ddf[sorted(ddf.columns)].sort_values(by=sorted(ddf.columns))
+                 .reset_index(drop=True))
+            ok = (list(a.columns) == list(b.columns) and len(a) == len(b)
+                  and all((a[c].values == b[c].astype(float).values).all()
+                          if a[c].dtype.kind == "f"
+                          else a[c].astype(str).tolist()
+                          == b[c].astype(str).tolist()
+                          for c in a.columns))
+            if not ok:
+                fails += 1
+                print(f"FAIL {name} {len(a)}/{len(b)}", flush=True)
+            else:
+                print(f"OK   {name} {len(a)} {time.time() - t0:.0f}s",
+                      flush=True)
+        except Exception as ex:          # noqa: BLE001 — sweep must finish
+            fails += 1
+            print("ERR ", name, repr(ex)[:200], flush=True)
+    print("TOTAL", len(queries), "FAILS", fails, flush=True)
+    sys.exit(1 if fails else 0)
+
+
+if __name__ == "__main__":
+    main()
