@@ -43,101 +43,27 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # --- ROTATION BLOCK (round 6) -------------------------------------
+        # --- ROTATION BLOCK (round 7) -------------------------------------
         # The driver's correctness run caps near 50 entries in registration
-        # order; round 5 recorded the first 51 and left these 37 riding on
-        # their round-4 rows. All 37 move to the FRONT this round so every
-        # registry entry has a green row dated r5 or r6.
-        "q9_total_passengers": _q.q9_total_passengers,
-        "q10_transport_type_max_passengers": _q.q10_transport_type_max_passengers,
-        "q11_transport_type_max_passengers_window": _q.q11_transport_type_max_passengers_window,
-        "q12_least_occupied_transport_type_window": _q.q12_least_occupied_transport_type_window,
-        "q13_most_occupied_operator": _q.q13_most_occupied_operator,
-        # S5 sink path: Q5 through the Connect-envelope renderer
-        "envelope_passengers_per_route": _env.envelope_passengers_per_route,
-        # A9 latest-per-key over a changelog with duplicate keys; the
-        # stateful streaming twin is in the touched block below
-        "latest_route_capacity": _views.latest_route_capacity,
-        # event-stream analytics beyond the reference's surface
-        "events_sessionize": _events.sessionize,
-        "events_sliding_counts": _events.sliding_counts,
-        "events_json_props_stats": _events.json_props_stats,
-        "events_topk_users": _events.topk_users,
-        "events_user_anomaly": _events.user_anomaly,
-        "events_cohort_retention": _events.cohort_retention,
-        # temporal as-of join (single-shuffle union trick)
-        "trips_asof_route_version": _temporal.trips_asof_route_version,
-        # lexical retrieval + packing
-        "tfidf_topk": _ret.tfidf_topk,
-        "tokenize_ids": _ret.tokenize_ids,
-        "pack_token_sequences": _ret.pack_token_sequences,
-        "heavy_hitters": _sketch.heavy_hitters,
-        # text/corpus reports
-        "corpus_stats": _text.corpus_stats,
-        "doc_commonness": _text.doc_commonness,
-        "lang_confusion": _text.lang_confusion,
-        "quality_decile_filter": _text.quality_decile_filter,
-        # curation / mixing
-        "mix_by_source": _cur.mix_by_source,
-        "stratified_sample": _cur.stratified_sample,
-        "doc_chunk": _cur.doc_chunk,
-        "global_shuffle": _cur.global_shuffle,
-        "contamination_overlap": _cur.contamination_overlap,
-        "contamination_attribution": _cur.contamination_attribution,
-        "embedding_kmeans_assign": _ivf.embedding_kmeans_assign,  # rows-only
-        "mix_by_cluster": _ivf.mix_by_cluster,                    # rows-only
-        # dedup graph/span extensions
-        "repeated_spans": _dedup.repeated_spans,
-        "semantic_dup_clusters": _graph.semantic_dup_clusters,    # rows-only
-        "semantic_dup_clusters_exact": _graph.semantic_dup_clusters_exact,
-        # multimodal plumbing
-        "multimodal_features": _mm.media_features,
-        "multimodal_resize": _mm.media_resize,
-        "multimodal_frame_sample": _mm.media_frame_sample,
-        "corpus_clean": _pipe.corpus_clean,
-        # --- NEW / TOUCHED THIS ROUND -------------------------------------
-        # NEW round 6: Bloom-prefiltered verbatim-span decontamination —
-        # the row-level prefilter only prunes the exact join, so it
-        # shares decontaminate_spans' full hash oracle verbatim
-        "decontaminate_spans_bloom": _dedup.decontaminate_spans_bloom,
-        # NEW round 6: dHash image near-dup — perceptual fingerprints
-        # through the shared Manku block-combination machinery, with an
-        # all-pairs bit-exact DuckDB oracle over planted twins
-        "media_dhash_pairs": _mm.media_dhash_pairs,
-        # NEW round 6: persisted IVF index — build once (postings
-        # partitioned by cell), probe with partition pruning; rows-only
-        # (k-means is not SQL-restatable), recall floor + pruned-plan
-        # pytests
-        "ann_cosine_topk_stored": _ivf.ann_cosine_topk_stored,
-        # NEW round 6: epoch-weighted mixture materialization (drop /
-        # fractional / integer upsampling regimes in one fixture)
-        "materialize_mixture": _cur.materialize_mixture,
-        # NEW round 6: exact nearest-rank quantile twin for the GK
-        # sketch (full hash oracle — no interpolation, the selected
-        # value exists in the data)
-        "events_value_quantiles_exact": _olap.events_value_quantiles_exact,
-        # NEW round 6: int8 scalar-quantized ANN — exact integer dot
-        # products, so the quantized ranking is full-hash verifiable
-        # (the float ANN variants are rows-only by construction)
-        "ann_cosine_topk_sq8": _sim.cosine_topk_sq8,
-        # implementations (or their oracles) changed in round 6: bigint
-        # ceil-div (paragraph_dedup, pack_efficiency), distributed Bloom
-        # bitset build (bloom_decontaminate), NULL-text oracle parity
-        # (pipeline_*_clean), hamming_pairs_df refactor (dedup_simhash),
-        # prefiltered derive + 16-partition state store (stateful demo)
-        "paragraph_dedup": _dedup.paragraph_dedup,
-        "pack_efficiency": _cur.pack_efficiency,
-        "bloom_decontaminate": _sketch.bloom_decontaminate,
-        "pipeline_standard_clean": _pipe.pipeline_standard_clean,
-        "pipeline_full_clean": _pipe.pipeline_full_clean,
-        "dedup_simhash": _dedup.dedup_simhash,
-        "latest_route_capacity_stateful": _stateful.latest_route_capacity_stateful,
-        # --- r5-VERIFIED BACKLOG ------------------------------------------
-        # Everything below holds a green hash/rows row in
-        # CORRECTNESS_r05.json under unchanged code; entries past the cap
-        # this round ride on that row and rotate forward next round.
-        # decontaminate_spans' own function is untouched this round (its
-        # Bloom twin above shares the oracle verbatim and IS in the cap)
+        # order. Round 6 recorded the 50 entries now parked at the bottom;
+        # the 46 entries here lack an r6 driver row, so they move to the
+        # FRONT: first the 3 round-6 newcomers that have NEVER had a
+        # driver-scale row, then the 43 entries riding on round-5 rows.
+        "key_skew_profile": _skew.key_skew_profile,
+        "ann_cosine_topk_sq8_rescored": _sim.cosine_topk_sq8_rescored,
+        "source_overlap_matrix": _cur.source_overlap_matrix,
+        # --- the 43-entry r5-dated backlog --------------------------------
+        "q1_available_seats_per_route": _q.q1_available_seats_per_route,
+        "q2_average_passengers_per_transport_type": _q.q2_average_passengers_per_transport_type,
+        # Q2's 100 TB form: HLL sketch distinct (rows-only; error bound
+        # vs exact is pytest-asserted)
+        "q2_approx_average_passengers": _q.q2_approx_average_passengers_per_transport_type,
+        "q3_name_passenger_most_trips": _q.q3_name_passenger_most_trips,
+        "q4_occupancy_per_route": _q.q4_occupancy_per_route,
+        "q5_passengers_per_route": _q.q5_passengers_per_route,
+        "q6_route_least_occupancy_per_transport_type": _q.q6_route_least_occupancy_per_transport_type,
+        "q7_total_capacity_available": _q.q7_total_capacity_available,
+        "q8_total_occupancy_percentage": _q.q8_total_occupancy_percentage,
         "decontaminate_spans": _dedup.decontaminate_spans,
         "dedup_exact": _dedup.dedup_exact,
         "dedup_minhash_lsh": _dedup.dedup_minhash_lsh,
@@ -176,29 +102,70 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_attribution": _temporal.events_attribution,
         "vocab_drift": _text.vocab_drift,
         "mix_temperature": _cur.mix_temperature,
-        "q1_available_seats_per_route": _q.q1_available_seats_per_route,
-        "q2_average_passengers_per_transport_type": _q.q2_average_passengers_per_transport_type,
-        # Q2's 100 TB form: HLL sketch distinct (rows-only; error bound
-        # vs exact is pytest-asserted)
-        "q2_approx_average_passengers": _q.q2_approx_average_passengers_per_transport_type,
-        "q3_name_passenger_most_trips": _q.q3_name_passenger_most_trips,
-        "q4_occupancy_per_route": _q.q4_occupancy_per_route,
-        "q5_passengers_per_route": _q.q5_passengers_per_route,
-        "q6_route_least_occupancy_per_transport_type": _q.q6_route_least_occupancy_per_transport_type,
-        "q7_total_capacity_available": _q.q7_total_capacity_available,
-        "q8_total_occupancy_percentage": _q.q8_total_occupancy_percentage,
-        # NEW round 6, deliberately BELOW the driver cap (the in-cap
-        # slots are spoken for by the r4 rotation + this round's touched
-        # entries): full-hash-oracle-checked by the local pytest suite
-        # at sf0.001 every run; rotates into the cap next round.
-        "key_skew_profile": _skew.key_skew_profile,
-        # NEW round 6, below the cap like key_skew_profile: two-phase
-        # retrieval (int8 shortlist -> float rescore) whose every step is
-        # deterministic, so the oracle is a full hash; rotates next round
-        "ann_cosine_topk_sq8_rescored": _sim.cosine_topk_sq8_rescored,
-        # NEW round 6, below the cap: cross-source exact-dup overlap
-        # matrix (mixture-weight double-count diagnostic), all-integer
-        "source_overlap_matrix": _cur.source_overlap_matrix,
+        # --- NEW / TOUCHED THIS ROUND (round 7) ---------------------------
+        # (new round-7 entries register here, inside the ~50-entry cap)
+        "ann_cosine_topk_stored_probe": _ivf.ann_cosine_topk_stored_probe,  # rows-only
+        "ngram_lm_score": _text.ngram_lm_score,
+        "domain_mixture_report": _cur.domain_mixture_report,
+        "dedup_suffix_prefix": _dedup.dedup_suffix_prefix,
+        # --- r6-VERIFIED BACKLOG ------------------------------------------
+        # Every entry below holds a green row in CORRECTNESS_r06.json
+        # (46 hash-match + 4 rows-only by design) under code untouched
+        # since, re-proven every run by the full-registry pytest oracle at
+        # sf0.001 and by scripts/parity_sweep.py at sf0.1; they ride past
+        # the cap this round and rotate forward next round.
+        "q9_total_passengers": _q.q9_total_passengers,
+        "q10_transport_type_max_passengers": _q.q10_transport_type_max_passengers,
+        "q11_transport_type_max_passengers_window": _q.q11_transport_type_max_passengers_window,
+        "q12_least_occupied_transport_type_window": _q.q12_least_occupied_transport_type_window,
+        "q13_most_occupied_operator": _q.q13_most_occupied_operator,
+        # S5 sink path: Q5 through the Connect-envelope renderer
+        "envelope_passengers_per_route": _env.envelope_passengers_per_route,
+        # A9 latest-per-key over a changelog with duplicate keys
+        "latest_route_capacity": _views.latest_route_capacity,
+        "events_sessionize": _events.sessionize,
+        "events_sliding_counts": _events.sliding_counts,
+        "events_json_props_stats": _events.json_props_stats,
+        "events_topk_users": _events.topk_users,
+        "events_user_anomaly": _events.user_anomaly,
+        "events_cohort_retention": _events.cohort_retention,
+        "trips_asof_route_version": _temporal.trips_asof_route_version,
+        "tfidf_topk": _ret.tfidf_topk,
+        "tokenize_ids": _ret.tokenize_ids,
+        "pack_token_sequences": _ret.pack_token_sequences,
+        "heavy_hitters": _sketch.heavy_hitters,
+        "corpus_stats": _text.corpus_stats,
+        "doc_commonness": _text.doc_commonness,
+        "lang_confusion": _text.lang_confusion,
+        "quality_decile_filter": _text.quality_decile_filter,
+        "mix_by_source": _cur.mix_by_source,
+        "stratified_sample": _cur.stratified_sample,
+        "doc_chunk": _cur.doc_chunk,
+        "global_shuffle": _cur.global_shuffle,
+        "contamination_overlap": _cur.contamination_overlap,
+        "contamination_attribution": _cur.contamination_attribution,
+        "embedding_kmeans_assign": _ivf.embedding_kmeans_assign,  # rows-only
+        "mix_by_cluster": _ivf.mix_by_cluster,                    # rows-only
+        "repeated_spans": _dedup.repeated_spans,
+        "semantic_dup_clusters": _graph.semantic_dup_clusters,    # rows-only
+        "semantic_dup_clusters_exact": _graph.semantic_dup_clusters_exact,
+        "multimodal_features": _mm.media_features,
+        "multimodal_resize": _mm.media_resize,
+        "multimodal_frame_sample": _mm.media_frame_sample,
+        "corpus_clean": _pipe.corpus_clean,
+        "decontaminate_spans_bloom": _dedup.decontaminate_spans_bloom,
+        "media_dhash_pairs": _mm.media_dhash_pairs,
+        "ann_cosine_topk_stored": _ivf.ann_cosine_topk_stored,    # rows-only
+        "materialize_mixture": _cur.materialize_mixture,
+        "events_value_quantiles_exact": _olap.events_value_quantiles_exact,
+        "ann_cosine_topk_sq8": _sim.cosine_topk_sq8,
+        "paragraph_dedup": _dedup.paragraph_dedup,
+        "pack_efficiency": _cur.pack_efficiency,
+        "bloom_decontaminate": _sketch.bloom_decontaminate,
+        "pipeline_standard_clean": _pipe.pipeline_standard_clean,
+        "pipeline_full_clean": _pipe.pipeline_full_clean,
+        "dedup_simhash": _dedup.dedup_simhash,
+        "latest_route_capacity_stateful": _stateful.latest_route_capacity_stateful,
     }
 
 

@@ -83,10 +83,24 @@ def _git_sha() -> str:
         status = subprocess.run(
             ["git", "status", "--porcelain"], cwd=here,
             capture_output=True, text=True, timeout=10).stdout
-        # the detail file this very run (over)writes must not count as
-        # dirt, or every bench self-stamps -dirty
-        dirty = [ln for ln in status.splitlines()
-                 if ln.strip() and not ln.endswith("BENCH_DETAIL.json")]
+        # Round ARTIFACTS must not count as dirt — only code should:
+        # BENCH_DETAIL.json is (over)written by this very run, and the
+        # driver drops BENCH_r*/CORRECTNESS_r* into the worktree before
+        # the judged bench runs, which stamped r6's judged tail -dirty
+        # despite the code tree exactly matching HEAD.
+        import fnmatch
+
+        artifacts = ("BENCH_DETAIL.json", "BENCH_r*.json",
+                     "CORRECTNESS_r*.json", "PARITY_SWEEP.json",
+                     "SCALE_SMOKE.json", "PROGRESS.jsonl")
+        dirty = []
+        for ln in status.splitlines():
+            if not ln.strip():
+                continue
+            path = ln[3:].split(" -> ")[-1].strip().strip('"')
+            base = os.path.basename(path)
+            if not any(fnmatch.fnmatch(base, p) for p in artifacts):
+                dirty.append(ln)
         return (sha or "unknown") + ("-dirty" if dirty else "")
     except Exception:
         return "unknown"

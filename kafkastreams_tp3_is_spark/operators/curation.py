@@ -740,3 +740,61 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                             "text", "lang", F.lit("rescrape").alias("source"),
                             "n_chars"))
     return source_overlap_matrix_df(docs.unionByName(rescrape))
+
+
+def domain_mixture_report_df(docs: DataFrame) -> DataFrame:
+    """Per-source (domain) mixture report — the table a mixture designer
+    reads before setting sampling weights: document count, exact token
+    mass, exact-distinct text count, within-source duplicate ratio, and
+    the source's share of corpus token mass. All counts are exact
+    bigints; the two ratios are each ONE IEEE division of exact
+    integers, so the whole report hash-matches the SQL oracle.
+
+    Output: (source, n_docs, n_tokens, n_distinct_texts, dup_ratio,
+    token_share).
+
+    Scale: one map-side-combined agg keyed by (source, digest) to get
+    distinct counts without count(distinct)'s expand, one re-agg by
+    source (|sources| keys), and the corpus token total rides a
+    broadcast of a 1-row aggregate — no unbounded driver state."""
+    from .text import tokens_col
+
+    per_text = (docs.select(
+                    "source",
+                    F.md5(F.coalesce(F.col("text"), F.lit("")))
+                     .alias("dig"),
+                    F.size(tokens_col()).cast("bigint").alias("n_tokens"))
+                .groupBy("source", "dig")
+                .agg(F.count(F.lit(1)).alias("n_copies"),
+                     F.sum("n_tokens").alias("tok")))
+    per_src = (per_text.groupBy("source")
+               .agg(F.sum("n_copies").cast("bigint").alias("n_docs"),
+                    F.sum("tok").cast("bigint").alias("n_tokens"),
+                    F.count(F.lit(1)).cast("bigint")
+                     .alias("n_distinct_texts")))
+    total = per_src.agg(F.sum("n_tokens").alias("total_tokens"))
+    return (per_src.crossJoin(F.broadcast(total))
+            .select(
+                "source", "n_docs", "n_tokens", "n_distinct_texts",
+                F.when(F.col("n_docs") == 0, F.lit(0.0))
+                 .otherwise((F.col("n_docs") - F.col("n_distinct_texts"))
+                            .cast("double") / F.col("n_docs").cast("double"))
+                 .alias("dup_ratio"),
+                F.when(F.col("total_tokens") == 0, F.lit(0.0))
+                 .otherwise(F.col("n_tokens").cast("double")
+                            / F.col("total_tokens").cast("double"))
+                 .alias("token_share")))
+
+
+def domain_mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gate fixture: the synthetic corpus has no exact
+    duplicates, so every 20th document is re-planted VERBATIM under its
+    own source (a within-domain recrawl) — giving dup_ratio real signal
+    in the sources that caught a replant. Full hash oracle restating
+    the same union."""
+    docs = load(spark, sf_dir, "documents")
+    replant = (docs.where(F.col("doc_id") % 20 == 0)
+                   .select((F.col("doc_id") + F.lit(20_000_000))
+                           .alias("doc_id"),
+                           "text", "lang", "source", "n_chars"))
+    return domain_mixture_report_df(docs.unionByName(replant))

@@ -884,13 +884,17 @@ def bloom_decontaminate_spans_df(train: DataFrame, benchmark: DataFrame,
         packed_bitset(pos, m_bits))
 
     def prefilter(batches: _Iter) -> _Iter:
-        # KEEP IN SYNC with sketch.bloom_decontaminate_df's probe
-        # kernel: the bit test and XOR/shift mixing must replay the JVM
+        # Same bit test + XOR/shift mixing as sketch.
+        # bloom_decontaminate_df's probe kernel: it must replay the JVM
         # build side (_bloom_positions) bit-for-bit, and the copies
         # cannot be factored into a module helper — UDF closures must
         # stay self-contained (cloudpickle serializes module functions
         # by reference; executors can't import this package under the
-        # driver's default session)
+        # driver's default session). Drift is caught by an EXECUTABLE
+        # guard: tests/test_property.py::
+        # test_bloom_bit_math_jvm_vs_numpy_bit_identical pins this math
+        # to the JVM side, and the row-for-row equality tests pin the
+        # kernel to the unfiltered operator end-to-end
         import numpy as _np
 
         w = bc_bits.value
@@ -939,3 +943,61 @@ def decontaminate_spans_bloom(spark: SparkSession, sf_dir: str,
     is_bench = F.col("doc_id") % 50 == 0
     return bloom_decontaminate_spans_df(docs.where(~is_bench),
                                         docs.where(is_bench), span_len)
+
+
+# --- suffix/prefix continuation dedup ---------------------------------
+
+def dedup_suffix_prefix_df(pages: DataFrame, k: int = 40,
+                           id_col: str = "page_id",
+                           text_col: str = "text") -> DataFrame:
+    """Continuation-duplicate detection: find page pairs where one
+    page's LAST ``k`` characters are exactly another page's FIRST ``k``
+    characters — the shape scraped corpora produce when one article is
+    split across paginated URLs with an overlap region (each fragment
+    re-states the boundary). Downstream, such pairs are merge
+    candidates: keeping both double-counts the boundary text.
+
+    Output: (prev_id, next_id, boundary) — prev's suffix == next's
+    prefix == boundary; self-pairs excluded; pages shorter than ``k``
+    never match.
+
+    Scale: ONE equi-join on the k-char boundary string (Spark shuffles
+    on its hash); no windows, no all-pairs. Cardinality per boundary
+    key is the number of fragments sharing that exact boundary —
+    bounded by real duplication, not corpus size. Everything is
+    strings + bigints: full hash oracle."""
+    long_enough = F.length(F.col(text_col)) >= k
+    suffixes = (pages.where(long_enough)
+                .select(F.col(id_col).alias("prev_id"),
+                        F.expr(f"substring({text_col}, "
+                               f"length({text_col}) - {k - 1}, {k})")
+                         .alias("boundary")))
+    prefixes = (pages.where(long_enough)
+                .select(F.col(id_col).alias("next_id"),
+                        F.expr(f"substring({text_col}, 1, {k})")
+                         .alias("boundary")))
+    return (suffixes.join(prefixes, "boundary")
+            .where(F.col("prev_id") != F.col("next_id"))
+            .select("prev_id", "next_id", "boundary"))
+
+
+def dedup_suffix_prefix(spark: SparkSession, sf_dir: str,
+                        k: int = 40) -> DataFrame:
+    """Driver-gate fixture: the synthetic corpus has no continuation
+    structure, so each document is split into two overlapping
+    'pages' — page A = the first max(k, floor(len/2)) chars, page B
+    = the tail starting k chars before A ends — exactly the paginated-
+    article shape (A's suffix == B's prefix). The operator must
+    recover every planted (A, B) boundary; accidental cross-document
+    boundary collisions are legitimate extra rows computed identically
+    by the oracle. Full hash oracle restating the same split."""
+    docs = load(spark, sf_dir, "documents")
+    cut = f"greatest({k}, cast(floor(length(text) / 2) as int))"
+    page_a = docs.select(
+        F.col("doc_id").alias("page_id"),
+        F.expr(f"substring(text, 1, {cut})").alias("text"))
+    page_b = docs.select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("page_id"),
+        F.expr(f"substring(text, {cut} - {k} + 1, length(text))")
+         .alias("text"))
+    return dedup_suffix_prefix_df(page_a.unionByName(page_b), k)

@@ -38,6 +38,8 @@ the training-data-pipeline surface the engine adds on top.
 
 from __future__ import annotations
 
+import itertools
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -358,32 +360,93 @@ def query_ivf_index(spark: SparkSession, index_dir: str,
                   .select("query_id", "neighbor_id", "rank"))
 
 
+# Per-process registry of already-built scratch indexes, keyed by
+# (sf_dir, sq8). Two hazards this kills at once: (a) a prior call's
+# still-unevaluated DataFrame can never see a half-rebuilt index,
+# because within a process the same directory is built exactly once
+# and never touched again; (b) two concurrent sessions can never race
+# on a shared path, because the directory name embeds the PID. The
+# cost is a bounded scratch leak (one index copy per (sf_dir, sq8)
+# per process) — accepted; /tmp is session scratch.
+_STORED_INDEX_CACHE: dict[tuple[str, bool], str] = {}
+# monotone per-process version counter for the build-every-call fixture
+_BUILD_SEQ = itertools.count()
+
+
+def ensure_stored_index(spark: SparkSession, sf_dir: str,
+                        sq8: bool = False) -> str:
+    """Build-once accessor for the scratch IVF index of ``sf_dir``:
+    the first call per process builds into a PID-scoped directory, every
+    later call returns the same path untouched (see _STORED_INDEX_CACHE).
+    Production would pass an explicit durable ``index_dir`` to
+    build_ivf_index once and probe it from many jobs; this helper is the
+    gate-fixture analogue of that build-once/probe-many contract."""
+    import hashlib
+    import os
+    import tempfile
+
+    key = (sf_dir, sq8)
+    if key not in _STORED_INDEX_CACHE:
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+        suffix = "_sq8" if sq8 else ""
+        index_dir = os.path.join(
+            tempfile.gettempdir(),
+            f"ivf_index_{tag}_{os.getpid()}{suffix}")
+        emb = load(spark, sf_dir, "embeddings")
+        build_ivf_index(emb, index_dir, n_centroids=32, m_assign=2,
+                        store_sq8=sq8)
+        _STORED_INDEX_CACHE[key] = index_dir
+    return _STORED_INDEX_CACHE[key]
+
+
+def _stored_query_set(spark: SparkSession, sf_dir: str,
+                      n_queries: int) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return emb.orderBy("vec_id").limit(n_queries) \
+              .select("vec_id", "embedding")
+
+
 def ann_cosine_topk_stored(spark: SparkSession, sf_dir: str,
                            n_queries: int = 5, k: int = 10,
                            nprobe: int = 12) -> DataFrame:
     """Driver-gate fixture (rows-only; recall floor pytest-enforced):
-    build the persisted index in a scratch directory, then answer the
-    same query set as the other top-k fixtures through it. The index
-    build is part of the fixture because the gate needs a pure
-    (spark, sf_dir) -> DataFrame function; production builds once and
-    queries many times.
-
-    The scratch directory is DETERMINISTIC per sf_dir and overwritten
-    in place (the build's mode("overwrite") + atomic centroids
-    os.replace make the rebuild safe): a fresh mkdtemp per call leaked
-    one full postings copy of the embeddings table per invocation —
-    bench alone calls this 4x per session. The directory cannot be
-    deleted eagerly because the returned DataFrame reads it lazily."""
+    build the persisted index in a fresh PID-scoped scratch directory,
+    then answer the same query set as the other top-k fixtures through
+    it. The build is deliberately part of THIS fixture (the gate needs a
+    pure (spark, sf_dir) -> DataFrame function and the build path must
+    stay exercised); the build-once/probe-many production shape is the
+    separate ann_cosine_topk_stored_probe entry. Each call builds into
+    its own versioned directory — never overwriting one a prior call's
+    lazily-evaluated DataFrame may still read — and the bounded scratch
+    leak (one index per call) is the accepted price."""
     import hashlib
     import os
     import tempfile
 
     emb = load(spark, sf_dir, "embeddings")
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    index_dir = os.path.join(tempfile.gettempdir(), f"ivf_index_{tag}")
+    index_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"ivf_index_{tag}_{os.getpid()}_v{next(_BUILD_SEQ)}")
     build_ivf_index(emb, index_dir, n_centroids=32, m_assign=2)
-    queries = emb.orderBy("vec_id").limit(n_queries) \
-                 .select("vec_id", "embedding")
+    queries = _stored_query_set(spark, sf_dir, n_queries)
+    return query_ivf_index(spark, index_dir, queries, k=k, nprobe=nprobe)
+
+
+def ann_cosine_topk_stored_probe(spark: SparkSession, sf_dir: str,
+                                 n_queries: int = 5, k: int = 10,
+                                 nprobe: int = 12) -> DataFrame:
+    """PROBE-ONLY twin of ann_cosine_topk_stored — the steady-state cost
+    of the persisted index (build once per process via
+    ensure_stored_index, then every call only prunes to the probed
+    ``cell=`` partitions and ranks). Identical output contract and
+    recall floor; registered separately so the bench reports the probe
+    path's latency without the build conflated in (the 100 TB story is
+    build-once/probe-many: the build amortizes across every query run,
+    the probe is what a user pays per query set). Rows-only gate like
+    the other float-ANN entries (k-means is not SQL-restatable)."""
+    index_dir = ensure_stored_index(spark, sf_dir)
+    queries = _stored_query_set(spark, sf_dir, n_queries)
     return query_ivf_index(spark, index_dir, queries, k=k, nprobe=nprobe)
 
 

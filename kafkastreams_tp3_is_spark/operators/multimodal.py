@@ -556,9 +556,14 @@ def media_dhash_pairs(spark: SparkSession, sf_dir: str,
     fingerprints of) a genuine document — an id collision would make the
     engine/oracle hash gate diverge) with one character overwritten at a
     fixed position. A single in-place byte edit moves at most two
-    adjacent-comparison bits of the 8x9 grid, so every twin pair sits
-    inside the hamming<=3 recall guarantee and the gate output is
-    non-empty with both near-zero and zero distances. The DuckDB oracle
+    adjacent-comparison bits of the 8x9 grid — but only when the
+    payload is >= 72 bytes, so each of the 72 grid positions samples a
+    DISTINCT byte; shorter docs can flip more bits (or even change
+    length when text has < 11 chars), so planting is restricted to
+    length(text) >= 72 (mirrored in the oracle). Every planted twin
+    pair then sits inside the hamming<=3 recall guarantee and the gate
+    output is non-empty with both near-zero and zero distances. The
+    DuckDB oracle
     rebuilds the byte-grid fingerprints with substring/ord arithmetic
     (ASCII payloads, char index == byte index) and compares ALL pairs
     bit-for-bit — so the gate checks kernel + candidate machinery end to
@@ -566,7 +571,8 @@ def media_dhash_pairs(spark: SparkSession, sf_dir: str,
     from ..views import load
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    planted = (docs.where(F.col("doc_id") % 30 == 0)
+    planted = (docs.where((F.col("doc_id") % 30 == 0)
+                          & (F.length("text") >= 72))
                .select((F.col("doc_id") + F.lit(3_000_000_000_000)).alias("doc_id"),
                        F.concat(
                            F.substring("text", 1, 10), F.lit("#"),

@@ -208,9 +208,15 @@ def bloom_decontaminate_df(train: DataFrame, benchmark: DataFrame,
         packed_bitset(bench_pos, m_bits))
 
     def probe(batches: _Iter) -> _Iter:
-        # KEEP IN SYNC with dedup.bloom_decontaminate_spans_df's
-        # prefilter kernel (same bit test + XOR/shift mixing); see the
-        # comment there for why the copies cannot share a module helper
+        # Same bit test + XOR/shift mixing as dedup.
+        # bloom_decontaminate_spans_df's prefilter kernel. The copies
+        # cannot share a module helper (closures must stay
+        # self-contained for executor shipping — see the comment
+        # there); drift is caught by an EXECUTABLE guard instead:
+        # tests/test_property.py::
+        # test_bloom_bit_math_jvm_vs_numpy_bit_identical pins this math
+        # to the JVM build side bit-for-bit, and the verdict-equality
+        # tests pin each kernel to the same bitset end-to-end
         import numpy as _np
         import pandas as _pd
 

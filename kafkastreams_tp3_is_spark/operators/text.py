@@ -471,3 +471,67 @@ def vocab_drift(spark: SparkSession, sf_dir: str,
 
     docs = load(spark, sf_dir, "documents")
     return vocab_drift_df(docs, mutated_snapshot(docs), top_n)
+
+
+def bigrams_col(text_col: str = "text") -> F.Column:
+    """Adjacent whitespace-token bigrams as 'tok1 tok2' strings — pure
+    JVM array expressions (sequence + transform + element_at), no UDF.
+    Empty array for docs with fewer than two tokens."""
+    toks = tokens_col(text_col)
+    n = F.size(toks)
+    return F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat(F.element_at(toks, i), F.lit(" "),
+                               F.element_at(toks, i + 1)))
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def ngram_lm_score_df(docs: DataFrame, min_count: int = 2) -> DataFrame:
+    """Corpus-familiarity LM score — the shuffle-cheap cousin of the
+    CCNet/KenLM perplexity filter: train bigram counts over the corpus
+    itself, then score each document by the fraction of its bigram
+    occurrences whose corpus frequency is at least ``min_count``.
+    Low-familiarity documents are the gibberish/boilerplate-outlier
+    tail a perplexity filter would cut. Output per doc:
+    (doc_id, n_bigrams, n_familiar, familiarity) — the two counts are
+    exact bigints and familiarity is ONE IEEE division, so the result
+    hash-matches the SQL oracle bit-for-bit.
+
+    Scale shape: explode collapses to per-(doc, bigram) occurrence
+    counts FIRST (map-side-combined agg), the corpus count table
+    re-aggregates those partials (never re-explodes the corpus), and
+    the doc-side join is an equi-join on the bigram string — all
+    linear in corpus token count; no driver state, no UDF, no
+    broadcast of an unbounded vocabulary."""
+    docbg = (docs.select("doc_id", F.explode(bigrams_col()).alias("bigram"))
+                 .groupBy("doc_id", "bigram")
+                 .agg(F.count(F.lit(1)).alias("occ")))
+    counts = docbg.groupBy("bigram").agg(F.sum("occ").alias("cnt"))
+    agg = (docbg.join(counts, "bigram")
+                .groupBy("doc_id")
+                .agg(F.sum("occ").cast("bigint").alias("n_bigrams"),
+                     F.sum(F.when(F.col("cnt") >= min_count,
+                                  F.col("occ")).otherwise(F.lit(0)))
+                      .cast("bigint").alias("n_familiar")))
+    return (docs.select("doc_id").join(agg, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("n_bigrams", F.lit(0).cast("bigint"))
+                 .alias("n_bigrams"),
+                F.coalesce("n_familiar", F.lit(0).cast("bigint"))
+                 .alias("n_familiar"))
+            .withColumn(
+                "familiarity",
+                F.when(F.col("n_bigrams") == 0, F.lit(0.0))
+                 .otherwise(F.col("n_familiar").cast("double")
+                            / F.col("n_bigrams").cast("double"))))
+
+
+def ngram_lm_score(spark: SparkSession, sf_dir: str,
+                   min_count: int = 2) -> DataFrame:
+    """Driver-gate fixture: bigram-familiarity scores over the
+    documents table (full hash oracle — integer counts plus one exact
+    division)."""
+    return ngram_lm_score_df(load(spark, sf_dir, "documents"), min_count)

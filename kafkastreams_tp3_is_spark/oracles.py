@@ -884,7 +884,7 @@ WITH img0 AS (
 planted AS (
   SELECT doc_id + 3000000000000 AS media_id,
          substr(text, 1, 10) || '#' || substr(text, 12) AS text
-  FROM documents WHERE doc_id % 30 = 0
+  FROM documents WHERE doc_id % 30 = 0 AND length(text) >= 72
 ),
 img AS (
   SELECT media_id, text, length(text) AS n
@@ -1986,3 +1986,104 @@ FROM tr t LEFT JOIN hits h USING (doc_id)
 # negatives), so the output is identical to the unfiltered operator —
 # same restatement, verbatim.
 ORACLES["decontaminate_spans_bloom"] = ORACLES["decontaminate_spans"]
+
+# Bigram corpus-familiarity LM score: integer bigram counts plus ONE
+# IEEE division — the familiarity ratio is bit-identical across
+# engines. Bigram construction restated with list indexing (DuckDB
+# lists are 1-based, matching element_at).
+ORACLES["ngram_lm_score"] = f"""
+WITH tok AS (
+  SELECT doc_id, {_TOKENS} AS ts FROM documents
+),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(ts) - 1),
+                               i -> ts[i] || ' ' || ts[i + 1])) AS bigram
+  FROM tok WHERE len(ts) >= 2
+),
+docbg AS (
+  SELECT doc_id, bigram, COUNT(*) AS occ FROM bg GROUP BY 1, 2
+),
+cnts AS (
+  SELECT bigram, SUM(occ) AS cnt FROM docbg GROUP BY 1
+),
+agg AS (
+  SELECT d.doc_id,
+         SUM(occ) AS n_bigrams,
+         SUM(CASE WHEN cnt >= 2 THEN occ ELSE 0 END) AS n_familiar
+  FROM docbg d JOIN cnts USING (bigram) GROUP BY 1
+)
+SELECT doc_id,
+       CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(COALESCE(n_familiar, 0) AS BIGINT) AS n_familiar,
+       CASE WHEN COALESCE(n_bigrams, 0) = 0 THEN 0.0
+            ELSE CAST(n_familiar AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+       END AS familiarity
+FROM documents LEFT JOIN agg USING (doc_id)
+"""
+
+# Per-source mixture report over documents plus the every-20th-doc
+# within-source replant; exact bigint counts, two exact divisions.
+ORACLES["domain_mixture_report"] = f"""
+WITH corpus AS (
+  SELECT doc_id, text, source FROM documents
+  UNION ALL
+  SELECT doc_id + 20000000, text, source FROM documents
+  WHERE doc_id % 20 = 0
+),
+per_text AS (
+  SELECT source, md5(COALESCE(text, '')) AS dig,
+         COUNT(*) AS n_copies,
+         SUM(len({_TOKENS})) AS tok
+  FROM corpus GROUP BY 1, 2
+),
+per_src AS (
+  SELECT source,
+         CAST(SUM(n_copies) AS BIGINT) AS n_docs,
+         CAST(SUM(tok) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct_texts
+  FROM per_text GROUP BY 1
+)
+SELECT source, n_docs, n_tokens, n_distinct_texts,
+       CASE WHEN n_docs = 0 THEN 0.0
+            ELSE CAST(n_docs - n_distinct_texts AS DOUBLE)
+                 / CAST(n_docs AS DOUBLE) END AS dup_ratio,
+       CASE WHEN SUM(n_tokens) OVER () = 0 THEN 0.0
+            ELSE CAST(n_tokens AS DOUBLE)
+                 / CAST(SUM(n_tokens) OVER () AS DOUBLE) END AS token_share
+FROM per_src
+"""
+
+# Suffix/prefix continuation dedup over the planted two-page split:
+# page A = first max(40, floor(len/2)) chars, page B = the tail
+# starting 40 chars before A ends; pairs = exact 40-char
+# suffix-of-A == prefix-of-B equi-join (any accidental cross-document
+# boundary matches are computed identically on both sides).
+ORACLES["dedup_suffix_prefix"] = """
+WITH pages AS (
+  SELECT doc_id AS page_id,
+         substr(text, 1,
+                GREATEST(40, CAST(FLOOR(length(text) / 2) AS INTEGER)))
+           AS text
+  FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000,
+         substr(text,
+                GREATEST(40, CAST(FLOOR(length(text) / 2) AS INTEGER))
+                  - 39,
+                length(text))
+  FROM documents
+),
+suff AS (
+  SELECT page_id AS prev_id,
+         substr(text, length(text) - 39, 40) AS boundary
+  FROM pages WHERE length(text) >= 40
+),
+pref AS (
+  SELECT page_id AS next_id, substr(text, 1, 40) AS boundary
+  FROM pages WHERE length(text) >= 40
+)
+SELECT prev_id, next_id, boundary
+FROM suff JOIN pref USING (boundary)
+WHERE prev_id <> next_id
+"""

@@ -148,12 +148,24 @@ def latest_route_capacity_stateful(spark: SparkSession,
     if os.path.isdir(shm):
         import shutil as _sh
 
-        src_bytes = sum(
-            os.path.getsize(os.path.join(r, n))
-            for r, _d, ns in os.walk(os.path.join(sf_dir))
-            for n in ns if n.startswith("orders") and n.endswith(".parquet"))
-        use_shm = src_bytes < min(_sh.disk_usage(shm).free // 4,
-                                  1 << 30)
+        # walk the orders DATASET PATH itself: a single-file table is
+        # one 'orders.parquet' file, a standard Spark layout is an
+        # 'orders.parquet/' directory of part-*.parquet files — summing
+        # every *.parquet under the path covers both (a basename filter
+        # saw 0 bytes for the directory layout, which read as "tiny"
+        # and staged an arbitrarily large changelog into RAM)
+        orders_path = os.path.join(sf_dir, "orders.parquet")
+        if os.path.isfile(orders_path):
+            src_bytes = os.path.getsize(orders_path)
+        else:
+            src_bytes = sum(
+                os.path.getsize(os.path.join(r, n))
+                for r, _d, ns in os.walk(orders_path)
+                for n in ns if n.endswith(".parquet"))
+        # a zero estimate means the layout defeated the walk — treat
+        # as UNKNOWN size and keep the staging on disk
+        use_shm = 0 < src_bytes < min(_sh.disk_usage(shm).free // 4,
+                                      1 << 30)
     workdir = tempfile.mkdtemp(prefix="latest_stateful_",
                                dir=shm if use_shm else None)
     src_dir = os.path.join(workdir, "in")

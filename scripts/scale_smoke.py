@@ -92,13 +92,32 @@ def _bloom_decontaminate_spans(docs):
 
 
 def _dhash_pairs(docs):
-    # documents as image payloads (the fixture's shape): fingerprints are
-    # one long per row; candidates join on block-combination keys whose
-    # cardinality grows with the corpus
-    media = docs.select(
+    # Decorrelated payloads + LINEARLY planted twins. The raw scaled
+    # corpus is useless here: the consonant cipher substitutes bytes in
+    # place, which largely preserves dHash's adjacent-byte order
+    # relations, so every copy of a doc was a near-dup of every other
+    # copy — quadratic cross-copy cliques (r6 measured 8 -> 34,933
+    # pairs) that timed the fixture's pair growth, not the operator.
+    # Instead each row's payload is a unique 256-char md5 expansion
+    # (no accidental near-dups at any scale), and every 30th row gets
+    # an explicit one-char-edit twin (<=2 dHash bits, inside the
+    # hamming<=3 guarantee) — pair output grows ~rows/30, i.e. ~10x at
+    # 10x, and the ratio measures fingerprint + block-table + verify.
+    base = docs.select(
+        "doc_id",
+        F.repeat(F.md5(F.concat(F.col("text"),
+                                F.col("doc_id").cast("string"))), 8)
+         .alias("payload"))
+    twins = (base.where(F.col("doc_id") % 30 == 0)
+             .select((F.col("doc_id") + F.lit(3_000_000_000_000))
+                     .alias("doc_id"),
+                     F.concat(F.substring("payload", 1, 10), F.lit("#"),
+                              F.expr("substring(payload, 12)"))
+                      .alias("payload")))
+    media = base.unionByName(twins).select(
         F.col("doc_id").alias("media_id"),
         F.lit("image").alias("media_type"),
-        F.encode("text", "utf-8").alias("content"))
+        F.encode("payload", "utf-8").alias("content"))
     return image_dhash_pairs_df(media)
 
 

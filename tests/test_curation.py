@@ -375,3 +375,27 @@ def test_source_overlap_matrix_counts_planted_pairs(spark):
            for r in source_overlap_matrix_df(docs).collect()}
     assert got == {("A", "A"): 1, ("A", "B"): 6, ("A", "C"): 1,
                    ("B", "B"): 3}
+
+
+def test_domain_mixture_report_hand_computed(spark):
+    """Exact per-source math on a 2-source corpus with one
+    within-source duplicate: counts, dup_ratio, and token_share all
+    verifiable by hand; shares sum to exactly 1."""
+    from kafkastreams_tp3_is_spark.operators.curation import (
+        domain_mixture_report_df)
+
+    docs = spark.createDataFrame(
+        [(1, "one two three", "en", "A", 13),
+         (2, "one two three", "en", "A", 13),   # dup within A
+         (3, "four five", "en", "A", 9),
+         (4, "six", "en", "B", 3),
+         ], "doc_id long, text string, lang string, source string, "
+           "n_chars int")
+    got = {r["source"]: r.asDict()
+           for r in domain_mixture_report_df(docs).collect()}
+    a, b = got["A"], got["B"]
+    assert (a["n_docs"], a["n_tokens"], a["n_distinct_texts"]) == (3, 8, 2)
+    assert (b["n_docs"], b["n_tokens"], b["n_distinct_texts"]) == (1, 1, 1)
+    assert a["dup_ratio"] == 1 / 3 and b["dup_ratio"] == 0.0
+    assert a["token_share"] == 8 / 9 and b["token_share"] == 1 / 9
+    assert a["token_share"] + b["token_share"] == 1.0

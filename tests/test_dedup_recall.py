@@ -308,3 +308,36 @@ def test_span_kernel_handles_non_ascii_positions(spark):
     rows = span_hash_rows(train, 30).collect()
     assert len(rows) == len("αβ " + cjk[5:37] + " ω") - 30 + 1
     assert min(r["pos"] for r in rows) == 1
+
+
+def test_suffix_prefix_dedup_core_and_planted_recall(spark):
+    """dedup_suffix_prefix_df on a hand-built page set: finds exactly
+    the continuation pairs, excludes self-pairs and pages shorter than
+    k, and handles a boundary shared by three fragments (2 suffixes x
+    1 prefix and 1 suffix x 2 prefixes both emit every combination).
+    The sf fixture must recover every planted (doc, doc+1e6) pair."""
+    from kafkastreams_tp3_is_spark.operators.dedup import (
+        dedup_suffix_prefix, dedup_suffix_prefix_df)
+    from kafkastreams_tp3_is_spark.views import load
+    from tests.conftest import SF_DIR
+
+    k = 4
+    pages = spark.createDataFrame(
+        [(1, "aaaaXXXX"),          # suffix XXXX
+         (2, "XXXXbbbb"),          # prefix XXXX -> (1,2)
+         (3, "XXXXcccc"),          # prefix XXXX -> (1,3)
+         (4, "ddddXXXX"),          # suffix XXXX -> (4,2),(4,3)
+         (5, "eee"),               # too short: never matches
+         (6, "ZZZZ"),              # pref==suff==ZZZZ but only itself
+         (7, "qqqqRRRR"), (8, "RRRRqqqq"),  # (7,8) and (8,7) via qqqq
+         ], "page_id long, text string")
+    got = {(r["prev_id"], r["next_id"], r["boundary"])
+           for r in dedup_suffix_prefix_df(pages, k=k).collect()}
+    assert got == {(1, 2, "XXXX"), (1, 3, "XXXX"),
+                   (4, 2, "XXXX"), (4, 3, "XXXX"),
+                   (7, 8, "RRRR"), (8, 7, "qqqq")}
+
+    n_docs = load(spark, SF_DIR, "documents").count()
+    fixture = dedup_suffix_prefix(spark, SF_DIR)
+    planted = fixture.where("next_id = prev_id + 1000000").count()
+    assert planted == n_docs, "every planted continuation must be found"

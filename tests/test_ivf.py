@@ -158,3 +158,31 @@ def test_stored_sq8_index_quantized_probe(spark, tmp_path):
            for r in query_ivf_index(spark, idx_f, queries,
                                     k=10, nprobe=12).collect()}
     assert len(flt & got) / len(flt) >= 0.9
+
+
+def test_stored_probe_fixture_reuses_index_and_matches_build_path(spark):
+    """ann_cosine_topk_stored_probe (build-once/probe-many): (a) the
+    per-process index is built exactly once — ensure_stored_index
+    returns the SAME directory on repeat calls and the fixture answers
+    from it; (b) probe answers equal the build-every-call fixture's
+    (deterministic centroids ⇒ identical index contents); (c) the
+    scratch path is PID-scoped, so concurrent sessions can never race
+    on a shared directory (ADVICE r6)."""
+    import os
+
+    from kafkastreams_tp3_is_spark.operators.ivf import (
+        ann_cosine_topk_stored, ann_cosine_topk_stored_probe,
+        ensure_stored_index)
+
+    d1 = ensure_stored_index(spark, SF_DIR)
+    d2 = ensure_stored_index(spark, SF_DIR)
+    assert d1 == d2
+    assert f"_{os.getpid()}" in os.path.basename(d1)
+    assert os.path.exists(os.path.join(d1, "centroids.json"))
+
+    probe = {(r["query_id"], r["neighbor_id"], r["rank"])
+             for r in ann_cosine_topk_stored_probe(spark, SF_DIR).collect()}
+    built = {(r["query_id"], r["neighbor_id"], r["rank"])
+             for r in ann_cosine_topk_stored(spark, SF_DIR).collect()}
+    assert probe == built
+    assert len(probe) > 0

@@ -221,3 +221,21 @@ def test_corpus_stats_single_scan_shared_shuffle(spark):
     from kafkastreams_tp3_is_spark.operators.text import corpus_stats
     plan = _plan(spark, corpus_stats(spark, SF_DIR))
     assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_tfidf_plan_shape_row_linear(spark):
+    """Pins the intended row-linear plan shape behind the r7 profiling
+    note in tfidf_topk_df's docstring: exactly the three expected wide
+    exchanges (tf agg on (doc_id, term), df agg on term unless AQE
+    broadcasts first, window on doc_id) — a fourth wide exchange means
+    a redundant repartition crept in; both aggregates must have a
+    partial (map-side combine) phase so the shuffle carries aggregate
+    rows, not exploded occurrences; and no global Sort outside the
+    window (the per-doc top-k must never sort the corpus globally)."""
+    from kafkastreams_tp3_is_spark.operators.retrieval import tfidf_topk
+
+    plan = _plan(spark, tfidf_topk(spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") <= 3
+    assert "Exchange rangepartitioning" not in plan  # no global sort
+    assert "partial_count" in plan  # map-side combine before shuffle
+    assert "CartesianProduct" not in plan

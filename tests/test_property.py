@@ -390,3 +390,47 @@ def test_source_overlap_matrix_matches_bruteforce(spark, rows):
         if ta == tb:
             want[tuple(sorted((sa, sb)))] += 1
     assert got == dict(want)
+
+
+def test_bloom_bit_math_jvm_vs_numpy_bit_identical(spark):
+    """Executable sync guard for the two hand-copied numpy probe
+    kernels (sketch.bloom_decontaminate_df / dedup.
+    bloom_decontaminate_spans_df): the XOR/shift mixing + double-mod
+    below is the SINGLE reference restatement of their shared math, and
+    it must reproduce the JVM build side (_bloom_positions) bit-for-bit
+    on adversarial int64 hashes — signed overflow of the wrapping <<21,
+    sign-extension of >>33, and pmod of negative mixes are exactly
+    where a drifted copy diverges. The end-to-end verdict-equality
+    tests above then tie each closure's copy to the same JVM bitset
+    (a drifted closure produces false negatives and flips verdicts),
+    so JVM==reference here plus verdicts==exact there pins all three
+    copies together without forcing the closures to import module
+    helpers (they must stay self-contained for executor shipping)."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+    from kafkastreams_tp3_is_spark.operators.sketch import _bloom_positions
+
+    m_bits = 1 << 20
+    rng = np.random.default_rng(7)
+    hashes = np.concatenate([
+        rng.integers(-(2 ** 63), 2 ** 63 - 1, size=4096, dtype=np.int64),
+        np.array([0, 1, -1, 2 ** 63 - 1, -(2 ** 63), 63, -64,
+                  (1 << 33) - 1, -(1 << 33), (1 << 21), -(1 << 21)],
+                 dtype=np.int64),
+    ])
+
+    df = spark.createDataFrame([(int(h),) for h in hashes], "h long")
+    jvm = (df.select("h", _bloom_positions(F.col("h"), m_bits).alias("ps"))
+           .collect())
+    jvm_pos = {r["h"]: tuple(r["ps"]) for r in jvm}
+
+    h = hashes
+    hu = h.view(np.uint64)
+    p1 = np.mod(h, m_bits)
+    mixed = (h
+             ^ (hu >> np.uint64(33)).view(np.int64)
+             ^ (hu << np.uint64(21)).view(np.int64))
+    p2 = np.mod(mixed, m_bits)
+    for i, hv in enumerate(h.tolist()):
+        assert jvm_pos[hv] == (int(p1[i]), int(p2[i])), hex(hv & (2**64 - 1))

@@ -117,3 +117,64 @@ def test_round5_operators_reachable_as_sql_views(spark):
     assert one("SELECT COUNT(*) FROM media_dhash_pairs") > 0
     for df in frames.values():
         cache.release(df)
+
+
+def test_round6_7_operators_reachable_as_sql_views(spark):
+    """SQL smoke for the round-6 additions (VERDICT r6 Next #9) plus the
+    round-7 newcomers: each registers through the generic view path and
+    answers an ad-hoc aggregate consistent with a known invariant of the
+    operator — not just COUNT(*) > 0."""
+    from kafkastreams_tp3_is_spark.sql import register_operator_views
+    from tests.conftest import SF_DIR
+
+    register_operator_views(
+        spark, SF_DIR,
+        ["materialize_mixture", "events_value_quantiles_exact",
+         "ann_cosine_topk_sq8", "source_overlap_matrix",
+         "key_skew_profile",
+         "ngram_lm_score", "domain_mixture_report", "dedup_suffix_prefix"])
+
+    def one(q):
+        return spark.sql(q).collect()[0][0]
+
+    # materialized mixture: every emitted copy number is valid
+    # (1-based within its doc's n_copies)
+    assert one("SELECT COUNT(*) FROM materialize_mixture "
+               "WHERE copy < 0 OR copy > n_copies") == 0
+    assert one("SELECT COUNT(*) FROM materialize_mixture") > 0
+    # exact quantiles: nearest-rank values are monotone in the quantile
+    assert one("SELECT COUNT(*) FROM ("
+               "SELECT event_type, quantile, value, "
+               "LAG(value) OVER (PARTITION BY event_type "
+               "ORDER BY quantile) p "
+               "FROM events_value_quantiles_exact) WHERE p > value") == 0
+    # sq8 ANN: ranks are 1..k dense per query
+    assert one("SELECT COUNT(*) FROM (SELECT query_id, COUNT(*) n, "
+               "MAX(rank) mx, MIN(rank) mn FROM ann_cosine_topk_sq8 "
+               "GROUP BY query_id) WHERE n <> mx OR mn <> 1") == 0
+    # overlap matrix: unordered pairs only, strictly positive counts
+    assert one("SELECT COUNT(*) FROM source_overlap_matrix "
+               "WHERE source_a > source_b OR n_dup_pairs <= 0") == 0
+    # skew profile: shares in (0,1], top rows ordered by share desc
+    assert one("SELECT COUNT(*) FROM key_skew_profile "
+               "WHERE share <= 0 OR share > 1") == 0
+    # LM familiarity: familiar <= total bigrams and the ratio is exact
+    assert one("SELECT COUNT(*) FROM ngram_lm_score WHERE "
+               "n_familiar > n_bigrams OR familiarity < 0 "
+               "OR familiarity > 1") == 0
+    assert one("SELECT COUNT(*) FROM ngram_lm_score WHERE n_bigrams > 0 "
+               "AND familiarity <> CAST(n_familiar AS DOUBLE) / n_bigrams"
+               ) == 0
+    # mixture report: shares sum to 1 (exact integer mass over one total)
+    assert abs(one("SELECT SUM(token_share) FROM domain_mixture_report")
+               - 1.0) < 1e-9
+    assert one("SELECT COUNT(*) FROM domain_mixture_report "
+               "WHERE n_distinct_texts > n_docs") == 0
+    # suffix/prefix continuation: every planted (doc, doc+1e6) pair is
+    # recovered, and boundaries are exactly 40 chars
+    assert one("SELECT COUNT(*) FROM dedup_suffix_prefix "
+               "WHERE length(boundary) <> 40") == 0
+    assert one("SELECT COUNT(*) FROM dedup_suffix_prefix "
+               "WHERE next_id = prev_id + 1000000") == \
+        one("SELECT COUNT(DISTINCT doc_id) FROM parquet.`"
+            f"{SF_DIR}/documents.parquet`")

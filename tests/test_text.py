@@ -102,3 +102,26 @@ def test_vocab_drift_counts_and_ordering(spark):
     assert [(r["token"], r["delta"]) for r in rows] == \
         [("aa", -2), ("ee", 2), ("bb", 1)]
     assert rows[0]["cnt_old"] == 3 and rows[0]["cnt_new"] == 1
+
+
+def test_ngram_lm_score_hand_computed(spark):
+    """Bigram familiarity on a corpus small enough to verify by hand:
+    'a b' occurs in docs 1 and 2 (corpus count 2 -> familiar at
+    min_count=2), every other bigram is unique (unfamiliar); doc 3 has
+    one token -> zero bigrams, zero score; doc 4 repeats 'x y' twice
+    within itself (within-doc occurrences count toward the corpus
+    total)."""
+    from kafkastreams_tp3_is_spark.operators.text import ngram_lm_score_df
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"),        # bigrams: 'a b'(corpus 2), 'b c'(1)
+         (2, "a b"),          # 'a b'
+         (3, "solo"),         # no bigrams
+         (4, "x y x y"),      # 'x y' x2, 'y x' x1 -> 'x y' familiar
+         ], "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_bigrams"], r["n_familiar"], r["familiarity"])
+           for r in ngram_lm_score_df(docs, min_count=2).collect()}
+    assert got[1] == (2, 1, 0.5)
+    assert got[2] == (1, 1, 1.0)
+    assert got[3] == (0, 0, 0.0)
+    assert got[4] == (3, 2, 2 / 3)
