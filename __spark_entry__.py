@@ -30,6 +30,7 @@ from kafkastreams_tp3_is_spark.operators import sketch as _sketch
 from kafkastreams_tp3_is_spark.operators import temporal as _temporal
 from kafkastreams_tp3_is_spark.operators import text as _text
 from kafkastreams_tp3_is_spark.streaming import envelope as _env
+from kafkastreams_tp3_is_spark.streaming import join as _ssjoin
 from kafkastreams_tp3_is_spark.streaming import stateful as _stateful
 from kafkastreams_tp3_is_spark import views as _views
 
@@ -166,6 +167,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_full_clean": _pipe.pipeline_full_clean,
         "dedup_simhash": _dedup.dedup_simhash,
         "latest_route_capacity_stateful": _stateful.latest_route_capacity_stateful,
+        # --- NEW round 7, deliberately BELOW the driver cap (the in-cap
+        # slots are spoken for by the 46-entry rotation + 4 round-7
+        # entries): full-hash-oracle-checked by the local pytest suite at
+        # sf0.001 every run; rotates into the cap next round.
+        # KStream-KStream windowed join — the Kafka Streams join family
+        # the reference never uses; native Structured Streaming
+        # stream-stream join with stream==batch parity
+        "trips_route_update_stream_join": _ssjoin.trips_route_update_stream_join,
+        # hard-negative triplet mining (rank-1 positive, ranks 11..13
+        # negatives) — exact cosine fold, full hash oracle
+        "contrastive_triplets": _sim.contrastive_triplets,
+        # budgeted quality-greedy corpus selection via the scalable
+        # bucketed two-pass greedy — full hash oracle
+        "select_token_budget": _cur.select_token_budget,
+        # asymmetric containment dedup (short-doc-inside-long-doc, the
+        # case Jaccard structurally misses) — full hash oracle over a
+        # planted parent/excerpt corpus
+        "containment_pairs": _dedup.containment_pairs,
+        # BPE merge-round pair counting (tokenizer training) — full
+        # hash oracle
+        "bpe_merge_candidates": _text.bpe_merge_candidates,
     }
 
 

@@ -52,7 +52,8 @@ BASELINE_QUERIES = {"embedding_near_dup_exact", "ngram_jaccard_pairs",
 # batch twins computing the same answer stay in the headline (e.g.
 # latest_route_capacity, same semantics, ~1s at sf0.1). Timed and reported
 # separately so nothing is hidden.
-DEMO_QUERIES = {"latest_route_capacity_stateful"}
+DEMO_QUERIES = {"latest_route_capacity_stateful",
+                "trips_route_update_stream_join"}
 
 # Composed pipelines: one registry entry that chains stages which are
 # EACH already a headline query (repeated_spans, quality_decile_filter,

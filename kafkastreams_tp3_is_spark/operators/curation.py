@@ -798,3 +798,78 @@ def domain_mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                            .alias("doc_id"),
                            "text", "lang", "source", "n_chars"))
     return domain_mixture_report_df(docs.unionByName(replant))
+
+
+def select_token_budget_df(docs: DataFrame, budget: int = 20_000,
+                           min_count: int = 2,
+                           n_buckets: int = 1000) -> DataFrame:
+    """Quality-greedy corpus selection under a token budget — 'take the
+    best documents until the token budget is spent', the selection step
+    of a data-constrained training run. Quality = the bigram corpus
+    familiarity score (text.ngram_lm_score_df); docs are taken in
+    (familiarity desc, doc_id asc) order until cumulative whitespace
+    tokens exceed ``budget``.
+
+    A naive greedy is a GLOBAL ordered running sum — one total-order
+    sort, inherently serial. This is the scalable two-pass restatement:
+
+      pass 1  docs bucket by floor(familiarity * n_buckets); per-bucket
+              token sums aggregate to <= n_buckets+1 rows, whose
+              descending cumulative sum finds each bucket's status:
+              fully-in (fits under budget with all better buckets),
+              boundary (straddles the budget), or out. The only ordered
+              window runs over that bounded bucket frame.
+      pass 2  ONLY the single boundary bucket's docs get a per-doc
+              ordered cumulative sum (partitioned by bucket — bounded
+              input); everything else takes its verdict straight from
+              the bucket status via a broadcast join.
+
+    The result is EXACTLY the global greedy's selection (bucket order
+    refines to doc order inside the boundary bucket; n_buckets bounds
+    the boundary partition — recurse the same split if one bucket is
+    still too wide). Output: every doc with (doc_id, n_tokens,
+    familiarity, selected). All floats are single-expression products
+    of exact integers — full hash oracle."""
+    from pyspark.sql import Window
+
+    from .text import ngram_lm_score_df, tokens_col
+
+    lm = ngram_lm_score_df(docs, min_count).select("doc_id", "familiarity")
+    toks = docs.select(
+        "doc_id", F.size(tokens_col()).cast("bigint").alias("n_tokens"))
+    s = (toks.join(lm, "doc_id")
+         .withColumn("bucket",
+                     F.floor(F.col("familiarity") * n_buckets).cast("int")))
+    btot = s.groupBy("bucket").agg(F.sum("n_tokens").alias("btok"))
+    # ordered window over the BUCKET frame only (<= n_buckets+1 rows)
+    wb = (Window.orderBy(F.col("bucket").desc())
+          .rowsBetween(Window.unboundedPreceding, -1))
+    bstat = (btot
+             .withColumn("cum_before",
+                         F.coalesce(F.sum("btok").over(wb),
+                                    F.lit(0).cast("bigint")))
+             .select("bucket", "cum_before",
+                     (F.col("cum_before") + F.col("btok") <= budget)
+                     .alias("full_in"),
+                     (F.col("cum_before") < budget).alias("touches")))
+    j = s.join(F.broadcast(bstat), "bucket")
+    core = (j.where(F.col("full_in") | ~F.col("touches"))
+            .select("doc_id", "n_tokens", "familiarity",
+                    F.col("full_in").alias("selected")))
+    wd = (Window.partitionBy("bucket")
+          .orderBy(F.col("familiarity").desc(), F.col("doc_id").asc())
+          .rowsBetween(Window.unboundedPreceding, 0))
+    bnd = (j.where(F.col("touches") & ~F.col("full_in"))
+           .withColumn("cum", F.sum("n_tokens").over(wd))
+           .select("doc_id", "n_tokens", "familiarity",
+                   (F.col("cum_before") + F.col("cum") <= budget)
+                   .alias("selected")))
+    return core.unionByName(bnd)
+
+
+def select_token_budget(spark: SparkSession, sf_dir: str,
+                        budget: int = 20_000) -> DataFrame:
+    """Driver-gate fixture: budgeted quality-greedy selection over the
+    documents table (the default budget is ~half the sf0.001 corpus's
+    token mass, so kept, boundary, and dropped branches all run)."""
+    return select_token_budget_df(load(spark, sf_dir, "documents"), budget)

@@ -1001,3 +1001,76 @@ def dedup_suffix_prefix(spark: SparkSession, sf_dir: str,
         F.expr(f"substring(text, {cut} - {k} + 1, length(text))")
          .alias("text"))
     return dedup_suffix_prefix_df(page_a.unionByName(page_b), k)
+
+
+# --- asymmetric containment dedup --------------------------------------
+
+def containment_pairs_df(docs: DataFrame, k: int = 9,
+                         threshold: float = 0.9) -> DataFrame:
+    """EXACT asymmetric shingle-containment pairs: emit (container a,
+    contained b, containment = |A∩B| / |B|) for every ordered pair with
+    containment >= threshold. The dedup case Jaccard structurally
+    misses: a short document embedded verbatim inside a much longer one
+    (quote farms, boilerplate wrappers, excerpt pages) has J ≈ |B|/|A|
+    — arbitrarily small — while containment is ~1.
+
+    Scale (the SSJoin prefix filter, adapted to the asymmetric bound):
+    containment >= t forces |A∩B| >= ceil(t*|B|), so B must share at
+    least one of its first |B| - ceil(t*|B|) + 1 rarest shingles
+    (global (df, value) order) with A — the CONTAINED side alone is
+    prefix-pruned and joins against the full inverted index; no length
+    filter applies (that is the point: |A| is unbounded). Candidates
+    then verify exactly on the hashed sets — one array_intersect and
+    ONE integer division, bit-identical to the all-pairs SQL oracle.
+    Candidate volume is sum over B-prefix shingles of df(s) — rare-
+    shingle bounded, never all-pairs."""
+    from pyspark.sql import Window
+    from pyspark import StorageLevel
+
+    n_part = docs.sparkSession.sparkContext.defaultParallelism
+    sets_df = hashed_shingle_sets_df(
+        docs.repartition(n_part, "doc_id"), k).persist(
+        StorageLevel.MEMORY_AND_DISK)
+    ex = sets_df.select("doc_id", F.size("shingles").alias("n_sh"),
+                        F.explode("shingles").alias("s"))
+    df_counts = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "s")
+    bpref = (ex.join(df_counts, "s")
+             .withColumn("rn", F.row_number().over(w))
+             .where(F.col("rn") <= F.col("n_sh")
+                    - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1)
+             .select(F.col("doc_id").alias("b_id"), "s"))
+    cands = (bpref.join(ex.select(F.col("doc_id").alias("a_id"), "s"), "s")
+             .where(F.col("a_id") != F.col("b_id"))
+             .select("a_id", "b_id")
+             .distinct())
+    a_sets = sets_df.select(F.col("doc_id").alias("a_id"),
+                            F.col("shingles").alias("a_sh"))
+    b_sets = sets_df.select(F.col("doc_id").alias("b_id"),
+                            F.col("shingles").alias("b_sh"))
+    inter = F.size(F.array_intersect("a_sh", "b_sh"))
+    out = (cands.join(a_sets, "a_id").join(b_sets, "b_id")
+           .select("a_id", "b_id",
+                   (inter.cast("double")
+                    / F.size("b_sh").cast("double")).alias("containment"))
+           .where(F.col("containment") >= threshold))
+    return owned(out, sets_df)
+
+
+def containment_pairs(spark: SparkSession, sf_dir: str, k: int = 9,
+                      threshold: float = 0.9) -> DataFrame:
+    """Driver-gate fixture (full hash oracle): the synthetic corpus has
+    no containment structure, so every 25th document with >= 80 chars
+    gets a planted EXCERPT page — 60 chars cut from position 11, id +
+    2e6 — whose shingle set is a subset of its parent's by construction
+    (a contiguous substring's k-grams are all parent k-grams). The
+    operator must recover every planted (parent, excerpt) pair at
+    containment 1.0; accidental cross-document containments are
+    computed identically by the all-pairs oracle."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    excerpts = (docs.where((F.col("doc_id") % 25 == 0)
+                           & (F.length("text") >= 80))
+                .select((F.col("doc_id") + F.lit(2_000_000))
+                        .alias("doc_id"),
+                        F.expr("substring(text, 11, 60)").alias("text")))
+    return containment_pairs_df(docs.unionByName(excerpts), k, threshold)

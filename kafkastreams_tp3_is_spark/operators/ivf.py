@@ -261,6 +261,23 @@ def build_ivf_index(emb: DataFrame, index_dir: str, n_centroids: int = 32,
     import os
 
     cents = train_centroids(emb, n_centroids, n_iters, sample_n)
+    _write_postings(emb, cents, index_dir, m_assign, store_sq8,
+                    mode="overwrite")
+    tmp = os.path.join(index_dir, "centroids.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"n_centroids": n_centroids, "m_assign": m_assign,
+                   "sq8": store_sq8, "centroids": cents}, f)
+    os.replace(tmp, os.path.join(index_dir, "centroids.json"))
+
+
+def _write_postings(emb: DataFrame, cents: list[list[float]],
+                    index_dir: str, m_assign: int, store_sq8: bool,
+                    mode: str) -> None:
+    """Assign ``emb`` to cells under the given centroids and write the
+    posting rows (partitioned by cell) with the given save mode —
+    shared by the full build (overwrite) and incremental append."""
+    import os
+
     assigned = (assign_cells(emb, cents, m_assign)
                 .select("vec_id", "embedding",
                         F.explode("cells").alias("cell")))
@@ -272,13 +289,33 @@ def build_ivf_index(emb: DataFrame, index_dir: str, n_centroids: int = 32,
                             F.transform("qv", lambda x: x.cast("tinyint"))
                              .alias("qv"),
                             "qq", "cell"))
-    (assigned.write.partitionBy("cell").mode("overwrite")
+    (assigned.write.partitionBy("cell").mode(mode)
      .parquet(os.path.join(index_dir, "postings")))
-    tmp = os.path.join(index_dir, "centroids.json.tmp")
-    with open(tmp, "w") as f:
-        json.dump({"n_centroids": n_centroids, "m_assign": m_assign,
-                   "sq8": store_sq8, "centroids": cents}, f)
-    os.replace(tmp, os.path.join(index_dir, "centroids.json"))
+
+
+def append_to_ivf_index(emb_new: DataFrame, index_dir: str) -> None:
+    """Incremental index maintenance — the FAISS ``add`` path: assign
+    NEW vectors under the index's EXISTING centroids (read from
+    centroids.json; the model is never retrained on append, exactly
+    like FAISS) and append their posting rows into the same ``cell=``
+    partition directories. Probes pick up the new vectors with no
+    rebuild: partition pruning is by directory, and append only adds
+    files inside directories.
+
+    At scale this is how a daily embedding delta lands in a corpus
+    index: one assignment pass over the delta (centroid matmul,
+    broadcast-sized model), one partitioned append — no touch of the
+    existing postings. Periodic retrain/rebuild (when the corpus
+    distribution drifts from the centroids) uses build_ivf_index; the
+    compact_parquet maintenance op handles the small appended files."""
+    import json
+    import os
+
+    with open(os.path.join(index_dir, "centroids.json")) as f:
+        meta = json.load(f)
+    _write_postings(emb_new, meta["centroids"], index_dir,
+                    meta["m_assign"], bool(meta.get("sq8")),
+                    mode="append")
 
 
 def query_ivf_index(spark: SparkSession, index_dir: str,

@@ -51,15 +51,14 @@ def _cosine(a: F.Column, b: F.Column) -> F.Column:
 
 # --- exact paths -------------------------------------------------------
 
-def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str,
-                           n_queries: int = 5, k: int = 10) -> DataFrame:
-    """Exact top-k cosine neighbors for the first ``n_queries`` vectors
-    (lowest vec_ids), excluding self. Output: query_id, neighbor_id, rank.
-
-    Scale: queries are a tiny broadcast side; the corpus scan is
-    embarrassingly parallel; ranking shuffles only n_queries * |corpus|
-    scored rows, and the per-query top-k is a bounded window."""
-    emb = load(spark, sf_dir, "embeddings")
+def _bruteforce_ranked(emb: DataFrame, n_queries: int) -> DataFrame:
+    """Exact cosine of the first ``n_queries`` vectors (lowest vec_ids)
+    against the whole corpus (self excluded), densely ranked per query
+    by (cosine desc, neighbor_id asc): (query_id, neighbor_id, cosine,
+    rank). Shared by the top-k baseline and the contrastive-triplet
+    miner. Queries are a tiny broadcast side; the corpus scan is
+    embarrassingly parallel; ranking shuffles n_queries * |corpus|
+    scored rows."""
     queries = (emb.orderBy("vec_id").limit(n_queries)
                   .select(F.col("vec_id").alias("query_id"),
                           _as_double("embedding").alias("q_vec")))
@@ -71,9 +70,56 @@ def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str,
                       _cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine")))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
                                                F.col("neighbor_id").asc())
-    return (scored.withColumn("rank", F.row_number().over(w))
-                  .where(F.col("rank") <= k)
-                  .select("query_id", "neighbor_id", "rank"))
+    return scored.withColumn("rank", F.row_number().over(w))
+
+
+def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str,
+                           n_queries: int = 5, k: int = 10) -> DataFrame:
+    """Exact top-k cosine neighbors for the first ``n_queries`` vectors
+    (lowest vec_ids), excluding self. Output: query_id, neighbor_id, rank.
+
+    Scale: see _bruteforce_ranked; the per-query top-k cut is a bounded
+    window."""
+    emb = load(spark, sf_dir, "embeddings")
+    return (_bruteforce_ranked(emb, n_queries)
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank"))
+
+
+def contrastive_triplets_df(emb: DataFrame, n_queries: int = 5,
+                            k: int = 10, n_neg: int = 3) -> DataFrame:
+    """Hard-negative triplet mining for contrastive training
+    (query, positive, negative): per query the positive is the exact
+    rank-1 cosine neighbor and the negatives are the ``n_neg`` vectors
+    ranked JUST OUTSIDE the top ``k`` (ranks k+1..k+n_neg) — the
+    standard 'hard negative' band: similar enough to be informative,
+    dissimilar enough to be true negatives (in-batch-random negatives
+    are too easy; rank-2..k would be false negatives in a near-dup
+    corpus). Output: (query_id, pos_id, pos_cosine, neg_id, neg_cosine,
+    neg_rank 1..n_neg) — one row per (query, negative), positive
+    repeated.
+
+    Everything is deterministic and the cosine fold is bit-identical to
+    DuckDB's list_dot_product (module docstring), so the gate is a full
+    hash oracle. Scale: one broadcast-scored pass + one bounded window —
+    the same shape as the top-k baseline; at corpus scale the ranked
+    frame would come from the ANN paths instead (the miner only needs
+    ranks 1 and k+1..k+n_neg)."""
+    ranked = _bruteforce_ranked(emb, n_queries)
+    pos = (ranked.where(F.col("rank") == 1)
+           .select("query_id", F.col("neighbor_id").alias("pos_id"),
+                   F.col("cosine").alias("pos_cosine")))
+    neg = (ranked.where((F.col("rank") > k) & (F.col("rank") <= k + n_neg))
+           .select("query_id", F.col("neighbor_id").alias("neg_id"),
+                   F.col("cosine").alias("neg_cosine"),
+                   (F.col("rank") - F.lit(k)).cast("int").alias("neg_rank")))
+    return pos.join(neg, "query_id")
+
+
+def contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gate fixture: hard-negative triplets over the embeddings
+    table (full hash oracle)."""
+    return contrastive_triplets_df(load(spark, sf_dir, "embeddings"))
 
 
 def embedding_near_dup_exact_df(emb: DataFrame, threshold: float = 0.4,

@@ -535,3 +535,39 @@ def ngram_lm_score(spark: SparkSession, sf_dir: str,
     documents table (full hash oracle — integer counts plus one exact
     division)."""
     return ngram_lm_score_df(load(spark, sf_dir, "documents"), min_count)
+
+
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str,
+                         top_n: int = 50) -> DataFrame:
+    """The counting step of one BPE merge round (tokenizer training):
+    corpus-wide frequencies of adjacent CHARACTER pairs inside
+    whitespace tokens, ranked (count desc, pair asc) — the top row is
+    exactly the first merge BPE would perform. Output: (pair,
+    n_occurrences, rank 1..top_n), the vocab_top_tokens contract one
+    level down.
+
+    Scale: per-token 2-gram expansion is a narrow in-scan generator
+    (sequence + substr, no UDF); the only shuffle carries one (pair,
+    partial_count) row per distinct pair per partition (map-side
+    combine over a <=|alphabet|^2 key space), and the global cut is
+    TakeOrderedAndProject. A full BPE trainer iterates this count with
+    a merged-vocabulary re-tokenization per round; the per-round count
+    is the distributed-heavy part and is what this operator provides."""
+    docs = load(spark, sf_dir, "documents")
+    toks = (docs.select(F.explode(tokens_col()).alias("tok"))
+                .where(F.length("tok") >= 2))
+    pairs = toks.select(
+        F.explode(
+            F.transform(F.sequence(F.lit(1), F.length("tok") - 1),
+                        lambda i: F.col("tok").substr(i, F.lit(2))))
+        .alias("pair"))
+    counts = (pairs.groupBy("pair")
+              .agg(F.count(F.lit(1)).alias("n_occurrences")))
+    top = (counts.orderBy(F.col("n_occurrences").desc(),
+                          F.col("pair").asc())
+           .limit(top_n))
+    return top.select(
+        "pair", "n_occurrences",
+        F.row_number().over(
+            Window.orderBy(F.col("n_occurrences").desc(),
+                           F.col("pair").asc())).alias("rank"))

@@ -2087,3 +2087,193 @@ SELECT prev_id, next_id, boundary
 FROM suff JOIN pref USING (boundary)
 WHERE prev_id <> next_id
 """
+
+# KStream-KStream windowed join (streaming/join.py): trips within
+# +-365 days of their route's capacity update, both sides sliced to
+# key % 20 = 0 before derivation. The stream's watermark exceeds the
+# data's time span, so the streaming output equals this batch interval
+# join exactly.
+ORACLES["trips_route_update_stream_join"] = """
+WITH u AS (
+  SELECT 'Route_' || CAST(o_orderkey AS VARCHAR) AS route_id,
+         CAST(((CAST(floor(o_totalprice) AS BIGINT) + 37) % 200) + 1
+              AS INTEGER) AS capacity,
+         o_orderdate + INTERVAL 1 DAY AS update_ts
+  FROM orders WHERE o_orderkey % 20 = 0
+),
+t AS (
+  SELECT 'Trip_' || CAST(l_orderkey AS VARCHAR) || '_'
+           || CAST(l_linenumber AS VARCHAR) AS trip_id,
+         'Route_' || CAST(l_orderkey AS VARCHAR) AS route_id,
+         l_shipdate AS trip_ts
+  FROM lineitem WHERE l_orderkey % 20 = 0
+)
+SELECT trip_id, t.route_id AS route_id, trip_ts, update_ts, capacity
+FROM t JOIN u ON t.route_id = u.route_id
+WHERE update_ts >= trip_ts - INTERVAL 365 DAY
+  AND update_ts <= trip_ts + INTERVAL 365 DAY
+"""
+
+# Hard-negative contrastive triplets: positive = exact rank-1 cosine
+# neighbor, negatives = ranks 11..13 (just outside top-10); the cosine
+# is the same sequential list_dot_product fold as the other exact
+# embedding oracles, bit-identical to Spark's zip_with/aggregate.
+ORACLES["contrastive_triplets"] = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings ORDER BY vec_id LIMIT 5
+), c AS (
+  SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings
+), ranked AS (
+  SELECT query_id, neighbor_id,
+         list_dot_product(qv, cv)
+           / (sqrt(list_dot_product(qv, qv))
+              * sqrt(list_dot_product(cv, cv))) AS cosine,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id
+           ORDER BY list_dot_product(qv, cv)
+                      / (sqrt(list_dot_product(qv, qv))
+                         * sqrt(list_dot_product(cv, cv))) DESC,
+                    neighbor_id ASC) AS rnk
+  FROM c, q WHERE neighbor_id <> query_id
+), pos AS (
+  SELECT query_id, neighbor_id AS pos_id, cosine AS pos_cosine
+  FROM ranked WHERE rnk = 1
+), neg AS (
+  SELECT query_id, neighbor_id AS neg_id, cosine AS neg_cosine,
+         CAST(rnk - 10 AS INTEGER) AS neg_rank
+  FROM ranked WHERE rnk > 10 AND rnk <= 13
+)
+SELECT pos.query_id, pos_id, pos_cosine, neg_id, neg_cosine, neg_rank
+FROM pos JOIN neg ON pos.query_id = neg.query_id
+"""
+
+# Budgeted quality-greedy selection: familiarity-bucketed two-pass
+# greedy (see curation.select_token_budget_df). The lm CTEs restate
+# ngram_lm_score's; bucket = floor(familiarity * 1000) is one float
+# multiply of bit-identical doubles, so bucketing agrees across
+# engines; all cumulative sums are over bigints.
+ORACLES["select_token_budget"] = f"""
+WITH tok0 AS (
+  SELECT doc_id, {_TOKENS} AS ts FROM documents
+),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(ts) - 1),
+                               i -> ts[i] || ' ' || ts[i + 1])) AS bigram
+  FROM tok0 WHERE len(ts) >= 2
+),
+docbg AS (
+  SELECT doc_id, bigram, COUNT(*) AS occ FROM bg GROUP BY 1, 2
+),
+cnts AS (
+  SELECT bigram, SUM(occ) AS cnt FROM docbg GROUP BY 1
+),
+lmagg AS (
+  SELECT d.doc_id,
+         SUM(occ) AS n_bigrams,
+         SUM(CASE WHEN cnt >= 2 THEN occ ELSE 0 END) AS n_familiar
+  FROM docbg d JOIN cnts USING (bigram) GROUP BY 1
+),
+lm AS (
+  SELECT doc_id,
+         CASE WHEN COALESCE(n_bigrams, 0) = 0 THEN 0.0
+              ELSE CAST(n_familiar AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+         END AS familiarity
+  FROM documents LEFT JOIN lmagg USING (doc_id)
+),
+s AS (
+  SELECT t.doc_id,
+         CAST(len(ts) AS BIGINT) AS n_tokens,
+         familiarity,
+         CAST(FLOOR(familiarity * 1000) AS INTEGER) AS bucket
+  FROM tok0 t JOIN lm ON t.doc_id = lm.doc_id
+),
+bt AS (
+  SELECT bucket, SUM(n_tokens) AS btok FROM s GROUP BY 1
+),
+bc AS (
+  SELECT bucket,
+         CAST(COALESCE(SUM(btok) OVER (
+             ORDER BY bucket DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS cum_before,
+         (COALESCE(SUM(btok) OVER (
+             ORDER BY bucket DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          + btok <= 20000) AS full_in,
+         (COALESCE(SUM(btok) OVER (
+             ORDER BY bucket DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          < 20000) AS touches
+  FROM bt
+),
+j AS (
+  SELECT s.*, cum_before, full_in, touches FROM s JOIN bc USING (bucket)
+)
+SELECT doc_id, n_tokens, familiarity, full_in AS selected
+FROM j WHERE full_in OR NOT touches
+UNION ALL
+SELECT doc_id, n_tokens, familiarity,
+       (cum_before + cum <= 20000) AS selected
+FROM (
+  SELECT *, SUM(n_tokens) OVER (
+      PARTITION BY bucket
+      ORDER BY familiarity DESC, doc_id ASC
+      ROWS UNBOUNDED PRECEDING) AS cum
+  FROM j WHERE touches AND NOT full_in
+)
+"""
+
+# Asymmetric containment pairs over the planted parent/excerpt corpus:
+# naive all-pairs restatement (containment = |A∩B| / |B|, ordered
+# pairs, one integer division) — the prefix-filtered engine must equal
+# it exactly.
+ORACLES["containment_pairs"] = """
+WITH base AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000, substr(text, 11, 60)
+  FROM documents WHERE doc_id % 25 = 0 AND length(text) >= 80
+),
+sh AS (
+  SELECT DISTINCT doc_id, substring(text, CAST(g AS INTEGER), 9) AS s
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(1, greatest(length(text) - 8, 1))) AS g
+        FROM base)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT a_id, b_id,
+       CAST(i AS DOUBLE) / CAST(sb.n AS DOUBLE) AS containment
+FROM inter JOIN sizes sb ON sb.doc_id = b_id
+WHERE CAST(i AS DOUBLE) / CAST(sb.n AS DOUBLE) >= 0.9
+"""
+
+# One BPE merge round's pair counts: adjacent char 2-grams inside
+# whitespace tokens, count desc / pair asc ranking (vocab_topk one
+# level down).
+ORACLES["bpe_merge_candidates"] = f"""
+WITH tok AS (
+  SELECT unnest({_TOKENS}) AS t FROM documents
+),
+p AS (
+  SELECT unnest(list_transform(generate_series(1, length(t) - 1),
+                               i -> substr(t, CAST(i AS INTEGER), 2)))
+           AS pair
+  FROM tok WHERE length(t) >= 2
+),
+counts AS (
+  SELECT pair, COUNT(*) AS n_occurrences FROM p GROUP BY pair
+)
+SELECT pair, n_occurrences,
+       CAST(ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, pair ASC)
+            AS INTEGER) AS rank
+FROM counts
+ORDER BY n_occurrences DESC, pair ASC
+LIMIT 50
+"""

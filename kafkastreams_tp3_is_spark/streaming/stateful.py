@@ -18,13 +18,20 @@ per-key-state shape Kafka Streams itself uses for ``toTable``.
 At extreme key cardinality the per-key Python kernel invocation of
 ``applyInPandasWithState`` is the bottleneck; Spark 4's
 ``transformWithStateInPandas`` (RocksDB-backed, richer state API) is the
-successor. A port was attempted and is BLOCKED in this container: the
-TransformWithState state-server protocol needs a full ``google.protobuf``
-(``ImportError: cannot import name 'descriptor'`` from the driver worker,
-verified against pyspark 4.1.2) and the environment is pip-frozen. The
-port is mechanical when the dependency exists — the kernel body here
-(argmax + one-long state compare) maps 1:1 onto
-``StatefulProcessor.handleInputRows`` with a ``getValueState`` handle.
+successor. RE-VERIFIED BLOCKED (round 7, pyspark 4.1.2): a complete
+minimal port (StatefulProcessor with a getValueState handle, grouped
+parquet file stream, availableNow trigger) fails at runtime with
+``STREAM_FAILED ... TransformWithStateInPySpark driver worker exited
+unexpectedly (crashed) SQLSTATE: XXKST``; the crash is the driver
+worker importing the state-server protocol messages —
+``pyspark.sql.streaming.proto.StateMessage_pb2`` line 23 does ``from
+google.protobuf import descriptor`` and the container has no
+``google`` package (``ModuleNotFoundError: No module named 'google'``)
+with installs frozen. Everything above the protocol layer imports and
+compiles fine (StatefulProcessor, the api-client, the driver-worker
+module), so the port is mechanical the day protobuf exists: the kernel
+body here (argmax + one-long state compare) maps 1:1 onto
+``StatefulProcessor.handleInputRows``.
 """
 
 from __future__ import annotations

@@ -98,26 +98,31 @@ def _dhash_pairs(docs):
     # relations, so every copy of a doc was a near-dup of every other
     # copy — quadratic cross-copy cliques (r6 measured 8 -> 34,933
     # pairs) that timed the fixture's pair growth, not the operator.
-    # Instead each row's payload is a unique 256-char md5 expansion
-    # (no accidental near-dups at any scale), and every 30th row gets
-    # an explicit one-char-edit twin (<=2 dHash bits, inside the
-    # hamming<=3 guarantee) — pair output grows ~rows/30, i.e. ~10x at
-    # 10x, and the ratio measures fingerprint + block-table + verify.
-    base = docs.select(
-        "doc_id",
-        F.repeat(F.md5(F.concat(F.col("text"),
-                                F.col("doc_id").cast("string"))), 8)
-         .alias("payload"))
+    # Payloads must be FULL-RANGE bytes: a hex-string payload (16
+    # symbols) ties adjacent-byte comparisons so often that the
+    # fingerprints collapse into a low-entropy subspace and accidental
+    # hamming<=3 pairs explode (measured 111k pairs at 1x). unhex of
+    # 8 chained md5 digests gives 128 uniform bytes per row — each
+    # dHash bit is then ~a fair coin, P(accidental pair) ~ 2e-15 —
+    # and every 30th row gets a one-nibble-edit twin (one byte, <=2
+    # dHash bits since all 72 grid cells sample distinct bytes at
+    # n=128). Pair output grows ~rows/30 => ~10x at 10x, measuring
+    # fingerprint + block tables + verify, not fixture shape.
+    hx = F.concat(*[
+        F.md5(F.concat(F.col("text"), F.lit("|"),
+                       F.col("doc_id").cast("string"), F.lit(f"|{j}")))
+        for j in range(8)])
+    base = docs.select("doc_id", hx.alias("hx"))
     twins = (base.where(F.col("doc_id") % 30 == 0)
              .select((F.col("doc_id") + F.lit(3_000_000_000_000))
                      .alias("doc_id"),
-                     F.concat(F.substring("payload", 1, 10), F.lit("#"),
-                              F.expr("substring(payload, 12)"))
-                      .alias("payload")))
+                     F.concat(F.substring("hx", 1, 10), F.lit("0"),
+                              F.expr("substring(hx, 12)"))
+                      .alias("hx")))
     media = base.unionByName(twins).select(
         F.col("doc_id").alias("media_id"),
         F.lit("image").alias("media_type"),
-        F.encode("payload", "utf-8").alias("content"))
+        F.unhex("hx").alias("content"))
     return image_dhash_pairs_df(media)
 
 

@@ -399,3 +399,35 @@ def test_domain_mixture_report_hand_computed(spark):
     assert a["dup_ratio"] == 1 / 3 and b["dup_ratio"] == 0.0
     assert a["token_share"] == 8 / 9 and b["token_share"] == 1 / 9
     assert a["token_share"] + b["token_share"] == 1.0
+
+
+def test_select_token_budget_equals_global_greedy(spark):
+    """The bucketed two-pass selection must reproduce the naive GLOBAL
+    greedy exactly: order docs by (familiarity desc, doc_id asc), take
+    while cumulative tokens <= budget. Verified row-for-row against a
+    Python restatement at sf0.001, plus both verdict branches present
+    and the kept token mass within budget but within one doc of it."""
+    from kafkastreams_tp3_is_spark.operators.curation import (
+        select_token_budget)
+    from tests.conftest import SF_DIR
+
+    budget = 20_000
+    rows = select_token_budget(spark, SF_DIR, budget=budget).collect()
+    got = {r["doc_id"]: r for r in rows}
+
+    order = sorted(rows, key=lambda r: (-r["familiarity"], r["doc_id"]))
+    cum, want_sel = 0, set()
+    for r in order:
+        # strict greedy-PREFIX semantics: the first doc that does not
+        # fit ends the selection — no knapsack backfill with smaller
+        # later docs (cumulative sums are monotone in the operator, so
+        # everything after the first overflow is out)
+        if cum + r["n_tokens"] > budget:
+            break
+        cum += r["n_tokens"]
+        want_sel.add(r["doc_id"])
+    got_sel = {d for d, r in got.items() if r["selected"]}
+    assert got_sel == want_sel
+    assert 0 < len(got_sel) < len(got), "both branches must run"
+    kept = sum(got[d]["n_tokens"] for d in got_sel)
+    assert kept <= budget

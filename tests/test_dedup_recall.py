@@ -341,3 +341,26 @@ def test_suffix_prefix_dedup_core_and_planted_recall(spark):
     fixture = dedup_suffix_prefix(spark, SF_DIR)
     planted = fixture.where("next_id = prev_id + 1000000").count()
     assert planted == n_docs, "every planted continuation must be found"
+
+
+def test_containment_pairs_core_hand_computed(spark):
+    """containment_pairs_df on a hand-built corpus: an excerpt wholly
+    inside a parent scores containment 1.0 in the (parent, excerpt)
+    direction only (the reverse direction fails the threshold), and an
+    unrelated doc pairs with nothing. k=3 keeps the sets countable."""
+    from kafkastreams_tp3_is_spark import cache
+    from kafkastreams_tp3_is_spark.operators.dedup import (
+        containment_pairs_df)
+
+    docs = spark.createDataFrame(
+        [(1, "abcdefghijklmnop"),    # parent
+         (2, "defghijk"),           # contiguous excerpt of 1
+         (3, "zzzzyyyyxxxx"),       # unrelated
+         ], "doc_id long, text string")
+    out = containment_pairs_df(docs, k=3, threshold=0.9)
+    try:
+        got = {(r["a_id"], r["b_id"]): r["containment"]
+               for r in out.collect()}
+    finally:
+        cache.release(out)
+    assert got == {(1, 2): 1.0}

@@ -186,3 +186,47 @@ def test_stored_probe_fixture_reuses_index_and_matches_build_path(spark):
              for r in ann_cosine_topk_stored(spark, SF_DIR).collect()}
     assert probe == built
     assert len(probe) > 0
+
+
+def test_ivf_incremental_append_equals_full_write(spark, tmp_path):
+    """append_to_ivf_index must leave the index indistinguishable from
+    writing all postings in one pass under the SAME centroids: build on
+    the even-vec_id half (centroids train on that half), append the odd
+    half, and probe — results must equal an index whose postings were
+    written for the full corpus under the identical stored centroids.
+    Also asserts the probe actually returns odd (appended) neighbors."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kafkastreams_tp3_is_spark.operators.ivf import (
+        _write_postings, append_to_ivf_index, build_ivf_index,
+        query_ivf_index)
+
+    emb = load(spark, SF_DIR, "embeddings")
+    even = emb.where(F.col("vec_id") % 2 == 0)
+    odd = emb.where(F.col("vec_id") % 2 == 1)
+
+    inc = str(tmp_path / "inc")
+    build_ivf_index(even, inc, n_centroids=16, m_assign=2)
+    append_to_ivf_index(odd, inc)
+
+    with open(os.path.join(inc, "centroids.json")) as f:
+        cents = json.load(f)["centroids"]
+    full = str(tmp_path / "full")
+    os.makedirs(full)
+    _write_postings(emb, cents, full, m_assign=2, store_sq8=False,
+                    mode="overwrite")
+    with open(os.path.join(full, "centroids.json"), "w") as f:
+        json.dump({"n_centroids": 16, "m_assign": 2, "sq8": False,
+                   "centroids": cents}, f)
+
+    queries = emb.orderBy("vec_id").limit(5).select("vec_id", "embedding")
+    got = {tuple(r) for r in
+           query_ivf_index(spark, inc, queries, k=10, nprobe=8).collect()}
+    want = {tuple(r) for r in
+            query_ivf_index(spark, full, queries, k=10, nprobe=8).collect()}
+    assert got == want and len(got) > 0
+    assert any(r[1] % 2 == 1 for r in got), \
+        "appended (odd) vectors must be probe-reachable"

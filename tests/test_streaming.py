@@ -1117,3 +1117,57 @@ def test_streaming_corpus_dedup_compaction(spark, planted_docs, tmp_path):
     sink2 = StreamingCorpusDedup(spark, corpus, jaccard_threshold=0.7)
     sink2.run(stream(), ckpt)
     assert sorted(tuple(r) for r in sink2.corpus().collect()) == before
+
+
+def test_stream_stream_join_matches_batch_and_crosses_batches(spark):
+    """The KStream-KStream windowed join demo must (a) equal the batch
+    interval join row-for-row (watermark exceeds the data span, so
+    nothing is late-dropped), and (b) actually exercise CROSS-BATCH
+    buffering: at least one emitted match must pair rows staged into
+    DIFFERENT micro-batch files (the b-split is by xxhash64 parity of
+    different key columns on each side, so straddling pairs exist by
+    construction — this asserts the join found them)."""
+    from pyspark.sql import functions as F
+
+    from kafkastreams_tp3_is_spark.streaming.join import (
+        trips_route_update_stream_join)
+    from kafkastreams_tp3_is_spark.views import (
+        load, route_updates_from_orders, trips_from_lineitem)
+    from tests.conftest import SF_DIR
+
+    got = {tuple(r) for r in
+           trips_route_update_stream_join(spark, SF_DIR).collect()}
+
+    trips = (trips_from_lineitem(
+                 load(spark, SF_DIR, "lineitem")
+                 .where(F.col("l_orderkey") % 20 == 0))
+             .select("trip_id", "route_id",
+                     F.col("event_ts").cast("timestamp").alias("trip_ts")))
+    updates = (route_updates_from_orders(
+                   load(spark, SF_DIR, "orders")
+                   .where(F.col("o_orderkey") % 20 == 0))
+               .select(F.col("route_id").alias("u_route_id"), "capacity",
+                       F.col("event_ts").cast("timestamp")
+                        .alias("update_ts")))
+    batch = (trips.join(
+                 updates,
+                 (F.col("route_id") == F.col("u_route_id"))
+                 & (F.col("update_ts")
+                    >= F.col("trip_ts") - F.expr("INTERVAL 365 DAYS"))
+                 & (F.col("update_ts")
+                    <= F.col("trip_ts") + F.expr("INTERVAL 365 DAYS")))
+             .select("trip_id", "route_id", "trip_ts", "update_ts",
+                     "capacity"))
+    want = {tuple(r) for r in batch.collect()}
+    assert got == want and len(got) > 0
+
+    # cross-batch evidence: a match whose sides landed in different
+    # staged files (left b-parity from trip_id, right from route_id)
+    def parity(col, val, df):
+        return df.sparkSession.createDataFrame([(val,)], f"{col} string") \
+                 .select((F.xxhash64(col) % 2 == 0).cast("int")).collect()[0][0]
+
+    crossed = any(
+        parity("trip_id", r[0], batch) != parity("route_id", r[1], batch)
+        for r in list(got)[:50])
+    assert crossed, "no emitted match straddled the two micro-batches"

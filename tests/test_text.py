@@ -125,3 +125,29 @@ def test_ngram_lm_score_hand_computed(spark):
     assert got[2] == (1, 1, 1.0)
     assert got[3] == (0, 0, 0.0)
     assert got[4] == (3, 2, 2 / 3)
+
+
+def test_bpe_merge_candidates_hand_computed(spark):
+    """Pair counting on a corpus small enough to count by hand — per
+    OCCURRENCE (BPE counts corpus frequency, not document frequency),
+    1-char tokens contribute nothing, ties rank lexicographically."""
+    from kafkastreams_tp3_is_spark.operators.text import (
+        bpe_merge_candidates)
+
+    # monkeypatch-free: drive the same logic through a temp view is
+    # overkill — restate the fixture inline via the loader contract
+    import kafkastreams_tp3_is_spark.operators.text as textmod
+
+    docs = spark.createDataFrame(
+        [(1, "abab ab"), (2, "ab a")],
+        "doc_id long, text string")
+    real_load = textmod.load
+    textmod.load = lambda _s, _d, _t: docs
+    try:
+        got = [(r["pair"], r["n_occurrences"], r["rank"])
+               for r in bpe_merge_candidates(spark, "ignored").collect()]
+    finally:
+        textmod.load = real_load
+    # 'abab' -> ab,ba,ab ; 'ab' -> ab ; 'ab' -> ab ; 'a' -> none
+    # => ab x4, ba x1
+    assert got == [("ab", 4, 1), ("ba", 1, 2)]
