@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from kafkastreams_tp3_is_spark import oracles as _oracles
 from kafkastreams_tp3_is_spark import queries as _q
 from kafkastreams_tp3_is_spark.operators import dedup as _dedup
+from kafkastreams_tp3_is_spark.operators import embstats as _embstats
 from kafkastreams_tp3_is_spark.operators import events as _events
 from kafkastreams_tp3_is_spark.operators import graph as _graph
 from kafkastreams_tp3_is_spark.operators import ivf as _ivf
@@ -188,6 +189,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # BPE merge-round pair counting (tokenizer training) — full
         # hash oracle
         "bpe_merge_candidates": _text.bpe_merge_candidates,
+        # exact-integer sq8 Gram/second-moment triangle (one
+        # mapInPandas matmul pass, shuffle O(batches x d^2)) — full
+        # hash oracle, every column an exact bigint/int
+        "embedding_gram_sq8": _embstats.embedding_gram_sq8,
+        # PCA projection onto the Gram triangle's top eigenvectors —
+        # rows-only (LAPACK eigh is not SQL-expressible); orthonormality
+        # / variance-order / determinism pinned by pytest
+        "embedding_pca_project": _embstats.embedding_pca_project,
+        # full iterative BPE trainer (vocabulary-table rounds, LIMIT-1
+        # argmax per round) — rows-only; pure-Python-reference pytest
+        # pins exact merge table
+        "bpe_train": _text.bpe_train,
+        # content-keyed leakage-safe split (exact dups co-assign by
+        # construction) — full hash oracle
+        "split_by_content": _cur.split_by_content,
+        # MMR diversity re-ranking over a bounded shortlist — rows-only;
+        # numpy-reference pytest pins exact selections
+        "mmr_rerank": _sim.mmr_rerank,
     }
 
 

@@ -393,6 +393,39 @@ def train_val_test_split(spark: SparkSession, sf_dir: str,
                        split.alias("split"), "lang", "source")
 
 
+def split_by_content_df(docs: DataFrame, val_from: str = "e6",
+                        test_from: str = "f3") -> DataFrame:
+    """LEAKAGE-SAFE split assignment: the split key is the md5 of the
+    document's CONTENT (not its id), so byte-identical duplicates land
+    in the same split by construction — the held-out set can never
+    contain a verbatim copy of a training document no matter how many
+    times the crawler re-scraped it under different ids.
+    train_val_test_split (id-keyed) cannot give this: two ids carrying
+    the same text hash independently and split ~p(1-p) of the time.
+
+    Same threshold arithmetic as the id-keyed split (first two hex
+    chars of the key against hex cutoffs); NULL text hashes as '' (the
+    dedup_exact convention), so the gate output is null-free.
+
+    Scale: one scalar md5 over the text column, no shuffle — the full
+    near-dup-safe variant would key on the duplicate-cluster
+    representative instead (duplicate_clusters' min-id), trading the
+    zero-shuffle property for CC's log-rounds."""
+    key = F.substring(F.md5(F.md5(F.coalesce(F.col("text"), F.lit("")))),
+                      1, 2)
+    split = (F.when(key < val_from, "train")
+              .when(key < test_from, "val")
+              .otherwise("test"))
+    return docs.select("doc_id", key.alias("split_key"),
+                       split.alias("split"), "lang", "source")
+
+
+def split_by_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gate fixture (full hash oracle): content-keyed
+    leakage-safe split of the documents table."""
+    return split_by_content_df(load(spark, sf_dir, "documents"))
+
+
 # --- benchmark decontamination ----------------------------------------
 
 def _hashed_kgram_set(k: int) -> F.Column:

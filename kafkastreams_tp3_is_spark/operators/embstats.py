@@ -1,0 +1,181 @@
+"""Corpus-level embedding statistics: exact integer Gram/covariance
+accumulation and PCA projection.
+
+The reference has no embedding surface (its analytics stop at
+route/trip aggregates); this module adds the second-moment machinery a
+training-data pipeline runs over an embedding corpus — duplicate-axis
+discovery, whitening, low-dimensional projection for visualization and
+IVF seeding.
+
+Design for 100 TB:
+  - The Gram matrix is accumulated with ONE ``mapInPandas`` pass that
+    does a per-batch int64 matmul (X^T X over sq8 codes) and emits one
+    d(d+1)/2-row partial triangle per batch. The shuffle therefore
+    carries n_batches x 2,080 rows (d=64) — independent of corpus row
+    count — and the final agg is a trivial groupBy over d^2 keys.
+  - All accumulated quantities are EXACT BIGINTs over int8 codes
+    (|code| <= 127, so 10^14 vectors fit in int64 per cell), which is
+    what makes the full DuckDB hash oracle possible — float SUMs are
+    order-dependent and can never hash-match across engines.
+  - PCA eigendecomposition happens on the driver over the d x d
+    covariance (a 64 x 64 float matrix — bounded by embedding dim, not
+    corpus size), exactly how Spark MLlib's own PCA does it; the
+    projection back over the corpus is one Arrow-batched numpy matmul
+    per batch against the broadcast component matrix.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..views import load
+
+
+def embedding_gram_sq8_df(emb: DataFrame,
+                          vec_col: str = "embedding") -> DataFrame:
+    """Upper-triangle second-moment accumulation over sq8-quantized
+    embeddings: for every dim pair i <= j (0-based),
+
+      gram    = sum over vectors of qv[i] * qv[j]   (exact bigint)
+      n_vecs  = corpus row count                    (exact bigint)
+      sum_qi  = sum over vectors of qv[i]           (exact bigint)
+      sum_qj  = sum over vectors of qv[j]           (exact bigint)
+
+    — everything needed to form the covariance ((gram - sum_qi*sum_qj/n)
+    / n) WITHOUT a second corpus pass, all integer-exact so the DuckDB
+    oracle hash-matches bit-for-bit. Quantization is the one shared sq8
+    rule (floor-half-up to |127|, similarity.sq8_quantized), restated
+    identically in the oracle.
+
+    Scale: the kernel reduces each Arrow batch to one 2,080-row partial
+    triangle (d=64); shuffle volume is O(n_batches * d^2), not O(rows)."""
+    from .similarity import sq8_quantized
+
+    q = sq8_quantized(emb, vec_col=vec_col, keep=["vec_id"])
+
+    def gram_batches(it: Iterator["pd.DataFrame"]):  # noqa: F821
+        import numpy as np
+        import pandas as pd
+
+        acc = None
+        sums = None
+        n = 0
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            x = np.asarray([np.asarray(v, dtype=np.int64)
+                            for v in pdf["qv"]], dtype=np.int64)
+            g = x.T @ x
+            acc = g if acc is None else acc + g
+            s = x.sum(axis=0)
+            sums = s if sums is None else sums + s
+            n += len(pdf)
+        if acc is None:
+            return
+        iu = np.triu_indices(acc.shape[0])
+        yield pd.DataFrame({
+            "i": iu[0].astype("int32"),
+            "j": iu[1].astype("int32"),
+            "gram_part": acc[iu],
+            "sum_qi_part": sums[iu[0]],
+            "sum_qj_part": sums[iu[1]],
+            "n_part": np.int64(n),
+        })
+
+    schema = ("i int, j int, gram_part bigint, sum_qi_part bigint, "
+              "sum_qj_part bigint, n_part bigint")
+    partials = q.select("qv").mapInPandas(gram_batches, schema=schema)
+    return (partials.groupBy("i", "j")
+            .agg(F.sum("gram_part").cast("bigint").alias("gram"),
+                 F.sum("n_part").cast("bigint").alias("n_vecs"),
+                 F.sum("sum_qi_part").cast("bigint").alias("sum_qi"),
+                 F.sum("sum_qj_part").cast("bigint").alias("sum_qj")))
+
+
+def embedding_gram_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gate fixture (FULL hash oracle — every output column an
+    exact bigint/int): the sq8 Gram triangle of the embeddings table."""
+    return embedding_gram_sq8_df(load(spark, sf_dir, "embeddings"))
+
+
+def _pca_components(gram_rows: list, n_components: int):
+    """Driver-side eigendecomposition of the covariance reconstructed
+    from the integer Gram triangle. Returns (components [p x d] float64,
+    means [d] float64, explained_variance [p]). Sign convention: each
+    component's largest-|value| coordinate is positive (ties broken by
+    lowest index), making the output deterministic across LAPACK
+    builds up to that convention."""
+    import numpy as np
+
+    d = max(r["j"] for r in gram_rows) + 1
+    n = gram_rows[0]["n_vecs"]
+    g = np.zeros((d, d), dtype=np.float64)
+    s = np.zeros(d, dtype=np.float64)
+    for r in gram_rows:
+        g[r["i"], r["j"]] = r["gram"]
+        g[r["j"], r["i"]] = r["gram"]
+        s[r["i"]] = r["sum_qi"]
+        s[r["j"]] = r["sum_qj"]
+    mean = s / n
+    cov = g / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)      # ascending
+    order = np.argsort(evals)[::-1][:n_components]
+    comps = evecs[:, order].T               # p x d
+    for k in range(comps.shape[0]):
+        pivot = int(np.argmax(np.abs(comps[k])))
+        if comps[k, pivot] < 0:
+            comps[k] = -comps[k]
+    return comps, mean, evals[order]
+
+
+def embedding_pca_project_df(emb: DataFrame, n_components: int = 4,
+                             vec_col: str = "embedding") -> DataFrame:
+    """Project every embedding onto the top ``n_components`` principal
+    axes of the sq8-quantized corpus: (vec_id, pc array<double> of
+    length p). Two passes: the Gram pass above (collect is the bounded
+    d(d+1)/2 triangle, 2,080 rows at d=64 — dimension-bounded, never
+    corpus-bounded), then one projection pass (per-batch numpy matmul
+    against the broadcast p x d component matrix).
+
+    Gate is rows-only by design: eigenvectors come from LAPACK on the
+    driver and DuckDB has no eigensolver; exactness is pinned instead by
+    pytest properties (component orthonormality, variance ordering,
+    determinism across runs, centered-projection mean ~ 0)."""
+    from .similarity import sq8_quantized
+
+    gram_rows = [r.asDict() for r in embedding_gram_sq8_df(emb, vec_col)
+                 .collect()]
+    comps, mean, _ = _pca_components(gram_rows, n_components)
+    comps_l = [[float(v) for v in row] for row in comps]
+    mean_l = [float(v) for v in mean]
+
+    q = sq8_quantized(emb, vec_col=vec_col, keep=["vec_id"])
+
+    def project(it: Iterator["pd.DataFrame"]):  # noqa: F821
+        import numpy as np
+        import pandas as pd
+
+        w = np.asarray(comps_l, dtype=np.float64)      # p x d
+        m = np.asarray(mean_l, dtype=np.float64)
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            x = np.asarray([np.asarray(v, dtype=np.float64)
+                            for v in pdf["qv"]], dtype=np.float64)
+            y = (x - m) @ w.T                          # rows x p
+            yield pd.DataFrame({"vec_id": pdf["vec_id"],
+                                "pc": list(y)})
+
+    return q.select("vec_id", "qv").mapInPandas(
+        project, schema="vec_id bigint, pc array<double>")
+
+
+def embedding_pca_project(spark: SparkSession, sf_dir: str,
+                          n_components: int = 4) -> DataFrame:
+    """Driver-gate fixture (rows-only; exactness properties pytest-
+    pinned): top-4 PCA projection of the embeddings table."""
+    return embedding_pca_project_df(load(spark, sf_dir, "embeddings"),
+                                    n_components)

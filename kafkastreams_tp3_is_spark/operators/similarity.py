@@ -86,6 +86,73 @@ def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str,
             .select("query_id", "neighbor_id", "rank"))
 
 
+def mmr_rerank_df(emb: DataFrame, n_queries: int = 5, k: int = 10,
+                  shortlist: int = 40, lam: float = 0.7) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR'98) — the diversity pass of a retrieval stack: per query,
+    greedily pick ``k`` results maximizing
+    ``lam * cos(q, d) - (1 - lam) * max cos(d, already_selected)``,
+    so near-duplicate hits cannot crowd the result list the way they do
+    in a plain top-k over an undeduplicated corpus. Output: (query_id,
+    neighbor_id, relevance, mmr_rank 1..k).
+
+    Shape for scale: relevance ranking is the existing broadcast-scored
+    exact pass (ANN shortlists at corpus scale) CUT to ``shortlist``
+    rows per query FIRST; only those bounded groups reach the Python
+    side, where one ``applyInPandas`` kernel per query runs the
+    O(shortlist^2) greedy in numpy. Driver never sees rows; group size
+    is shortlist-bounded by construction, so per-key state is O(1) in
+    corpus size. Ties break (score desc, neighbor_id asc) making the
+    output deterministic; the rows-only gate is backed by a pytest
+    running the identical-arithmetic numpy reference plus the
+    first-pick==rank-1 invariant."""
+    short = (_bruteforce_ranked(emb, n_queries)
+             .where(F.col("rank") <= shortlist))
+    cand = short.join(
+        emb.select(F.col("vec_id").alias("neighbor_id"),
+                   _as_double("embedding").alias("n_vec")),
+        "neighbor_id")
+
+    def kernel(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("rank").reset_index(drop=True)
+        v = np.asarray([np.asarray(e, dtype=np.float64)
+                        for e in pdf["n_vec"]])
+        norms = np.maximum(np.linalg.norm(v, axis=1), 1e-30)
+        sims = (v @ v.T) / np.outer(norms, norms)
+        rel = pdf["cosine"].to_numpy(dtype=np.float64)
+        ids = pdf["neighbor_id"].to_numpy()
+        selected: list[int] = []
+        remaining = list(range(len(pdf)))
+        while remaining and len(selected) < k:
+            if selected:
+                penal = sims[np.ix_(remaining, selected)].max(axis=1)
+                scores = lam * rel[remaining] - (1.0 - lam) * penal
+            else:
+                scores = lam * rel[remaining]
+            # argmax with (score desc, neighbor_id asc) tie-break
+            best = min(range(len(remaining)),
+                       key=lambda t: (-scores[t], ids[remaining[t]]))
+            selected.append(remaining.pop(best))
+        return pd.DataFrame({
+            "query_id": pdf["query_id"].iloc[0],
+            "neighbor_id": ids[selected],
+            "relevance": rel[selected],
+            "mmr_rank": np.arange(1, len(selected) + 1, dtype=np.int32)})
+
+    return cand.groupBy("query_id").applyInPandas(
+        kernel, schema="query_id bigint, neighbor_id bigint, "
+                       "relevance double, mmr_rank int")
+
+
+def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gate fixture (rows-only; numpy-reference pytest pins exact
+    selections): MMR-diversified top-10 over the embeddings table."""
+    return mmr_rerank_df(load(spark, sf_dir, "embeddings"))
+
+
 def contrastive_triplets_df(emb: DataFrame, n_queries: int = 5,
                             k: int = 10, n_neg: int = 3) -> DataFrame:
     """Hard-negative triplet mining for contrastive training

@@ -571,3 +571,99 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str,
         F.row_number().over(
             Window.orderBy(F.col("n_occurrences").desc(),
                            F.col("pair").asc())).alias("rank"))
+
+
+# --- iterative BPE training ---------------------------------------------
+
+def _char_syms(tok: F.Column) -> F.Column:
+    """Token -> array of single-character symbol strings (sequence +
+    substr; split-on-empty-regex keeps a trailing '' under Spark's
+    limit=-1 semantics)."""
+    return F.transform(F.sequence(F.lit(1), F.length(tok)),
+                       lambda i: tok.substr(i, F.lit(1)))
+
+
+def _apply_merge(syms: F.Column, a: str, b: str) -> F.Column:
+    """Replace every adjacent (a, b) symbol pair with a+b, greedy
+    left-to-right non-overlapping (classic BPE apply): a JVM fold that
+    compares the accumulator's LAST symbol to ``a`` — after a merge the
+    last symbol is a+b != a, so 'aaa' under merge (a,a) correctly yields
+    ['aa','a']. No UDF; the size guard keeps ANSI element_at off empty
+    arrays (CaseWhen branches evaluate conditionally)."""
+    la, lb, merged = F.lit(a), F.lit(b), F.lit(a + b)
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0) & (F.element_at(acc, -1) == la) & (s == lb),
+            F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1),
+                     F.array(merged))
+        ).otherwise(F.concat(acc, F.array(s))))
+
+
+def bpe_train_df(docs: DataFrame, n_merges: int = 8) -> DataFrame:
+    """Train ``n_merges`` BPE merge rounds over the corpus and return the
+    learned merge table: (round 1.., left, right, merged,
+    n_occurrences) — the argmax pair of each round and its corpus-wide
+    weighted count at the time of the merge. Ties break (count desc,
+    left asc, right asc), so the whole table is deterministic.
+
+    This is the full iterative trainer whose single counting round is
+    ``bpe_merge_candidates``; like every real BPE implementation
+    (Sennrich ACL'16; HF tokenizers) it iterates over the DISTINCT
+    word -> count table, not the corpus:
+
+      - the corpus-sized work (token explode + count) happens ONCE;
+        every round after that runs on the vocabulary-bounded word
+        table (|distinct tokens| rows, never corpus rows),
+      - each round is one map (adjacent-pair expansion of the symbol
+        arrays), one map-side-combined agg over the pair key space, and
+        a LIMIT-1 argmax collect — the only driver traffic is that one
+        row per round,
+      - the merge application is a row-local JVM fold (no UDF), and
+        ``localCheckpoint`` truncates the per-round lineage so the plan
+        does not nest n_merges folds deep.
+
+    The registry gate is rows-only (an iterated argmax is not
+    SQL-expressible); exactness is pinned by a pytest running a pure-
+    Python reference BPE with identical tie-break and apply semantics."""
+    spark = docs.sparkSession
+    words = (docs.select(F.explode(tokens_col()).alias("tok"))
+             .groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+             # single-char tokens never form a pair and merges only grow
+             # symbols, so they can be dropped once, permanently
+             .where(F.length("tok") >= 2)
+             .select(_char_syms(F.col("tok")).alias("syms"), "cnt")
+             .localCheckpoint())
+
+    merges: list[tuple] = []
+    for rnd in range(1, n_merges + 1):
+        pair_rows = (
+            words.where(F.size("syms") >= 2)
+            .select("cnt",
+                    F.explode(F.transform(
+                        F.sequence(F.lit(1), F.size("syms") - 1),
+                        lambda i: F.struct(
+                            F.element_at(F.col("syms"), i).alias("a"),
+                            F.element_at(F.col("syms"), i + 1).alias("b"))))
+                    .alias("p"))
+            .groupBy("p.a", "p.b").agg(F.sum("cnt").alias("n"))
+            .orderBy(F.col("n").desc(), F.col("a").asc(), F.col("b").asc())
+            .limit(1).collect())
+        if not pair_rows:
+            break
+        a, b, n = pair_rows[0]["a"], pair_rows[0]["b"], pair_rows[0]["n"]
+        merges.append((rnd, a, b, a + b, int(n)))
+        words = (words.select(_apply_merge(F.col("syms"), a, b)
+                              .alias("syms"), "cnt")
+                 .localCheckpoint())
+    return spark.createDataFrame(
+        merges, schema="round int, left string, right string, "
+                       "merged string, n_occurrences bigint")
+
+
+def bpe_train(spark: SparkSession, sf_dir: str,
+              n_merges: int = 8) -> DataFrame:
+    """Driver-gate fixture (rows-only; pure-Python-reference pytest pins
+    exact values): 8 BPE merge rounds over the documents table."""
+    return bpe_train_df(load(spark, sf_dir, "documents"), n_merges)

@@ -2277,3 +2277,49 @@ FROM counts
 ORDER BY n_occurrences DESC, pair ASC
 LIMIT 50
 """
+
+# Exact-integer sq8 Gram triangle: the quantization CTE is the shared
+# sq8 rule (floor-half-up to |127| — identical text to the
+# ann_cosine_topk_sq8 oracle), and every output column is an exact
+# BIGINT (sums of |code|<=127 products never leave int64 range at any
+# test SF), so the gate is a full hash. DuckDB SUM(BIGINT) returns
+# HUGEINT -> cast back. i/j are 0-based INTEGERs to match the Spark
+# kernel's int32 triangle indices.
+ORACLES["embedding_gram_sq8"] = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), q8 AS (
+  SELECT vec_id,
+         list_transform(v, x -> CAST(floor(
+             x * 127.0 / greatest(list_max(list_transform(v, y -> abs(y))),
+                                  1e-30) + 0.5) AS BIGINT)) AS qv
+  FROM e
+), ix AS (
+  SELECT vec_id, qv, unnest(range(1, len(qv) + 1)) AS i FROM q8
+), vals AS (
+  SELECT vec_id, CAST(i AS INTEGER) AS i, qv[CAST(i AS INTEGER)] AS x
+  FROM ix
+)
+SELECT CAST(a.i - 1 AS INTEGER) AS i, CAST(b.i - 1 AS INTEGER) AS j,
+       CAST(SUM(a.x * b.x) AS BIGINT) AS gram,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(a.x) AS BIGINT) AS sum_qi,
+       CAST(SUM(b.x) AS BIGINT) AS sum_qj
+FROM vals a JOIN vals b ON a.vec_id = b.vec_id AND a.i <= b.i
+GROUP BY 1, 2
+"""
+
+# Content-keyed leakage-safe split: the key is md5(md5(COALESCE(text,
+# ''))) so byte-identical documents co-assign; thresholds are plain hex
+# string comparisons — all deterministic, full hash gate.
+ORACLES["split_by_content"] = """
+SELECT doc_id,
+       SUBSTRING(md5(md5(COALESCE(text, ''))), 1, 2) AS split_key,
+       CASE WHEN SUBSTRING(md5(md5(COALESCE(text, ''))), 1, 2) < 'e6'
+              THEN 'train'
+            WHEN SUBSTRING(md5(md5(COALESCE(text, ''))), 1, 2) < 'f3'
+              THEN 'val'
+            ELSE 'test' END AS split,
+       lang, source
+FROM documents
+"""

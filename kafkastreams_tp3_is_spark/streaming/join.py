@@ -36,15 +36,24 @@ from pyspark.sql import functions as F
 def stream_stream_interval_join(left: DataFrame, right: DataFrame,
                                 key: str, left_ts: str, right_ts: str,
                                 tolerance_days: int,
-                                watermark: str) -> DataFrame:
-    """Inner-join two STREAMING frames on ``key`` where
-    ``right_ts`` is within ±``tolerance_days`` of ``left_ts``.
+                                watermark: str,
+                                how: str = "inner") -> DataFrame:
+    """Join two STREAMING frames on ``key`` where ``right_ts`` is within
+    ±``tolerance_days`` of ``left_ts``. ``how`` is ``inner`` (KStream
+    ``join``) or ``leftOuter`` (KStream ``leftJoin``): the outer variant
+    emits an unmatched left row with null right columns once the
+    watermark proves no in-interval partner can still arrive — the same
+    moment Kafka Streams' left join emits its null result at window
+    close.
 
     ``watermark`` is the lateness bound for BOTH sides: it controls
     state eviction (and thus drops events arriving later than the bound,
-    exactly like Kafka Streams' grace). A bound >= the fixture's full
-    time span makes the stream's output provably equal to the batch
-    join — the parity the oracle checks.
+    exactly like Kafka Streams' grace). For the inner join a bound >=
+    the fixture's full time span makes the stream's output provably
+    equal to the batch join — the parity the oracle checks. For the
+    outer join the null emissions additionally need the watermark to
+    PASS a row's interval edge, so the parity pytest drives the
+    watermark forward with a sentinel final batch.
 
     The right side's key column is renamed before the join so the output
     carries a single unambiguous key column."""
@@ -58,7 +67,7 @@ def stream_stream_interval_join(left: DataFrame, right: DataFrame,
            >= F.col(left_ts) - F.expr(f"INTERVAL {tolerance_days} DAYS"))
         & (F.col(right_ts)
            <= F.col(left_ts) + F.expr(f"INTERVAL {tolerance_days} DAYS")))
-    return lw.join(rw, cond, "inner").drop(rk)
+    return lw.join(rw, cond, how).drop(rk)
 
 
 def trips_route_update_stream_join(spark: SparkSession, sf_dir: str,

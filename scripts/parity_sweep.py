@@ -54,9 +54,15 @@ def main() -> None:
     from pyspark.sql import SparkSession
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    # driver-style defaults on purpose: the registry must hold under a
-    # session the engine did not configure
+    # driver-style DEFAULT SQL CONFIGS on purpose: the registry must
+    # hold under a session the engine did not configure (200 shuffle
+    # partitions, stock AQE, no engine tuning). JVM SIZING is not a
+    # SQL config: local-mode executors share the driver heap, and the
+    # 1g default OOMs 32 concurrent task threads at sf0.1 (r7: heap
+    # OOM in the composed-pipeline shuffle killed the JVM mid-sweep) —
+    # a real driver JVM is sized for its box, so size ours too.
     spark = (SparkSession.builder.master(f"local[{os.cpu_count() or 8}]")
+             .config("spark.driver.memory", "24g")
              .config("spark.ui.showConsoleProgress", "false")
              .getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")

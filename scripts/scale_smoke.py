@@ -35,6 +35,8 @@ from kafkastreams_tp3_is_spark.operators.dedup import (  # noqa: E402
     paragraph_dedup_df, repeated_spans_df)
 from kafkastreams_tp3_is_spark.operators.multimodal import (  # noqa: E402
     image_dhash_pairs_df)
+from kafkastreams_tp3_is_spark.operators.embstats import (  # noqa: E402
+    embedding_gram_sq8_df)
 from kafkastreams_tp3_is_spark.operators.graph import (  # noqa: E402
     duplicate_clusters_lsh_df)
 from kafkastreams_tp3_is_spark.operators.retrieval import (  # noqa: E402
@@ -195,8 +197,11 @@ def main() -> None:
                          "ratio": round(t10 / t1, 2),
                          "rows_1x": n1, "rows_10x": n10}
     # embeddings-table ops: the query head stays fixed while the scanned
-    # corpus grows, so the int8 scan should track rows near-linearly
-    emb_ops = [("ann_cosine_topk_sq8", cosine_topk_sq8_df)]
+    # corpus grows, so the int8 scan should track rows near-linearly.
+    # embedding_gram_sq8's shuffle is O(batches x d^2) regardless of
+    # corpus rows — the ratio should track the scan alone
+    emb_ops = [("ann_cosine_topk_sq8", cosine_topk_sq8_df),
+               ("embedding_gram_sq8", embedding_gram_sq8_df)]
     for name, fn in emb_ops:
         e1 = scaled_embeddings(spark, sf_dir, 1)
         timed(fn, e1)

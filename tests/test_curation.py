@@ -431,3 +431,67 @@ def test_select_token_budget_equals_global_greedy(spark):
     assert 0 < len(got_sel) < len(got), "both branches must run"
     kept = sum(got[d]["n_tokens"] for d in got_sel)
     assert kept <= budget
+
+
+def test_split_by_content_coassigns_exact_duplicates(spark):
+    """The whole point of the content-keyed split: byte-identical
+    documents ALWAYS land in the same split, while the id-keyed split
+    demonstrably separates some of them on the same corpus."""
+    from kafkastreams_tp3_is_spark.operators.curation import (
+        split_by_content_df)
+
+    # 60 distinct texts, each replanted under 3 different ids
+    rows = []
+    for i in range(60):
+        for r in range(3):
+            rows.append((i * 10 + r * 1000, f"doc body number {i} " * 5,
+                         "en", "web"))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string")
+    got = split_by_content_df(docs).toPandas()
+    assert len(got) == 180
+    # a split key maps to exactly one split name
+    assert (got.groupby("split_key")["split"].nunique() == 1).all()
+    # every replant trio (ids i*10, i*10+1000, i*10+2000) shares a split
+    splits = {i: {got[got.doc_id == i * 10 + r * 1000]["split"].iloc[0]
+                  for r in range(3)} for i in range(60)}
+    assert all(len(s) == 1 for s in splits.values())
+
+    # the id-keyed split separates at least one duplicate trio here —
+    # the leakage this operator eliminates
+    id_key = got.copy()
+    import hashlib
+    id_key["id_split"] = [
+        "train" if hashlib.md5(str(d).encode()).hexdigest()[:2] < "e6"
+        else "val" if hashlib.md5(str(d).encode()).hexdigest()[:2] < "f3"
+        else "test" for d in id_key["doc_id"]]
+    sep = any(len({id_key[id_key.doc_id == i * 10 + r * 1000]
+                   ["id_split"].iloc[0] for r in range(3)}) > 1
+              for i in range(60))
+    assert sep
+
+
+def test_split_by_content_thresholds_and_nulls(spark):
+    """Null text hashes as '' (never a null key), and the hex
+    thresholds reproduce hand-computed assignments."""
+    import hashlib
+
+    from kafkastreams_tp3_is_spark.operators.curation import (
+        split_by_content_df)
+
+    docs = spark.createDataFrame(
+        [(1, None, "en", "web"), (2, "alpha", "en", "web"),
+         (3, "beta", "de", "news")],
+        "doc_id long, text string, lang string, source string")
+    got = {r["doc_id"]: (r["split_key"], r["split"])
+           for r in split_by_content_df(docs).collect()}
+
+    def want(text):
+        inner = hashlib.md5((text or "").encode()).hexdigest()
+        key = hashlib.md5(inner.encode()).hexdigest()[:2]
+        return key, ("train" if key < "e6" else "val" if key < "f3"
+                     else "test")
+
+    assert got[1] == want(None)
+    assert got[2] == want("alpha")
+    assert got[3] == want("beta")

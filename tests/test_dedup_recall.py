@@ -364,3 +364,66 @@ def test_containment_pairs_core_hand_computed(spark):
     finally:
         cache.release(out)
     assert got == {(1, 2): 1.0}
+
+
+def test_mmr_rerank_matches_numpy_reference_and_diversifies(spark):
+    """MMR re-ranking: (a) the distributed kernel reproduces an
+    independent numpy reference greedy EXACTLY (same lam, same
+    tie-break) on a fixture with a planted near-dup cluster; (b) the
+    first pick is the plain relevance rank-1; (c) with a cluster of
+    near-identical top hits, MMR admits strictly fewer cluster members
+    into the top-k than plain cosine ranking does."""
+    import numpy as np
+
+    from kafkastreams_tp3_is_spark.operators.similarity import (
+        _bruteforce_ranked, mmr_rerank_df)
+
+    rng = np.random.RandomState(3)
+    d = 16
+    q = rng.randn(d)
+    # 6 near-copies of a vector very close to the query (the crowding
+    # cluster), plus 40 mixed-direction distractors
+    hub = q + 0.05 * rng.randn(d)
+    vecs = [q] + [hub + 0.01 * rng.randn(d) for _ in range(6)] + \
+           [rng.randn(d) for _ in range(40)]
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    k, shortlist, lam = 8, 30, 0.5
+    got = (mmr_rerank_df(emb, n_queries=1, k=k, shortlist=shortlist,
+                         lam=lam)
+           .orderBy("mmr_rank").collect())
+    assert [r["mmr_rank"] for r in got] == list(range(1, k + 1))
+
+    # independent reference from the ranked shortlist
+    ranked = (_bruteforce_ranked(emb, 1)
+              .where(f"rank <= {shortlist}").orderBy("rank").collect())
+    ids = [r["neighbor_id"] for r in ranked]
+    rel = np.array([r["cosine"] for r in ranked])
+    fv = np.array([np.asarray(vecs[i], dtype=np.float32).astype(np.float64)
+                   for i in ids])
+    norms = np.maximum(np.linalg.norm(fv, axis=1), 1e-30)
+    sims = (fv @ fv.T) / np.outer(norms, norms)
+    sel: list[int] = []
+    remaining = list(range(len(ids)))
+    while remaining and len(sel) < k:
+        if sel:
+            pen = sims[np.ix_(remaining, sel)].max(axis=1)
+            scores = lam * rel[remaining] - (1 - lam) * pen
+        else:
+            scores = lam * rel[remaining]
+        best = min(range(len(remaining)),
+                   key=lambda t: (-scores[t], ids[remaining[t]]))
+        sel.append(remaining.pop(best))
+    want = [ids[i] for i in sel]
+    assert [r["neighbor_id"] for r in got] == want
+
+    # first MMR pick is the pure-relevance winner
+    assert got[0]["neighbor_id"] == ranked[0]["neighbor_id"]
+
+    # diversification: the hub cluster (ids 1..6) crowds plain top-k
+    # but not the MMR list
+    plain_top = set(ids[:k])
+    mmr_top = {r["neighbor_id"] for r in got}
+    cluster = set(range(1, 7))
+    assert len(mmr_top & cluster) < len(plain_top & cluster)

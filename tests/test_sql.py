@@ -178,3 +178,41 @@ def test_round6_7_operators_reachable_as_sql_views(spark):
                "WHERE next_id = prev_id + 1000000") == \
         one("SELECT COUNT(DISTINCT doc_id) FROM parquet.`"
             f"{SF_DIR}/documents.parquet`")
+
+
+def test_round7_operators_reachable_as_sql_views(spark):
+    """SQL smoke for the round-7 session-2 additions through the same
+    generic view path, each checked against an operator invariant."""
+    from kafkastreams_tp3_is_spark.sql import register_operator_views
+    from tests.conftest import SF_DIR
+
+    register_operator_views(
+        spark, SF_DIR,
+        ["containment_pairs", "contrastive_triplets", "select_token_budget",
+         "embedding_gram_sq8", "bpe_train"])
+
+    def one(q):
+        return spark.sql(q).collect()[0][0]
+
+    # containment: score is a valid fraction and pairs are asymmetric
+    # (contained side recorded as such)
+    assert one("SELECT COUNT(*) FROM containment_pairs "
+               "WHERE containment < 0 OR containment > 1") == 0
+    # triplets: negatives are never more similar than the positive and
+    # neg_rank is a valid 1-based band index
+    assert one("SELECT COUNT(*) FROM contrastive_triplets "
+               "WHERE neg_cosine > pos_cosine OR neg_rank < 1") == 0
+    # budget selection: verdict for EVERY document, never null
+    assert one("SELECT COUNT(*) FROM select_token_budget "
+               "WHERE selected IS NULL") == 0
+    assert one("SELECT COUNT(*) FROM select_token_budget") == \
+        one(f"SELECT COUNT(*) FROM parquet.`{SF_DIR}/documents.parquet`")
+    # gram triangle: i <= j, diagonal non-negative, one n_vecs value
+    assert one("SELECT COUNT(*) FROM embedding_gram_sq8 WHERE i > j") == 0
+    assert one("SELECT COUNT(*) FROM embedding_gram_sq8 "
+               "WHERE i = j AND gram < 0") == 0
+    assert one("SELECT COUNT(DISTINCT n_vecs) FROM embedding_gram_sq8") == 1
+    # BPE merges: rounds are dense 1..n and merged = left || right
+    assert one("SELECT COUNT(*) FROM bpe_train "
+               "WHERE merged <> CONCAT(left, right)") == 0
+    assert one("SELECT MAX(round) - COUNT(*) FROM bpe_train") == 0

@@ -1171,3 +1171,69 @@ def test_stream_stream_join_matches_batch_and_crosses_batches(spark):
         parity("trip_id", r[0], batch) != parity("route_id", r[1], batch)
         for r in list(got)[:50])
     assert crossed, "no emitted match straddled the two micro-batches"
+
+
+def test_stream_stream_left_outer_join_emits_nulls_at_watermark(
+        spark, tmp_path):
+    """KStream.leftJoin semantics (the outer half of the join family):
+    an unmatched left row must emit ONCE with null right columns after
+    the watermark proves no in-interval partner can arrive — and
+    matched rows must emit exactly the inner-join result. The fixture
+    stages three files per side (data, sentinel, sentinel): watermark
+    updates at END of a batch and outer-null emission happens in a
+    LATER batch, so the second sentinel batch is what flushes the
+    unmatched row. Sentinel keys match nothing and are excluded."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from kafkastreams_tp3_is_spark.streaming.join import (
+        stream_stream_interval_join)
+
+    l_dir, r_dir = str(tmp_path / "left"), str(tmp_path / "right")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write(rows, schema, path):
+        spark.createDataFrame(rows, schema) \
+             .selectExpr("k", "CAST(ts AS TIMESTAMP) AS ts", "v") \
+             .coalesce(1).write.mode("append").parquet(path)
+        time.sleep(0.2)  # file source orders batches by mod time
+
+    ls, rs = "k string, ts string, v long", "k string, ts string, v long"
+    # batch 0: A matches (30 min apart, tolerance 1 day); B unmatched
+    write([("A", "2024-01-01 10:00:00", 1),
+           ("B", "2024-01-01 11:00:00", 2)], ls, l_dir)
+    write([("A", "2024-01-01 10:30:00", 10),
+           ("C", "2024-01-01 09:00:00", 30)], rs, r_dir)
+    # batches 1 and 2: far-future sentinels drive the watermark past
+    # B's interval edge, then flush the pending outer row
+    for tag in ("1", "2"):
+        write([("ZL" + tag, "2030-01-01 00:00:00", 0)], ls, l_dir)
+        write([("ZR" + tag, "2030-01-01 00:00:00", 0)], rs, r_dir)
+
+    schema = spark.read.parquet(l_dir).schema
+    lstr = (spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").parquet(l_dir)
+            .withColumnRenamed("ts", "l_ts").withColumnRenamed("v", "l_v"))
+    rstr = (spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").parquet(r_dir)
+            .withColumnRenamed("ts", "r_ts").withColumnRenamed("v", "r_v"))
+    joined = stream_stream_interval_join(
+        lstr, rstr, key="k", left_ts="l_ts", right_ts="r_ts",
+        tolerance_days=1, watermark="0 seconds", how="leftOuter")
+
+    rows: list = []
+    q = (joined.writeStream
+         .foreachBatch(lambda df, _id: rows.extend(df.collect()))
+         .outputMode("append").option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    got = {(r["k"], str(r["l_ts"]), r["l_v"],
+            None if r["r_ts"] is None else str(r["r_ts"]), r["r_v"])
+           for r in rows if not r["k"].startswith("Z")}
+    want = {("A", "2024-01-01 10:00:00", 1, "2024-01-01 10:30:00", 10),
+            ("B", "2024-01-01 11:00:00", 2, None, None)}
+    assert got == want
+    # right-side-only key C must NOT appear anywhere (left outer, not full)
+    assert not any(r["k"] == "C" for r in rows)

@@ -151,3 +151,64 @@ def test_bpe_merge_candidates_hand_computed(spark):
     # 'abab' -> ab,ba,ab ; 'ab' -> ab ; 'ab' -> ab ; 'a' -> none
     # => ab x4, ba x1
     assert got == [("ab", 4, 1), ("ba", 1, 2)]
+
+
+def _ref_bpe(token_counts: dict[str, int], n_merges: int):
+    """Pure-Python reference BPE trainer: same tie-break (count desc,
+    left asc, right asc) and same greedy left-to-right non-overlapping
+    apply as bpe_train_df's JVM fold."""
+    items = [[list(w), c] for w, c in sorted(token_counts.items())
+             if len(w) >= 2]
+    merges = []
+    for rnd in range(1, n_merges + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, c in items:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + c
+        if not counts:
+            break
+        (a, b), n = min(counts.items(),
+                        key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        merges.append((rnd, a, b, a + b, n))
+        for item in items:
+            out: list[str] = []
+            for s in item[0]:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            item[0] = out
+    return merges
+
+
+def test_bpe_train_matches_reference(spark):
+    """The distributed trainer reproduces the reference merge table
+    EXACTLY on a corpus exercising overlap ('aaa' under merge (a,a)
+    must yield ['aa','a']), ties, and cross-round interaction (later
+    rounds see merged symbols)."""
+    from collections import Counter
+
+    from kafkastreams_tp3_is_spark.operators.text import bpe_train_df
+
+    texts = ["aaa banana banana bandana", "low lower lowest low low",
+             "aaa aaa banana b", "newer newest new new new"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    tokens = Counter(w for t in texts for w in t.split())
+    want = _ref_bpe(dict(tokens), 10)
+    got = [(r["round"], r["left"], r["right"], r["merged"],
+            r["n_occurrences"])
+           for r in bpe_train_df(docs, n_merges=10)
+           .orderBy("round").collect()]
+    assert got == want
+
+
+def test_bpe_train_stops_when_no_pairs(spark):
+    """Single-character-token corpora have no adjacent pairs: the
+    trainer returns an empty merge table instead of looping."""
+    from kafkastreams_tp3_is_spark.operators.text import bpe_train_df
+
+    docs = spark.createDataFrame([(1, "a b c a b")],
+                                 "doc_id long, text string")
+    assert bpe_train_df(docs, n_merges=5).count() == 0
