@@ -207,6 +207,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # MMR diversity re-ranking over a bounded shortlist — rows-only;
         # numpy-reference pytest pins exact selections
         "mmr_rerank": _sim.mmr_rerank,
+        # recall@10 evaluation of the sq8 ranking vs exact — full hash
+        # oracle (both underlying rankings already hash-verified)
+        "ann_recall_sq8": _sim.ann_recall_sq8,
+        # winnowing (MOSS) fingerprints + shared-fp candidate pairs —
+        # position-robust local dedup evidence; full hash oracles
+        "winnow_fingerprints": _dedup.winnow_fingerprints,
+        "winnow_pairs": _dedup.winnow_pairs,
     }
 
 

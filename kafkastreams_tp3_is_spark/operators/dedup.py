@@ -1074,3 +1074,107 @@ def containment_pairs(spark: SparkSession, sf_dir: str, k: int = 9,
                         .alias("doc_id"),
                         F.expr("substring(text, 11, 60)").alias("text")))
     return containment_pairs_df(docs.unionByName(excerpts), k, threshold)
+
+
+# --- winnowing fingerprints (MOSS) --------------------------------------
+
+def winnow_fingerprints_df(docs: DataFrame, k: int = 8,
+                           w: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every ``k``-char gram, slide a
+    ``w``-hash window, keep the RIGHTMOST minimum of each window,
+    deduplicate. The guarantee: any shared substring of length
+    >= k + w - 1 between two documents yields at least one shared
+    fingerprint — local, position-robust dedup evidence with ~2/(w+1)
+    density instead of one hash per char.
+
+    Output: distinct (doc_id, pos, fp) where pos is the 0-based char
+    offset of the selected gram and fp its 60-bit hash.
+
+    Everything is row-local JVM expressions (sequence/transform/
+    array_min/array_position folds — no explode until the final
+    fingerprint rows, no shuffle until a consumer joins), so the scan
+    parallelism is the only scale knob. Gram hashes use the md5-prefix
+    bigint spelling both engines compute identically, making the gate a
+    full hash; a production kernel could swap in a cheaper rolling hash
+    at the cost of oracle verifiability."""
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    n_grams = F.length(txt) - (k - 1)
+
+    def gram_hash(i):
+        return F.conv(F.substring(F.md5(txt.substr(i, F.lit(k))), 1, 15),
+                      16, 10).cast("bigint")
+
+    grams = F.when(n_grams >= 1,
+                   F.transform(F.sequence(F.lit(1), n_grams), gram_hash)
+                   ).otherwise(F.array().cast("array<bigint>"))
+    staged = docs.select("doc_id", grams.alias("gr"))
+    m = F.size("gr")
+    n_wins = m - (w - 1)
+
+    def win(i):
+        s = F.slice(F.col("gr"), i + 1, w)
+        mn = F.array_min(s)
+        p = F.array_position(F.reverse(s), mn)   # 1-based from the right
+        return F.struct((i + w - p).cast("int").alias("pos"),
+                        mn.alias("fp"))
+
+    wins = F.when(
+        n_wins >= 1,
+        F.transform(F.sequence(F.lit(0), n_wins - 1), win)
+    ).otherwise(F.array().cast("array<struct<pos:int,fp:bigint>>"))
+    return (staged.select("doc_id", F.explode(wins).alias("s"))
+            .select("doc_id", F.col("s.pos").alias("pos"),
+                    F.col("s.fp").alias("fp"))
+            .distinct())
+
+
+def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gate fixture (full hash oracle): winnowing fingerprints of
+    the documents table, k=8, w=4."""
+    return winnow_fingerprints_df(load(spark, sf_dir, "documents"))
+
+
+def winnow_pairs_df(docs: DataFrame, k: int = 8, w: int = 4,
+                    min_shared: int = 5, max_df: int = 20) -> DataFrame:
+    """Candidate near-dup pairs from shared winnowing fingerprints —
+    the MOSS match step: count distinct shared fingerprints per
+    unordered doc pair, keep pairs sharing >= ``min_shared``.
+    Fingerprints appearing in more than ``max_df`` documents are
+    boilerplate (license headers, navigation chrome) and are dropped
+    BEFORE pairing — the same df-cut every inverted-index join needs to
+    stay linear: without it one hot fingerprint creates a quadratic
+    clique; with it per-fp fan-out is bounded by max_df^2.
+
+    Output: (doc_a < doc_b, n_shared). Exact integer counts — full
+    hash gate."""
+    fps = winnow_fingerprints_df(docs, k, w).select("doc_id", "fp").distinct()
+    df_cut = (fps.groupBy("fp")
+              .agg(F.count(F.lit(1)).alias("df"))
+              .where(F.col("df") <= max_df)
+              .select("fp"))
+    slim = fps.join(df_cut, "fp")
+    a = slim.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = slim.select(F.col("doc_id").alias("doc_b"), "fp")
+    return (a.join(b, "fp")
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+            .where(F.col("n_shared") >= min_shared))
+
+
+def winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gate fixture (full hash oracle): winnowing candidate
+    pairs over the documents table plus planted shifted copies (the
+    position-robustness winnowing exists for: every 25th document gets
+    a copy with a 14-char prefix prepended — fingerprints survive the
+    offset shift and the pair is recovered)."""
+    docs = load(spark, sf_dir, "documents")
+    planted = (docs.where(F.col("doc_id") % 25 == 0)
+               .select((F.col("doc_id") + F.lit(9_000_000_000)).alias(
+                           "doc_id"),
+                       F.concat(F.lit("shifted prefix"),
+                                F.coalesce(F.col("text"), F.lit("")))
+                        .alias("text")))
+    both = docs.select("doc_id", "text").unionByName(planted)
+    return winnow_pairs_df(both)

@@ -499,6 +499,44 @@ def cosine_topk_sq8(spark: SparkSession, sf_dir: str,
                               n_queries, k)
 
 
+def ann_recall_sq8_df(emb: DataFrame, n_queries: int = 5,
+                      k: int = 10) -> DataFrame:
+    """Recall@k evaluation of the sq8 quantized ranking against the
+    exact float ranking — the quality-control report every ANN
+    deployment ships with its index: per query, how many of the true
+    top-k the approximate path returned. Output: (query_id, n_hits,
+    k, recall) with n_hits exact bigint and recall ONE division.
+
+    Both sides are existing full-hash-verified rankings, so the
+    evaluation itself is full-hash verifiable too — rare for ANN
+    tooling, possible here because the sq8 ranking is exact-integer.
+    Scale: two bounded ranked frames (n_queries x k rows each) and one
+    equi-join; the expensive part is the underlying rankings, which at
+    corpus scale come from the IVF/LSH paths instead."""
+    exact = (_bruteforce_ranked(emb, n_queries)
+             .where(F.col("rank") <= k)
+             .select("query_id", "neighbor_id"))
+    approx = (cosine_topk_sq8_df(emb, n_queries, k)
+              .select("query_id", "neighbor_id"))
+    hits = (exact.join(approx, ["query_id", "neighbor_id"])
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits")))
+    qids = exact.select("query_id").distinct()
+    n_hits = F.coalesce(F.col("n_hits"), F.lit(0).cast("bigint"))
+    return (qids.join(hits, "query_id", "left")
+            .select("query_id", n_hits.alias("n_hits"),
+                    F.lit(k).cast("int").alias("k"),
+                    (n_hits.cast("double") / F.lit(float(k)))
+                    .alias("recall")))
+
+
+def ann_recall_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gate fixture (full hash oracle — both underlying rankings
+    are already hash-verified): per-query recall@10 of the sq8 ranking
+    vs the exact float ranking."""
+    return ann_recall_sq8_df(load(spark, sf_dir, "embeddings"))
+
+
 def cosine_topk_sq8_rescored_df(emb: DataFrame, n_queries: int = 5,
                                 k: int = 10,
                                 shortlist: int = 30) -> DataFrame:

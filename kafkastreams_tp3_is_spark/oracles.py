@@ -2323,3 +2323,81 @@ SELECT doc_id,
        lang, source
 FROM documents
 """
+
+# Recall@k of the sq8 ranking vs the exact ranking: both sides are the
+# already-hash-verified ranking oracles verbatim (nested as CTE
+# bodies), so the only new arithmetic is an exact intersection count
+# and ONE division.
+ORACLES["ann_recall_sq8"] = f"""
+WITH ex AS ({ORACLES["ann_cosine_topk"]}),
+ap AS (SELECT query_id, neighbor_id
+       FROM ({ORACLES["ann_cosine_topk_sq8"]})),
+hits AS (
+  SELECT ex.query_id, COUNT(*) AS n_hits
+  FROM ex JOIN ap USING (query_id, neighbor_id)
+  GROUP BY ex.query_id
+)
+SELECT q.query_id,
+       CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(10 AS INTEGER) AS k,
+       CAST(COALESCE(n_hits, 0) AS DOUBLE) / 10.0 AS recall
+FROM (SELECT DISTINCT query_id FROM ex) q
+LEFT JOIN hits USING (query_id)
+"""
+
+# Winnowing fingerprints: k=8 char grams hashed with the md5-prefix
+# bigint spelling ('0x'||substring(md5(gram),1,15) == Spark
+# conv(...,16,10)), w=4 windows keeping the RIGHTMOST minimum
+# (list_position over the reversed slice). Exact integers end to end.
+_WINNOW_FPS = """
+  SELECT DISTINCT doc_id,
+         CAST(i + 4 - list_position(
+             list_reverse(list_slice(gr, CAST(i + 1 AS INTEGER),
+                                     CAST(i + 4 AS INTEGER))),
+             list_min(list_slice(gr, CAST(i + 1 AS INTEGER),
+                                 CAST(i + 4 AS INTEGER)))) AS INTEGER)
+           AS pos,
+         list_min(list_slice(gr, CAST(i + 1 AS INTEGER),
+                             CAST(i + 4 AS INTEGER))) AS fp
+  FROM (
+    SELECT doc_id, gr, unnest(range(0, len(gr) - 3)) AS i
+    FROM (
+      SELECT doc_id,
+             CASE WHEN length(t) >= 8 THEN
+               list_transform(range(1, length(t) - 6),
+                 i -> ('0x' || substring(md5(substring(t,
+                          CAST(i AS INTEGER), 8)), 1, 15))::BIGINT)
+             ELSE []::BIGINT[] END AS gr
+      FROM {src}
+    ) g
+    WHERE len(gr) >= 4
+  ) wins
+"""
+
+ORACLES["winnow_fingerprints"] = (
+    "WITH d AS (SELECT doc_id, COALESCE(text, '') AS t FROM documents)\n"
+    + _WINNOW_FPS.format(src="d"))
+
+# Candidate pairs over shared fingerprints with the df<=20 boilerplate
+# cut and min_shared>=5, on documents plus the planted 14-char-shifted
+# copies of every 25th doc.
+ORACLES["winnow_pairs"] = ("""
+WITH d AS (
+  SELECT doc_id, COALESCE(text, '') AS t FROM documents
+  UNION ALL
+  SELECT doc_id + 9000000000 AS doc_id,
+         'shifted prefix' || COALESCE(text, '') AS t
+  FROM documents WHERE doc_id % 25 = 0
+), fps AS (
+""" + _WINNOW_FPS.format(src="d") + """
+), slim AS (
+  SELECT doc_id, fp FROM (SELECT DISTINCT doc_id, fp FROM fps)
+  WHERE fp IN (SELECT fp FROM (SELECT DISTINCT doc_id, fp FROM fps)
+               GROUP BY fp HAVING COUNT(*) <= 20)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM slim a JOIN slim b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= 5
+""")

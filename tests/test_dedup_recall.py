@@ -427,3 +427,53 @@ def test_mmr_rerank_matches_numpy_reference_and_diversifies(spark):
     mmr_top = {r["neighbor_id"] for r in got}
     cluster = set(range(1, 7))
     assert len(mmr_top & cluster) < len(plain_top & cluster)
+
+
+def test_winnow_guarantee_and_shift_robustness(spark):
+    """The SIGMOD'03 winnowing guarantee: two documents sharing a
+    substring of length >= k + w - 1 (= 11 here) share at least one
+    fingerprint — even when the shared region sits at DIFFERENT char
+    offsets (the position-robustness minhash-over-whole-doc lacks at
+    small overlap). Disjoint documents share nothing."""
+    from kafkastreams_tp3_is_spark.operators.dedup import (
+        winnow_fingerprints_df, winnow_pairs_df)
+
+    shared = "the quick brown fox jumps over the lazy dog"
+    docs = spark.createDataFrame(
+        [(1, "AAAA " + shared + " BBBB"),
+         (2, "a completely different long prefix text " + shared),
+         (3, "nothing in common with either document here at all xyzw")],
+        "doc_id long, text string")
+    fps = winnow_fingerprints_df(docs, k=8, w=4).toPandas()
+    s1 = set(fps[fps.doc_id == 1]["fp"])
+    s2 = set(fps[fps.doc_id == 2]["fp"])
+    s3 = set(fps[fps.doc_id == 3]["fp"])
+    assert s1 & s2            # guarantee: shared >= k+w-1 chars
+    assert not (s1 & s3) and not (s2 & s3)
+
+    pairs = {(r["doc_a"], r["doc_b"])
+             for r in winnow_pairs_df(docs, min_shared=1, max_df=10)
+             .collect()}
+    assert pairs == {(1, 2)}
+
+
+def test_winnow_rightmost_min_hand_computed(spark):
+    """Window selection picks the RIGHTMOST minimum: with k=1-char
+    grams impossible (k fixed at signature level), verify via direct
+    positions — every selected pos must be a position whose gram hash
+    equals the min of SOME window covering it, and repeated text
+    selects identical (relative-pos, fp) sets."""
+    from kafkastreams_tp3_is_spark.operators.dedup import (
+        winnow_fingerprints_df)
+
+    body = "abcdefghijklmnop" * 3
+    docs = spark.createDataFrame(
+        [(1, body), (2, "ZZZZZ" + body)], "doc_id long, text string")
+    fps = winnow_fingerprints_df(docs, k=8, w=4).toPandas()
+    f1 = {(p, f) for p, f in zip(fps[fps.doc_id == 1]["pos"],
+                                 fps[fps.doc_id == 1]["fp"])}
+    f2 = {(p - 5, f) for p, f in zip(fps[fps.doc_id == 2]["pos"],
+                                     fps[fps.doc_id == 2]["fp"])}
+    # away from the boundary the selected (pos, fp) sets coincide
+    inner1 = {(p, f) for p, f in f1 if p >= 8}
+    assert inner1 and inner1 <= f2
