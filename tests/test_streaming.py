@@ -1237,3 +1237,69 @@ def test_stream_stream_left_outer_join_emits_nulls_at_watermark(
     assert got == want
     # right-side-only key C must NOT appear anywhere (left outer, not full)
     assert not any(r["k"] == "C" for r in rows)
+
+
+def test_streaming_session_window_matches_batch(spark, tmp_path):
+    """Native streaming sessionization (the stateful-session shape of
+    Kafka Streams' SessionWindows): session_window + watermark in
+    append mode over a multi-file replay must reproduce the batch
+    sessionize answer EXACTLY — including sessions whose events
+    straddle micro-batch boundaries (state-merged sessions, the part a
+    naive per-batch groupBy gets wrong). Two far-future sentinel
+    batches drive the watermark past every session and flush pending
+    state (emission happens one batch AFTER the watermark advance)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from kafkastreams_tp3_is_spark.operators.events import load_events
+    from tests.conftest import SF_DIR
+
+    gap = "30 minutes"
+    ev = (load_events(spark, SF_DIR)
+          .where(F.col("user_id") % 11 == 0)
+          .select("user_id", "ts"))
+    batch = (ev.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+             .agg(F.count(F.lit(1)).alias("n_events"))
+             .select("user_id", F.col("w.start").alias("session_start"),
+                     "n_events"))
+    want = {tuple(r) for r in batch.collect()}
+    assert want, "fixture must be non-empty"
+
+    src = str(tmp_path / "ev_src")
+
+    def write(df):
+        df.coalesce(1).write.mode("append").parquet(src)
+        time.sleep(0.2)  # file source orders batches by mod time
+
+    # split by event-hash parity => a user's session events straddle
+    # the two files whenever the session has >1 event
+    write(ev.where(F.xxhash64("user_id", "ts") % 2 == 0))
+    write(ev.where(F.xxhash64("user_id", "ts") % 2 != 0))
+    sentinel = spark.createDataFrame(
+        [(999_999_001, "2031-01-01 00:00:00"),
+         (999_999_002, "2031-01-02 00:00:00")],
+        "user_id long, ts string").selectExpr(
+            "user_id", "CAST(ts AS TIMESTAMP) AS ts")
+    write(sentinel.where(F.col("user_id") == 999_999_001))
+    write(sentinel.where(F.col("user_id") == 999_999_002))
+
+    stream = (spark.readStream.schema(spark.read.parquet(src).schema)
+              .option("maxFilesPerTrigger", "1").parquet(src)
+              .withWatermark("ts", "0 seconds"))
+    sess = (stream.groupBy(F.session_window("ts", gap).alias("w"),
+                           "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select("user_id", F.col("w.start").alias("session_start"),
+                    "n_events"))
+
+    rows: list = []
+    q = (sess.writeStream
+         .foreachBatch(lambda df, _id: rows.extend(df.collect()))
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    got = {tuple(r) for r in rows if r["user_id"] < 999_999_000}
+    assert got == want
