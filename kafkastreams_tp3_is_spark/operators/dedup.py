@@ -1023,11 +1023,17 @@ def containment_pairs_df(docs: DataFrame, k: int = 9,
     then verify exactly on the hashed sets — one array_intersect and
     ONE integer division, bit-identical to the all-pairs SQL oracle.
     Candidate volume is sum over B-prefix shingles of df(s) — rare-
-    shingle bounded, never all-pairs."""
+    shingle bounded, never all-pairs.
+
+    NULL text shingles as '' (the dedup_exact convention): without the
+    coalesce the engine hashes NULL to the xxhash64 seed — pairing any
+    two NULL-text docs — while the oracle's raw-substring join never
+    matches NULL, a latent parity break on corpora with NULL texts."""
     from pyspark.sql import Window
     from pyspark import StorageLevel
 
     n_part = docs.sparkSession.sparkContext.defaultParallelism
+    docs = docs.withColumn("text", F.coalesce(F.col("text"), F.lit("")))
     sets_df = hashed_shingle_sets_df(
         docs.repartition(n_part, "doc_id"), k).persist(
         StorageLevel.MEMORY_AND_DISK)

@@ -521,7 +521,11 @@ def ann_recall_sq8_df(emb: DataFrame, n_queries: int = 5,
     hits = (exact.join(approx, ["query_id", "neighbor_id"])
             .groupBy("query_id")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits")))
-    qids = exact.select("query_id").distinct()
+    # the query-id universe is the bounded head the rankings share — a
+    # distinct() over `exact` would re-evaluate the whole n_queries x
+    # corpus scoring subtree a second time just to recover these ids
+    qids = (emb.orderBy("vec_id").limit(n_queries)
+            .select(F.col("vec_id").alias("query_id")))
     n_hits = F.coalesce(F.col("n_hits"), F.lit(0).cast("bigint"))
     return (qids.join(hits, "query_id", "left")
             .select("query_id", n_hits.alias("n_hits"),

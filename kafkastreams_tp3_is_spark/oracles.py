@@ -2231,7 +2231,7 @@ FROM (
 # it exactly.
 ORACLES["containment_pairs"] = """
 WITH base AS (
-  SELECT doc_id, text FROM documents
+  SELECT doc_id, COALESCE(text, '') AS text FROM documents
   UNION ALL
   SELECT doc_id + 2000000, substr(text, 11, 60)
   FROM documents WHERE doc_id % 25 = 0 AND length(text) >= 80

@@ -30,20 +30,27 @@ from pyspark.sql import functions as F
 
 
 def zorder_key(cols: list[str], bits: int = 21) -> Column:
-    """Morton key: interleave the low ``bits`` bits of each column
-    (non-negative integers; values are clamped into range by masking).
+    """Morton key: interleave the low ``bits`` bits of each column.
+    Out-of-range values are CLAMPED to [0, 2^bits - 1] first —
+    truncating instead would wrap 2^bits back onto 0 (and sign-extend
+    negatives onto the range maximum), scattering the largest values
+    among the smallest and silently destroying the clustering; clamping
+    keeps them packed at the range edges where they still prune.
     ``len(cols) * bits`` must fit a signed 64-bit key — 2 cols x 21
-    bits (values to ~2M) or 3 x 21 by default. Pure JVM bitwise
-    expressions, codegen-friendly, no UDF."""
+    bits (values to ~2M) or 3 x 21 by default; widen ``bits`` for
+    larger domains. Pure JVM bitwise expressions, codegen-friendly,
+    no UDF."""
     if len(cols) * bits > 63:
         raise ValueError(f"{len(cols)} cols x {bits} bits overflows a "
                          "signed 64-bit Morton key")
     n = len(cols)
+    hi = F.lit((1 << bits) - 1).cast("bigint")
     key = F.lit(0).cast("bigint")
-    for b in range(bits):
-        for i, c in enumerate(cols):
-            bit = (F.shiftright(F.col(c).cast("bigint"), b)
-                   .bitwiseAND(F.lit(1)))
+    for i, c in enumerate(cols):
+        v = F.greatest(F.lit(0).cast("bigint"),
+                       F.least(F.col(c).cast("bigint"), hi))
+        for b in range(bits):
+            bit = F.shiftright(v, b).bitwiseAND(F.lit(1))
             key = key.bitwiseOR(F.shiftleft(bit, b * n + i))
     return key
 
@@ -76,18 +83,20 @@ def file_column_spans(path: str, cols: list[str]) -> list[dict]:
         if not name.endswith(".parquet"):
             continue
         md = pq.read_metadata(os.path.join(path, name))
+        if md.num_row_groups == 0:       # empty range bucket: no stats
+            continue
         spans: dict = {"file": name}
         for ci in range(md.num_columns):
             col = md.row_group(0).column(ci).path_in_schema
             if col not in cols:
                 continue
-            mins, maxs = [], []
-            for rg in range(md.num_row_groups):
-                st = md.row_group(rg).column(ci).statistics
-                mins.append(st.min)
-                maxs.append(st.max)
-            spans[col] = (min(mins), max(maxs))
-        out.append(spans)
+            stats = [md.row_group(rg).column(ci).statistics
+                     for rg in range(md.num_row_groups)]
+            if all(st is not None and st.has_min_max for st in stats):
+                spans[col] = (min(st.min for st in stats),
+                              max(st.max for st in stats))
+        if all(c in spans for c in cols):  # skip stats-less files
+            out.append(spans)
     return out
 
 

@@ -337,10 +337,17 @@ def test_suffix_prefix_dedup_core_and_planted_recall(spark):
                    (4, 2, "XXXX"), (4, 3, "XXXX"),
                    (7, 8, "RRRR"), (8, 7, "qqqq")}
 
-    n_docs = load(spark, SF_DIR, "documents").count()
+    # only docs long enough for a k=40 boundary can carry a planted
+    # pair (page A = first max(40, len/2) chars must itself reach the
+    # operator's length >= k filter, which needs length(text) >= 40);
+    # counting ALL docs would break the assert the day testdata grows a
+    # short or NULL-text document
+    n_eligible = (load(spark, SF_DIR, "documents")
+                  .where("length(text) >= 40").count())
     fixture = dedup_suffix_prefix(spark, SF_DIR)
     planted = fixture.where("next_id = prev_id + 1000000").count()
-    assert planted == n_docs, "every planted continuation must be found"
+    assert planted == n_eligible, \
+        "every planted continuation must be found"
 
 
 def test_containment_pairs_core_hand_computed(spark):

@@ -174,10 +174,12 @@ def test_round6_7_operators_reachable_as_sql_views(spark):
     # recovered, and boundaries are exactly 40 chars
     assert one("SELECT COUNT(*) FROM dedup_suffix_prefix "
                "WHERE length(boundary) <> 40") == 0
+    # eligibility mirrors the fixture: a planted boundary needs
+    # length(text) >= 40 (page A must pass the operator's k-filter)
     assert one("SELECT COUNT(*) FROM dedup_suffix_prefix "
                "WHERE next_id = prev_id + 1000000") == \
         one("SELECT COUNT(DISTINCT doc_id) FROM parquet.`"
-            f"{SF_DIR}/documents.parquet`")
+            f"{SF_DIR}/documents.parquet` WHERE length(text) >= 40")
 
 
 def test_round7_operators_reachable_as_sql_views(spark):
