@@ -239,3 +239,42 @@ def test_tfidf_plan_shape_row_linear(spark):
     assert "Exchange rangepartitioning" not in plan  # no global sort
     assert "partial_count" in plan  # map-side combine before shuffle
     assert "CartesianProduct" not in plan
+
+
+def test_embedding_gram_single_exchange(spark):
+    """The Gram triangle's scale contract: ONE mapInPandas pass whose
+    partial triangles are the ONLY thing shuffled (one Exchange for the
+    (i, j) agg), dimension-bounded — never a per-row or per-pair
+    shuffle."""
+    from kafkastreams_tp3_is_spark.operators.embstats import (
+        embedding_gram_sq8)
+
+    plan = _plan(spark, embedding_gram_sq8(spark, SF_DIR))
+    assert plan.count("Exchange") <= 2, plan  # partial->final agg only
+    assert "MapInPandas" in plan
+    assert "Join" not in plan
+
+
+def test_winnow_fingerprints_no_join_no_python(spark):
+    """Fingerprinting is a row-local projection + one distinct: no join
+    anywhere, and everything stays JVM-side (md5/conv/array folds —
+    never a Python worker)."""
+    from kafkastreams_tp3_is_spark.operators.dedup import (
+        winnow_fingerprints)
+
+    plan = _plan(spark, winnow_fingerprints(spark, SF_DIR))
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bpe_round_uses_partial_aggregation(spark):
+    """One BPE round's pair count must map-side combine (partial
+    HashAggregate before the Exchange) so the shuffle carries per-pair
+    partials, not per-occurrence rows."""
+    from pyspark.sql import functions as F
+
+    from kafkastreams_tp3_is_spark.operators.text import bpe_merge_candidates
+
+    plan = _plan(spark, bpe_merge_candidates(spark, SF_DIR))
+    # partial_count appears in the pre-shuffle HashAggregate
+    assert "partial_count" in plan
