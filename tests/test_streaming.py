@@ -1303,3 +1303,63 @@ def test_streaming_session_window_matches_batch(spark, tmp_path):
 
     got = {tuple(r) for r in rows if r["user_id"] < 999_999_000}
     assert got == want
+
+
+def test_stream_stream_join_state_survives_restart(spark, tmp_path):
+    """Checkpoint recovery for the stream-stream join: a SECOND run
+    against the SAME checkpoint must join its new events against
+    opposite-side state buffered by the FIRST run — the restart
+    semantics production relies on (a crashed/redeployed job must not
+    lose buffered join state or re-emit old matches)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from kafkastreams_tp3_is_spark.streaming.join import (
+        stream_stream_interval_join)
+
+    l_dir, r_dir = str(tmp_path / "l"), str(tmp_path / "r")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "k string, ts string, v long"
+
+    def write(rows, path):
+        (spark.createDataFrame(rows, schema)
+         .selectExpr("k", "CAST(ts AS TIMESTAMP) AS ts", "v")
+         .coalesce(1).write.mode("append").parquet(path))
+        time.sleep(0.2)
+
+    def run_once():
+        sch = spark.read.parquet(l_dir).schema
+        ls = (spark.readStream.schema(sch).parquet(l_dir)
+              .withColumnRenamed("ts", "l_ts").withColumnRenamed("v", "l_v"))
+        rs = (spark.readStream.schema(sch).parquet(r_dir)
+              .withColumnRenamed("ts", "r_ts").withColumnRenamed("v", "r_v"))
+        joined = stream_stream_interval_join(
+            ls, rs, key="k", left_ts="l_ts", right_ts="r_ts",
+            tolerance_days=1, watermark="3650 days")
+        rows: list = []
+        qq = (joined.writeStream
+              .foreachBatch(lambda df, _id: rows.extend(df.collect()))
+              .outputMode("append").option("checkpointLocation", ckpt)
+              .trigger(availableNow=True).start())
+        qq.awaitTermination()
+        return rows
+
+    # run 1: left A arrives, right partner has NOT — A must be buffered
+    write([("A", "2024-01-01 10:00:00", 1)], l_dir)
+    write([("B", "2024-01-01 09:00:00", 20)], r_dir)
+    out1 = run_once()
+    assert out1 == []   # nothing matches yet
+
+    # run 2 (same checkpoint): A's partner and B's partner arrive — the
+    # matches need run-1 state on BOTH sides
+    write([("B", "2024-01-01 09:30:00", 2)], l_dir)
+    write([("A", "2024-01-01 10:30:00", 10)], r_dir)
+    out2 = run_once()
+    got = {(r["k"], r["l_v"], r["r_v"]) for r in out2}
+    assert got == {("A", 1, 10), ("B", 2, 20)}
+
+    # run 3: no new input — nothing re-emits (exactly-once)
+    write([("Z", "2024-01-05 00:00:00", 0)], l_dir)
+    out3 = run_once()
+    assert not any(r["k"] in ("A", "B") for r in out3)
