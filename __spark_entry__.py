@@ -214,6 +214,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # position-robust local dedup evidence; full hash oracles
         "winnow_fingerprints": _dedup.winnow_fingerprints,
         "winnow_pairs": _dedup.winnow_pairs,
+        # per-dim embedding snapshot drift (exact-int accumulators off
+        # the Gram diagonal + fixed-order float report) — full hash
+        "embedding_snapshot_drift": _embstats.embedding_snapshot_drift,
     }
 
 

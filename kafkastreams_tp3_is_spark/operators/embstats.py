@@ -179,3 +179,55 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str,
     pinned): top-4 PCA projection of the embeddings table."""
     return embedding_pca_project_df(load(spark, sf_dir, "embeddings"),
                                     n_components)
+
+
+def embedding_snapshot_drift_df(emb_a: DataFrame,
+                                emb_b: DataFrame) -> DataFrame:
+    """Per-dimension distribution drift between two embedding-corpus
+    snapshots — the monitoring table that catches a broken encoder
+    deploy or a shifted ingest mix before it poisons retrieval: for
+    every dim i,
+
+      n_a, n_b, sum_a, sum_b, sq_a, sq_b   exact bigints over sq8 codes
+      mean_delta                           sum_a/n_a - sum_b/n_b
+      var_a, var_b                         sq/n - (sum/n)^2
+
+    The integer accumulators ride the Gram kernel's diagonal (one
+    mapInPandas pass per snapshot, d-bounded shuffle); the float
+    columns are fixed operation-order arithmetic on those exact
+    integers, so the whole report is full-hash verifiable. At scale
+    snapshot B is yesterday's persisted accumulator row, not a second
+    corpus pass."""
+    def diag(emb, side):
+        return (embedding_gram_sq8_df(emb)
+                .where(F.col("i") == F.col("j"))
+                .select("i", F.col("n_vecs").alias(f"n_{side}"),
+                        F.col("sum_qi").alias(f"sum_{side}"),
+                        F.col("gram").alias(f"sq_{side}")))
+
+    a, b = diag(emb_a, "a"), diag(emb_b, "b")
+
+    def mean(side):
+        return (F.col(f"sum_{side}").cast("double")
+                / F.col(f"n_{side}").cast("double"))
+
+    def var(side):
+        m = mean(side)
+        return (F.col(f"sq_{side}").cast("double")
+                / F.col(f"n_{side}").cast("double")) - m * m
+
+    return (a.join(b, "i")
+            .select("i", "n_a", "n_b", "sum_a", "sum_b", "sq_a", "sq_b",
+                    (mean("a") - mean("b")).alias("mean_delta"),
+                    var("a").alias("var_a"), var("b").alias("var_b")))
+
+
+def embedding_snapshot_drift(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Driver-gate fixture (full hash oracle): drift between the
+    embeddings table and a deterministic mutated snapshot (every 10th
+    vector dropped — a biased-ingest simulation the oracle restates
+    verbatim)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return embedding_snapshot_drift_df(
+        emb, emb.where(F.col("vec_id") % 10 != 0))

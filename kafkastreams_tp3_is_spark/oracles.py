@@ -2401,3 +2401,45 @@ FROM slim a JOIN slim b ON a.fp = b.fp AND a.doc_id < b.doc_id
 GROUP BY 1, 2
 HAVING COUNT(*) >= 5
 """)
+
+# Per-dim embedding snapshot drift: both snapshots' diagonal
+# accumulators (n, sum, sum-of-squares over sq8 codes — exact BIGINTs),
+# then fixed-order float arithmetic (div, div, sub / div minus square)
+# that is IEEE-identical across engines. Snapshot B drops every 10th
+# vector, restating the fixture verbatim.
+_DRIFT_DIAG = """
+  SELECT i, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS s,
+         CAST(SUM(x * x) AS BIGINT) AS sq
+  FROM (
+    SELECT CAST(ix - 1 AS INTEGER) AS i, qv[CAST(ix AS INTEGER)] AS x
+    FROM (
+      SELECT qv, unnest(range(1, len(qv) + 1)) AS ix
+      FROM (
+        SELECT list_transform(embedding::DOUBLE[],
+                 x -> CAST(floor(x * 127.0 /
+                      greatest(list_max(list_transform(
+                          embedding::DOUBLE[], y -> abs(y))), 1e-30)
+                      + 0.5) AS BIGINT)) AS qv
+        FROM embeddings {where}
+      )
+    )
+  ) GROUP BY i
+"""
+
+ORACLES["embedding_snapshot_drift"] = f"""
+WITH a AS ({_DRIFT_DIAG.format(where="")}),
+b AS ({_DRIFT_DIAG.format(where="WHERE vec_id % 10 <> 0")})
+SELECT a.i,
+       a.n AS n_a, b.n AS n_b, a.s AS sum_a, b.s AS sum_b,
+       a.sq AS sq_a, b.sq AS sq_b,
+       (CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE))
+         - (CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE)) AS mean_delta,
+       (CAST(a.sq AS DOUBLE) / CAST(a.n AS DOUBLE))
+         - (CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE))
+           * (CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE)) AS var_a,
+       (CAST(b.sq AS DOUBLE) / CAST(b.n AS DOUBLE))
+         - (CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE))
+           * (CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE)) AS var_b
+FROM a JOIN b ON a.i = b.i
+"""

@@ -95,3 +95,34 @@ def test_gram_registry_fixture_runs(spark):
     p = embedding_pca_project(spark, SF_DIR)
     row = p.limit(1).collect()[0]
     assert len(row["pc"]) == 4
+
+
+def test_snapshot_drift_detects_planted_shift(spark):
+    """Drift report semantics on a hand-planted shift: snapshot B is A
+    with dim 0 shifted by a constant — mean_delta fires on dim 0 only
+    (quantization noise bounded elsewhere), counts are exact, and
+    identical snapshots report zero drift everywhere."""
+    import numpy as np
+
+    from kafkastreams_tp3_is_spark.operators.embstats import (
+        embedding_snapshot_drift_df)
+
+    rng = np.random.RandomState(5)
+    x = rng.randn(200, 6)
+    rows_a = [(i, [float(v) for v in x[i]]) for i in range(200)]
+    y = x.copy()
+    y[:, 0] += 3.0
+    rows_b = [(i, [float(v) for v in y[i]]) for i in range(200)]
+    a = spark.createDataFrame(rows_a, "vec_id long, embedding array<float>")
+    b = spark.createDataFrame(rows_b, "vec_id long, embedding array<float>")
+
+    d = embedding_snapshot_drift_df(a, b).toPandas().set_index("i")
+    assert (d["n_a"] == 200).all() and (d["n_b"] == 200).all()
+    # dim 0's mean moved DOWN in A relative to B by ~3 in raw units;
+    # sq8 codes are per-vector scaled, so just require dim 0 to dominate
+    assert abs(d.loc[0, "mean_delta"]) > 3 * max(
+        abs(d.loc[i, "mean_delta"]) for i in range(1, 6))
+
+    zero = embedding_snapshot_drift_df(a, a).toPandas()
+    assert (zero["mean_delta"] == 0.0).all()
+    assert (zero["var_a"] == zero["var_b"]).all()
