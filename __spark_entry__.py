@@ -45,85 +45,34 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # --- ROTATION BLOCK (round 7) -------------------------------------
+        # --- ROTATION BLOCK (round 8) -------------------------------------
         # The driver's correctness run caps near 50 entries in registration
-        # order. Round 6 recorded the 50 entries now parked at the bottom;
-        # the 46 entries here lack an r6 driver row, so they move to the
-        # FRONT: first the 3 round-6 newcomers that have NEVER had a
-        # driver-scale row, then the 43 entries riding on round-5 rows.
-        "key_skew_profile": _skew.key_skew_profile,
-        "ann_cosine_topk_sq8_rescored": _sim.cosine_topk_sq8_rescored,
-        "source_overlap_matrix": _cur.source_overlap_matrix,
-        # --- the 43-entry r5-dated backlog --------------------------------
-        "q1_available_seats_per_route": _q.q1_available_seats_per_route,
-        "q2_average_passengers_per_transport_type": _q.q2_average_passengers_per_transport_type,
-        # Q2's 100 TB form: HLL sketch distinct (rows-only; error bound
-        # vs exact is pytest-asserted)
-        "q2_approx_average_passengers": _q.q2_approx_average_passengers_per_transport_type,
-        "q3_name_passenger_most_trips": _q.q3_name_passenger_most_trips,
-        "q4_occupancy_per_route": _q.q4_occupancy_per_route,
-        "q5_passengers_per_route": _q.q5_passengers_per_route,
-        "q6_route_least_occupancy_per_transport_type": _q.q6_route_least_occupancy_per_transport_type,
-        "q7_total_capacity_available": _q.q7_total_capacity_available,
-        "q8_total_occupancy_percentage": _q.q8_total_occupancy_percentage,
-        "decontaminate_spans": _dedup.decontaminate_spans,
-        "dedup_exact": _dedup.dedup_exact,
-        "dedup_minhash_lsh": _dedup.dedup_minhash_lsh,
-        "dedup_against": _dedup.dedup_against,
-        "ngram_jaccard_pairs": _dedup.ngram_jaccard_pairs,
-        "duplicate_clusters": _graph.duplicate_clusters,
-        "duplicate_clusters_lsh": _graph.duplicate_clusters_lsh,
-        "decontaminate": _cur.decontaminate,
-        "embedding_near_dup": _ivf.embedding_near_dup_ivf,      # rows-only
-        "embedding_near_dup_exact": _sim.embedding_near_dup_exact,
-        "ann_cosine_topk": _sim.cosine_topk_bruteforce,
-        "ann_cosine_topk_lsh": _sim.cosine_topk_lsh,            # rows-only
-        "ann_cosine_topk_ivf": _ivf.cosine_topk_ivf,            # rows-only
-        "text_token_count": _text.token_count,
-        "text_quality_score": _text.quality_score,
-        "text_lang_id": _text.lang_id,
-        "text_fingerprint": _text.fingerprint,
-        "text_vocab_topk": _text.vocab_top_tokens,
-        "repetition_signals": _text.repetition_signals,
-        "quality_filter": _text.quality_filter,
-        "sample_deterministic": _cur.sample_deterministic,
-        "train_val_test_split": _cur.train_val_test_split,
-        "normalize_text": _cur.normalize_text,
-        "pii_scrub": _cur.pii_scrub,
-        # n_shards pinned: shard assignment is part of the output, and the
-        # oracle must be a pure function of the data, not of the box's CPU
-        # count (the library default is defaultParallelism)
-        "pack_sequences": lambda spark, sf_dir: _cur.pack_sequences(
-            spark, sf_dir, n_shards=16),
-        "error_incident_events": _temporal.error_incident_events,
-        "trip_time_rollup": _olap.trip_time_rollup,
-        "events_value_quantiles": _olap.events_value_quantiles,  # rows-only
-        "bm25_search": _ret.bm25_search,
-        "corpus_diff": _cur.corpus_diff,
-        "events_funnel": _events.funnel,
-        "events_attribution": _temporal.events_attribution,
-        "vocab_drift": _text.vocab_drift,
-        "mix_temperature": _cur.mix_temperature,
-        # --- NEW / TOUCHED THIS ROUND (round 7) ---------------------------
-        # (new round-7 entries register here, inside the ~50-entry cap)
-        "ann_cosine_topk_stored_probe": _ivf.ann_cosine_topk_stored_probe,  # rows-only
-        "ngram_lm_score": _text.ngram_lm_score,
-        "domain_mixture_report": _cur.domain_mixture_report,
-        "dedup_suffix_prefix": _dedup.dedup_suffix_prefix,
-        # --- r6-VERIFIED BACKLOG ------------------------------------------
-        # Every entry below holds a green row in CORRECTNESS_r06.json
-        # (46 hash-match + 4 rows-only by design) under code untouched
-        # since, re-proven every run by the full-registry pytest oracle at
-        # sf0.001 and by scripts/parity_sweep.py at sf0.1; they ride past
-        # the cap this round and rotate forward next round.
+        # order. Front: the 14 round-7 newcomers that have NEVER had a
+        # driver-scale row (each already full-hash or rows-only+pytest
+        # green in the sf0.001 pytest oracle and the sf0.1 parity sweep),
+        # then the 36 oldest r6-dated backlog entries. The 14 r6-dated
+        # entries that miss this round's cap ride below and rotate next.
+        "trips_route_update_stream_join": _ssjoin.trips_route_update_stream_join,
+        "contrastive_triplets": _sim.contrastive_triplets,
+        "select_token_budget": _cur.select_token_budget,
+        "containment_pairs": _dedup.containment_pairs,
+        "bpe_merge_candidates": _text.bpe_merge_candidates,
+        "embedding_gram_sq8": _embstats.embedding_gram_sq8,
+        "embedding_pca_project": _embstats.embedding_pca_project,
+        "bpe_train": _text.bpe_train,
+        "split_by_content": _cur.split_by_content,
+        "mmr_rerank": _sim.mmr_rerank,
+        "ann_recall_sq8": _sim.ann_recall_sq8,
+        "winnow_fingerprints": _dedup.winnow_fingerprints,
+        "winnow_pairs": _dedup.winnow_pairs,
+        "embedding_snapshot_drift": _embstats.embedding_snapshot_drift,
+        # --- oldest r6-dated backlog (36 of 50) ---------------------------
         "q9_total_passengers": _q.q9_total_passengers,
         "q10_transport_type_max_passengers": _q.q10_transport_type_max_passengers,
         "q11_transport_type_max_passengers_window": _q.q11_transport_type_max_passengers_window,
         "q12_least_occupied_transport_type_window": _q.q12_least_occupied_transport_type_window,
         "q13_most_occupied_operator": _q.q13_most_occupied_operator,
-        # S5 sink path: Q5 through the Connect-envelope renderer
         "envelope_passengers_per_route": _env.envelope_passengers_per_route,
-        # A9 latest-per-key over a changelog with duplicate keys
         "latest_route_capacity": _views.latest_route_capacity,
         "events_sessionize": _events.sessionize,
         "events_sliding_counts": _events.sliding_counts,
@@ -146,18 +95,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "global_shuffle": _cur.global_shuffle,
         "contamination_overlap": _cur.contamination_overlap,
         "contamination_attribution": _cur.contamination_attribution,
-        "embedding_kmeans_assign": _ivf.embedding_kmeans_assign,  # rows-only
-        "mix_by_cluster": _ivf.mix_by_cluster,                    # rows-only
+        "embedding_kmeans_assign": _ivf.embedding_kmeans_assign,  # rows-only,
+        "mix_by_cluster": _ivf.mix_by_cluster,                    # rows-only,
         "repeated_spans": _dedup.repeated_spans,
-        "semantic_dup_clusters": _graph.semantic_dup_clusters,    # rows-only
+        "semantic_dup_clusters": _graph.semantic_dup_clusters,    # rows-only,
         "semantic_dup_clusters_exact": _graph.semantic_dup_clusters_exact,
         "multimodal_features": _mm.media_features,
         "multimodal_resize": _mm.media_resize,
         "multimodal_frame_sample": _mm.media_frame_sample,
+        # --- NEW round 8, below the cap: full-hash or rows-only+pytest
+        # checked at sf0.001 by the pytest oracle and at sf0.1 by
+        # scripts/parity_sweep.py; rotates into the cap next round.
+        # (entries register here as they land)
+        # --- r6-dated overflow (14) — rotate to the FRONT next round ------
         "corpus_clean": _pipe.corpus_clean,
         "decontaminate_spans_bloom": _dedup.decontaminate_spans_bloom,
         "media_dhash_pairs": _mm.media_dhash_pairs,
-        "ann_cosine_topk_stored": _ivf.ann_cosine_topk_stored,    # rows-only
+        "ann_cosine_topk_stored": _ivf.ann_cosine_topk_stored,    # rows-only,
         "materialize_mixture": _cur.materialize_mixture,
         "events_value_quantiles_exact": _olap.events_value_quantiles_exact,
         "ann_cosine_topk_sq8": _sim.cosine_topk_sq8,
@@ -168,55 +122,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_full_clean": _pipe.pipeline_full_clean,
         "dedup_simhash": _dedup.dedup_simhash,
         "latest_route_capacity_stateful": _stateful.latest_route_capacity_stateful,
-        # --- NEW round 7, deliberately BELOW the driver cap (the in-cap
-        # slots are spoken for by the 46-entry rotation + 4 round-7
-        # entries): full-hash-oracle-checked by the local pytest suite at
-        # sf0.001 every run; rotates into the cap next round.
-        # KStream-KStream windowed join — the Kafka Streams join family
-        # the reference never uses; native Structured Streaming
-        # stream-stream join with stream==batch parity
-        "trips_route_update_stream_join": _ssjoin.trips_route_update_stream_join,
-        # hard-negative triplet mining (rank-1 positive, ranks 11..13
-        # negatives) — exact cosine fold, full hash oracle
-        "contrastive_triplets": _sim.contrastive_triplets,
-        # budgeted quality-greedy corpus selection via the scalable
-        # bucketed two-pass greedy — full hash oracle
-        "select_token_budget": _cur.select_token_budget,
-        # asymmetric containment dedup (short-doc-inside-long-doc, the
-        # case Jaccard structurally misses) — full hash oracle over a
-        # planted parent/excerpt corpus
-        "containment_pairs": _dedup.containment_pairs,
-        # BPE merge-round pair counting (tokenizer training) — full
-        # hash oracle
-        "bpe_merge_candidates": _text.bpe_merge_candidates,
-        # exact-integer sq8 Gram/second-moment triangle (one
-        # mapInPandas matmul pass, shuffle O(batches x d^2)) — full
-        # hash oracle, every column an exact bigint/int
-        "embedding_gram_sq8": _embstats.embedding_gram_sq8,
-        # PCA projection onto the Gram triangle's top eigenvectors —
-        # rows-only (LAPACK eigh is not SQL-expressible); orthonormality
-        # / variance-order / determinism pinned by pytest
-        "embedding_pca_project": _embstats.embedding_pca_project,
-        # full iterative BPE trainer (vocabulary-table rounds, LIMIT-1
-        # argmax per round) — rows-only; pure-Python-reference pytest
-        # pins exact merge table
-        "bpe_train": _text.bpe_train,
-        # content-keyed leakage-safe split (exact dups co-assign by
-        # construction) — full hash oracle
-        "split_by_content": _cur.split_by_content,
-        # MMR diversity re-ranking over a bounded shortlist — rows-only;
-        # numpy-reference pytest pins exact selections
-        "mmr_rerank": _sim.mmr_rerank,
-        # recall@10 evaluation of the sq8 ranking vs exact — full hash
-        # oracle (both underlying rankings already hash-verified)
-        "ann_recall_sq8": _sim.ann_recall_sq8,
-        # winnowing (MOSS) fingerprints + shared-fp candidate pairs —
-        # position-robust local dedup evidence; full hash oracles
-        "winnow_fingerprints": _dedup.winnow_fingerprints,
-        "winnow_pairs": _dedup.winnow_pairs,
-        # per-dim embedding snapshot drift (exact-int accumulators off
-        # the Gram diagonal + fixed-order float report) — full hash
-        "embedding_snapshot_drift": _embstats.embedding_snapshot_drift,
+        # --- r7-VERIFIED BACKLOG ------------------------------------------
+        # Every entry below holds a green row in CORRECTNESS_r07.json
+        # (44 hash-match + 6 rows-only by design) under code re-proven
+        # every run by the full-registry pytest oracle at sf0.001 and by
+        # scripts/parity_sweep.py at sf0.1.
+        "key_skew_profile": _skew.key_skew_profile,
+        "ann_cosine_topk_sq8_rescored": _sim.cosine_topk_sq8_rescored,
+        "source_overlap_matrix": _cur.source_overlap_matrix,
+        "q1_available_seats_per_route": _q.q1_available_seats_per_route,
+        "q2_average_passengers_per_transport_type": _q.q2_average_passengers_per_transport_type,
+        "q2_approx_average_passengers": _q.q2_approx_average_passengers_per_transport_type,
+        "q3_name_passenger_most_trips": _q.q3_name_passenger_most_trips,
+        "q4_occupancy_per_route": _q.q4_occupancy_per_route,
+        "q5_passengers_per_route": _q.q5_passengers_per_route,
+        "q6_route_least_occupancy_per_transport_type": _q.q6_route_least_occupancy_per_transport_type,
+        "q7_total_capacity_available": _q.q7_total_capacity_available,
+        "q8_total_occupancy_percentage": _q.q8_total_occupancy_percentage,
+        "decontaminate_spans": _dedup.decontaminate_spans,
+        "dedup_exact": _dedup.dedup_exact,
+        "dedup_minhash_lsh": _dedup.dedup_minhash_lsh,
+        "dedup_against": _dedup.dedup_against,
+        "ngram_jaccard_pairs": _dedup.ngram_jaccard_pairs,
+        "duplicate_clusters": _graph.duplicate_clusters,
+        "duplicate_clusters_lsh": _graph.duplicate_clusters_lsh,
+        "decontaminate": _cur.decontaminate,
+        "embedding_near_dup": _ivf.embedding_near_dup_ivf,      # rows-only,
+        "embedding_near_dup_exact": _sim.embedding_near_dup_exact,
+        "ann_cosine_topk": _sim.cosine_topk_bruteforce,
+        "ann_cosine_topk_lsh": _sim.cosine_topk_lsh,            # rows-only,
+        "ann_cosine_topk_ivf": _ivf.cosine_topk_ivf,            # rows-only,
+        "text_token_count": _text.token_count,
+        "text_quality_score": _text.quality_score,
+        "text_lang_id": _text.lang_id,
+        "text_fingerprint": _text.fingerprint,
+        "text_vocab_topk": _text.vocab_top_tokens,
+        "repetition_signals": _text.repetition_signals,
+        "quality_filter": _text.quality_filter,
+        "sample_deterministic": _cur.sample_deterministic,
+        "train_val_test_split": _cur.train_val_test_split,
+        "normalize_text": _cur.normalize_text,
+        "pii_scrub": _cur.pii_scrub,
+        "pack_sequences": lambda spark, sf_dir: _cur.pack_sequences(
+            spark, sf_dir, n_shards=16),
+        "error_incident_events": _temporal.error_incident_events,
+        "trip_time_rollup": _olap.trip_time_rollup,
+        "events_value_quantiles": _olap.events_value_quantiles,  # rows-only,
+        "bm25_search": _ret.bm25_search,
+        "corpus_diff": _cur.corpus_diff,
+        "events_funnel": _events.funnel,
+        "events_attribution": _temporal.events_attribution,
+        "vocab_drift": _text.vocab_drift,
+        "mix_temperature": _cur.mix_temperature,
+        "ann_cosine_topk_stored_probe": _ivf.ann_cosine_topk_stored_probe,  # rows-only,
+        "ngram_lm_score": _text.ngram_lm_score,
+        "domain_mixture_report": _cur.domain_mixture_report,
+        "dedup_suffix_prefix": _dedup.dedup_suffix_prefix,
     }
 
 
