@@ -238,9 +238,19 @@ def build_ivf_index(emb: DataFrame, index_dir: str, n_centroids: int = 32,
     content, so recomputing it per query run is waste):
 
       ``index_dir/centroids.json``  the K x dim centroid matrix
-          (model-sized, driver-written atomically via temp + rename);
-      ``index_dir/postings/``       parquet PARTITIONED BY cell:
+          (model-sized, driver-written atomically via temp + rename)
+          plus the name of the postings GENERATION it commits;
+      ``index_dir/postings_g<N>/``  parquet PARTITIONED BY cell:
           (vec_id, embedding, cell) — one directory per inverted list.
+
+    Rebuild atomicity: each (re)build writes its postings into a FRESH
+    generation directory and only then swaps ``centroids.json`` via
+    ``os.replace`` — the metadata replace is the SINGLE commit point, so
+    a concurrent reader either sees the old (centroids, postings_g<N>)
+    pair or the new one, never new postings under old centroids (ADVICE
+    r7). Superseded generations are left on disk for in-flight readers;
+    ``prune_ivf_index_generations`` removes unreferenced ones during
+    maintenance windows.
 
     The physical ``cell=N`` partitioning is the probe-time pruning
     mechanism: a query that probes ``nprobe`` cells lists only those
@@ -262,21 +272,74 @@ def build_ivf_index(emb: DataFrame, index_dir: str, n_centroids: int = 32,
     import os
 
     cents = train_centroids(emb, n_centroids, n_iters, sample_n)
+    os.makedirs(index_dir, exist_ok=True)
+    gen = _next_generation(index_dir)
     _write_postings(emb, cents, index_dir, m_assign, store_sq8,
-                    mode="overwrite")
+                    mode="overwrite", subdir=gen)
     tmp = os.path.join(index_dir, "centroids.json.tmp")
     with open(tmp, "w") as f:
         json.dump({"n_centroids": n_centroids, "m_assign": m_assign,
-                   "sq8": store_sq8, "centroids": cents}, f)
+                   "sq8": store_sq8, "postings_dir": gen,
+                   "centroids": cents}, f)
     os.replace(tmp, os.path.join(index_dir, "centroids.json"))
+
+
+def _next_generation(index_dir: str) -> str:
+    """Fresh postings generation name: one past the highest existing
+    ``postings_g<N>`` (a plain ``postings`` dir from the pre-generation
+    layout counts as generation 0)."""
+    import os
+    import re
+
+    highest = -1
+    for name in os.listdir(index_dir):
+        if name == "postings":
+            highest = max(highest, 0)
+        else:
+            m = re.fullmatch(r"postings_g(\d+)", name)
+            if m:
+                highest = max(highest, int(m.group(1)))
+    return f"postings_g{highest + 1}"
+
+
+def _postings_path(index_dir: str, meta: dict) -> str:
+    """Postings directory the committed metadata references (legacy
+    indexes without ``postings_dir`` fall back to ``postings``)."""
+    import os
+
+    return os.path.join(index_dir, meta.get("postings_dir", "postings"))
+
+
+def prune_ivf_index_generations(index_dir: str) -> list[str]:
+    """Delete postings generations NOT referenced by the committed
+    ``centroids.json``, returning the removed directory names. A
+    maintenance-window operation by contract: callers must know no
+    reader still holds a plan over a superseded generation (the same
+    contract as compact_parquet)."""
+    import json
+    import os
+    import re
+    import shutil
+
+    with open(os.path.join(index_dir, "centroids.json")) as f:
+        live = json.load(f).get("postings_dir", "postings")
+    removed = []
+    for name in sorted(os.listdir(index_dir)):
+        if name != live and (name == "postings"
+                             or re.fullmatch(r"postings_g(\d+)", name)):
+            shutil.rmtree(os.path.join(index_dir, name),
+                          ignore_errors=True)
+            removed.append(name)
+    return removed
 
 
 def _write_postings(emb: DataFrame, cents: list[list[float]],
                     index_dir: str, m_assign: int, store_sq8: bool,
-                    mode: str) -> None:
+                    mode: str, subdir: str = "postings") -> None:
     """Assign ``emb`` to cells under the given centroids and write the
     posting rows (partitioned by cell) with the given save mode —
-    shared by the full build (overwrite) and incremental append."""
+    shared by the full build (overwrite, fresh generation subdir) and
+    incremental append (into the committed generation)."""
     import os
 
     assigned = (assign_cells(emb, cents, m_assign)
@@ -291,7 +354,7 @@ def _write_postings(emb: DataFrame, cents: list[list[float]],
                              .alias("qv"),
                             "qq", "cell"))
     (assigned.write.partitionBy("cell").mode(mode)
-     .parquet(os.path.join(index_dir, "postings")))
+     .parquet(os.path.join(index_dir, subdir)))
 
 
 def append_to_ivf_index(emb_new: DataFrame, index_dir: str) -> None:
@@ -316,7 +379,8 @@ def append_to_ivf_index(emb_new: DataFrame, index_dir: str) -> None:
         meta = json.load(f)
     _write_postings(emb_new, meta["centroids"], index_dir,
                     meta["m_assign"], bool(meta.get("sq8")),
-                    mode="append")
+                    mode="append",
+                    subdir=meta.get("postings_dir", "postings"))
 
 
 def query_ivf_index(spark: SparkSession, index_dir: str,
@@ -362,7 +426,7 @@ def query_ivf_index(spark: SparkSession, index_dir: str,
     probed_rows = probed.collect()
     cells = sorted({r["cell"] for r in probed_rows})
     probed = spark.createDataFrame(probed_rows, probed.schema)
-    postings = (spark.read.parquet(os.path.join(index_dir, "postings"))
+    postings = (spark.read.parquet(_postings_path(index_dir, meta))
                 .where(F.col("cell").isin(cells)))
     if meta.get("sq8"):
         postings = postings.select(
@@ -414,9 +478,21 @@ _STORED_INDEX_CACHE: dict[tuple[str, bool], str] = {}
 _STORED_INDEX_LOCK = threading.Lock()
 # monotone per-process version counter for the build-every-call fixture
 _BUILD_SEQ = itertools.count()
-# versioned scratch dirs created by ann_cosine_topk_stored, oldest
-# first; all but the newest two are deleted on the next call
+# versioned scratch dirs created by ann_cosine_topk_stored; removed at
+# PROCESS EXIT (atexit), never mid-session — a caller may hold an
+# unevaluated DataFrame over any prior call's directory for arbitrarily
+# long, so the only point where deletion is provably safe is after the
+# last possible evaluation (ADVICE r7: the old newest-two policy
+# assumed synchronous consumption the API never promised)
 _BUILD_DIRS: list[str] = []
+_ATEXIT_REGISTERED = False
+
+
+def _cleanup_build_dirs() -> None:
+    import shutil
+
+    for d in _BUILD_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 def ensure_stored_index(spark: SparkSession, sf_dir: str,
@@ -465,16 +541,18 @@ def ann_cosine_topk_stored(spark: SparkSession, sf_dir: str,
     stay exercised); the build-once/probe-many production shape is the
     separate ann_cosine_topk_stored_probe entry. Each call builds into
     its own versioned directory — never overwriting one a prior call's
-    lazily-evaluated DataFrame may still read — and scratch stays
-    BOUNDED: all but the newest two versioned dirs are deleted here
-    (by the time two newer builds exist, prior calls' results have
-    been evaluated — bench/gate callers consume synchronously), so a
-    long session holds at most three index copies, not one per call."""
+    lazily-evaluated DataFrame may still read — and every directory
+    survives until PROCESS EXIT (atexit cleanup): results from this
+    function stay valid for the whole session with no synchronous-
+    consumption assumption. Scratch growth is one small index copy
+    (a few MB at gate scale) per call — bench/gate call counts are
+    single digits per process."""
+    import atexit
     import hashlib
     import os
-    import shutil
     import tempfile
 
+    global _ATEXIT_REGISTERED
     emb = load(spark, sf_dir, "embeddings")
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
     index_dir = os.path.join(
@@ -482,10 +560,9 @@ def ann_cosine_topk_stored(spark: SparkSession, sf_dir: str,
         f"ivf_index_{tag}_{os.getpid()}_v{next(_BUILD_SEQ)}")
     with _STORED_INDEX_LOCK:
         _BUILD_DIRS.append(index_dir)
-        stale = _BUILD_DIRS[:-2]
-        del _BUILD_DIRS[:-2]
-    for d in stale:
-        shutil.rmtree(d, ignore_errors=True)
+        if not _ATEXIT_REGISTERED:
+            atexit.register(_cleanup_build_dirs)
+            _ATEXIT_REGISTERED = True
     build_ivf_index(emb, index_dir, n_centroids=32, m_assign=2)
     queries = _stored_query_set(spark, sf_dir, n_queries)
     return query_ivf_index(spark, index_dir, queries, k=k, nprobe=nprobe)

@@ -36,6 +36,11 @@ def zorder_key(cols: list[str], bits: int = 21) -> Column:
     negatives onto the range maximum), scattering the largest values
     among the smallest and silently destroying the clustering; clamping
     keeps them packed at the range edges where they still prune.
+    NULLs coalesce to 0 BEFORE the clamp: ``least``/``greatest`` skip
+    NULL inputs, so an un-coalesced NULL would silently clamp to the
+    range MAXIMUM (least(NULL, hi) = hi) and co-cluster with the
+    largest values; pinning NULLs to the range floor keeps them in one
+    corner of the curve where a NULL-heavy file still prunes.
     ``len(cols) * bits`` must fit a signed 64-bit key — 2 cols x 21
     bits (values to ~2M) or 3 x 21 by default; widen ``bits`` for
     larger domains. Pure JVM bitwise expressions, codegen-friendly,
@@ -48,7 +53,8 @@ def zorder_key(cols: list[str], bits: int = 21) -> Column:
     key = F.lit(0).cast("bigint")
     for i, c in enumerate(cols):
         v = F.greatest(F.lit(0).cast("bigint"),
-                       F.least(F.col(c).cast("bigint"), hi))
+                       F.least(F.coalesce(F.col(c).cast("bigint"),
+                                          F.lit(0).cast("bigint")), hi))
         for b in range(bits):
             bit = F.shiftright(v, b).bitwiseAND(F.lit(1))
             key = key.bitwiseOR(F.shiftleft(bit, b * n + i))

@@ -138,10 +138,15 @@ def test_stored_sq8_index_quantized_probe(spark, tmp_path):
     from kafkastreams_tp3_is_spark.operators.ivf import (
         build_ivf_index, query_ivf_index)
 
+    import json
+    import os
+
     emb = load(spark, SF_DIR, "embeddings")
     idx = str(tmp_path / "ivf_sq8")
     build_ivf_index(emb, idx, n_centroids=32, m_assign=2, store_sq8=True)
-    postings = spark.read.parquet(f"{idx}/postings")
+    with open(os.path.join(idx, "centroids.json")) as f:
+        gen = json.load(f)["postings_dir"]
+    postings = spark.read.parquet(f"{idx}/{gen}")
     fields = dict(postings.dtypes)
     assert fields["qv"] == "array<tinyint>" and fields["qq"] == "bigint"
     assert "embedding" not in fields
