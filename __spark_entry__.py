@@ -95,10 +95,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "global_shuffle": _cur.global_shuffle,
         "contamination_overlap": _cur.contamination_overlap,
         "contamination_attribution": _cur.contamination_attribution,
-        "embedding_kmeans_assign": _ivf.embedding_kmeans_assign,  # rows-only,
-        "mix_by_cluster": _ivf.mix_by_cluster,                    # rows-only,
+        "embedding_kmeans_assign": _ivf.embedding_kmeans_assign,  # rows-only
+        "mix_by_cluster": _ivf.mix_by_cluster,                    # rows-only
         "repeated_spans": _dedup.repeated_spans,
-        "semantic_dup_clusters": _graph.semantic_dup_clusters,    # rows-only,
+        "semantic_dup_clusters": _graph.semantic_dup_clusters,    # rows-only
         "semantic_dup_clusters_exact": _graph.semantic_dup_clusters_exact,
         "multimodal_features": _mm.media_features,
         "multimodal_resize": _mm.media_resize,
@@ -111,7 +111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_clean": _pipe.corpus_clean,
         "decontaminate_spans_bloom": _dedup.decontaminate_spans_bloom,
         "media_dhash_pairs": _mm.media_dhash_pairs,
-        "ann_cosine_topk_stored": _ivf.ann_cosine_topk_stored,    # rows-only,
+        "ann_cosine_topk_stored": _ivf.ann_cosine_topk_stored,    # rows-only
         "materialize_mixture": _cur.materialize_mixture,
         "events_value_quantiles_exact": _olap.events_value_quantiles_exact,
         "ann_cosine_topk_sq8": _sim.cosine_topk_sq8,
@@ -147,11 +147,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_clusters": _graph.duplicate_clusters,
         "duplicate_clusters_lsh": _graph.duplicate_clusters_lsh,
         "decontaminate": _cur.decontaminate,
-        "embedding_near_dup": _ivf.embedding_near_dup_ivf,      # rows-only,
+        "embedding_near_dup": _ivf.embedding_near_dup_ivf,      # rows-only
         "embedding_near_dup_exact": _sim.embedding_near_dup_exact,
         "ann_cosine_topk": _sim.cosine_topk_bruteforce,
-        "ann_cosine_topk_lsh": _sim.cosine_topk_lsh,            # rows-only,
-        "ann_cosine_topk_ivf": _ivf.cosine_topk_ivf,            # rows-only,
+        "ann_cosine_topk_lsh": _sim.cosine_topk_lsh,            # rows-only
+        "ann_cosine_topk_ivf": _ivf.cosine_topk_ivf,            # rows-only
         "text_token_count": _text.token_count,
         "text_quality_score": _text.quality_score,
         "text_lang_id": _text.lang_id,
@@ -167,14 +167,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark, sf_dir, n_shards=16),
         "error_incident_events": _temporal.error_incident_events,
         "trip_time_rollup": _olap.trip_time_rollup,
-        "events_value_quantiles": _olap.events_value_quantiles,  # rows-only,
+        "events_value_quantiles": _olap.events_value_quantiles,  # rows-only
         "bm25_search": _ret.bm25_search,
         "corpus_diff": _cur.corpus_diff,
         "events_funnel": _events.funnel,
         "events_attribution": _temporal.events_attribution,
         "vocab_drift": _text.vocab_drift,
         "mix_temperature": _cur.mix_temperature,
-        "ann_cosine_topk_stored_probe": _ivf.ann_cosine_topk_stored_probe,  # rows-only,
+        "ann_cosine_topk_stored_probe": _ivf.ann_cosine_topk_stored_probe,  # rows-only
         "ngram_lm_score": _text.ngram_lm_score,
         "domain_mixture_report": _cur.domain_mixture_report,
         "dedup_suffix_prefix": _dedup.dedup_suffix_prefix,

@@ -176,9 +176,20 @@ def embedding_pca_project_df(emb: DataFrame, n_components: int = 4,
 def embedding_pca_project(spark: SparkSession, sf_dir: str,
                           n_components: int = 4) -> DataFrame:
     """Driver-gate fixture (rows-only; exactness properties pytest-
-    pinned): top-4 PCA projection of the embeddings table."""
-    return embedding_pca_project_df(load(spark, sf_dir, "embeddings"),
+    pinned): top-4 PCA projection of the embeddings table, exploded to
+    scalar ``(vec_id, component, value)`` rows so the driver's pandas
+    canonicalizer (sort_values over every column) never sees an array
+    cell — the array-shaped API stays on ``embedding_pca_project_df``."""
+    proj = embedding_pca_project_df(load(spark, sf_dir, "embeddings"),
                                     n_components)
+    return proj.select(
+        "vec_id",
+        F.posexplode("pc").alias("component", "value"),
+    ).select(
+        F.col("vec_id"),
+        F.col("component").cast("int").alias("component"),
+        F.col("value"),
+    )
 
 
 def embedding_snapshot_drift_df(emb_a: DataFrame,

@@ -92,9 +92,13 @@ def test_gram_registry_fixture_runs(spark):
 
     g = embedding_gram_sq8(spark, SF_DIR)
     assert g.count() == 64 * 65 // 2
+    # registry fixture emits scalar (vec_id, component, value) rows so the
+    # driver's pandas canonicalizer never sees an array cell
     p = embedding_pca_project(spark, SF_DIR)
-    row = p.limit(1).collect()[0]
-    assert len(row["pc"]) == 4
+    assert p.columns == ["vec_id", "component", "value"]
+    one_vec = p.filter(p.vec_id == p.limit(1).collect()[0]["vec_id"])
+    comps = sorted(r["component"] for r in one_vec.collect())
+    assert comps == [0, 1, 2, 3]
 
 
 def test_snapshot_drift_detects_planted_shift(spark):
