@@ -45,69 +45,28 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # --- ROTATION BLOCK (round 8) -------------------------------------
+        # --- ROTATION BLOCK (round 9) -------------------------------------
         # The driver's correctness run caps near 50 entries in registration
-        # order. Front: the 14 round-7 newcomers that have NEVER had a
-        # driver-scale row (each already full-hash or rows-only+pytest
-        # green in the sf0.001 pytest oracle and the sf0.1 parity sweep),
-        # then the 36 oldest r6-dated backlog entries. The 14 r6-dated
-        # entries that miss this round's cap ride below and rotate next.
-        "trips_route_update_stream_join": _ssjoin.trips_route_update_stream_join,
-        "contrastive_triplets": _sim.contrastive_triplets,
-        "select_token_budget": _cur.select_token_budget,
-        "containment_pairs": _dedup.containment_pairs,
-        "bpe_merge_candidates": _text.bpe_merge_candidates,
-        "embedding_gram_sq8": _embstats.embedding_gram_sq8,
-        "embedding_pca_project": _embstats.embedding_pca_project,
-        "bpe_train": _text.bpe_train,
-        "split_by_content": _cur.split_by_content,
-        "mmr_rerank": _sim.mmr_rerank,
-        "ann_recall_sq8": _sim.ann_recall_sq8,
+        # order. Front: the one red r8 row (embedding_pca_project, now
+        # emitting scalar rows), the 3 round-9 newcomers, the 7 entries
+        # whose operators changed this round (winnow kernel, bigrams
+        # zip_with, token-budget persist, SS-join scratch sink), then the
+        # 14 r6-dated overflow entries and the oldest r7-dated backlog.
+        # Everything below the cap holds a green r7/r8 driver row under
+        # code re-proven every run by the sf0.001 pytest oracle and the
+        # sf0.1 parity sweep.
+        "embedding_pca_project": _embstats.embedding_pca_project,  # rows-only
+        "trips_route_update_stream_left_join": _ssjoin.trips_route_update_stream_left_join,
+        "winnow_fingerprints_fast": _dedup.winnow_fingerprints_fast,  # rows-only
+        "winnow_pairs_fast": _dedup.winnow_pairs_fast,                # rows-only
         "winnow_fingerprints": _dedup.winnow_fingerprints,
         "winnow_pairs": _dedup.winnow_pairs,
-        "embedding_snapshot_drift": _embstats.embedding_snapshot_drift,
-        # --- oldest r6-dated backlog (36 of 50) ---------------------------
-        "q9_total_passengers": _q.q9_total_passengers,
-        "q10_transport_type_max_passengers": _q.q10_transport_type_max_passengers,
-        "q11_transport_type_max_passengers_window": _q.q11_transport_type_max_passengers_window,
-        "q12_least_occupied_transport_type_window": _q.q12_least_occupied_transport_type_window,
-        "q13_most_occupied_operator": _q.q13_most_occupied_operator,
-        "envelope_passengers_per_route": _env.envelope_passengers_per_route,
-        "latest_route_capacity": _views.latest_route_capacity,
-        "events_sessionize": _events.sessionize,
-        "events_sliding_counts": _events.sliding_counts,
-        "events_json_props_stats": _events.json_props_stats,
-        "events_topk_users": _events.topk_users,
-        "events_user_anomaly": _events.user_anomaly,
-        "events_cohort_retention": _events.cohort_retention,
-        "trips_asof_route_version": _temporal.trips_asof_route_version,
+        "ngram_lm_score": _text.ngram_lm_score,
+        "select_token_budget": _cur.select_token_budget,
+        "domain_mixture_report": _cur.domain_mixture_report,
+        "trips_route_update_stream_join": _ssjoin.trips_route_update_stream_join,
         "tfidf_topk": _ret.tfidf_topk,
-        "tokenize_ids": _ret.tokenize_ids,
-        "pack_token_sequences": _ret.pack_token_sequences,
-        "heavy_hitters": _sketch.heavy_hitters,
-        "corpus_stats": _text.corpus_stats,
-        "doc_commonness": _text.doc_commonness,
-        "lang_confusion": _text.lang_confusion,
-        "quality_decile_filter": _text.quality_decile_filter,
-        "mix_by_source": _cur.mix_by_source,
-        "stratified_sample": _cur.stratified_sample,
-        "doc_chunk": _cur.doc_chunk,
-        "global_shuffle": _cur.global_shuffle,
-        "contamination_overlap": _cur.contamination_overlap,
-        "contamination_attribution": _cur.contamination_attribution,
-        "embedding_kmeans_assign": _ivf.embedding_kmeans_assign,  # rows-only
-        "mix_by_cluster": _ivf.mix_by_cluster,                    # rows-only
-        "repeated_spans": _dedup.repeated_spans,
-        "semantic_dup_clusters": _graph.semantic_dup_clusters,    # rows-only
-        "semantic_dup_clusters_exact": _graph.semantic_dup_clusters_exact,
-        "multimodal_features": _mm.media_features,
-        "multimodal_resize": _mm.media_resize,
-        "multimodal_frame_sample": _mm.media_frame_sample,
-        # --- NEW round 8, below the cap: full-hash or rows-only+pytest
-        # checked at sf0.001 by the pytest oracle and at sf0.1 by
-        # scripts/parity_sweep.py; rotates into the cap next round.
-        # (entries register here as they land)
-        # --- r6-dated overflow (14) — rotate to the FRONT next round ------
+        # --- r6-dated overflow from the r8 rotation (14) -------------------
         "corpus_clean": _pipe.corpus_clean,
         "decontaminate_spans_bloom": _dedup.decontaminate_spans_bloom,
         "media_dhash_pairs": _mm.media_dhash_pairs,
@@ -122,11 +81,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_full_clean": _pipe.pipeline_full_clean,
         "dedup_simhash": _dedup.dedup_simhash,
         "latest_route_capacity_stateful": _stateful.latest_route_capacity_stateful,
-        # --- r7-VERIFIED BACKLOG ------------------------------------------
-        # Every entry below holds a green row in CORRECTNESS_r07.json
-        # (44 hash-match + 6 rows-only by design) under code re-proven
-        # every run by the full-registry pytest oracle at sf0.001 and by
-        # scripts/parity_sweep.py at sf0.1.
+        # --- oldest r7-dated backlog (25 of 50) ----------------------------
         "key_skew_profile": _skew.key_skew_profile,
         "ann_cosine_topk_sq8_rescored": _sim.cosine_topk_sq8_rescored,
         "source_overlap_matrix": _cur.source_overlap_matrix,
@@ -152,6 +107,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _sim.cosine_topk_bruteforce,
         "ann_cosine_topk_lsh": _sim.cosine_topk_lsh,            # rows-only
         "ann_cosine_topk_ivf": _ivf.cosine_topk_ivf,            # rows-only
+        # === BELOW THE DRIVER CAP ==========================================
+        # --- rest of the r7-dated backlog — rotates to the FRONT next round
         "text_token_count": _text.token_count,
         "text_quality_score": _text.quality_score,
         "text_lang_id": _text.lang_id,
@@ -175,9 +132,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_drift": _text.vocab_drift,
         "mix_temperature": _cur.mix_temperature,
         "ann_cosine_topk_stored_probe": _ivf.ann_cosine_topk_stored_probe,  # rows-only
-        "ngram_lm_score": _text.ngram_lm_score,
-        "domain_mixture_report": _cur.domain_mixture_report,
         "dedup_suffix_prefix": _dedup.dedup_suffix_prefix,
+        # --- r8-VERIFIED BACKLOG (green rows in CORRECTNESS_r08.json) ------
+        "contrastive_triplets": _sim.contrastive_triplets,
+        "containment_pairs": _dedup.containment_pairs,
+        "bpe_merge_candidates": _text.bpe_merge_candidates,
+        "embedding_gram_sq8": _embstats.embedding_gram_sq8,
+        "bpe_train": _text.bpe_train,
+        "split_by_content": _cur.split_by_content,
+        "mmr_rerank": _sim.mmr_rerank,
+        "ann_recall_sq8": _sim.ann_recall_sq8,
+        "embedding_snapshot_drift": _embstats.embedding_snapshot_drift,
+        "q9_total_passengers": _q.q9_total_passengers,
+        "q10_transport_type_max_passengers": _q.q10_transport_type_max_passengers,
+        "q11_transport_type_max_passengers_window": _q.q11_transport_type_max_passengers_window,
+        "q12_least_occupied_transport_type_window": _q.q12_least_occupied_transport_type_window,
+        "q13_most_occupied_operator": _q.q13_most_occupied_operator,
+        "envelope_passengers_per_route": _env.envelope_passengers_per_route,
+        "latest_route_capacity": _views.latest_route_capacity,
+        "events_sessionize": _events.sessionize,
+        "events_sliding_counts": _events.sliding_counts,
+        "events_json_props_stats": _events.json_props_stats,
+        "events_topk_users": _events.topk_users,
+        "events_user_anomaly": _events.user_anomaly,
+        "events_cohort_retention": _events.cohort_retention,
+        "trips_asof_route_version": _temporal.trips_asof_route_version,
+        "tokenize_ids": _ret.tokenize_ids,
+        "pack_token_sequences": _ret.pack_token_sequences,
+        "heavy_hitters": _sketch.heavy_hitters,
+        "corpus_stats": _text.corpus_stats,
+        "doc_commonness": _text.doc_commonness,
+        "lang_confusion": _text.lang_confusion,
+        "quality_decile_filter": _text.quality_decile_filter,
+        "mix_by_source": _cur.mix_by_source,
+        "stratified_sample": _cur.stratified_sample,
+        "doc_chunk": _cur.doc_chunk,
+        "global_shuffle": _cur.global_shuffle,
+        "contamination_overlap": _cur.contamination_overlap,
+        "contamination_attribution": _cur.contamination_attribution,
+        "embedding_kmeans_assign": _ivf.embedding_kmeans_assign,  # rows-only
+        "mix_by_cluster": _ivf.mix_by_cluster,                    # rows-only
+        "repeated_spans": _dedup.repeated_spans,
+        "semantic_dup_clusters": _graph.semantic_dup_clusters,    # rows-only
+        "semantic_dup_clusters_exact": _graph.semantic_dup_clusters_exact,
+        "multimodal_features": _mm.media_features,
+        "multimodal_resize": _mm.media_resize,
+        "multimodal_frame_sample": _mm.media_frame_sample,
     }
 
 

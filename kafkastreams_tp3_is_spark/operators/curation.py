@@ -870,9 +870,16 @@ def select_token_budget_df(docs: DataFrame, budget: int = 20_000,
     lm = ngram_lm_score_df(docs, min_count).select("doc_id", "familiarity")
     toks = docs.select(
         "doc_id", F.size(tokens_col()).cast("bigint").alias("n_tokens"))
+    # the scored frame feeds THREE consumers (bucket totals, the
+    # fully-decided core, the boundary-bucket cumsum) — without a
+    # persist each one recomputes the whole ngram_lm_score_df subtree
+    # (two corpus passes + a bigram join) from scratch (VERDICT r7 ask
+    # #6). Per-doc scalars only: |docs| x 4 columns, far smaller than
+    # the corpus. Ownership rides the result via cache.owned.
     s = (toks.join(lm, "doc_id")
          .withColumn("bucket",
-                     F.floor(F.col("familiarity") * n_buckets).cast("int")))
+                     F.floor(F.col("familiarity") * n_buckets).cast("int"))
+         .persist())
     btot = s.groupBy("bucket").agg(F.sum("n_tokens").alias("btok"))
     # ordered window over the BUCKET frame only (<= n_buckets+1 rows)
     wb = (Window.orderBy(F.col("bucket").desc())
@@ -897,7 +904,7 @@ def select_token_budget_df(docs: DataFrame, budget: int = 20_000,
            .select("doc_id", "n_tokens", "familiarity",
                    (F.col("cum_before") + F.col("cum") <= budget)
                    .alias("selected")))
-    return core.unionByName(bnd)
+    return owned(core.unionByName(bnd), s)
 
 
 def select_token_budget(spark: SparkSession, sf_dir: str,

@@ -1102,37 +1102,95 @@ def winnow_fingerprints_df(docs: DataFrame, k: int = 8,
     fingerprint rows, no shuffle until a consumer joins), so the scan
     parallelism is the only scale knob. Gram hashes use the md5-prefix
     bigint spelling both engines compute identically, making the gate a
-    full hash; a production kernel could swap in a cheaper rolling hash
-    at the cost of oracle verifiability."""
-    txt = F.coalesce(F.col("text"), F.lit(""))
-    n_grams = F.length(txt) - (k - 1)
-
-    def gram_hash(i):
+    full hash; ``winnow_fingerprints_fast_df`` is the production kernel
+    with the cheaper xxhash64 gram hash (same selection algorithm,
+    rows-only gate since DuckDB has no xxhash64)."""
+    def gram_hash(txt, i):
         return F.conv(F.substring(F.md5(txt.substr(i, F.lit(k))), 1, 15),
                       16, 10).cast("bigint")
 
+    return _winnow_df(docs, k, w, gram_hash)
+
+
+def winnow_fingerprints_fast_df(docs: DataFrame, k: int = 8,
+                                w: int = 4) -> DataFrame:
+    """xxhash64 production twin of ``winnow_fingerprints_df`` (VERDICT
+    r7 ask #4): identical winnowing selection, but the per-gram hash is
+    ONE JVM xxhash64 call instead of md5 -> hex prefix -> base-16 conv —
+    the md5 constant is the bench's top cost and buys nothing but DuckDB
+    verifiability. The SIGMOD'03 guarantee (any shared substring of
+    length >= k + w - 1 yields a shared fingerprint) is hash-agnostic,
+    so the planted-pair recovery pytest is identical; the md5 variant
+    stays as the full-hash oracle baseline."""
+    def gram_hash(txt, i):
+        return F.xxhash64(txt.substr(i, F.lit(k)))
+
+    return _winnow_df(docs, k, w, gram_hash)
+
+
+def _winnow_df(docs: DataFrame, k: int, w: int, gram_hash) -> DataFrame:
+    """Shared winnowing kernel: hash every k-gram with ``gram_hash``,
+    keep the rightmost minimum of each w-hash window, deduplicate.
+
+    The per-window min is a SPARSE-TABLE range minimum (zip_with +
+    least over doubling shifts), not a per-window slice/reverse/
+    array_position fold: O(log w) whole-array passes instead of O(w)
+    array allocations PER WINDOW. Elements are struct(v=hash, np=-pos),
+    whose lexicographic least is exactly 'min value, rightmost
+    position' — the SIGMOD'03 tie-break — so the selected (pos, fp)
+    set is identical to the naive fold's (pinned by the hand-computed
+    pytest and the unchanged DuckDB hash oracle)."""
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    n_grams = F.length(txt) - (k - 1)
+
     grams = F.when(n_grams >= 1,
-                   F.transform(F.sequence(F.lit(1), n_grams), gram_hash)
+                   F.transform(F.sequence(F.lit(1), n_grams),
+                               lambda i: gram_hash(txt, i))
                    ).otherwise(F.array().cast("array<bigint>"))
     staged = docs.select("doc_id", grams.alias("gr"))
     m = F.size("gr")
     n_wins = m - (w - 1)
 
-    def win(i):
-        s = F.slice(F.col("gr"), i + 1, w)
-        mn = F.array_min(s)
-        p = F.array_position(F.reverse(s), mn)   # 1-based from the right
-        return F.struct((i + w - p).cast("int").alias("pos"),
-                        mn.alias("fp"))
-
-    wins = F.when(
-        n_wins >= 1,
-        F.transform(F.sequence(F.lit(0), n_wins - 1), win)
-    ).otherwise(F.array().cast("array<struct<pos:int,fp:bigint>>"))
-    return (staged.select("doc_id", F.explode(wins).alias("s"))
-            .select("doc_id", F.col("s.pos").alias("pos"),
-                    F.col("s.fp").alias("fp"))
-            .distinct())
+    # range-min over each w-window, rightmost argmin: cur[j] holds the
+    # least struct over gr[j .. j+span-1]; doubling spans, then one
+    # overlapping combine up to w (zip_with pads the tail with nulls,
+    # which least ignores; the final slice keeps only full windows)
+    cur = F.transform("gr", lambda x, i: F.struct(x.alias("v"),
+                                                  (-i).alias("np")))
+    span = 1
+    while span * 2 <= w:
+        cur = F.zip_with(cur, F.slice(cur, span + 1, m),
+                         lambda a, b: F.least(a, b))
+        span *= 2
+    if span < w:
+        cur = F.zip_with(cur, F.slice(cur, w - span + 1, m),
+                         lambda a, b: F.least(a, b))
+    # Dedup is row-local, not a corpus-wide shuffle: duplicates
+    # (adjacent windows selecting the same gram — the common case at
+    # density 2/(w+1)) can only occur WITHIN a document, and the
+    # rightmost argmin of a sliding window is monotone non-decreasing
+    # (if argmin(j)=p and argmin(j+1)=q<p, both windows contain both
+    # positions and each would have to beat the other — contradiction),
+    # so equal selections form CONSECUTIVE runs and dedup is one linear
+    # adjacent-compare pass. (array_distinct is quadratic on struct
+    # arrays; a global .distinct() is a shuffle — both measured slower.)
+    # The whole operator is scan -> expressions -> explode, shuffle-free.
+    wins = F.when(n_wins >= 1, F.slice(cur, 1, n_wins)).otherwise(
+        F.array().cast("array<struct<v:bigint,np:int>>"))
+    sel = staged.select("doc_id", wins.alias("wins"))
+    nw = F.size("wins")
+    head = F.slice(F.col("wins"), 1, nw - 1)
+    tail = F.slice(F.col("wins"), 2, nw - 1)
+    changed = F.zip_with(tail, head,
+                         lambda a, b: F.when(a["np"] != b["np"], a))
+    dedup = F.when(
+        nw >= 1,
+        F.concat(F.array(F.element_at(F.col("wins"), 1)),
+                 F.filter(changed, lambda x: x.isNotNull()))
+    ).otherwise(F.array().cast("array<struct<v:bigint,np:int>>"))
+    return (sel.select("doc_id", F.explode(dedup).alias("s"))
+            .select("doc_id", (-F.col("s.np")).cast("int").alias("pos"),
+                    F.col("s.v").alias("fp")))
 
 
 def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1154,7 +1212,25 @@ def winnow_pairs_df(docs: DataFrame, k: int = 8, w: int = 4,
 
     Output: (doc_a < doc_b, n_shared). Exact integer counts — full
     hash gate."""
-    fps = winnow_fingerprints_df(docs, k, w).select("doc_id", "fp").distinct()
+    return _winnow_pairs(winnow_fingerprints_df(docs, k, w),
+                         min_shared, max_df)
+
+
+def winnow_pairs_fast_df(docs: DataFrame, k: int = 8, w: int = 4,
+                         min_shared: int = 5,
+                         max_df: int = 20) -> DataFrame:
+    """MOSS match step over the xxhash64 fast fingerprints — identical
+    df-cut + pair-count machinery; only the gram hash differs. The
+    planted-pair recovery guarantee is hash-agnostic (pytest-pinned
+    identically to the md5 variant); accidental-collision pairs can
+    differ hash-to-hash, so the gate is rows-only."""
+    return _winnow_pairs(winnow_fingerprints_fast_df(docs, k, w),
+                         min_shared, max_df)
+
+
+def _winnow_pairs(fp_rows: DataFrame, min_shared: int,
+                  max_df: int) -> DataFrame:
+    fps = fp_rows.select("doc_id", "fp").distinct()
     df_cut = (fps.groupBy("fp")
               .agg(F.count(F.lit(1)).alias("df"))
               .where(F.col("df") <= max_df)
@@ -1184,3 +1260,25 @@ def winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                         .alias("text")))
     both = docs.select("doc_id", "text").unionByName(planted)
     return winnow_pairs_df(both)
+
+
+def winnow_fingerprints_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gate fixture (rows-only: xxhash64 has no DuckDB twin;
+    selection semantics pinned by the shared-kernel pytests): fast
+    winnowing fingerprints of the documents table, k=8, w=4."""
+    return winnow_fingerprints_fast_df(load(spark, sf_dir, "documents"))
+
+
+def winnow_pairs_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gate fixture (rows-only) with the SAME planted shifted
+    copies as ``winnow_pairs`` — recovery of every planted pair is the
+    hash-agnostic winnowing guarantee and is asserted in pytest."""
+    docs = load(spark, sf_dir, "documents")
+    planted = (docs.where(F.col("doc_id") % 25 == 0)
+               .select((F.col("doc_id") + F.lit(9_000_000_000)).alias(
+                           "doc_id"),
+                       F.concat(F.lit("shifted prefix"),
+                                F.coalesce(F.col("text"), F.lit("")))
+                        .alias("text")))
+    both = docs.select("doc_id", "text").unionByName(planted)
+    return winnow_pairs_fast_df(both)

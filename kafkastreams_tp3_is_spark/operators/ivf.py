@@ -273,7 +273,7 @@ def build_ivf_index(emb: DataFrame, index_dir: str, n_centroids: int = 32,
 
     cents = train_centroids(emb, n_centroids, n_iters, sample_n)
     os.makedirs(index_dir, exist_ok=True)
-    gen = _next_generation(index_dir)
+    gen = _claim_generation(index_dir)
     _write_postings(emb, cents, index_dir, m_assign, store_sq8,
                     mode="overwrite", subdir=gen)
     tmp = os.path.join(index_dir, "centroids.json.tmp")
@@ -300,6 +300,26 @@ def _next_generation(index_dir: str) -> str:
             if m:
                 highest = max(highest, int(m.group(1)))
     return f"postings_g{highest + 1}"
+
+
+def _claim_generation(index_dir: str) -> str:
+    """Claim a fresh postings generation with ``os.mkdir``
+    (exist_ok=False) as the mutual-exclusion point: two concurrent
+    builders into the same index_dir race the mkdir, the loser retries
+    and gets a DISTINCT generation — no clobbered parquet writes, no
+    racing centroids.json commits over the same postings dir (ADVICE
+    r8). The bound is a safety net, not a capacity limit."""
+    import os
+
+    for _ in range(10_000):
+        name = _next_generation(index_dir)
+        try:
+            os.mkdir(os.path.join(index_dir, name))
+            return name
+        except FileExistsError:
+            continue
+    raise RuntimeError(
+        f"could not claim a postings generation under {index_dir}")
 
 
 def _postings_path(index_dir: str, meta: dict) -> str:
@@ -371,16 +391,34 @@ def append_to_ivf_index(emb_new: DataFrame, index_dir: str) -> None:
     broadcast-sized model), one partitioned append — no touch of the
     existing postings. Periodic retrain/rebuild (when the corpus
     distribution drifts from the centroids) uses build_ivf_index; the
-    compact_parquet maintenance op handles the small appended files."""
+    compact_parquet maintenance op handles the small appended files.
+
+    Append-vs-rebuild race (ADVICE r8): a rebuild committing between
+    this function's metadata read and its postings write would strand
+    the appended vectors in a superseded generation (which prune then
+    deletes). Guard: after the write, RE-READ the committed metadata;
+    if the generation changed, re-append into the new one (the stranded
+    copy in the old generation is harmless — readers of that generation
+    expect its pre-rebuild view, and prune reclaims it). Bounded retry;
+    raises if the index is being rebuilt continuously."""
     import json
     import os
 
-    with open(os.path.join(index_dir, "centroids.json")) as f:
-        meta = json.load(f)
-    _write_postings(emb_new, meta["centroids"], index_dir,
-                    meta["m_assign"], bool(meta.get("sq8")),
-                    mode="append",
-                    subdir=meta.get("postings_dir", "postings"))
+    def _committed(path: str) -> dict:
+        with open(os.path.join(path, "centroids.json")) as f:
+            return json.load(f)
+
+    for _ in range(5):
+        meta = _committed(index_dir)
+        gen = meta.get("postings_dir", "postings")
+        _write_postings(emb_new, meta["centroids"], index_dir,
+                        meta["m_assign"], bool(meta.get("sq8")),
+                        mode="append", subdir=gen)
+        if _committed(index_dir).get("postings_dir", "postings") == gen:
+            return
+    raise RuntimeError(
+        f"append_to_ivf_index lost the commit race 5 times under "
+        f"{index_dir}: index is being rebuilt continuously")
 
 
 def query_ivf_index(spark: SparkSession, index_dir: str,

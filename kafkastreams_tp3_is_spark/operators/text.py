@@ -29,8 +29,12 @@ _PUNCT = r"[.,!?;:'\"()\[\]{}-]"
 
 def tokens_col(text_col: str = "text") -> F.Column:
     """Whitespace tokenization with empty-token filtering (deterministic,
-    matches the oracle's regexp split)."""
-    return F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+    matches the oracle's regexp split). NULL text coalesces to '' FIRST so
+    ``F.size(tokens_col())`` is 0 — never NULL, and never -1 under legacy
+    sizeOfNull — keeping token-mass sums aligned with SQL oracles whose
+    SUM would silently skip a NULL."""
+    return F.filter(F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
+                    lambda x: x != "")
 
 
 def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -475,16 +479,20 @@ def vocab_drift(spark: SparkSession, sf_dir: str,
 
 def bigrams_col(text_col: str = "text") -> F.Column:
     """Adjacent whitespace-token bigrams as 'tok1 tok2' strings — pure
-    JVM array expressions (sequence + transform + element_at), no UDF.
-    Empty array for docs with fewer than two tokens."""
+    JVM array expressions (zip_with over two shifted slices), no UDF.
+    Empty array for docs with fewer than two tokens.
+
+    NOT transform(sequence, element_at...): element_at pays an
+    interpreted ANSI bounds check per element, measured ~10-17x slower
+    on this corpus — the zip_with spelling is what dropped
+    ngram_lm_score/select_token_budget from ~7-9 s to ~1-2 s at
+    sf0.1."""
     toks = tokens_col(text_col)
     n = F.size(toks)
     return F.when(
         n >= 2,
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.concat(F.element_at(toks, i), F.lit(" "),
-                               F.element_at(toks, i + 1)))
+        F.zip_with(F.slice(toks, 1, n - 1), F.slice(toks, 2, n - 1),
+                   lambda a, b: F.concat(a, F.lit(" "), b))
     ).otherwise(F.array().cast("array<string>"))
 
 

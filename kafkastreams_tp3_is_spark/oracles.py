@@ -2114,6 +2114,35 @@ WHERE update_ts >= trip_ts - INTERVAL 365 DAY
   AND update_ts <= trip_ts + INTERVAL 365 DAY
 """
 
+# KStream.leftJoin twin (streaming/join.py): updates sliced twice as
+# hard (o_orderkey % 40), so half the trip routes have no update stream
+# at all. Unmatched trips carry NULL-free sentinels (epoch / -1) in
+# BOTH engines — the gate compare treats NaN != NaN; real null
+# semantics are pinned in tests/test_streaming.py.
+ORACLES["trips_route_update_stream_left_join"] = """
+WITH u AS (
+  SELECT 'Route_' || CAST(o_orderkey AS VARCHAR) AS route_id,
+         CAST(((CAST(floor(o_totalprice) AS BIGINT) + 37) % 200) + 1
+              AS INTEGER) AS capacity,
+         o_orderdate + INTERVAL 1 DAY AS update_ts
+  FROM orders WHERE o_orderkey % 40 = 0
+),
+t AS (
+  SELECT 'Trip_' || CAST(l_orderkey AS VARCHAR) || '_'
+           || CAST(l_linenumber AS VARCHAR) AS trip_id,
+         'Route_' || CAST(l_orderkey AS VARCHAR) AS route_id,
+         l_shipdate AS trip_ts
+  FROM lineitem WHERE l_orderkey % 20 = 0
+)
+SELECT trip_id, t.route_id AS route_id, trip_ts,
+       COALESCE(update_ts, TIMESTAMP '1970-01-01 00:00:00') AS update_ts,
+       COALESCE(capacity, -1) AS capacity
+FROM t LEFT JOIN u
+  ON t.route_id = u.route_id
+ AND update_ts >= trip_ts - INTERVAL 365 DAY
+ AND update_ts <= trip_ts + INTERVAL 365 DAY
+"""
+
 # Hard-negative contrastive triplets: positive = exact rank-1 cosine
 # neighbor, negatives = ranks 11..13 (just outside top-10); the cosine
 # is the same sequential list_dot_product fold as the other exact

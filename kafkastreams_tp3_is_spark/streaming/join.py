@@ -26,11 +26,32 @@ stateful.py's sizing note).
 
 from __future__ import annotations
 
+import atexit
 import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# scratch sink dirs returned (as lazy reads) by the fixtures below;
+# removed at PROCESS EXIT only — a caller may hold the returned
+# unevaluated DataFrame for arbitrarily long (same contract as
+# operators.ivf's _BUILD_DIRS, ADVICE r7/r8)
+_SINK_DIRS: list[str] = []
+_ATEXIT_REGISTERED = False
+
+
+def _register_sink_dir(path: str) -> None:
+    global _ATEXIT_REGISTERED
+    _SINK_DIRS.append(path)
+    if not _ATEXIT_REGISTERED:
+        def _cleanup() -> None:
+            import shutil
+
+            for d in _SINK_DIRS:
+                shutil.rmtree(d, ignore_errors=True)
+        atexit.register(_cleanup)
+        _ATEXIT_REGISTERED = True
 
 
 def stream_stream_interval_join(left: DataFrame, right: DataFrame,
@@ -123,16 +144,29 @@ def trips_route_update_stream_join(spark: SparkSession, sf_dir: str,
         left_ts="trip_ts", right_ts="update_ts",
         tolerance_days=tolerance_days, watermark="3700 days")
 
-    rows: list = []
+    cols = ["trip_id", "route_id", "trip_ts", "update_ts", "capacity"]
+    return _drain_to_scratch(spark, joined.select(*cols), workdir)
 
-    def collect_batch(batch_df: DataFrame, batch_id: int) -> None:
-        rows.extend(batch_df.collect())
+
+def _drain_to_scratch(spark: SparkSession, out: DataFrame,
+                      workdir: str) -> DataFrame:
+    """Run a streaming frame to completion (availableNow) into a scratch
+    PARQUET SINK and return a lazy read of it. Output never touches the
+    driver: matched rows scale with sf, and a foreachBatch collect would
+    grow driver memory with corpus size (ADVICE r8). The sink dir
+    outlives this call (the returned read is lazy) and is freed at
+    process exit; the inputs + checkpoint under ``workdir`` are freed as
+    soon as the query drains."""
+    out_schema = out.schema
+    sink_dir = tempfile.mkdtemp(prefix="ssjoin_sink_")
+    _register_sink_dir(sink_dir)
 
     conf_key = "spark.sql.shuffle.partitions"
     prev_parts = spark.conf.get(conf_key)
     spark.conf.set(conf_key, "16")
     try:
-        q = (joined.writeStream.foreachBatch(collect_batch)
+        q = (out.writeStream.format("parquet")
+             .option("path", sink_dir)
              .outputMode("append")
              .option("checkpointLocation", os.path.join(workdir, "ckpt"))
              .trigger(availableNow=True).start())
@@ -142,7 +176,103 @@ def trips_route_update_stream_join(spark: SparkSession, sf_dir: str,
         import shutil
         shutil.rmtree(workdir, ignore_errors=True)
 
+    return spark.read.schema(out_schema).parquet(sink_dir)
+
+
+def trips_route_update_stream_left_join(spark: SparkSession, sf_dir: str,
+                                        tolerance_days: int = 365,
+                                        mod: int = 20,
+                                        update_mod: int = 40) -> DataFrame:
+    """Driver-gate fixture for the LEFT-OUTER stream-stream join (full
+    hash oracle): every sliced trip emits exactly once — with its
+    in-interval capacity update when one exists, or with sentinel right
+    columns (epoch timestamp / -1) once the watermark PROVES no partner
+    can still arrive. KStream.leftJoin's null-at-window-close, replayed
+    as file streams.
+
+    Updates are sliced twice as hard as trips (``o_orderkey %
+    update_mod``), so half the trip routes have NO update stream at all —
+    the unmatched-left population the outer semantics exist for. Outer
+    rows only emit after the watermark passes their interval edge, and a
+    watermark update only takes effect in a LATER micro-batch, so each
+    side stages three mtime-ordered files: the data batch, then two
+    far-future sentinel batches (keys match nothing, filtered out
+    post-join) that first drive the watermark past every real edge and
+    then flush the pending outer rows. NULL right columns are coalesced
+    to sentinels (epoch / -1) in BOTH engines: the gate compare treats
+    NaN != NaN, so gate outputs must be null-free (real null semantics
+    are pinned by the pytest in tests/test_streaming.py).
+
+    Output: (trip_id, route_id, trip_ts, update_ts, capacity)."""
+    import time
+
+    from ..views import load, route_updates_from_orders, trips_from_lineitem
+
+    trips = (trips_from_lineitem(
+                 load(spark, sf_dir, "lineitem")
+                 .where(F.col("l_orderkey") % mod == 0))
+             .select("trip_id", "route_id",
+                     F.col("event_ts").cast("timestamp").alias("trip_ts")))
+    updates = (route_updates_from_orders(
+                   load(spark, sf_dir, "orders")
+                   .where(F.col("o_orderkey") % update_mod == 0))
+               .select("route_id", "capacity",
+                       F.col("event_ts").cast("timestamp")
+                        .alias("update_ts")))
+
+    workdir = tempfile.mkdtemp(prefix="ssljoin_")
+    t_dir = os.path.join(workdir, "trips")
+    u_dir = os.path.join(workdir, "updates")
+
+    far = "2120-01-01 00:00:00"
+
+    def sentinel(tag: str, side: str) -> DataFrame:
+        if side == "t":
+            return spark.createDataFrame(
+                [("SENT", f"Route_S{tag}", far)],
+                "trip_id string, route_id string, trip_ts string"
+            ).withColumn("trip_ts", F.col("trip_ts").cast("timestamp"))
+        return spark.createDataFrame(
+            [(f"Route_S{tag}", 0, far)],
+            "route_id string, capacity int, update_ts string"
+        ).withColumn("update_ts", F.col("update_ts").cast("timestamp"))
+
+    # three appends per side with mtime gaps: the file source orders
+    # micro-batches by modification time, and data MUST precede the
+    # sentinels for the watermark choreography above
+    trips.coalesce(1).write.mode("append").parquet(t_dir)
+    updates.coalesce(1).write.mode("append").parquet(u_dir)
+    for tag in ("1", "2"):
+        time.sleep(0.3)
+        sentinel(tag, "t").coalesce(1).write.mode("append").parquet(t_dir)
+        sentinel(tag, "u").coalesce(1).write.mode("append").parquet(u_dir)
+
+    t_schema = spark.read.parquet(t_dir).schema
+    u_schema = spark.read.parquet(u_dir).schema
+    t_stream = (spark.readStream.schema(t_schema)
+                .option("maxFilesPerTrigger", "1").parquet(t_dir))
+    u_stream = (spark.readStream.schema(u_schema)
+                .option("maxFilesPerTrigger", "1").parquet(u_dir))
+
+    joined = stream_stream_interval_join(
+        t_stream, u_stream, key="route_id",
+        left_ts="trip_ts", right_ts="update_ts",
+        tolerance_days=tolerance_days, watermark="3700 days",
+        how="leftOuter")
+
+    # sentinel filtering and null-coalescing happen BATCH-SIDE, on the
+    # sink read: a filter inside the streaming plan gets pushed below
+    # the left side's EventTimeWatermark node, so the sentinel rows
+    # would never advance the watermark and the outer rows would never
+    # flush (verified empirically — 0 outer emissions with the filter
+    # in-plan, all of them with it post-sink)
     cols = ["trip_id", "route_id", "trip_ts", "update_ts", "capacity"]
-    out_schema = joined.select(*cols).schema
-    return spark.createDataFrame(
-        [tuple(r[c] for c in cols) for r in rows], schema=out_schema)
+    drained = _drain_to_scratch(spark, joined.select(*cols), workdir)
+    return (drained
+            .where(~F.col("route_id").startswith("Route_S"))
+            .select(
+                "trip_id", "route_id", "trip_ts",
+                F.coalesce(F.col("update_ts"),
+                           F.lit("1970-01-01 00:00:00").cast("timestamp"))
+                 .alias("update_ts"),
+                F.coalesce(F.col("capacity"), F.lit(-1)).alias("capacity")))

@@ -29,10 +29,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 from kafkastreams_tp3_is_spark.operators.curation import (  # noqa: E402
-    decontaminate_df)
+    decontaminate_df, select_token_budget_df)
 from kafkastreams_tp3_is_spark.operators.dedup import (  # noqa: E402
-    bloom_decontaminate_spans_df, dedup_minhash_lsh_df, dedup_simhash_df,
-    paragraph_dedup_df, repeated_spans_df)
+    bloom_decontaminate_spans_df, containment_pairs_df, dedup_minhash_lsh_df,
+    dedup_simhash_df, paragraph_dedup_df, repeated_spans_df,
+    winnow_fingerprints_df, winnow_fingerprints_fast_df, winnow_pairs_df)
+from kafkastreams_tp3_is_spark.operators.text import (  # noqa: E402
+    ngram_lm_score_df)
 from kafkastreams_tp3_is_spark.operators.multimodal import (  # noqa: E402
     image_dhash_pairs_df)
 from kafkastreams_tp3_is_spark.operators.embstats import (  # noqa: E402
@@ -128,6 +131,31 @@ def _dhash_pairs(docs):
     return image_dhash_pairs_df(media)
 
 
+def _winnow_pairs_planted(docs):
+    # O(n) planted shifted twins (every 25th doc gets a prefix-shifted
+    # copy) so pair output scales linearly with rows — the raw scaled
+    # corpus has no cross-copy structure (the cipher rewrites nearly
+    # every gram), and pairs within a copy are accidental only
+    planted = (docs.where(F.col("doc_id") % 25 == 0)
+               .select((F.col("doc_id") + F.lit(9_000_000_000))
+                       .alias("doc_id"),
+                       F.concat(F.lit("shifted prefix"),
+                                F.coalesce(F.col("text"), F.lit("")))
+                        .alias("text")))
+    return winnow_pairs_df(docs.unionByName(planted))
+
+
+def _containment_planted(docs):
+    # O(n) planted excerpts (every 25th long-enough doc contributes one
+    # contained page) so containment output scales linearly with rows
+    excerpts = (docs.where((F.col("doc_id") % 25 == 0)
+                           & (F.length("text") >= 80))
+                .select((F.col("doc_id") + F.lit(2_000_000))
+                        .alias("doc_id"),
+                        F.expr("substring(text, 11, 60)").alias("text")))
+    return containment_pairs_df(docs.unionByName(excerpts))
+
+
 def scaled_embeddings(spark, sf_dir: str, copies: int):
     base = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     n = base.count()
@@ -183,7 +211,21 @@ def main() -> None:
            ("bloom_decontaminate_spans", _bloom_decontaminate_spans),
            # one packed fingerprint per image + 20 block tables: linear
            # rows, bucket keys grow with the corpus
-           ("media_dhash_pairs", _dhash_pairs)]
+           ("media_dhash_pairs", _dhash_pairs),
+           # --- heavy r7 operators (VERDICT r8 ask #3) ---------------
+           # map-side bigram partials + one bigram-keyed join: shuffle
+           # rows linear in token count
+           ("ngram_lm_score", ngram_lm_score_df),
+           # row-local gram hash + sparse-table window min, shuffle-free
+           ("winnow_fingerprints", winnow_fingerprints_df),
+           ("winnow_fingerprints_fast", winnow_fingerprints_fast_df),
+           # df-cut bounded inverted-index self-join over planted twins
+           ("winnow_pairs", _winnow_pairs_planted),
+           # SSJoin prefix filter over planted excerpts
+           ("containment_pairs", _containment_planted),
+           # two-pass bucket-decomposed greedy: ordered window only over
+           # the bounded bucket frame + one boundary bucket
+           ("select_token_budget", select_token_budget_df)]
     for name, fn in ops:
         d1 = scaled_docs(spark, sf_dir, 1)
         timed(fn, d1)                       # untimed warmup: codegen/JIT

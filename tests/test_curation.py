@@ -379,8 +379,10 @@ def test_source_overlap_matrix_counts_planted_pairs(spark):
 
 def test_domain_mixture_report_hand_computed(spark):
     """Exact per-source math on a 2-source corpus with one
-    within-source duplicate: counts, dup_ratio, and token_share all
-    verifiable by hand; shares sum to exactly 1."""
+    within-source duplicate AND one NULL-text document: counts,
+    dup_ratio, and token_share all verifiable by hand; shares sum to
+    exactly 1. The NULL-text row pins the ADVICE fix — it must count as
+    0 tokens (never NULL or -1) and hash as '' for distinctness."""
     from kafkastreams_tp3_is_spark.operators.curation import (
         domain_mixture_report_df)
 
@@ -389,13 +391,14 @@ def test_domain_mixture_report_hand_computed(spark):
          (2, "one two three", "en", "A", 13),   # dup within A
          (3, "four five", "en", "A", 9),
          (4, "six", "en", "B", 3),
+         (5, None, "en", "B", 0),               # NULL text: 0 tokens
          ], "doc_id long, text string, lang string, source string, "
            "n_chars int")
     got = {r["source"]: r.asDict()
            for r in domain_mixture_report_df(docs).collect()}
     a, b = got["A"], got["B"]
     assert (a["n_docs"], a["n_tokens"], a["n_distinct_texts"]) == (3, 8, 2)
-    assert (b["n_docs"], b["n_tokens"], b["n_distinct_texts"]) == (1, 1, 1)
+    assert (b["n_docs"], b["n_tokens"], b["n_distinct_texts"]) == (2, 1, 2)
     assert a["dup_ratio"] == 1 / 3 and b["dup_ratio"] == 0.0
     assert a["token_share"] == 8 / 9 and b["token_share"] == 1 / 9
     assert a["token_share"] + b["token_share"] == 1.0
@@ -431,6 +434,29 @@ def test_select_token_budget_equals_global_greedy(spark):
     assert 0 < len(got_sel) < len(got), "both branches must run"
     kept = sum(got[d]["n_tokens"] for d in got_sel)
     assert kept <= budget
+
+
+def test_select_token_budget_null_text_is_zero_tokens(spark):
+    """A NULL-text document must flow through selection as 0 tokens
+    (the ADVICE fix): it never poisons the cumulative sum with NULL/-1
+    and, being free, is selected whenever its familiarity rank is
+    reached before the budget closes."""
+    from kafkastreams_tp3_is_spark.operators.curation import (
+        select_token_budget_df)
+
+    docs = spark.createDataFrame(
+        [(1, "aa bb aa bb aa bb", "en", "A", 17),
+         (2, "aa bb aa bb", "en", "A", 11),
+         (3, None, "en", "A", 0),
+         (4, "zz yy xx ww vv uu tt ss", "en", "A", 23),
+         ], "doc_id long, text string, lang string, source string, "
+           "n_chars int")
+    rows = {r["doc_id"]: r
+            for r in select_token_budget_df(docs, budget=12).collect()}
+    assert len(rows) == 4
+    assert rows[3]["n_tokens"] == 0
+    tot = sum(r["n_tokens"] for r in rows.values() if r["selected"])
+    assert tot <= 12
 
 
 def test_split_by_content_coassigns_exact_duplicates(spark):

@@ -484,3 +484,59 @@ def test_winnow_rightmost_min_hand_computed(spark):
     # away from the boundary the selected (pos, fp) sets coincide
     inner1 = {(p, f) for p, f in f1 if p >= 8}
     assert inner1 and inner1 <= f2
+
+
+def test_winnow_fast_twin_guarantee_and_planted_recovery(spark):
+    """The xxhash64 fast twin must satisfy the SAME hash-agnostic
+    winnowing guarantee as the md5 baseline (shared substring >= k+w-1
+    chars -> shared fingerprint; disjoint docs share nothing), recover
+    the same planted pair, and keep the baseline's fingerprint DENSITY
+    (same selection algorithm — only the hash family differs, so the
+    per-doc fingerprint count is within a small factor)."""
+    from kafkastreams_tp3_is_spark.operators.dedup import (
+        winnow_fingerprints_df, winnow_fingerprints_fast_df,
+        winnow_pairs_fast_df)
+
+    shared = "the quick brown fox jumps over the lazy dog"
+    docs = spark.createDataFrame(
+        [(1, "AAAA " + shared + " BBBB"),
+         (2, "a completely different long prefix text " + shared),
+         (3, "nothing in common with either document here at all xyzw")],
+        "doc_id long, text string")
+    fps = winnow_fingerprints_fast_df(docs, k=8, w=4).toPandas()
+    s1 = set(fps[fps.doc_id == 1]["fp"])
+    s2 = set(fps[fps.doc_id == 2]["fp"])
+    s3 = set(fps[fps.doc_id == 3]["fp"])
+    assert s1 & s2
+    assert not (s1 & s3) and not (s2 & s3)
+
+    pairs = {(r["doc_a"], r["doc_b"])
+             for r in winnow_pairs_fast_df(docs, min_shared=1, max_df=10)
+             .collect()}
+    assert pairs == {(1, 2)}
+
+    # density parity with the md5 baseline on the real corpus slice
+    from kafkastreams_tp3_is_spark.views import load
+    docs_sf = load(spark, SF_DIR, "documents").limit(200)
+    n_md5 = winnow_fingerprints_df(docs_sf).count()
+    n_fast = winnow_fingerprints_fast_df(docs_sf).count()
+    assert 0.8 <= n_fast / n_md5 <= 1.25
+
+
+def test_winnow_fast_fixture_recovers_planted_shifted_copies(spark):
+    """winnow_pairs_fast must recover EVERY planted shifted copy at
+    sf0.001 — the same recovery contract as the md5 fixture's hash
+    oracle, pinned here because the fast gate is rows-only."""
+    from pyspark.sql import functions as F
+
+    from kafkastreams_tp3_is_spark.operators.dedup import winnow_pairs_fast
+    from kafkastreams_tp3_is_spark.views import load
+
+    docs = load(spark, SF_DIR, "documents")
+    planted_parents = {r["doc_id"] for r in
+                       docs.where(F.col("doc_id") % 25 == 0)
+                       .select("doc_id").collect()}
+    pairs = {(r["doc_a"], r["doc_b"])
+             for r in winnow_pairs_fast(spark, SF_DIR).collect()}
+    for p in planted_parents:
+        assert (p, p + 9_000_000_000) in pairs

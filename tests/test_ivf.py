@@ -235,3 +235,128 @@ def test_ivf_incremental_append_equals_full_write(spark, tmp_path):
     assert got == want and len(got) > 0
     assert any(r[1] % 2 == 1 for r in got), \
         "appended (odd) vectors must be probe-reachable"
+
+
+def test_rebuild_generation_commit_point(spark, tmp_path):
+    """The commit-point contract the generation layout exists for
+    (ADVICE r7/r8): a reader holding an UNEVALUATED plan over the
+    committed generation must keep reading a consistent g0 view across
+    a REBUILD into the same index_dir — the rebuild writes postings_g1
+    and swaps centroids.json, never touching g0's files. Then
+    prune_ivf_index_generations removes exactly the superseded g0 and
+    new readers see only g1."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kafkastreams_tp3_is_spark.operators.ivf import (
+        build_ivf_index, prune_ivf_index_generations, query_ivf_index)
+
+    emb = load(spark, SF_DIR, "embeddings")
+    half = emb.where(F.col("vec_id") % 2 == 0)
+    idx = str(tmp_path / "gen_idx")
+
+    build_ivf_index(half, idx, n_centroids=8, m_assign=2)
+    with open(os.path.join(idx, "centroids.json")) as f:
+        g0 = json.load(f)["postings_dir"]
+    # unevaluated reader pinned to generation g0 (what query_ivf_index
+    # resolves at plan time), plus its expected content evaluated NOW
+    reader_g0 = spark.read.parquet(os.path.join(idx, g0))
+    want_ids = {r["vec_id"]
+                for r in reader_g0.select("vec_id").distinct().collect()}
+    lazy_count = reader_g0.select("vec_id").distinct()  # NOT evaluated yet
+
+    # rebuild over the FULL corpus into the same dir
+    build_ivf_index(emb, idx, n_centroids=8, m_assign=2)
+    with open(os.path.join(idx, "centroids.json")) as f:
+        g1 = json.load(f)["postings_dir"]
+    assert g1 != g0, "rebuild must claim a fresh generation"
+    assert os.path.isdir(os.path.join(idx, g0)), \
+        "rebuild must not touch the superseded generation"
+
+    # the held plan still reads g0's pre-rebuild content, consistently
+    got_ids = {r["vec_id"] for r in lazy_count.collect()}
+    assert got_ids == want_ids
+    assert all(v % 2 == 0 for v in got_ids)
+
+    # new probes resolve the committed g1 (full corpus: odd ids too)
+    queries = emb.orderBy("vec_id").limit(3).select("vec_id", "embedding")
+    out = query_ivf_index(spark, idx, queries, k=10, nprobe=8)
+    assert any(r["neighbor_id"] % 2 == 1 for r in out.collect())
+
+    # prune removes exactly the unreferenced g0 and reports it
+    removed = prune_ivf_index_generations(idx)
+    assert removed == [g0]
+    assert not os.path.exists(os.path.join(idx, g0))
+    assert os.path.isdir(os.path.join(idx, g1))
+
+
+def test_claim_generation_is_race_safe(tmp_path):
+    """_claim_generation's mkdir is the mutual-exclusion point: many
+    concurrent claimers must each get a DISTINCT generation name
+    (ADVICE r8 — list-then-pick alone lets two builders collide)."""
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
+    from kafkastreams_tp3_is_spark.operators.ivf import _claim_generation
+
+    idx = str(tmp_path / "race_idx")
+    os.makedirs(idx)
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        names = list(ex.map(lambda _: _claim_generation(idx), range(32)))
+    assert len(set(names)) == 32
+    assert all(os.path.isdir(os.path.join(idx, n)) for n in names)
+
+
+def test_append_rereads_commit_and_survives_rebuild_race(spark, tmp_path):
+    """append_to_ivf_index must detect a rebuild that commits between
+    its metadata read and its postings write, and land the delta in the
+    POST-rebuild generation (ADVICE r8: without the re-read the delta
+    is silently stranded in a superseded generation that prune then
+    deletes). The race is simulated by monkeypatching _write_postings
+    to run the rebuild just before the first append write."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kafkastreams_tp3_is_spark.operators import ivf as ivf_mod
+
+    emb = load(spark, SF_DIR, "embeddings")
+    even = emb.where(F.col("vec_id") % 2 == 0)
+    odd = emb.where(F.col("vec_id") % 2 == 1)
+    idx = str(tmp_path / "race_append")
+
+    ivf_mod.build_ivf_index(even, idx, n_centroids=8, m_assign=2)
+
+    real_write = ivf_mod._write_postings
+    fired = {"done": False}
+
+    def racing_write(*args, **kwargs):
+        if not fired["done"]:
+            fired["done"] = True
+            # rebuild commits a NEW generation mid-append
+            real_build_guard = ivf_mod._write_postings
+            ivf_mod._write_postings = real_write
+            try:
+                ivf_mod.build_ivf_index(even, idx, n_centroids=8,
+                                        m_assign=2)
+            finally:
+                ivf_mod._write_postings = real_build_guard
+        return real_write(*args, **kwargs)
+
+    ivf_mod._write_postings = racing_write
+    try:
+        ivf_mod.append_to_ivf_index(odd, idx)
+    finally:
+        ivf_mod._write_postings = real_write
+
+    with open(os.path.join(idx, "centroids.json")) as f:
+        live = json.load(f)["postings_dir"]
+    live_ids = {r["vec_id"] for r in
+                spark.read.parquet(os.path.join(idx, live))
+                .select("vec_id").distinct().collect()}
+    odd_ids = {r["vec_id"] for r in odd.select("vec_id").collect()}
+    assert odd_ids <= live_ids, \
+        "appended delta must live in the committed generation"
