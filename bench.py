@@ -53,7 +53,8 @@ BASELINE_QUERIES = {"embedding_near_dup_exact", "ngram_jaccard_pairs",
 # latest_route_capacity, same semantics, ~1s at sf0.1). Timed and reported
 # separately so nothing is hidden.
 DEMO_QUERIES = {"latest_route_capacity_stateful",
-                "trips_route_update_stream_join"}
+                "trips_route_update_stream_join",
+                "trips_route_update_stream_left_join"}
 
 # Composed pipelines: one registry entry that chains stages which are
 # EACH already a headline query (repeated_spans, quality_decile_filter,
@@ -140,7 +141,16 @@ def main() -> None:
     baselines: dict[str, float] = {}
     demos: dict[str, float] = {}
     composed: dict[str, float] = {}
-    for name, fn in queries.items():
+    # Streaming demos run LAST: a finished streaming query's state-store
+    # providers stay loaded in the executor JVM (HDFSBackedStateStore
+    # keeps recent versions in memory until the maintenance thread
+    # unloads them), and with the demos early in registry order that
+    # residue GC-pressured every later entry (measured ~1.2x median
+    # drift). Ordering is a bench concern, not a registry one.
+    ordered = ([(n, f) for n, f in queries.items()
+                if n not in DEMO_QUERIES]
+               + [(n, f) for n, f in queries.items() if n in DEMO_QUERIES])
+    for name, fn in ordered:
         out = (baselines if name in BASELINE_QUERIES
                else demos if name in DEMO_QUERIES
                else composed if name in COMPOSED_QUERIES else timings)

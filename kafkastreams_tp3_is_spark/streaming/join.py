@@ -163,7 +163,10 @@ def _drain_to_scratch(spark: SparkSession, out: DataFrame,
 
     conf_key = "spark.sql.shuffle.partitions"
     prev_parts = spark.conf.get(conf_key)
-    spark.conf.set(conf_key, "16")
+    # 8 shuffle partitions -> 8 state stores per side per batch: the
+    # fixture's output is small and the store count (frozen at
+    # checkpoint creation) is the dominant micro-batch cost
+    spark.conf.set(conf_key, "8")
     try:
         q = (out.writeStream.format("parquet")
              .option("path", sink_dir)
@@ -175,6 +178,15 @@ def _drain_to_scratch(spark: SparkSession, out: DataFrame,
         spark.conf.set(conf_key, prev_parts)
         import shutil
         shutil.rmtree(workdir, ignore_errors=True)
+        # unload the drained query's state-store providers: they stay
+        # resident in the executor JVM after the query stops (awaiting
+        # the maintenance thread) and GC-pressure everything that runs
+        # after the fixture. Private API, so best-effort.
+        try:
+            (spark._jvm.org.apache.spark.sql.execution.streaming
+             .state.StateStore.stop())
+        except Exception:
+            pass
 
     return spark.read.schema(out_schema).parquet(sink_dir)
 
@@ -227,15 +239,17 @@ def trips_route_update_stream_left_join(spark: SparkSession, sf_dir: str,
     far = "2120-01-01 00:00:00"
 
     def sentinel(tag: str, side: str) -> DataFrame:
+        # JVM one-row relations (spark.sql literals), NOT createDataFrame:
+        # a python-built 1-row frame parallelizes to defaultParallelism
+        # partitions and coalesce(1) then pays a ~5s Python-worker chain
+        # per write (measured) — the fixture's former dominant cost
         if side == "t":
-            return spark.createDataFrame(
-                [("SENT", f"Route_S{tag}", far)],
-                "trip_id string, route_id string, trip_ts string"
-            ).withColumn("trip_ts", F.col("trip_ts").cast("timestamp"))
-        return spark.createDataFrame(
-            [(f"Route_S{tag}", 0, far)],
-            "route_id string, capacity int, update_ts string"
-        ).withColumn("update_ts", F.col("update_ts").cast("timestamp"))
+            return spark.sql(
+                f"SELECT 'SENT' AS trip_id, 'Route_S{tag}' AS route_id, "
+                f"TIMESTAMP'{far}' AS trip_ts")
+        return spark.sql(
+            f"SELECT 'Route_S{tag}' AS route_id, CAST(0 AS INT) AS "
+            f"capacity, TIMESTAMP'{far}' AS update_ts")
 
     # three appends per side with mtime gaps: the file source orders
     # micro-batches by modification time, and data MUST precede the
