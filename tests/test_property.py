@@ -434,3 +434,48 @@ def test_bloom_bit_math_jvm_vs_numpy_bit_identical(spark):
     p2 = np.mod(mixed, m_bits)
     for i, hv in enumerate(h.tolist()):
         assert jvm_pos[hv] == (int(p1[i]), int(p2[i])), hex(hv & (2**64 - 1))
+
+
+def _brute_winnow(text, k, w, hash_fn):
+    """Naive SIGMOD'03 winnowing: hash every k-gram, rightmost minimum
+    of each w-window, dedup. The reference the sparse-table kernel in
+    operators.dedup._winnow_df must reproduce exactly."""
+    t = text or ""
+    hashes = [hash_fn(t[i:i + k]) for i in range(len(t) - k + 1)]
+    out = set()
+    for j in range(len(hashes) - w + 1):
+        win = hashes[j:j + w]
+        mn = min(win)
+        pos = j + max(i for i, h in enumerate(win) if h == mn)
+        out.add((pos, hashes[pos]))
+    return out
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(st.text(alphabet=_ALPHA, min_size=0, max_size=80),
+                min_size=1, max_size=5))
+def test_winnow_kernel_matches_bruteforce(spark, texts):
+    """The zip_with/least sparse-table winnowing kernel (and its
+    adjacent-compare dedup) must emit EXACTLY the naive per-window
+    rightmost-min fingerprint set on arbitrary texts — including empty
+    strings, texts shorter than k, and texts with heavy repeats (where
+    the monotone-argmin dedup argument is doing real work). Hash parity
+    comes from restating the md5-prefix bigint in Python."""
+    import hashlib
+
+    from kafkastreams_tp3_is_spark.operators.dedup import (
+        winnow_fingerprints_df)
+
+    k, w = 8, 4
+
+    def md5_prefix(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = {}
+    for r in winnow_fingerprints_df(docs, k, w).collect():
+        got.setdefault(r["doc_id"], set()).add((r["pos"], r["fp"]))
+    for i, t in enumerate(texts):
+        want = _brute_winnow(t, k, w, md5_prefix)
+        assert got.get(i, set()) == want, f"doc {i}: {t!r}"
