@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_mixture_report": _cur.domain_mixture_report,
         "trips_route_update_stream_join": _ssjoin.trips_route_update_stream_join,
         "tfidf_topk": _ret.tfidf_topk,
+        "embedding_matryoshka_recall": _sim.embedding_matryoshka_recall,
         # --- r6-dated overflow from the r8 rotation (14) -------------------
         "corpus_clean": _pipe.corpus_clean,
         "decontaminate_spans_bloom": _dedup.decontaminate_spans_bloom,

@@ -541,6 +541,78 @@ def ann_recall_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_recall_sq8_df(load(spark, sf_dir, "embeddings"))
 
 
+def embedding_matryoshka_recall_df(emb: DataFrame,
+                                   dims: tuple = (16, 32, 64),
+                                   n_queries: int = 5,
+                                   k: int = 10) -> DataFrame:
+    """Matryoshka truncation evaluation (Kusupati et al., NeurIPS'22):
+    recall@k of exact cosine retrieval over the first ``d`` embedding
+    coordinates, per prefix width d, against the full-dimension exact
+    ranking — the table an embedding-pipeline owner reads before
+    shipping truncated vectors to cut index storage/bandwidth (an MRL
+    checkpoint preserves prefix quality; this measures how much THIS
+    corpus's retrieval keeps at each width). The full-width row is a
+    built-in self-check: recall exactly 1.0 by construction.
+
+    Output: (dim, query_id, n_hits, k, recall) — counts exact bigints,
+    recall ONE division, the truncated cosine the same sequential fold
+    as every exact oracle (slicing commutes with the fold), so the
+    whole report is full-hash verifiable.
+
+    Scale: per width, one broadcast of the n_queries head against a
+    corpus scan reading d/dim of the vector bytes (at production scale
+    the truncated ranking comes from a truncated IVF index instead;
+    the evaluation join stays n_queries x k)."""
+    full = (_bruteforce_ranked(emb, n_queries)
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id"))
+    qids = (emb.orderBy("vec_id").limit(n_queries)
+            .select(F.col("vec_id").alias("query_id")))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
+                                               F.col("neighbor_id").asc())
+    parts = []
+    for d in dims:
+        queries = (emb.orderBy("vec_id").limit(n_queries)
+                   .select(F.col("vec_id").alias("query_id"),
+                           F.slice(_as_double("embedding"), 1, d)
+                            .alias("q_vec")))
+        corpus = emb.select(F.col("vec_id").alias("neighbor_id"),
+                            F.slice(_as_double("embedding"), 1, d)
+                             .alias("c_vec"))
+        trunc = (corpus.crossJoin(F.broadcast(queries))
+                 .where(F.col("neighbor_id") != F.col("query_id"))
+                 .select("query_id", "neighbor_id",
+                         _cosine(F.col("q_vec"), F.col("c_vec"))
+                         .alias("cosine"))
+                 .withColumn("rank", F.row_number().over(w))
+                 .where(F.col("rank") <= k)
+                 .select("query_id", "neighbor_id"))
+        hits = (full.join(trunc, ["query_id", "neighbor_id"])
+                .groupBy("query_id")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits")))
+        n_hits = F.coalesce(F.col("n_hits"), F.lit(0).cast("bigint"))
+        parts.append(
+            qids.join(hits, "query_id", "left")
+            .select(F.lit(d).cast("int").alias("dim"), "query_id",
+                    n_hits.alias("n_hits"),
+                    F.lit(k).cast("int").alias("k"),
+                    (n_hits.cast("double") / F.lit(float(k)))
+                    .alias("recall")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def embedding_matryoshka_recall(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Driver-gate fixture (full hash oracle): recall@10 of exact
+    retrieval over 16/32/64-wide embedding prefixes vs the full 64-dim
+    ranking."""
+    return embedding_matryoshka_recall_df(load(spark, sf_dir,
+                                               "embeddings"))
+
+
 def cosine_topk_sq8_rescored_df(emb: DataFrame, n_queries: int = 5,
                                 k: int = 10,
                                 shortlist: int = 30) -> DataFrame:

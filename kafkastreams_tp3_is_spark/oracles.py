@@ -2374,6 +2374,50 @@ FROM (SELECT DISTINCT query_id FROM ex) q
 LEFT JOIN hits USING (query_id)
 """
 
+# Matryoshka truncation recall: per prefix width d, the exact ranking
+# over list_slice(embedding, 1, d) intersected with the full-width
+# ranking — every CTE is the hash-verified ann_cosine_topk shape with a
+# sliced vector, counts exact, ONE division. Slicing commutes with the
+# sequential dot-product fold, so floats stay bit-identical.
+def _matryoshka_ranked(d: int) -> str:
+    return f"""
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id ASC)
+             AS rank
+    FROM (
+      SELECT query_id, neighbor_id,
+             list_dot_product(qv, cv)
+               / (sqrt(list_dot_product(qv, qv))
+                  * sqrt(list_dot_product(cv, cv))) AS cosine
+      FROM (SELECT vec_id AS neighbor_id,
+                   list_slice(embedding::DOUBLE[], 1, {d}) AS cv
+            FROM embeddings) c,
+           (SELECT vec_id AS query_id,
+                   list_slice(embedding::DOUBLE[], 1, {d}) AS qv
+            FROM embeddings ORDER BY vec_id LIMIT 5) q
+      WHERE neighbor_id <> query_id))
+  WHERE rank <= 10
+"""
+
+
+ORACLES["embedding_matryoshka_recall"] = "\nUNION ALL\n".join(f"""
+SELECT CAST({d} AS INTEGER) AS dim, q.query_id,
+       CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(10 AS INTEGER) AS k,
+       CAST(COALESCE(n_hits, 0) AS DOUBLE) / 10.0 AS recall
+FROM (SELECT vec_id AS query_id FROM embeddings
+      ORDER BY vec_id LIMIT 5) q
+LEFT JOIN (
+  SELECT f.query_id, COUNT(*) AS n_hits
+  FROM ({_matryoshka_ranked(64)}) f
+  JOIN ({_matryoshka_ranked(d)}) t
+    USING (query_id, neighbor_id)
+  GROUP BY f.query_id
+) hits USING (query_id)
+""" for d in (16, 32, 64))
+
 # Winnowing fingerprints: k=8 char grams hashed with the md5-prefix
 # bigint spelling ('0x'||substring(md5(gram),1,15) == Spark
 # conv(...,16,10)), w=4 windows keeping the RIGHTMOST minimum

@@ -91,3 +91,24 @@ def test_sq8_topk_plan_shape(spark):
     assert plan.count("BroadcastExchange") == 1
     assert "CartesianProduct" not in plan
     assert plan.count("WindowGroupLimit") == 2      # Partial + Final
+
+
+def test_matryoshka_recall_full_width_is_one_and_bounded(spark):
+    """Matryoshka evaluation invariants: the full-width row is recall
+    1.0 for EVERY query (truncating at the full dimension is the
+    identity, so the ranking equals the baseline by construction), and
+    every (n_hits, recall) pair is consistent and within [0, k]."""
+    from kafkastreams_tp3_is_spark.operators.similarity import (
+        embedding_matryoshka_recall)
+    from tests.conftest import SF_DIR
+
+    rows = embedding_matryoshka_recall(spark, SF_DIR).collect()
+    dims = {r["dim"] for r in rows}
+    assert dims == {16, 32, 64}
+    n_queries = len({r["query_id"] for r in rows})
+    assert len(rows) == 3 * n_queries
+    for r in rows:
+        assert 0 <= r["n_hits"] <= r["k"]
+        assert r["recall"] == r["n_hits"] / r["k"]
+        if r["dim"] == 64:
+            assert r["n_hits"] == r["k"], "full width must be identity"
