@@ -54,7 +54,8 @@ BASELINE_QUERIES = {"embedding_near_dup_exact", "ngram_jaccard_pairs",
 # separately so nothing is hidden.
 DEMO_QUERIES = {"latest_route_capacity_stateful",
                 "trips_route_update_stream_join",
-                "trips_route_update_stream_left_join"}
+                "trips_route_update_stream_left_join",
+                "trips_route_update_stream_outer_join"}
 
 # Composed pipelines: one registry entry that chains stages which are
 # EACH already a headline query (repeated_spans, quality_decile_filter,

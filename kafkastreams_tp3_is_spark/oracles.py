@@ -2143,6 +2143,36 @@ FROM t LEFT JOIN u
  AND update_ts <= trip_ts + INTERVAL 365 DAY
 """
 
+# KStream.outerJoin twin: trips % 20 vs updates % 30 — overlap (% 60)
+# matches, trips on 20/40 (mod 60) and updates on 30 (mod 60) are
+# single-sided. Both sides' unmatched rows carry NULL-free sentinels
+# ('NO_TRIP' / epoch / -1) in BOTH engines.
+ORACLES["trips_route_update_stream_outer_join"] = """
+WITH u AS (
+  SELECT 'Route_' || CAST(o_orderkey AS VARCHAR) AS route_id,
+         CAST(((CAST(floor(o_totalprice) AS BIGINT) + 37) % 200) + 1
+              AS INTEGER) AS capacity,
+         o_orderdate + INTERVAL 1 DAY AS update_ts
+  FROM orders WHERE o_orderkey % 30 = 0
+),
+t AS (
+  SELECT 'Trip_' || CAST(l_orderkey AS VARCHAR) || '_'
+           || CAST(l_linenumber AS VARCHAR) AS trip_id,
+         'Route_' || CAST(l_orderkey AS VARCHAR) AS route_id,
+         l_shipdate AS trip_ts
+  FROM lineitem WHERE l_orderkey % 20 = 0
+)
+SELECT COALESCE(trip_id, 'NO_TRIP') AS trip_id,
+       COALESCE(t.route_id, u.route_id) AS route_id,
+       COALESCE(trip_ts, TIMESTAMP '1970-01-01 00:00:00') AS trip_ts,
+       COALESCE(update_ts, TIMESTAMP '1970-01-01 00:00:00') AS update_ts,
+       COALESCE(capacity, -1) AS capacity
+FROM t FULL JOIN u
+  ON t.route_id = u.route_id
+ AND update_ts >= trip_ts - INTERVAL 365 DAY
+ AND update_ts <= trip_ts + INTERVAL 365 DAY
+"""
+
 # Hard-negative contrastive triplets: positive = exact rank-1 cosine
 # neighbor, negatives = ranks 11..13 (just outside top-10); the cosine
 # is the same sequential list_dot_product fold as the other exact

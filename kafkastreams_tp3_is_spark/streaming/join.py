@@ -61,23 +61,26 @@ def stream_stream_interval_join(left: DataFrame, right: DataFrame,
                                 how: str = "inner") -> DataFrame:
     """Join two STREAMING frames on ``key`` where ``right_ts`` is within
     ±``tolerance_days`` of ``left_ts``. ``how`` is ``inner`` (KStream
-    ``join``) or ``leftOuter`` (KStream ``leftJoin``): the outer variant
-    emits an unmatched left row with null right columns once the
-    watermark proves no in-interval partner can still arrive — the same
-    moment Kafka Streams' left join emits its null result at window
-    close.
+    ``join``), ``leftOuter`` (KStream ``leftJoin``), or ``fullOuter``
+    (KStream ``outerJoin``) — the complete Kafka Streams KStream-KStream
+    join family: the outer variants emit an unmatched row with null
+    opposite-side columns once the watermark proves no in-interval
+    partner can still arrive — the same moment Kafka Streams emits its
+    null result at window close.
 
     ``watermark`` is the lateness bound for BOTH sides: it controls
     state eviction (and thus drops events arriving later than the bound,
     exactly like Kafka Streams' grace). For the inner join a bound >=
     the fixture's full time span makes the stream's output provably
     equal to the batch join — the parity the oracle checks. For the
-    outer join the null emissions additionally need the watermark to
+    outer joins the null emissions additionally need the watermark to
     PASS a row's interval edge, so the parity pytest drives the
     watermark forward with a sentinel final batch.
 
-    The right side's key column is renamed before the join so the output
-    carries a single unambiguous key column."""
+    The right side's key column is renamed before the join and the
+    output key is COALESCE(left, right) — for fullOuter an
+    unmatched-right row has a null left key, and dropping the renamed
+    column without the coalesce would lose its key entirely."""
     rk = f"__{key}_r"
     lw = left.withWatermark(left_ts, watermark)
     rw = (right.withColumnRenamed(key, rk)
@@ -88,7 +91,9 @@ def stream_stream_interval_join(left: DataFrame, right: DataFrame,
            >= F.col(left_ts) - F.expr(f"INTERVAL {tolerance_days} DAYS"))
         & (F.col(right_ts)
            <= F.col(left_ts) + F.expr(f"INTERVAL {tolerance_days} DAYS")))
-    return lw.join(rw, cond, how).drop(rk)
+    return (lw.join(rw, cond, how)
+            .withColumn(key, F.coalesce(F.col(key), F.col(rk)))
+            .drop(rk))
 
 
 def trips_route_update_stream_join(spark: SparkSession, sf_dir: str,
@@ -216,6 +221,37 @@ def trips_route_update_stream_left_join(spark: SparkSession, sf_dir: str,
     are pinned by the pytest in tests/test_streaming.py).
 
     Output: (trip_id, route_id, trip_ts, update_ts, capacity)."""
+    return _outer_join_fixture(spark, sf_dir, how="leftOuter",
+                               tolerance_days=tolerance_days, mod=mod,
+                               update_mod=update_mod)
+
+
+def trips_route_update_stream_outer_join(spark: SparkSession, sf_dir: str,
+                                         tolerance_days: int = 365,
+                                         mod: int = 20,
+                                         update_mod: int = 30) -> DataFrame:
+    """Driver-gate fixture for the FULL-OUTER stream-stream join (full
+    hash oracle) — KStream.outerJoin, completing the Kafka Streams
+    KStream-KStream join family (join / leftJoin / outerJoin): matched
+    pairs emit immediately; an unmatched row on EITHER side emits once
+    with sentinel opposite-side columns when the watermark closes its
+    interval. Slices trips to ``l_orderkey % 20`` and updates to
+    ``o_orderkey % 30``: the overlap (keys % 60) matches, trips on keys
+    ≡ 20, 40 (mod 60) have no update stream, and updates on keys ≡ 30
+    (mod 60) have no trip stream — all three emission branches are
+    populated. Same sentinel-batch watermark choreography and batch-side
+    coalescing as the left fixture; the left sentinels are 'NO_TRIP' /
+    epoch.
+
+    Output: (trip_id, route_id, trip_ts, update_ts, capacity)."""
+    return _outer_join_fixture(spark, sf_dir, how="fullOuter",
+                               tolerance_days=tolerance_days, mod=mod,
+                               update_mod=update_mod)
+
+
+def _outer_join_fixture(spark: SparkSession, sf_dir: str, how: str,
+                        tolerance_days: int, mod: int,
+                        update_mod: int) -> DataFrame:
     import time
 
     from ..views import load, route_updates_from_orders, trips_from_lineitem
@@ -272,7 +308,7 @@ def trips_route_update_stream_left_join(spark: SparkSession, sf_dir: str,
         t_stream, u_stream, key="route_id",
         left_ts="trip_ts", right_ts="update_ts",
         tolerance_days=tolerance_days, watermark="3700 days",
-        how="leftOuter")
+        how=how)
 
     # sentinel filtering and null-coalescing happen BATCH-SIDE, on the
     # sink read: a filter inside the streaming plan gets pushed below
@@ -280,13 +316,15 @@ def trips_route_update_stream_left_join(spark: SparkSession, sf_dir: str,
     # would never advance the watermark and the outer rows would never
     # flush (verified empirically — 0 outer emissions with the filter
     # in-plan, all of them with it post-sink)
+    epoch = F.lit("1970-01-01 00:00:00").cast("timestamp")
     cols = ["trip_id", "route_id", "trip_ts", "update_ts", "capacity"]
     drained = _drain_to_scratch(spark, joined.select(*cols), workdir)
     return (drained
             .where(~F.col("route_id").startswith("Route_S"))
             .select(
-                "trip_id", "route_id", "trip_ts",
-                F.coalesce(F.col("update_ts"),
-                           F.lit("1970-01-01 00:00:00").cast("timestamp"))
-                 .alias("update_ts"),
+                F.coalesce(F.col("trip_id"), F.lit("NO_TRIP"))
+                 .alias("trip_id"),
+                "route_id",
+                F.coalesce(F.col("trip_ts"), epoch).alias("trip_ts"),
+                F.coalesce(F.col("update_ts"), epoch).alias("update_ts"),
                 F.coalesce(F.col("capacity"), F.lit(-1)).alias("capacity")))

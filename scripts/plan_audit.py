@@ -38,6 +38,7 @@ from kafkastreams_tp3_is_spark.session import get_spark  # noqa: E402
 SKIP = {
     "trips_route_update_stream_join",
     "trips_route_update_stream_left_join",
+    "trips_route_update_stream_outer_join",
     "latest_route_capacity_stateful",
 }
 

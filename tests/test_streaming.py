@@ -1363,3 +1363,65 @@ def test_stream_stream_join_state_survives_restart(spark, tmp_path):
     write([("Z", "2024-01-05 00:00:00", 0)], l_dir)
     out3 = run_once()
     assert not any(r["k"] in ("A", "B") for r in out3)
+
+
+def test_stream_stream_full_outer_join_emits_both_null_sides(
+        spark, tmp_path):
+    """KStream.outerJoin semantics (the full-outer member of the join
+    family): matched rows emit the inner result; an unmatched LEFT row
+    emits once with null right columns AND an unmatched RIGHT row emits
+    once with null left columns — each at its watermark close. The
+    output key must survive on unmatched-right rows (the helper
+    coalesces the left key with the renamed right key before dropping
+    it). Same three-batch sentinel choreography as the left-outer
+    test."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from kafkastreams_tp3_is_spark.streaming.join import (
+        stream_stream_interval_join)
+
+    l_dir, r_dir = str(tmp_path / "left"), str(tmp_path / "right")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write(rows, schema, path):
+        spark.createDataFrame(rows, schema) \
+             .selectExpr("k", "CAST(ts AS TIMESTAMP) AS ts", "v") \
+             .coalesce(1).write.mode("append").parquet(path)
+        time.sleep(0.2)
+
+    ls = "k string, ts string, v long"
+    # A matches; B left-only; C right-only
+    write([("A", "2024-01-01 10:00:00", 1),
+           ("B", "2024-01-01 11:00:00", 2)], ls, l_dir)
+    write([("A", "2024-01-01 10:30:00", 10),
+           ("C", "2024-01-01 09:00:00", 30)], ls, r_dir)
+    for tag in ("1", "2"):
+        write([("ZL" + tag, "2030-01-01 00:00:00", 0)], ls, l_dir)
+        write([("ZR" + tag, "2030-01-01 00:00:00", 0)], ls, r_dir)
+
+    schema = spark.read.parquet(l_dir).schema
+    lstr = (spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").parquet(l_dir)
+            .withColumnRenamed("ts", "l_ts").withColumnRenamed("v", "l_v"))
+    rstr = (spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").parquet(r_dir)
+            .withColumnRenamed("ts", "r_ts").withColumnRenamed("v", "r_v"))
+    joined = stream_stream_interval_join(
+        lstr, rstr, key="k", left_ts="l_ts", right_ts="r_ts",
+        tolerance_days=1, watermark="0 seconds", how="fullOuter")
+
+    rows: list = []
+    q = (joined.writeStream
+         .foreachBatch(lambda df, _id: rows.extend(df.collect()))
+         .outputMode("append").option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    got = {(r["k"], r["l_v"], r["r_v"])
+           for r in rows if not r["k"].startswith("Z")}
+    want = {("A", 1, 10),          # matched
+            ("B", 2, None),        # left-only: null right columns
+            ("C", None, 30)}       # right-only: null left columns, key kept
+    assert got == want
