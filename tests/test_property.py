@@ -479,3 +479,41 @@ def test_winnow_kernel_matches_bruteforce(spark, texts):
     for i, t in enumerate(texts):
         want = _brute_winnow(t, k, w, md5_prefix)
         assert got.get(i, set()) == want, f"doc {i}: {t!r}"
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(st.text(alphabet=_ALPHA, min_size=0, max_size=80),
+                min_size=1, max_size=5))
+def test_winnow_fast_numpy_kernel_matches_bruteforce(spark, texts):
+    """The Arrow-batched numpy winnowing kernel must emit EXACTLY the
+    naive per-window rightmost-min set under ITS hash (the splitmix64-
+    finalized polynomial over UTF-32 codepoints, restated here in plain
+    Python with uint64 wraparound) — same selection contract as the JVM
+    kernel's property test."""
+    from kafkastreams_tp3_is_spark.operators.dedup import (
+        winnow_fingerprints_fast_df)
+
+    k, w = 8, 4
+    M = (1 << 64) - 1
+
+    def poly_hash(s: str) -> int:
+        h = 0
+        for ch in s:
+            h = (h * 1099511628211 + ord(ch)) & M
+        h ^= h >> 30
+        h = (h * 0xBF58476D1CE4E5B9) & M
+        h ^= h >> 27
+        h = (h * 0x94D049BB133111EB) & M
+        h ^= h >> 31
+        # signed int64 view BEFORE selection — the kernel's min is the
+        # signed bigint min, same as the JVM twins'
+        return h - (1 << 64) if h >= (1 << 63) else h
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = {}
+    for r in winnow_fingerprints_fast_df(docs, k, w).collect():
+        got.setdefault(r["doc_id"], set()).add((r["pos"], r["fp"]))
+    for i, t in enumerate(texts):
+        want = _brute_winnow(t, k, w, poly_hash)
+        assert got.get(i, set()) == want, f"doc {i}: {t!r}"
