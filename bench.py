@@ -95,7 +95,9 @@ def _git_sha() -> str:
 
         artifacts = ("BENCH_DETAIL.json", "BENCH_r*.json",
                      "CORRECTNESS_r*.json", "PARITY_SWEEP.json",
-                     "SCALE_SMOKE.json", "PROGRESS.jsonl")
+                     "SCALE_SMOKE.json", "PROGRESS.jsonl",
+                     "PLAN_AUDIT.json", "WARM_PROBE.json",
+                     "VERDICT.md", "ADVICE.md")
         dirty = []
         for ln in status.splitlines():
             if not ln.strip():
