@@ -58,8 +58,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_pca_project": _embstats.embedding_pca_project,  # rows-only
         "trips_route_update_stream_left_join": _ssjoin.trips_route_update_stream_left_join,
         "trips_route_update_stream_outer_join": _ssjoin.trips_route_update_stream_outer_join,
-        "winnow_fingerprints_fast": _dedup.winnow_fingerprints_fast,  # rows-only
-        "winnow_pairs_fast": _dedup.winnow_pairs_fast,                # rows-only
+        "winnow_fingerprints_fast": _dedup.winnow_fingerprints_fast,
+        "winnow_pairs_fast": _dedup.winnow_pairs_fast,
         "winnow_fingerprints": _dedup.winnow_fingerprints,
         "winnow_pairs": _dedup.winnow_pairs,
         "ngram_lm_score": _text.ngram_lm_score,

@@ -1103,8 +1103,8 @@ def winnow_fingerprints_df(docs: DataFrame, k: int = 8,
     parallelism is the only scale knob. Gram hashes use the md5-prefix
     bigint spelling both engines compute identically, making the gate a
     full hash; ``winnow_fingerprints_fast_df`` is the production kernel
-    with the cheaper xxhash64 gram hash (same selection algorithm,
-    rows-only gate since DuckDB has no xxhash64)."""
+    with a vectorized polynomial gram hash (same selection algorithm,
+    its own full-hash DuckDB restatement)."""
     def gram_hash(txt, i):
         return F.conv(F.substring(F.md5(txt.substr(i, F.lit(k))), 1, 15),
                       16, 10).cast("bigint")
@@ -1129,8 +1129,11 @@ def winnow_fingerprints_fast_df(docs: DataFrame, k: int = 8,
     The guarantee (any shared substring of length >= k + w - 1 yields a
     shared fingerprint) is hash-agnostic, so the planted-pair recovery
     pytest is identical and a brute-force property test pins the
-    selection; the md5 JVM variant stays as the full-hash oracle
-    baseline. Rows-only gate (the polynomial hash has no DuckDB twin).
+    selection; the md5 JVM variant stays as the independent-spelling
+    oracle baseline. Full-hash gate: the splitmix64-finalized
+    polynomial is pure wrapping-uint64 integer math, restated verbatim
+    in DuckDB UHUGEINT-mod-2^64 SQL (oracles._FAST_GRAMS), so both
+    engines produce bit-identical fingerprints.
 
     The kernel closure is self-contained (numpy only, imports inside) —
     executors never import this package."""
@@ -1301,11 +1304,12 @@ def winnow_pairs_df(docs: DataFrame, k: int = 8, w: int = 4,
 def winnow_pairs_fast_df(docs: DataFrame, k: int = 8, w: int = 4,
                          min_shared: int = 5,
                          max_df: int = 20) -> DataFrame:
-    """MOSS match step over the xxhash64 fast fingerprints — identical
-    df-cut + pair-count machinery; only the gram hash differs. The
-    planted-pair recovery guarantee is hash-agnostic (pytest-pinned
-    identically to the md5 variant); accidental-collision pairs can
-    differ hash-to-hash, so the gate is rows-only."""
+    """MOSS match step over the fast polynomial fingerprints —
+    identical df-cut + pair-count machinery; only the gram hash
+    differs. The planted-pair recovery guarantee is hash-agnostic
+    (pytest-pinned identically to the md5 variant); the DuckDB oracle
+    restates the same polynomial hash, so the gate is a full hash —
+    exact integer counts end to end."""
     return _winnow_pairs(winnow_fingerprints_fast_df(docs, k, w),
                          min_shared, max_df)
 
@@ -1345,14 +1349,14 @@ def winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def winnow_fingerprints_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Driver-gate fixture (rows-only: xxhash64 has no DuckDB twin;
-    selection semantics pinned by the shared-kernel pytests): fast
-    winnowing fingerprints of the documents table, k=8, w=4."""
+    """Driver-gate fixture (full hash: the splitmix64 polynomial is
+    restated in DuckDB wrapping-uint64 SQL): fast winnowing
+    fingerprints of the documents table, k=8, w=4."""
     return winnow_fingerprints_fast_df(load(spark, sf_dir, "documents"))
 
 
 def winnow_pairs_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Driver-gate fixture (rows-only) with the SAME planted shifted
+    """Driver-gate fixture (full hash) with the SAME planted shifted
     copies as ``winnow_pairs`` — recovery of every planted pair is the
     hash-agnostic winnowing guarantee and is asserted in pytest."""
     docs = load(spark, sf_dir, "documents")

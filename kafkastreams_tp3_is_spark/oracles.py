@@ -2448,11 +2448,12 @@ LEFT JOIN (
 ) hits USING (query_id)
 """ for d in (16, 32, 64))
 
-# Winnowing fingerprints: k=8 char grams hashed with the md5-prefix
-# bigint spelling ('0x'||substring(md5(gram),1,15) == Spark
-# conv(...,16,10)), w=4 windows keeping the RIGHTMOST minimum
-# (list_position over the reversed slice). Exact integers end to end.
-_WINNOW_FPS = """
+# Winnowing: shared w=4 window selection keeping the RIGHTMOST minimum
+# (list_position over the reversed slice), parameterized on the gram
+# hash — the md5-prefix bigint spelling for the oracle-baseline twins
+# and the splitmix64-finalized polynomial for the fast numpy twins.
+# Exact integers end to end in both spellings.
+_WINNOW_WINDOW = """
   SELECT DISTINCT doc_id,
          CAST(i + 4 - list_position(
              list_reverse(list_slice(gr, CAST(i + 1 AS INTEGER),
@@ -2465,26 +2466,105 @@ _WINNOW_FPS = """
   FROM (
     SELECT doc_id, gr, unnest(range(0, len(gr) - 3)) AS i
     FROM (
+__GRAMS__
+    ) g
+    WHERE len(gr) >= 4
+  ) wins
+"""
+
+# '0x'||substring(md5(gram),1,15) == Spark conv(md5(...),16,10).
+_MD5_GRAMS = """
       SELECT doc_id,
              CASE WHEN length(t) >= 8 THEN
                list_transform(range(1, length(t) - 6),
                  i -> ('0x' || substring(md5(substring(t,
                           CAST(i AS INTEGER), 8)), 1, 15))::BIGINT)
              ELSE []::BIGINT[] END AS gr
-      FROM {src}
-    ) g
-    WHERE len(gr) >= 4
-  ) wins
+      FROM __SRC__
 """
+
+# The numpy kernel's gram hash (dedup.winnow_fingerprints_fast_df),
+# restated in wrapping-uint64 SQL: a degree-7 polynomial in
+# B=1099511628211 over the UTF-32 codepoints (string_split('') +
+# unicode == the kernel's utf-32-le buffer, astral chars included),
+# then the splitmix64 finalizer, then the signed-bigint view the
+# kernel's selection orders by. DuckDB BIGINT/UBIGINT arithmetic
+# ERRORS on overflow, so every multiply widens to UHUGEINT and
+# reduces % 2^64 ((2^64-1)^2 < 2^128 fits); xor/>> stay on UBIGINT
+# (logical shift). Each finalizer step is its own list_transform
+# pass so xor's twice-referenced operand is a lambda variable, not a
+# duplicated polynomial subtree.
+_M64 = "18446744073709551616::UHUGEINT"                 # 2^64
+_B64 = "1099511628211::UHUGEINT"
+_SM1 = "13787848793156543929::UHUGEINT"                 # 0xBF58476D1CE4E5B9
+_SM2 = "10723151780598845931::UHUGEINT"                 # 0x94D049BB133111EB
+
+
+def _fast_gram_poly(k: int = 8) -> str:
+    e = "cp[p+1]::UHUGEINT"
+    for j in range(2, k + 1):
+        e = f"((({e}) * {_B64} + cp[p+{j}]::UHUGEINT) % {_M64})"
+    return e
+
+
+_FAST_GRAMS = f"""
+      SELECT doc_id,
+             list_transform(g4, u -> CASE
+                 WHEN u >= 9223372036854775808::UBIGINT THEN
+                   (u::HUGEINT - 18446744073709551616::HUGEINT)::BIGINT
+                 ELSE u::BIGINT END) AS gr
+      FROM (
+       SELECT doc_id, list_transform(g3, u -> xor(u, u >> 31)) AS g4
+       FROM (
+        SELECT doc_id, list_transform(g2,
+                 u -> ((u::UHUGEINT * {_SM2}) % {_M64})::UBIGINT) AS g3
+        FROM (
+         SELECT doc_id, list_transform(g1, u -> xor(u, u >> 27)) AS g2
+         FROM (
+          SELECT doc_id, list_transform(g0,
+                   u -> ((u::UHUGEINT * {_SM1}) % {_M64})::UBIGINT) AS g1
+          FROM (
+           SELECT doc_id, list_transform(gp, u -> xor(u, u >> 30)) AS g0
+           FROM (
+            SELECT doc_id,
+                   CASE WHEN len(cp) >= 8 THEN
+                     list_transform(range(0, len(cp) - 7),
+                       p -> ({_fast_gram_poly()})::UBIGINT)
+                   ELSE []::UBIGINT[] END AS gp
+            FROM (
+             SELECT doc_id,
+                    list_transform(string_split(t, ''),
+                                   c -> unicode(c)) AS cp
+             FROM __SRC__
+            )
+           )
+          )
+         )
+        )
+       )
+      )
+"""
+
+
+def _winnow_fps_sql(src: str, grams: str) -> str:
+    return _WINNOW_WINDOW.replace("__GRAMS__",
+                                  grams.replace("__SRC__", src))
+
 
 ORACLES["winnow_fingerprints"] = (
     "WITH d AS (SELECT doc_id, COALESCE(text, '') AS t FROM documents)\n"
-    + _WINNOW_FPS.format(src="d"))
+    + _winnow_fps_sql("d", _MD5_GRAMS))
+
+ORACLES["winnow_fingerprints_fast"] = (
+    "WITH d AS (SELECT doc_id, COALESCE(text, '') AS t FROM documents)\n"
+    + _winnow_fps_sql("d", _FAST_GRAMS))
+
 
 # Candidate pairs over shared fingerprints with the df<=20 boilerplate
 # cut and min_shared>=5, on documents plus the planted 14-char-shifted
 # copies of every 25th doc.
-ORACLES["winnow_pairs"] = ("""
+def _winnow_pairs_sql(grams: str) -> str:
+    return ("""
 WITH d AS (
   SELECT doc_id, COALESCE(text, '') AS t FROM documents
   UNION ALL
@@ -2492,7 +2572,7 @@ WITH d AS (
          'shifted prefix' || COALESCE(text, '') AS t
   FROM documents WHERE doc_id % 25 = 0
 ), fps AS (
-""" + _WINNOW_FPS.format(src="d") + """
+""" + _winnow_fps_sql("d", grams) + """
 ), slim AS (
   SELECT doc_id, fp FROM (SELECT DISTINCT doc_id, fp FROM fps)
   WHERE fp IN (SELECT fp FROM (SELECT DISTINCT doc_id, fp FROM fps)
@@ -2504,6 +2584,10 @@ FROM slim a JOIN slim b ON a.fp = b.fp AND a.doc_id < b.doc_id
 GROUP BY 1, 2
 HAVING COUNT(*) >= 5
 """)
+
+
+ORACLES["winnow_pairs"] = _winnow_pairs_sql(_MD5_GRAMS)
+ORACLES["winnow_pairs_fast"] = _winnow_pairs_sql(_FAST_GRAMS)
 
 # Per-dim embedding snapshot drift: both snapshots' diagonal
 # accumulators (n, sum, sum-of-squares over sq8 codes — exact BIGINTs),
