@@ -45,72 +45,24 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # --- ROTATION BLOCK (round 9) -------------------------------------
+        # --- ROTATION BLOCK (round 10) ------------------------------------
         # The driver's correctness run caps near 50 entries in registration
-        # order. Front: the one red r8 row (embedding_pca_project, now
-        # emitting scalar rows), the 3 round-9 newcomers, the 7 entries
-        # whose operators changed this round (winnow kernel, bigrams
-        # zip_with, token-budget persist, SS-join scratch sink), then the
-        # 14 r6-dated overflow entries and the oldest r7-dated backlog.
-        # Everything below the cap holds a green r7/r8 driver row under
-        # code re-proven every run by the sf0.001 pytest oracle and the
-        # sf0.1 parity sweep.
-        "embedding_pca_project": _embstats.embedding_pca_project,  # rows-only
-        "trips_route_update_stream_left_join": _ssjoin.trips_route_update_stream_left_join,
-        "trips_route_update_stream_outer_join": _ssjoin.trips_route_update_stream_outer_join,
+        # order. Front: the 4 round-10 newcomers (LSH/IVF recall reports),
+        # the 2 winnow fast twins whose gate upgraded rows-only -> full
+        # hash this round, then the 25 entries whose latest driver row is
+        # r7-dated (3 rounds stale), then the oldest r8-dated block up to
+        # the cap. Everything below the cap holds a green r8/r9 driver row
+        # under code re-proven every run by the sf0.001 pytest oracle and
+        # the sf0.1 parity sweep.
+        "ann_recall_lsh": _sim.ann_recall_lsh,
+        "ann_recall_ivf": _sim.ann_recall_ivf,
+        "ann_recall_ivf_trained": _sim.ann_recall_ivf_trained,  # rows-only
+        "ann_recall_stored": _sim.ann_recall_stored,            # rows-only
         "winnow_fingerprints_fast": _dedup.winnow_fingerprints_fast,
         "winnow_pairs_fast": _dedup.winnow_pairs_fast,
-        "winnow_fingerprints": _dedup.winnow_fingerprints,
-        "winnow_pairs": _dedup.winnow_pairs,
-        "ngram_lm_score": _text.ngram_lm_score,
-        "select_token_budget": _cur.select_token_budget,
-        "domain_mixture_report": _cur.domain_mixture_report,
-        "trips_route_update_stream_join": _ssjoin.trips_route_update_stream_join,
-        "tfidf_topk": _ret.tfidf_topk,
-        "embedding_matryoshka_recall": _sim.embedding_matryoshka_recall,
-        # --- r6-dated overflow from the r8 rotation (14) -------------------
-        "corpus_clean": _pipe.corpus_clean,
-        "decontaminate_spans_bloom": _dedup.decontaminate_spans_bloom,
-        "media_dhash_pairs": _mm.media_dhash_pairs,
-        "ann_cosine_topk_stored": _ivf.ann_cosine_topk_stored,    # rows-only
-        "materialize_mixture": _cur.materialize_mixture,
-        "events_value_quantiles_exact": _olap.events_value_quantiles_exact,
-        "ann_cosine_topk_sq8": _sim.cosine_topk_sq8,
-        "paragraph_dedup": _dedup.paragraph_dedup,
-        "pack_efficiency": _cur.pack_efficiency,
-        "bloom_decontaminate": _sketch.bloom_decontaminate,
-        "pipeline_standard_clean": _pipe.pipeline_standard_clean,
-        "pipeline_full_clean": _pipe.pipeline_full_clean,
-        "dedup_simhash": _dedup.dedup_simhash,
-        "latest_route_capacity_stateful": _stateful.latest_route_capacity_stateful,
-        # --- oldest r7-dated backlog (25 of 50) ----------------------------
-        "key_skew_profile": _skew.key_skew_profile,
-        "ann_cosine_topk_sq8_rescored": _sim.cosine_topk_sq8_rescored,
-        "source_overlap_matrix": _cur.source_overlap_matrix,
-        "q1_available_seats_per_route": _q.q1_available_seats_per_route,
-        "q2_average_passengers_per_transport_type": _q.q2_average_passengers_per_transport_type,
-        "q2_approx_average_passengers": _q.q2_approx_average_passengers_per_transport_type,
-        "q3_name_passenger_most_trips": _q.q3_name_passenger_most_trips,
-        "q4_occupancy_per_route": _q.q4_occupancy_per_route,
-        "q5_passengers_per_route": _q.q5_passengers_per_route,
-        "q6_route_least_occupancy_per_transport_type": _q.q6_route_least_occupancy_per_transport_type,
-        "q7_total_capacity_available": _q.q7_total_capacity_available,
-        "q8_total_occupancy_percentage": _q.q8_total_occupancy_percentage,
-        "decontaminate_spans": _dedup.decontaminate_spans,
-        "dedup_exact": _dedup.dedup_exact,
-        "dedup_minhash_lsh": _dedup.dedup_minhash_lsh,
-        "dedup_against": _dedup.dedup_against,
-        "ngram_jaccard_pairs": _dedup.ngram_jaccard_pairs,
-        "duplicate_clusters": _graph.duplicate_clusters,
-        "duplicate_clusters_lsh": _graph.duplicate_clusters_lsh,
-        "decontaminate": _cur.decontaminate,
-        "embedding_near_dup": _ivf.embedding_near_dup_ivf,      # rows-only
-        "embedding_near_dup_exact": _sim.embedding_near_dup_exact,
-        "ann_cosine_topk": _sim.cosine_topk_bruteforce,
+        # --- r7-dated backlog (25) -----------------------------------------
         "ann_cosine_topk_lsh": _sim.cosine_topk_lsh,            # rows-only
         "ann_cosine_topk_ivf": _ivf.cosine_topk_ivf,            # rows-only
-        # === BELOW THE DRIVER CAP ==========================================
-        # --- rest of the r7-dated backlog — rotates to the FRONT next round
         "text_token_count": _text.token_count,
         "text_quality_score": _text.quality_score,
         "text_lang_id": _text.lang_id,
@@ -135,16 +87,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_temperature": _cur.mix_temperature,
         "ann_cosine_topk_stored_probe": _ivf.ann_cosine_topk_stored_probe,  # rows-only
         "dedup_suffix_prefix": _dedup.dedup_suffix_prefix,
-        # --- r8-VERIFIED BACKLOG (green rows in CORRECTNESS_r08.json) ------
-        "contrastive_triplets": _sim.contrastive_triplets,
-        "containment_pairs": _dedup.containment_pairs,
-        "bpe_merge_candidates": _text.bpe_merge_candidates,
-        "embedding_gram_sq8": _embstats.embedding_gram_sq8,
-        "bpe_train": _text.bpe_train,
-        "split_by_content": _cur.split_by_content,
-        "mmr_rerank": _sim.mmr_rerank,
-        "ann_recall_sq8": _sim.ann_recall_sq8,
-        "embedding_snapshot_drift": _embstats.embedding_snapshot_drift,
+        # --- oldest r8-dated block (fills the cap) --------------------------
         "q9_total_passengers": _q.q9_total_passengers,
         "q10_transport_type_max_passengers": _q.q10_transport_type_max_passengers,
         "q11_transport_type_max_passengers_window": _q.q11_transport_type_max_passengers_window,
@@ -165,6 +108,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": _text.corpus_stats,
         "doc_commonness": _text.doc_commonness,
         "lang_confusion": _text.lang_confusion,
+        # === BELOW THE DRIVER CAP ==========================================
+        # --- rest of the r8-dated backlog — rotates to the FRONT next round
+        "contrastive_triplets": _sim.contrastive_triplets,
+        "containment_pairs": _dedup.containment_pairs,
+        "bpe_merge_candidates": _text.bpe_merge_candidates,
+        "embedding_gram_sq8": _embstats.embedding_gram_sq8,
+        "bpe_train": _text.bpe_train,
+        "split_by_content": _cur.split_by_content,
+        "mmr_rerank": _sim.mmr_rerank,
+        "ann_recall_sq8": _sim.ann_recall_sq8,
+        "embedding_snapshot_drift": _embstats.embedding_snapshot_drift,
         "quality_decile_filter": _text.quality_decile_filter,
         "mix_by_source": _cur.mix_by_source,
         "stratified_sample": _cur.stratified_sample,
@@ -180,6 +134,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": _mm.media_features,
         "multimodal_resize": _mm.media_resize,
         "multimodal_frame_sample": _mm.media_frame_sample,
+        # --- r9-verified backlog (green rows in CORRECTNESS_r09.json) ------
+        "embedding_pca_project": _embstats.embedding_pca_project,  # rows-only
+        "trips_route_update_stream_left_join": _ssjoin.trips_route_update_stream_left_join,
+        "trips_route_update_stream_outer_join": _ssjoin.trips_route_update_stream_outer_join,
+        "winnow_fingerprints": _dedup.winnow_fingerprints,
+        "winnow_pairs": _dedup.winnow_pairs,
+        "ngram_lm_score": _text.ngram_lm_score,
+        "select_token_budget": _cur.select_token_budget,
+        "domain_mixture_report": _cur.domain_mixture_report,
+        "trips_route_update_stream_join": _ssjoin.trips_route_update_stream_join,
+        "tfidf_topk": _ret.tfidf_topk,
+        "embedding_matryoshka_recall": _sim.embedding_matryoshka_recall,
+        "corpus_clean": _pipe.corpus_clean,
+        "decontaminate_spans_bloom": _dedup.decontaminate_spans_bloom,
+        "media_dhash_pairs": _mm.media_dhash_pairs,
+        "ann_cosine_topk_stored": _ivf.ann_cosine_topk_stored,    # rows-only
+        "materialize_mixture": _cur.materialize_mixture,
+        "events_value_quantiles_exact": _olap.events_value_quantiles_exact,
+        "ann_cosine_topk_sq8": _sim.cosine_topk_sq8,
+        "paragraph_dedup": _dedup.paragraph_dedup,
+        "pack_efficiency": _cur.pack_efficiency,
+        "bloom_decontaminate": _sketch.bloom_decontaminate,
+        "pipeline_standard_clean": _pipe.pipeline_standard_clean,
+        "pipeline_full_clean": _pipe.pipeline_full_clean,
+        "dedup_simhash": _dedup.dedup_simhash,
+        "latest_route_capacity_stateful": _stateful.latest_route_capacity_stateful,
+        "key_skew_profile": _skew.key_skew_profile,
+        "ann_cosine_topk_sq8_rescored": _sim.cosine_topk_sq8_rescored,
+        "source_overlap_matrix": _cur.source_overlap_matrix,
+        "q1_available_seats_per_route": _q.q1_available_seats_per_route,
+        "q2_average_passengers_per_transport_type": _q.q2_average_passengers_per_transport_type,
+        "q2_approx_average_passengers": _q.q2_approx_average_passengers_per_transport_type,
+        "q3_name_passenger_most_trips": _q.q3_name_passenger_most_trips,
+        "q4_occupancy_per_route": _q.q4_occupancy_per_route,
+        "q5_passengers_per_route": _q.q5_passengers_per_route,
+        "q6_route_least_occupancy_per_transport_type": _q.q6_route_least_occupancy_per_transport_type,
+        "q7_total_capacity_available": _q.q7_total_capacity_available,
+        "q8_total_occupancy_percentage": _q.q8_total_occupancy_percentage,
+        "decontaminate_spans": _dedup.decontaminate_spans,
+        "dedup_exact": _dedup.dedup_exact,
+        "dedup_minhash_lsh": _dedup.dedup_minhash_lsh,
+        "dedup_against": _dedup.dedup_against,
+        "ngram_jaccard_pairs": _dedup.ngram_jaccard_pairs,
+        "duplicate_clusters": _graph.duplicate_clusters,
+        "duplicate_clusters_lsh": _graph.duplicate_clusters_lsh,
+        "decontaminate": _cur.decontaminate,
+        "embedding_near_dup": _ivf.embedding_near_dup_ivf,      # rows-only
+        "embedding_near_dup_exact": _sim.embedding_near_dup_exact,
+        "ann_cosine_topk": _sim.cosine_topk_bruteforce,
     }
 
 

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..cache import owned
+from ..cache import owned, persisted
 from ..views import load
 
 
@@ -661,3 +661,146 @@ def cosine_topk_sq8_rescored(spark: SparkSession, sf_dir: str,
                              shortlist: int = 30) -> DataFrame:
     return cosine_topk_sq8_rescored_df(load(spark, sf_dir, "embeddings"),
                                        n_queries, k, shortlist)
+
+
+# --- recall reports for the approximate ANN variants ---------------------
+
+def _recall_report(emb: DataFrame, approx: DataFrame,
+                   n_queries: int, k: int) -> DataFrame:
+    """Recall@k of ``approx`` (query_id, neighbor_id rows) against the
+    exact brute-force top-k — the ann_recall_sq8 report shape:
+    (query_id, n_hits, k, recall), n_hits an exact bigint intersection
+    count, recall ONE division. The query-id universe is the bounded
+    head all the top-k fixtures share."""
+    exact = (_bruteforce_ranked(emb, n_queries)
+             .where(F.col("rank") <= k)
+             .select("query_id", "neighbor_id"))
+    hits = (exact.join(approx.select("query_id", "neighbor_id"),
+                       ["query_id", "neighbor_id"])
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits")))
+    qids = (emb.orderBy("vec_id").limit(n_queries)
+            .select(F.col("vec_id").alias("query_id")))
+    n_hits = F.coalesce(F.col("n_hits"), F.lit(0).cast("bigint"))
+    return (qids.join(hits, "query_id", "left")
+            .select("query_id", n_hits.alias("n_hits"),
+                    F.lit(k).cast("int").alias("k"),
+                    (n_hits.cast("double") / F.lit(float(k)))
+                    .alias("recall")))
+
+
+def ann_recall_lsh(spark: SparkSession, sf_dir: str,
+                   n_queries: int = 5, k: int = 10) -> DataFrame:
+    """Driver-gate fixture (full hash): per-query recall@10 of the REAL
+    banded-LSH ranking (``cosine_topk_lsh``, default 64 planes / 4-bit
+    bands / seed 42) against the exact brute-force ranking.
+
+    Hash-gateable because nothing in the LSH path is actually
+    nondeterministic: the hyperplanes are a pure function of the seed
+    (np.random.default_rng(42).standard_normal), so the DuckDB oracle
+    embeds the same 64x64 plane constants as literals and re-derives
+    the sign-bit band keys, candidate set, and exact-cosine ranking.
+    The one cross-engine risk is summation order in the projection
+    (numpy matmul vs the oracle's sequential list_dot_product): a sign
+    can only differ when |projection| falls inside the reordering
+    error (~1e-13 on O(1)-scale projections), and the gate fails
+    LOUDLY if that ever happens — it does not on the test corpora."""
+    emb = load(spark, sf_dir, "embeddings")
+    approx = cosine_topk_lsh(spark, sf_dir, n_queries, k)
+    return owned(_recall_report(emb, approx, n_queries, k),
+                 *persisted(approx))
+
+
+def _ivf_flat_ranked(emb: DataFrame, n_queries: int = 5, k: int = 10,
+                     n_centroids: int = 32, m_assign: int = 2,
+                     nprobe: int = 12) -> DataFrame:
+    """IVF probe over DETERMINISTIC untrained centroids — the first
+    ``n_centroids`` corpus vectors by vec_id, cell ids in vec_id order.
+    Exercises the identical probe machinery as the kmeans-trained path
+    (top-m cell assignment by cosine, candidate join on cell, exact
+    rescoring, dense rank) but with every step restatable in SQL:
+    assignment uses the sequential-fold cosine (same IEEE order as the
+    DuckDB list_dot_product oracle), ties broken (cosine desc, cell
+    asc). K-means training only improves cell balance/recall, never
+    correctness — so this twin is what makes the IVF probe machinery
+    full-hash gateable while the trained variant's recall stays a
+    rows-only report with a pytest floor."""
+    cents = (emb.orderBy("vec_id").limit(n_centroids)
+             .select(F.col("vec_id").alias("cvid"),
+                     _as_double("embedding").alias("cent")))
+    cents = (cents.withColumn(
+                 "cell", F.row_number().over(Window.orderBy("cvid")) - 1)
+             .select("cell", "cent"))
+
+    def top_cells(vecs: DataFrame, m: int) -> DataFrame:
+        scored = (vecs.crossJoin(F.broadcast(cents))
+                  .select("vec_id", "v", "cell",
+                          _cosine(F.col("v"), F.col("cent")).alias("ccos")))
+        w = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(),
+                                                 F.col("cell").asc())
+        return (scored.withColumn("r", F.row_number().over(w))
+                .where(F.col("r") <= m).select("vec_id", "v", "cell"))
+
+    corpus = emb.select("vec_id", _as_double("embedding").alias("v"))
+    queries = (emb.orderBy("vec_id").limit(n_queries)
+               .select("vec_id", _as_double("embedding").alias("v")))
+    ccells = top_cells(corpus, m_assign).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("c_vec"),
+        "cell")
+    qcells = top_cells(queries, nprobe).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("q_vec"),
+        "cell")
+    cands = (ccells.join(F.broadcast(qcells), "cell")
+             .where(F.col("neighbor_id") != F.col("query_id"))
+             .dropDuplicates(["query_id", "neighbor_id"]))
+    scored = cands.select(
+        "query_id", "neighbor_id",
+        _cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
+                                               F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank"))
+
+
+def ann_recall_ivf(spark: SparkSession, sf_dir: str,
+                   n_queries: int = 5, k: int = 10) -> DataFrame:
+    """Driver-gate fixture (full hash): per-query recall@10 of the
+    deterministic flat-centroid IVF probe (``_ivf_flat_ranked``) against
+    the exact ranking. This is the hash-gateable certificate for the
+    IVF PROBE machinery — cell assignment, candidate generation, exact
+    rescoring, ranking — which is shared with the kmeans-trained
+    variants; the trained centroids themselves are float training state
+    (pairwise-summed numpy means) with no bit-identical SQL
+    restatement, so the trained variant's recall is the separate
+    rows-only ``ann_recall_ivf_trained`` row with a pytest floor."""
+    emb = load(spark, sf_dir, "embeddings")
+    approx = _ivf_flat_ranked(emb, n_queries, k)
+    return _recall_report(emb, approx, n_queries, k)
+
+
+def ann_recall_ivf_trained(spark: SparkSession, sf_dir: str,
+                           n_queries: int = 5, k: int = 10) -> DataFrame:
+    """Driver-visible recall report for the REAL kmeans-trained IVF
+    ranking (``cosine_topk_ivf`` defaults). Rows-only gate — the
+    trained centroids are not SQL-restatable — with the recall floor
+    pinned in pytest (tests/test_sq8.py::test_ann_recall_reports)."""
+    from .ivf import cosine_topk_ivf
+
+    emb = load(spark, sf_dir, "embeddings")
+    approx = cosine_topk_ivf(spark, sf_dir, n_queries, k)
+    return _recall_report(emb, approx, n_queries, k)
+
+
+def ann_recall_stored(spark: SparkSession, sf_dir: str,
+                      n_queries: int = 5, k: int = 10) -> DataFrame:
+    """Driver-visible recall report for the stored-index probe path
+    (``ann_cosine_topk_stored_probe``: build-once scratch IVF index,
+    probe-only query). Rows-only gate, pytest recall floor — same
+    reason as the trained variant (kmeans centroids in the stored
+    index)."""
+    from .ivf import ann_cosine_topk_stored_probe
+
+    emb = load(spark, sf_dir, "embeddings")
+    approx = ann_cosine_topk_stored_probe(spark, sf_dir, n_queries, k)
+    return _recall_report(emb, approx, n_queries, k)

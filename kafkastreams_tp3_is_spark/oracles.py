@@ -2630,3 +2630,139 @@ SELECT a.i,
            * (CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE)) AS var_b
 FROM a JOIN b ON a.i = b.i
 """
+
+
+# --- recall reports for the LSH / IVF ANN variants -----------------------
+
+def _recall_oracle(ap_sql: str) -> str:
+    """Recall@10 report tail shared with ann_recall_sq8: intersection
+    counts of an approximate (query_id, neighbor_id) set against the
+    hash-verified exact ranking, plus ONE division."""
+    return f"""
+WITH ex AS ({ORACLES["ann_cosine_topk"]}),
+ap AS ({ap_sql}),
+hits AS (
+  SELECT ex.query_id, COUNT(*) AS n_hits
+  FROM ex JOIN ap USING (query_id, neighbor_id)
+  GROUP BY ex.query_id
+)
+SELECT q.query_id,
+       CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(10 AS INTEGER) AS k,
+       CAST(COALESCE(n_hits, 0) AS DOUBLE) / 10.0 AS recall
+FROM (SELECT DISTINCT query_id FROM ex) q
+LEFT JOIN hits USING (query_id)
+"""
+
+
+def _lsh_planes_values(dim: int = 64, n_planes: int = 64,
+                       seed: int = 42) -> str:
+    """The LSH hyperplanes as SQL literals. The planes are a pure
+    function of (seed, dim): similarity.band_buckets regenerates them
+    on every executor from np.random.default_rng(seed), so the oracle
+    regenerates them HERE at import from the identical call and embeds
+    them as shortest-round-trip double literals (repr round-trips
+    exactly through DuckDB's correctly-rounded parse). dim=64 is the
+    testdata embeddings schema, like the other dim-bound oracles."""
+    import numpy as np
+
+    planes = np.random.default_rng(seed).standard_normal((dim, n_planes))
+    rows = ",\n".join(
+        "({}, [{}]::DOUBLE[])".format(
+            p, ", ".join(repr(float(x)) for x in planes[:, p]))
+        for p in range(n_planes))
+    return rows
+
+
+# The REAL banded-LSH ranking restated: sign bit per (vector, plane)
+# via the sequential list_dot_product (numpy's matmul sums in a
+# different order, but a sign can only disagree when |projection| is
+# inside the ~1e-13 reordering error — the gate fails loudly if so),
+# 4-bit band keys as exact integer sums, candidates = share any band
+# key, exact-cosine rank <= 10. Nested WITH so the plane literals and
+# the bucket derivation appear ONCE.
+_LSH_AP = f"""
+  WITH bk AS (
+    SELECT b.vec_id,
+           (CAST(b.p // 4 AS BIGINT) << 48)
+             + SUM(b.bit << (b.p % 4)) AS bucket
+    FROM (
+      SELECT cv.vec_id, pp.p,
+             CASE WHEN list_dot_product(cv.v, pp.pl) >= 0
+                  THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+      FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) cv,
+           (VALUES
+{_lsh_planes_values()}
+           ) pp(p, pl)
+    ) b GROUP BY b.vec_id, b.p // 4
+  ),
+  vv AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+  cand AS (
+    SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+    FROM (SELECT * FROM bk WHERE vec_id IN
+            (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 5)) q
+    JOIN bk c USING (bucket)
+    WHERE c.vec_id <> q.vec_id
+  )
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id ASC)
+             AS rank
+    FROM (
+      SELECT cand.query_id, cand.neighbor_id,
+             list_dot_product(qe.v, ce.v)
+               / (sqrt(list_dot_product(qe.v, qe.v))
+                  * sqrt(list_dot_product(ce.v, ce.v))) AS cosine
+      FROM cand JOIN vv qe ON qe.vec_id = cand.query_id
+                JOIN vv ce ON ce.vec_id = cand.neighbor_id))
+  WHERE rank <= 10
+"""
+
+ORACLES["ann_recall_lsh"] = _recall_oracle(_LSH_AP)
+
+# The deterministic flat-centroid IVF probe restated: centroids = the
+# first 32 corpus vectors (cell ids in vec_id order), assignment =
+# top-m cells by (cosine desc, cell asc) with the sequential-fold
+# cosine, m_assign=2 / nprobe=12, candidates joined on cell, exact
+# rescoring, rank <= 10.
+_IVF_FLAT_AP = """
+  WITH vv AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+  ct AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell,
+                embedding::DOUBLE[] AS cent
+         FROM (SELECT vec_id, embedding FROM embeddings
+               ORDER BY vec_id LIMIT 32)),
+  cellrank AS (
+    SELECT co.vec_id, ct.cell,
+           ROW_NUMBER() OVER (PARTITION BY co.vec_id ORDER BY
+             list_dot_product(co.v, ct.cent)
+               / (sqrt(list_dot_product(co.v, co.v))
+                  * sqrt(list_dot_product(ct.cent, ct.cent)))
+             DESC, ct.cell ASC) AS r
+    FROM vv co, ct
+  ),
+  cand AS (
+    SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+    FROM (SELECT vec_id, cell FROM cellrank WHERE r <= 2) c
+    JOIN (SELECT vec_id, cell FROM cellrank
+          WHERE r <= 12 AND vec_id IN
+            (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 5)) q
+      USING (cell)
+    WHERE c.vec_id <> q.vec_id
+  )
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id ASC)
+             AS rank
+    FROM (
+      SELECT cand.query_id, cand.neighbor_id,
+             list_dot_product(qe.v, ce.v)
+               / (sqrt(list_dot_product(qe.v, qe.v))
+                  * sqrt(list_dot_product(ce.v, ce.v))) AS cosine
+      FROM cand JOIN vv qe ON qe.vec_id = cand.query_id
+                JOIN vv ce ON ce.vec_id = cand.neighbor_id))
+  WHERE rank <= 10
+"""
+
+ORACLES["ann_recall_ivf"] = _recall_oracle(_IVF_FLAT_AP)

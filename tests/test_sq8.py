@@ -112,3 +112,44 @@ def test_matryoshka_recall_full_width_is_one_and_bounded(spark):
         assert r["recall"] == r["n_hits"] / r["k"]
         if r["dim"] == 64:
             assert r["n_hits"] == r["k"], "full width must be identity"
+
+
+def test_ann_recall_reports(spark):
+    """Recall floors for the driver-visible ANN recall reports: the
+    hash-gated flat-IVF and LSH reports plus the rows-only trained/
+    stored reports must all clear a 0.6 per-query floor at sf0.001
+    (actual values 0.8-1.0), and every row must satisfy the
+    (n_hits, k, recall) consistency invariant."""
+    from kafkastreams_tp3_is_spark.operators.similarity import (
+        ann_recall_ivf, ann_recall_ivf_trained, ann_recall_lsh,
+        ann_recall_stored)
+
+    for fn in (ann_recall_lsh, ann_recall_ivf, ann_recall_ivf_trained,
+               ann_recall_stored):
+        rows = fn(spark, SF_DIR).collect()
+        assert len(rows) == 5, fn.__name__
+        for r in rows:
+            assert r["k"] == 10
+            assert 0 <= r["n_hits"] <= r["k"], fn.__name__
+            assert r["recall"] == r["n_hits"] / r["k"], fn.__name__
+            assert r["recall"] >= 0.6, (fn.__name__, r)
+
+
+def test_ivf_flat_probe_subset_of_exact_when_all_cells_probed(spark):
+    """With nprobe = n_centroids and m_assign = n_centroids the flat
+    IVF probe degenerates to brute force — its top-10 must EQUAL the
+    exact ranking (machinery-correctness invariant, not a recall
+    statement)."""
+    from kafkastreams_tp3_is_spark.operators.similarity import (
+        _bruteforce_ranked, _ivf_flat_ranked)
+    from kafkastreams_tp3_is_spark.views import load
+
+    emb = load(spark, SF_DIR, "embeddings")
+    got = {(r["query_id"], r["neighbor_id"], r["rank"])
+           for r in _ivf_flat_ranked(emb, n_queries=3, k=10,
+                                     n_centroids=8, m_assign=8,
+                                     nprobe=8).collect()}
+    want = {(r["query_id"], r["neighbor_id"], r["rank"])
+            for r in _bruteforce_ranked(emb, 3)
+            .where("rank <= 10").collect()}
+    assert got == want
