@@ -127,6 +127,30 @@ def _stage_lang_keep(df: DataFrame, langs: list[str] = ("en",)) -> DataFrame:
     return df.where(F.col("lang").isin(*list(langs)))
 
 
+def _stage_barrier(df: DataFrame) -> DataFrame:
+    """Materialization barrier for the corpus-relative stages
+    (repeated-span coverage, quality decile, decontamination): each of
+    those consumes its input 2-3 times (statistic pass + semi-join
+    probe), so the input must be materialized once, not recomputed per
+    branch. ``localCheckpoint`` instead of ``persist`` because it ALSO
+    truncates the analyzed plan to a LogicalRDD leaf: with persist the
+    logical tree still embeds the whole upstream chain, and since every
+    statistic-bearing stage re-references its survivor subtree the
+    printed/analyzed plan grows MULTIPLICATIVELY with stage count
+    (VERDICT r9: 13,692 Exchange nodes in FULL_CLEAN_SPEC's explain
+    text; 6 stages is a compile-time nuisance, 12 becomes real
+    driver-side analysis cost). With the barrier the plan is O(stages)
+    — pinned by tests/test_plans.py::test_pipeline_plan_growth_bounded.
+
+    Eager (one job per barrier at pipeline-apply time, like the
+    declared dedup_near exception). Blocks live on executors without
+    replication and are freed by the ContextCleaner on GC — at cluster
+    scale with dynamic allocation or flaky executors, swap for a
+    reliable ``checkpoint()`` against a durable checkpoint dir; the
+    truncation property is identical."""
+    return df.localCheckpoint()
+
+
 def _stage_dedup_near(df: DataFrame, threshold: float = 0.8,
                       k: int = 9) -> DataFrame:
     """Near-dup removal: the production LSH -> connected-components
@@ -162,20 +186,22 @@ def _stage_repeated_spans_max_frac(df: DataFrame, max_frac: float = 0.5,
     exceeds ``max_frac``: boilerplate-heavy docs whose content mostly
     exists elsewhere. Corpus-relative, so it sees upstream transforms.
 
-    The input frame is PERSISTED here: the stage consumes ``df`` twice
-    (span inventory + semi-join probe), and without a persist each branch
-    re-executes the entire upstream stage chain — measured 10x wall-clock
-    on the composed FULL_CLEAN_SPEC. Ownership rides the stage output
-    (cache.py contract; the composer re-attaches it to the final frame)."""
+    The input frame is LOCAL-CHECKPOINTED here (see _stage_barrier):
+    the stage consumes ``df`` twice (span inventory + semi-join probe),
+    and without a barrier each branch re-executes the entire upstream
+    stage chain — measured 10x wall-clock on the composed
+    FULL_CLEAN_SPEC. Ownership of the signal caches rides the stage
+    output (cache.py contract; the composer re-attaches it to the
+    final frame)."""
     from .. import cache
     from .dedup import repeated_spans_df
 
-    df = df.persist()
+    df = _stage_barrier(df)
     rep = repeated_spans_df(df.select("doc_id", "text"), span_len, min_docs)
     keep = (rep.where(F.col("dup_char_fraction") <= float(max_frac))
                .select("doc_id"))
     out = df.join(keep, "doc_id", "left_semi")
-    return cache.owned(out, df, *cache.persisted(rep))
+    return cache.owned(out, *cache.persisted(rep))
 
 
 def _stage_quality_decile(df: DataFrame, drop_num: int = 1,
@@ -183,17 +209,17 @@ def _stage_quality_decile(df: DataFrame, drop_num: int = 1,
     """Corpus-relative quality gate: drop the lowest-commonness
     ``drop_num/drop_den`` tail of THIS frame (text.quality_decile_flags_df
     — exact value-histogram threshold, ties drop together). Placed after
-    dedup so duplicate mass doesn't distort the distribution. Persists
+    dedup so duplicate mass doesn't distort the distribution. Barriers
     the input frame (consumed by the scoring pass AND the semi-join
-    probe; see _stage_repeated_spans_max_frac)."""
+    probe; see _stage_barrier)."""
     from .. import cache
     from .text import quality_decile_flags_df
 
-    df = df.persist()
+    df = _stage_barrier(df)
     flags = quality_decile_flags_df(df, int(drop_num), int(drop_den))
     keep = flags.where(F.col("kept")).select("doc_id")
     out = df.join(keep, "doc_id", "left_semi")
-    return cache.owned(out, df, *cache.persisted(flags))
+    return cache.owned(out, *cache.persisted(flags))
 
 
 def _stage_decontaminate(df: DataFrame, bench_mod: int = 50, k: int = 5,
@@ -205,13 +231,13 @@ def _stage_decontaminate(df: DataFrame, bench_mod: int = 50, k: int = 5,
     with any benchmark text drop as contaminated
     (curation.decontaminate_df). Real pipelines with an external eval
     suite call decontaminate_df directly with that frame; a stage spec
-    must stay pure data, hence the modulus split. Persists the input
+    must stay pure data, hence the modulus split. Barriers the input
     frame (read three times: train split, benchmark split, semi-join
-    probe; see _stage_repeated_spans_max_frac)."""
+    probe; see _stage_barrier)."""
     from .. import cache
     from .curation import decontaminate_df
 
-    df = df.persist()
+    df = _stage_barrier(df)
     is_bench = F.col("doc_id") % int(bench_mod) == 0
     train = df.where(~is_bench)
     flags = decontaminate_df(train, df.where(is_bench), int(k),

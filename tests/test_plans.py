@@ -278,3 +278,20 @@ def test_bpe_round_uses_partial_aggregation(spark):
     plan = _plan(spark, bpe_merge_candidates(spark, SF_DIR))
     # partial_count appears in the pre-shuffle HashAggregate
     assert "partial_count" in plan
+
+
+def test_pipeline_plan_growth_bounded(spark):
+    """FULL_CLEAN_SPEC's analyzed plan must stay O(stages): each
+    corpus-relative stage re-references its survivor subtree, so
+    without the _stage_barrier localCheckpoint truncation the explain
+    tree grows MULTIPLICATIVELY (13,692 Exchange nodes at 6 stages,
+    VERDICT r9). With the barrier each statistic-bearing stage starts
+    from a LogicalRDD leaf — a few dozen Exchanges total."""
+    from kafkastreams_tp3_is_spark.operators.pipeline import (
+        pipeline_full_clean)
+
+    df = pipeline_full_clean(spark, SF_DIR)
+    plan = _plan(spark, df)
+    n_exchange = plan.count("Exchange")
+    assert n_exchange <= 60, f"plan re-bloated: {n_exchange} Exchanges"
+    assert "LogicalRDD" in _plan(spark, df) or "Scan ExistingRDD" in plan
