@@ -86,27 +86,38 @@ def _git_sha() -> str:
         status = subprocess.run(
             ["git", "status", "--porcelain"], cwd=here,
             capture_output=True, text=True, timeout=10).stdout
-        # Round ARTIFACTS must not count as dirt — only code should:
-        # BENCH_DETAIL.json is (over)written by this very run, and the
-        # driver drops BENCH_r*/CORRECTNESS_r* into the worktree before
-        # the judged bench runs, which stamped r6's judged tail -dirty
-        # despite the code tree exactly matching HEAD.
+        # Only files the bench/correctness RUNS themselves (re)write may
+        # be ignored as dirt: BENCH_DETAIL.json is overwritten by this
+        # very run, the driver drops BENCH_r*/CORRECTNESS_r* into the
+        # worktree before the judged bench runs (which stamped r6's
+        # judged tail -dirty despite the code tree matching HEAD), and
+        # PROGRESS.jsonl is driver bookkeeping appended continuously.
+        # Review/analysis documents (VERDICT/ADVICE/PARITY_SWEEP/...)
+        # are NOT in the list (ADVICE r9: ignoring them would stamp a
+        # clean sha over locally edited tracked docs). Tracked
+        # modifications to the ignored artifacts are still surfaced
+        # with an explicit marker instead of silently dropped.
         import fnmatch
 
         artifacts = ("BENCH_DETAIL.json", "BENCH_r*.json",
-                     "CORRECTNESS_r*.json", "PARITY_SWEEP.json",
-                     "SCALE_SMOKE.json", "PROGRESS.jsonl",
-                     "PLAN_AUDIT.json", "WARM_PROBE.json",
-                     "VERDICT.md", "ADVICE.md")
-        dirty = []
+                     "CORRECTNESS_r*.json", "PROGRESS.jsonl")
+        dirty, ignored_mods = [], []
         for ln in status.splitlines():
             if not ln.strip():
                 continue
             path = ln[3:].split(" -> ")[-1].strip().strip('"')
             base = os.path.basename(path)
-            if not any(fnmatch.fnmatch(base, p) for p in artifacts):
-                dirty.append(ln)
-        return (sha or "unknown") + ("-dirty" if dirty else "")
+            if any(fnmatch.fnmatch(base, p) for p in artifacts):
+                if not ln.startswith("??"):   # tracked artifact modified
+                    ignored_mods.append(base)
+                continue
+            dirty.append(ln)
+        sha = sha or "unknown"
+        if dirty:
+            return sha + "-dirty"
+        if ignored_mods:
+            return sha + "-artifacts(" + ",".join(sorted(ignored_mods)) + ")"
+        return sha
     except Exception:
         return "unknown"
 

@@ -41,7 +41,8 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token count per document: whitespace tokens + a BPE-ish proxy count
     (4 chars/token heuristic over non-space chars)."""
     docs = load(spark, sf_dir, "documents")
-    nonspace = F.length(F.regexp_replace(F.col("text"), r"\s+", ""))
+    nonspace = F.length(F.regexp_replace(
+        F.coalesce(F.col("text"), F.lit("")), r"\s+", ""))
     return docs.select(
         "doc_id",
         F.size(tokens_col()).cast("bigint").alias("n_tokens"),
@@ -55,9 +56,10 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integer counts (bit-reproducible vs the SQL oracle)."""
     docs = load(spark, sf_dir, "documents")
     toks = tokens_col()
+    txt = F.coalesce(F.col("text"), F.lit(""))  # NULL-total like tokens_col
     n_tok = F.size(toks).cast("bigint")
-    n_chars = F.length(F.col("text")).cast("bigint")
-    n_punct = F.size(F.regexp_extract_all(F.col("text"), F.lit(_PUNCT), 0)).cast("bigint")
+    n_chars = F.length(txt).cast("bigint")
+    n_punct = F.size(F.regexp_extract_all(txt, F.lit(_PUNCT), 0)).cast("bigint")
     n_stop = F.size(F.filter(F.transform(toks, lambda x: F.lower(x)),
                              lambda x: x.isin(*[w for w in _LANG_MARKERS["en"]]))).cast("bigint")
     return docs.select(

@@ -153,7 +153,7 @@ WHERE rn = 1
 # tests in tests/test_dedup_recall.py.
 # ---------------------------------------------------------------------
 
-_TOKENS = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+_TOKENS = "list_filter(string_split_regex(COALESCE(text, ''), '\\s+'), x -> x <> '')"
 _STOP_EN = "('the','and','of','to','is','in','that','with')"
 
 ORACLES["dedup_exact"] = """
@@ -166,7 +166,7 @@ FROM documents GROUP BY text
 ORACLES["text_token_count"] = f"""
 SELECT doc_id,
        CAST(len({_TOKENS}) AS BIGINT) AS n_tokens,
-       CAST(ceil(CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / 4.0) AS BIGINT)
+       CAST(ceil(CAST(length(regexp_replace(COALESCE(text, ''), '\\s+', '', 'g')) AS DOUBLE) / 4.0) AS BIGINT)
          AS n_tokens_bpe_est
 FROM documents
 """
@@ -175,8 +175,8 @@ ORACLES["text_quality_score"] = f"""
 WITH t AS (
   SELECT doc_id,
          CAST(len({_TOKENS}) AS BIGINT) AS n_tok,
-         CAST(length(text) AS BIGINT) AS n_chars,
-         CAST(len(regexp_extract_all(text, '[.,!?;:''"()\\[\\]{{}}-]')) AS BIGINT) AS n_punct,
+         CAST(length(COALESCE(text, '')) AS BIGINT) AS n_chars,
+         CAST(len(regexp_extract_all(COALESCE(text, ''), '[.,!?;:''"()\\[\\]{{}}-]')) AS BIGINT) AS n_punct,
          CAST(len(list_filter(list_transform({_TOKENS}, x -> lower(x)),
                               x -> x IN {_STOP_EN})) AS BIGINT) AS n_stop
   FROM documents
@@ -268,7 +268,7 @@ _SIM_HAM = " + ".join(
 ORACLES["dedup_simhash"] = f"""
 WITH tok AS (
   SELECT doc_id, t
-  FROM (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS t
+  FROM (SELECT doc_id, unnest(string_split_regex(COALESCE(text, ''), '\\s+')) AS t
         FROM documents)
   WHERE t <> ''
 ), h AS (
@@ -783,7 +783,7 @@ FROM raw
 ORACLES["pack_sequences"] = r"""
 WITH base AS (
   SELECT doc_id, doc_id % 16 AS shard,
-         CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t <> ''))
+         CAST(len(list_filter(string_split_regex(COALESCE(text, ''), '\s+'), t -> t <> ''))
               AS BIGINT) AS n_tokens
   FROM documents
 ),
@@ -951,7 +951,7 @@ Q_NAMES: tuple[str, ...] = (
 # hashes grams to longs before counting (count-identical barring 2^-64
 # collisions); the oracle counts the raw token tuples. All ratios are
 # one division of exact integer counts.
-_ORACLE_TOKS = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+_ORACLE_TOKS = "list_filter(string_split_regex(COALESCE(text, ''), '\\s+'), x -> x <> '')"
 ORACLES["repetition_signals"] = f"""
 WITH base AS (
   SELECT doc_id,
@@ -1266,7 +1266,7 @@ FROM reach GROUP BY u
 # --- round-4 retrieval / reporting operators ---------------------------
 
 # Shared lowercased-token list (operators/retrieval.py lower_tokens_col)
-_LTOKS = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+_LTOKS = "list_filter(string_split_regex(lower(COALESCE(text, '')), '\\s+'), x -> x <> '')"
 
 # Smoothed TF-IDF top-5 per doc: score = tf * (N+1) / (df+1) as doubles
 # in that exact operation order (retrieval.py module docstring explains
@@ -1458,10 +1458,10 @@ WITH n AS (
 ),
 f AS (
   SELECT doc_id, text,
-         CAST(len(list_filter(string_split_regex(text, '\s+'),
+         CAST(len(list_filter(string_split_regex(COALESCE(text, ''), '\s+'),
                               x -> x <> '')) AS BIGINT) AS n_tokens
   FROM n
-  WHERE len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) >= 10
+  WHERE len(list_filter(string_split_regex(COALESCE(text, ''), '\s+'), x -> x <> '')) >= 10
 ),
 k AS (SELECT md5(COALESCE(text, '')) AS h, MIN(doc_id) AS keep
       FROM f GROUP BY 1)
@@ -1483,10 +1483,10 @@ WITH n AS (
 ),
 f AS (
   SELECT doc_id, text,
-         CAST(len(list_filter(string_split_regex(text, '\s+'),
+         CAST(len(list_filter(string_split_regex(COALESCE(text, ''), '\s+'),
                               x -> x <> '')) AS BIGINT) AS n_tokens
   FROM n
-  WHERE len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) >= 10
+  WHERE len(list_filter(string_split_regex(COALESCE(text, ''), '\s+'), x -> x <> '')) >= 10
 ),
 k AS (SELECT md5(COALESCE(text, '')) AS h, MIN(doc_id) AS keep
       FROM f GROUP BY 1),
@@ -1524,7 +1524,7 @@ d2 AS (
 ),
 occ AS (
   SELECT doc_id,
-         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+         unnest(list_filter(string_split_regex(lower(COALESCE(text, '')), '\s+'),
                             x -> x <> '')) AS token
   FROM d2
 ),
@@ -1755,7 +1755,7 @@ GROUP BY f.cohort_day, date_diff('day', f.cohort_day, d.day)
 ORACLES["pack_efficiency"] = r"""
 WITH per AS (
   SELECT doc_id % 16 AS shard,
-         CAST(len(list_filter(string_split_regex(text, '\s+'),
+         CAST(len(list_filter(string_split_regex(COALESCE(text, ''), '\s+'),
                               x -> x <> '')) AS BIGINT) AS n
   FROM documents
 )
@@ -1843,7 +1843,7 @@ LEFT JOIN s3 USING (user_id)
 ORACLES["paragraph_dedup"] = r"""
 WITH toks AS (
   SELECT doc_id,
-         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+         list_filter(string_split_regex(COALESCE(text, ''), '\s+'), x -> x <> '') AS t
   FROM documents
 ),
 nb AS (
@@ -1937,13 +1937,13 @@ WITH mutated AS (
 ),
 co AS (
   SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt_old
-  FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+  FROM (SELECT unnest(list_filter(string_split_regex(lower(COALESCE(text, '')), '\s+'),
                                   x -> x <> '')) AS token FROM documents)
   GROUP BY 1
 ),
 cn AS (
   SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt_new
-  FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+  FROM (SELECT unnest(list_filter(string_split_regex(lower(COALESCE(text, '')), '\s+'),
                                   x -> x <> '')) AS token FROM mutated)
   GROUP BY 1
 )

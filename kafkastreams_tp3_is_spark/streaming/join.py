@@ -287,15 +287,32 @@ def _outer_join_fixture(spark: SparkSession, sf_dir: str, how: str,
             f"SELECT 'Route_S{tag}' AS route_id, CAST(0 AS INT) AS "
             f"capacity, TIMESTAMP'{far}' AS update_ts")
 
-    # three appends per side with mtime gaps: the file source orders
-    # micro-batches by modification time, and data MUST precede the
-    # sentinels for the watermark choreography above
+    # three appends per side with EXPLICIT strictly-increasing mtimes:
+    # the file source orders micro-batches by modification time, and
+    # data MUST precede the sentinels for the watermark choreography
+    # above. os.utime with 2-second spacing instead of sleep gaps —
+    # on a filesystem with coarse (1 s) mtime granularity a sub-second
+    # sleep could let a sentinel batch tie with or precede the data
+    # batch, and the outer rows would silently never flush (ADVICE r9).
+    base = time.time()
+
+    def _stamp_new_parts(d: str, seen: set, step: int) -> set:
+        parts = {os.path.join(d, f) for f in os.listdir(d)
+                 if not f.startswith(("_", "."))}
+        ts = base + 2.0 * step
+        for p in sorted(parts - seen):
+            os.utime(p, (ts, ts))
+        return parts
+
     trips.coalesce(1).write.mode("append").parquet(t_dir)
     updates.coalesce(1).write.mode("append").parquet(u_dir)
-    for tag in ("1", "2"):
-        time.sleep(0.3)
+    t_seen = _stamp_new_parts(t_dir, set(), 0)
+    u_seen = _stamp_new_parts(u_dir, set(), 0)
+    for step, tag in enumerate(("1", "2"), start=1):
         sentinel(tag, "t").coalesce(1).write.mode("append").parquet(t_dir)
         sentinel(tag, "u").coalesce(1).write.mode("append").parquet(u_dir)
+        t_seen = _stamp_new_parts(t_dir, t_seen, step)
+        u_seen = _stamp_new_parts(u_dir, u_seen, step)
 
     t_schema = spark.read.parquet(t_dir).schema
     u_schema = spark.read.parquet(u_dir).schema

@@ -212,3 +212,39 @@ def test_bpe_train_stops_when_no_pairs(spark):
     docs = spark.createDataFrame([(1, "a b c a b")],
                                  "doc_id long, text string")
     assert bpe_train_df(docs, n_merges=5).count() == 0
+
+
+def test_null_text_documents_agree_with_oracle(spark, tmp_path):
+    """ADVICE r9: tokens_col coalesces NULL text to '' but the oracle
+    macros used to tokenize raw text (NULL -> NULL tokens), so a
+    NULL-text document would break per-doc full-hash gates. Pin the
+    mirrored fix end to end: a corpus containing NULL and empty texts
+    must hash-match between the Spark fixtures and the DuckDB oracles
+    for the per-document text family."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from tests.conftest import assert_frames_match
+
+    rows = [(1, "alpha beta gamma the and", "en", "web", 24),
+            (2, None, "en", "web", 0),
+            (3, "", "de", "book", 0),
+            (4, "  der und  ist ", "de", "book", 15)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    sf_dir = str(tmp_path / "nulltext_sf")
+    docs.coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet/*.parquet')")
+    Q, O = entrymod.queries(), entrymod.oracle_sql()
+    for name in ("text_token_count", "text_quality_score", "text_lang_id"):
+        sdf = Q[name](spark, sf_dir)
+        assert_frames_match(sdf, con.execute(O[name]).fetchdf())
+        # the gate contract is NULL-free output
+        pdf = sdf.toPandas()
+        assert not pdf.isna().any().any(), name
+    con.close()
