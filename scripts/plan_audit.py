@@ -57,6 +57,16 @@ COUNTERS = {
 
 def fingerprint(plan: str) -> dict:
     out = {k: len(re.findall(p, plan)) for k, p in COUNTERS.items()}
+    # Distinguish "no filter exists" from "filter not pushed" (ADVICE
+    # r9: a bare pushed_filters=false wall is meaningless when most
+    # fixtures scan whole tables — nothing to push). n_filters counts
+    # physical Filter nodes; pushed_filters stays "some scan carries a
+    # non-empty PushedFilters". n_filters > 0 with pushed_filters
+    # false is only suspicious when the filter touches source columns
+    # — derived-column predicates (quality signals, hashes) cannot
+    # push; test_plans.py asserts pushdown on entries that DO filter
+    # source columns at the scan.
+    out["n_filters"] = len(re.findall(r"\bFilter \(", plan))
     out["pushed_filters"] = "PushedFilters: [" in plan and \
         not re.search(r"PushedFilters: \[\]", plan)
     return out

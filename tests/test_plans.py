@@ -295,3 +295,25 @@ def test_pipeline_plan_growth_bounded(spark):
     n_exchange = plan.count("Exchange")
     assert n_exchange <= 60, f"plan re-bloated: {n_exchange} Exchanges"
     assert "LogicalRDD" in _plan(spark, df) or "Scan ExistingRDD" in plan
+
+
+def test_source_column_filters_reach_the_scan(spark):
+    """Entries whose predicates touch SOURCE columns must show a
+    non-empty PushedFilters on the parquet scan (the audit's n_filters
+    field separates 'no filter exists' from 'filter not pushed';
+    this pins 'pushed' for the ones where pushdown is possible —
+    derived-column predicates like quality signals legitimately cannot
+    push)."""
+    import re
+
+    from kafkastreams_tp3_is_spark.operators.curation import (
+        decontaminate, sample_deterministic)
+    from kafkastreams_tp3_is_spark.operators.events import funnel
+    from kafkastreams_tp3_is_spark.operators.temporal import (
+        error_incident_events)
+
+    for fn in (decontaminate, sample_deterministic, funnel,
+               error_incident_events):
+        plan = _plan(spark, fn(spark, SF_DIR))
+        assert re.search(r"PushedFilters: \[[^\]]", plan), \
+            f"{fn.__name__}: source-column filter did not reach the scan"
