@@ -32,6 +32,7 @@ from kafkastreams_tp3_is_spark.operators import temporal as _temporal
 from kafkastreams_tp3_is_spark.operators import text as _text
 from kafkastreams_tp3_is_spark.streaming import envelope as _env
 from kafkastreams_tp3_is_spark.streaming import join as _ssjoin
+from kafkastreams_tp3_is_spark.streaming import runner as _runner
 from kafkastreams_tp3_is_spark.streaming import stateful as _stateful
 from kafkastreams_tp3_is_spark import views as _views
 
@@ -60,6 +61,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_stored": _sim.ann_recall_stored,            # rows-only
         "winnow_fingerprints_fast": _dedup.winnow_fingerprints_fast,
         "winnow_pairs_fast": _dedup.winnow_pairs_fast,
+        "q11_window_max_stream": _runner.q11_transport_type_max_passengers_window_stream,
+        "q12_window_min_stream": _runner.q12_least_occupied_transport_type_window_stream,
         # --- r7-dated backlog (25) -----------------------------------------
         "ann_cosine_topk_lsh": _sim.cosine_topk_lsh,            # rows-only
         "ann_cosine_topk_ivf": _ivf.cosine_topk_ivf,            # rows-only

@@ -53,6 +53,8 @@ BASELINE_QUERIES = {"embedding_near_dup_exact", "ngram_jaccard_pairs",
 # latest_route_capacity, same semantics, ~1s at sf0.1). Timed and reported
 # separately so nothing is hidden.
 DEMO_QUERIES = {"latest_route_capacity_stateful",
+                "q11_window_max_stream",
+                "q12_window_min_stream",
                 "trips_route_update_stream_join",
                 "trips_route_update_stream_left_join",
                 "trips_route_update_stream_outer_join"}

@@ -2766,3 +2766,12 @@ _IVF_FLAT_AP = """
 """
 
 ORACLES["ann_recall_ivf"] = _recall_oracle(_IVF_FLAT_AP)
+
+
+# Native-streaming Q11/Q12 demos: prefix consistency means the final
+# upserted state equals the batch answer, so the STREAM fixtures are
+# gated against the SAME batch oracles.
+ORACLES["q11_window_max_stream"] = (
+    ORACLES["q11_transport_type_max_passengers_window"])
+ORACLES["q12_window_min_stream"] = (
+    ORACLES["q12_least_occupied_transport_type_window"])

@@ -308,3 +308,86 @@ class RecomputeHarness:
              .trigger(availableNow=True)
              .start())
         q.awaitTermination()
+
+
+def _windowed_stream_demo(spark: SparkSession, sf_dir: str, sink,
+                          prefix: str) -> "WindowedExtremumSink":
+    """Shared staging for the native-streaming Q11/Q12 demo fixtures:
+    project the trip fact to the two columns the windowed count needs,
+    land it as a 4-file parquet zone (maxFilesPerTrigger=1 -> 4 genuine
+    micro-batches), run the engine-maintained windowed counts in update
+    mode into the per-window extremum sink. Watermark is replay-wide
+    (the 4-file zone shuffles event order, and the demo's contract is
+    final-state == batch); the shuffle-partition pin bounds state-store
+    open/commit cycles per micro-batch (see stateful.py's note)."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..views import load, trips_from_lineitem
+
+    workdir = tempfile.mkdtemp(prefix=prefix)
+    src = os.path.join(workdir, "trips")
+    (trips_from_lineitem(load(spark, sf_dir, "lineitem"))
+     .select("event_ts", "transport_type")
+     .repartition(4).write.mode("overwrite").parquet(src))
+    schema = spark.read.parquet(src).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    conf_key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(conf_key)
+    spark.conf.set(conf_key, "16")
+    try:
+        run_update_mode_agg(
+            windowed_counts_stream(stream, watermark="4000 days"),
+            sink, os.path.join(workdir, "ckpt"))
+    finally:
+        spark.conf.set(conf_key, prev)
+        shutil.rmtree(workdir, ignore_errors=True)
+    return sink
+
+
+def q11_transport_type_max_passengers_window_stream(
+        spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gate DEMO fixture (full hash against the SAME oracle as
+    batch Q11): W1-W4 in native streaming form end to end — tumbling
+    1-hour counts maintained by the engine in update mode, per-window
+    argmax re-derived incrementally by WindowedExtremumSink for touched
+    windows only. Final state must equal the batch q11_logic answer
+    (prefix consistency), which the driver checks directly against the
+    DuckDB date_trunc oracle."""
+    from ..session import configure_for_engine
+
+    configure_for_engine(spark)
+    sink = _windowed_stream_demo(spark, sf_dir, q11_windowed_argmax_sink(),
+                                 "q11stream_")
+    return spark.createDataFrame(
+        [(r["window_start"], r["transportType"], int(r["maxPassengers"]))
+         for r in sink.rows()],
+        "window_start timestamp, transportType string, maxPassengers bigint")
+
+
+def q12_least_occupied_transport_type_window_stream(
+        spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gate DEMO fixture (full hash against the SAME oracle as
+    batch Q12): the windowed-count stream scored as occupancy%% against
+    the bounded capacity dimension (5 transport types, collected once),
+    per-window argmin in the sink. The sink's cnt / cap * 100 python
+    floats repeat _occupancy's IEEE operation order, so the final state
+    is bit-identical to the batch answer and hash-checks against the
+    batch Q12 oracle."""
+    from ..session import configure_for_engine
+    from ..views import routes
+
+    configure_for_engine(spark)
+    cap = {r["transport_type"]: r["cap"]
+           for r in (routes(spark, sf_dir)
+                     .groupBy("transport_type")
+                     .agg(F.sum("capacity").alias("cap"))).collect()}
+    sink = _windowed_stream_demo(spark, sf_dir,
+                                 q12_windowed_argmin_sink(cap),
+                                 "q12stream_")
+    return spark.createDataFrame(
+        [(r["window_start"], r["transportType"], float(r["occupancy"]))
+         for r in sink.rows()],
+        "window_start timestamp, transportType string, occupancy double")

@@ -36,6 +36,8 @@ from kafkastreams_tp3_is_spark.session import get_spark  # noqa: E402
 # builds) — their registered plan is a scratch-sink read, so auditing
 # it would measure the fixture, not the operator
 SKIP = {
+    "q11_window_max_stream",
+    "q12_window_min_stream",
     "trips_route_update_stream_join",
     "trips_route_update_stream_left_join",
     "trips_route_update_stream_outer_join",
