@@ -3,11 +3,17 @@ entries (VERDICT r9 ask #4): ``winnow_pairs`` (6.99 s at sf0.1) and
 ``bloom_decontaminate`` (4.80 s) — the TFIDF_SCALE.md method
 generalized.
 
-Method (identical to scripts/tfidf_scale_profile.py): at 1x/10x/30x of
-the sf0.1 scale-smoke cipher corpus, time each op twice —
+Method (TFIDF_SCALE.md's, with one refinement): at 1x/10x/30x of the
+sf0.1 scale-smoke cipher corpus, time each op twice —
   (a) FIXTURE-INCLUSIVE over the lazy scaled frame (scale_smoke's
       number), and
-  (b) OPERATOR-ONLY over the same frame persisted + counted first.
+  (b) OPERATOR-ONLY over the same rows STAGED TO A PARQUET SNAPSHOT
+      first (untimed write), so the timed region is the operator over
+      the same vectorized parquet scan production pays. A persisted
+      InMemoryRelation (the tfidf profiler's isolation) measured +60%
+      on the winnow kernel — columnar-cache deserialization of long
+      text rows costs more than re-scanning parquet — which would
+      pollute the operator number with cache-read cost.
 Fit marginal seconds per corpus copy on the disjoint spans (1->10)/9
 and (10->30)/20: super-linear work makes the marginal GROW between
 spans; linear work keeps growth ~1.0. Fixtures are the SAME planted
@@ -58,10 +64,14 @@ def marginals(pts: dict, key: str) -> tuple[float, float, float | None]:
 
 
 def main() -> None:
+    import shutil
+    import tempfile
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("marginal-scale-profile")
     spark.sparkContext.setLogLevel("ERROR")
 
+    stage_root = tempfile.mkdtemp(prefix="marginal_stage_")
     results = {}
     for name, fn in OPS:
         warm = scaled_docs(spark, sf_dir, 1)
@@ -70,10 +80,12 @@ def main() -> None:
         for copies in COPIES:
             d = scaled_docs(spark, sf_dir, copies)
             t_fix, n = timed(fn, d)              # fixture-inclusive
-            dp = d.persist()
-            n_docs = dp.count()                  # untimed materialization
-            t_op, _ = timed(fn, dp)              # operator-only
-            dp.unpersist()
+            src = os.path.join(stage_root, f"{name}_{copies}")
+            d.write.parquet(src)                 # untimed materialization
+            ds = spark.read.parquet(src)
+            n_docs = ds.count()
+            t_op, _ = timed(fn, ds)              # operator-only
+            shutil.rmtree(src, ignore_errors=True)
             points[copies] = {"t_fixture": t_fix, "t_operator": t_op,
                               "n_docs": n_docs, "out_rows": n}
         fl, fh, fg = marginals(points, "t_fixture")
@@ -84,6 +96,7 @@ def main() -> None:
             "operator_marginal_s_per_copy": [ol, oh], "operator_growth": og,
         }
 
+    shutil.rmtree(stage_root, ignore_errors=True)
     print(json.dumps({"metric": "marginal_scale_profile",
                       "sf_dir": sf_dir, "ops": results}))
 
@@ -113,24 +126,36 @@ def main() -> None:
 **Question** (VERDICT r9 ask #4): the two heaviest timed registry
 entries — do their SCALE_SMOKE 10x ratios hide super-linear work?
 
-**Method** (`scripts/marginal_scale_profile.py`, = TFIDF_SCALE.md's):
-at 1x/10x/30x of the scale-smoke cipher corpus, time each op
-(post-warmup) over the LAZY fixture frame and over the SAME frame
-persisted+counted first, then fit marginal seconds per corpus copy on
-the disjoint spans 1->10 and 10->30. Super-linear work makes the
-operator-only marginal GROW between spans; harness scan cost and the
-fixed floor only pollute the fixture-inclusive column.
+**Method** (`scripts/marginal_scale_profile.py`, = TFIDF_SCALE.md's
+with parquet-snapshot isolation): at 1x/10x/30x of the scale-smoke
+cipher corpus, time each op (post-warmup) over the LAZY fixture frame
+and over the SAME rows staged to a parquet snapshot first (untimed
+write — a persisted InMemoryRelation measured +60% on the winnow
+kernel from columnar-cache deserialization of long text rows, so the
+snapshot keeps the timed region = operator over the production
+vectorized scan). Fit marginal seconds per corpus copy on the disjoint
+spans 1->10 and 10->30: super-linear work makes the operator-only
+marginal GROW between spans; harness scan cost and the fixed floor
+only pollute the fixture-inclusive column. Growth ratios are only
+meaningful when the absolute marginal is well above noise — a
+floor-dominated op (total seconds barely moving across 30x) is
+reported as such, not as a growth number.
 
 """
           + "\n".join(sections) +
           """
-**Reading**: `winnow_pairs` is expression-kernel fingerprinting (
-row-local, shuffle only on the df<=20-cut fingerprint join) and
+**Reading**: `winnow_pairs` is expression-kernel fingerprinting
+(row-local, shuffle only on the df<=20-cut fingerprint join) and
 `bloom_decontaminate` is a bitset build + per-row probe + bounded
 candidate join — both designs are candidate-linear, and the measured
 operator-only marginals above are the empirical confirmation at a 30x
 corpus (the flat-marginal criterion TFIDF_SCALE.md established;
-growth near 1.0 = no quadratic stage surfaced at 30x).
+growth near 1.0 = no quadratic stage surfaced at 30x). Where the
+absolute operator-only marginal is tens of milliseconds per copy
+(bloom_decontaminate: the bitset build + probe barely move across
+30x), the op is FLOOR-DOMINATED at this scale and the growth ratio is
+noise on a near-zero slope — the scale signal is the near-flat total,
+not the ratio.
 """)
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "MARGINAL_SCALE.md"), "w") as f:
