@@ -18,6 +18,7 @@ from kafkastreams_tp3_is_spark import queries as _q
 from kafkastreams_tp3_is_spark.operators import dedup as _dedup
 from kafkastreams_tp3_is_spark.operators import embstats as _embstats
 from kafkastreams_tp3_is_spark.operators import events as _events
+from kafkastreams_tp3_is_spark.operators import fuzzy as _fuzzy
 from kafkastreams_tp3_is_spark.operators import graph as _graph
 from kafkastreams_tp3_is_spark.operators import ivf as _ivf
 from kafkastreams_tp3_is_spark.operators import multimodal as _mm
@@ -63,6 +64,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_pairs_fast": _dedup.winnow_pairs_fast,
         "q11_window_max_stream": _runner.q11_transport_type_max_passengers_window_stream,
         "q12_window_min_stream": _runner.q12_least_occupied_transport_type_window_stream,
+        "fuzzy_edit_pairs": _fuzzy.fuzzy_edit_pairs,
         # --- r7-dated backlog (25) -----------------------------------------
         "ann_cosine_topk_lsh": _sim.cosine_topk_lsh,            # rows-only
         "ann_cosine_topk_ivf": _ivf.cosine_topk_ivf,            # rows-only

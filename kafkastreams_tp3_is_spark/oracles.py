@@ -2775,3 +2775,74 @@ ORACLES["q11_window_max_stream"] = (
     ORACLES["q11_transport_type_max_passengers_window"])
 ORACLES["q12_window_min_stream"] = (
     ORACLES["q12_least_occupied_transport_type_window"])
+
+
+# Edit-distance similarity join (PassJoin ICDE'12): identical even
+# partition into d+1 segments (FLOOR arithmetic — DuckDB CAST(double
+# AS INT) rounds where Spark truncates, so both engines floor on
+# integer-exact doubles), the same (2d+1)(d+1)(2d+1) probe-substring
+# enumeration, md5-prefix candidate keys, exact levenshtein verify.
+# DuckDB's levenshtein is byte-based vs Spark's char-based — identical
+# on the gate's all-ASCII corpora (charset pinned in
+# tests/test_fuzzy.py). d=2, k=3, min_len=24, plus the planted typo
+# twins (delete char 40, substitute char 80 -> '~') of every 25th
+# long-enough doc.
+_FUZZY_SEG_BASE = "CAST(FLOOR(src_n / 3.0) AS INT)"
+_FUZZY_SEG_REM = "CAST(src_n % 3 AS INT)"
+_FUZZY_SEG_START = (f"(j * {_FUZZY_SEG_BASE} + GREATEST(0, "
+                    f"j - (3 - {_FUZZY_SEG_REM})) + 1)")
+_FUZZY_SEG_LEN = (f"(CASE WHEN j >= 3 - {_FUZZY_SEG_REM} "
+                  f"THEN {_FUZZY_SEG_BASE} + 1 ELSE {_FUZZY_SEG_BASE} END)")
+
+ORACLES["fuzzy_edit_pairs"] = f"""
+WITH d0 AS (
+  SELECT doc_id, COALESCE(text, '') AS t FROM documents
+  UNION ALL
+  SELECT doc_id + 8000000000 AS doc_id,
+         substring(COALESCE(text, ''), 1, 39)
+           || substring(COALESCE(text, ''), 41, 39) || '~'
+           || substring(COALESCE(text, ''), 81,
+                        length(COALESCE(text, ''))) AS t
+  FROM documents
+  WHERE doc_id % 25 = 0 AND length(COALESCE(text, '')) >= 81
+), base AS (
+  SELECT doc_id, t, length(t) AS n FROM d0 WHERE length(t) >= 24
+), a_side AS (
+  SELECT doc_id AS a_id, src_n, j,
+         ('0x' || substring(md5(substring(t,
+             CAST({_FUZZY_SEG_START} AS INT),
+             CAST({_FUZZY_SEG_LEN} AS INT))), 1, 15))::BIGINT AS h
+  FROM (SELECT doc_id, t, n AS src_n, sg.j
+        FROM base, (SELECT unnest(range(0, 3)) AS j) sg)
+), b_side AS (
+  SELECT b_id, src_n, j,
+         ('0x' || substring(md5(substring(t, pos, len)),
+                            1, 15))::BIGINT AS h
+  FROM (
+    SELECT b_id, t, m, src_n, j,
+           CAST({_FUZZY_SEG_START} + ds AS INT) AS pos,
+           CAST({_FUZZY_SEG_LEN} AS INT) AS len
+    FROM (
+      SELECT doc_id AS b_id, t, n AS m, n + c.dn AS src_n,
+             c.j AS j, c.ds AS ds
+      FROM base,
+           (SELECT dn.x AS dn, jj.x AS j, ds.x AS ds
+            FROM (SELECT unnest(range(-2, 3)) AS x) dn,
+                 (SELECT unnest(range(0, 3)) AS x) jj,
+                 (SELECT unnest(range(-2, 3)) AS x) ds) c
+    )
+  )
+  WHERE src_n >= 24 AND pos >= 1 AND pos + len - 1 <= m
+), cand AS (
+  SELECT DISTINCT LEAST(a_id, b_id) AS doc_a,
+                  GREATEST(a_id, b_id) AS doc_b
+  FROM a_side JOIN b_side USING (src_n, j, h)
+  WHERE a_id <> b_id
+)
+SELECT doc_a, doc_b,
+       CAST(levenshtein(ta.t, tb.t) AS INT) AS dist
+FROM cand
+JOIN base ta ON ta.doc_id = cand.doc_a
+JOIN base tb ON tb.doc_id = cand.doc_b
+WHERE levenshtein(ta.t, tb.t) <= 2
+"""

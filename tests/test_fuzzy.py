@@ -1,0 +1,97 @@
+"""Edit-distance similarity join (PassJoin): brute-force equivalence,
+planted-pair recovery, unicode char semantics, and the gate's ASCII
+precondition."""
+
+from __future__ import annotations
+
+import random
+import sys
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, "/root/repo")
+
+from kafkastreams_tp3_is_spark.operators.fuzzy import (  # noqa: E402
+    edit_distance_pairs_df, fuzzy_edit_pairs)
+from tests.conftest import SF_DIR  # noqa: E402
+
+
+def _brute(spark, docs, d, min_len):
+    a = docs.selectExpr("doc_id AS doc_a", "text AS ta") \
+            .where(f"length(coalesce(ta, '')) >= {min_len}")
+    b = docs.selectExpr("doc_id AS doc_b", "text AS tb") \
+            .where(f"length(coalesce(tb, '')) >= {min_len}")
+    return {(r["doc_a"], r["doc_b"], r["dist"]) for r in
+            a.crossJoin(b).where("doc_a < doc_b")
+             .select("doc_a", "doc_b",
+                     F.levenshtein("ta", "tb").cast("int").alias("dist"))
+             .where(f"dist <= {d}").collect()}
+
+
+def test_passjoin_equals_bruteforce_random_corpus(spark):
+    """PassJoin completeness + precision: on a random corpus with
+    planted 1/2-edit clones, the candidate-join + verify must produce
+    EXACTLY the brute-force levenshtein<=d pair set (no false
+    negatives from the segment windows, no false positives from hash
+    candidates surviving the verify)."""
+    rng = random.Random(3)
+    alpha = "abcdefgh "
+    rows = []
+    for i in range(60):
+        s = "".join(rng.choice(alpha)
+                    for _ in range(rng.randint(24, 90)))
+        rows.append((i, s))
+    for i in range(0, 60, 7):
+        ls = list(rows[i][1])
+        if len(ls) > 30:
+            del ls[7]          # one deletion
+        ls[3] = "z"            # one substitution
+        rows.append((1000 + i, "".join(ls)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["doc_a"], r["doc_b"], r["dist"]) for r in
+           edit_distance_pairs_df(docs, max_dist=2, min_len=24).collect()}
+    want = _brute(spark, docs, 2, 24)
+    assert got == want and len(want) >= 9
+
+
+def test_fuzzy_gate_fixture_recovers_every_planted_pair(spark):
+    """Every planted typo twin (delete char 40, substitute char 80) of
+    a long-enough every-25th doc must be recovered at distance <= 2,
+    paired with its source."""
+    out = fuzzy_edit_pairs(spark, SF_DIR).collect()
+    planted = {(r["doc_a"], r["doc_b"]) for r in out
+               if r["doc_b"] >= 8_000_000_000}
+    n_expected = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+                  .where("doc_id % 25 = 0 AND "
+                         "length(coalesce(text, '')) >= 81").count())
+    assert len(planted) >= n_expected
+    direct = {(a, b) for a, b in planted if b == a + 8_000_000_000}
+    assert len(direct) == n_expected
+
+
+def test_unicode_char_edits_and_gate_ascii_precondition(spark, duck):
+    """The OPERATOR counts character edits on unicode (Spark
+    levenshtein semantics): 'café'->'cafe' is ONE edit even though é
+    is two UTF-8 bytes. The GATE's cross-engine validity rests on the
+    corpus being ASCII (DuckDB levenshtein counts bytes) — assert the
+    test corpus actually is."""
+    docs = spark.createDataFrame(
+        [(1, "café " + "x" * 24), (2, "cafe " + "x" * 24)],
+        "doc_id long, text string")
+    rows = edit_distance_pairs_df(docs, max_dist=1, min_len=24).collect()
+    assert [(r["doc_a"], r["doc_b"], r["dist"]) for r in rows] == [(1, 2, 1)]
+
+    n_non_ascii = duck.execute(
+        "SELECT COUNT(*) FROM documents "
+        "WHERE text IS NOT NULL AND NOT text ~ '^[\\x00-\\x7F]*$'"
+    ).fetchone()[0]
+    assert n_non_ascii == 0, "gate precondition: ASCII corpus"
+
+
+def test_min_len_contract_excludes_short_docs(spark):
+    docs = spark.createDataFrame(
+        [(1, "short"), (2, "short"), (3, "a" * 30), (4, "a" * 30)],
+        "doc_id long, text string")
+    got = {(r["doc_a"], r["doc_b"]) for r in
+           edit_distance_pairs_df(docs, max_dist=2, min_len=24).collect()}
+    assert got == {(3, 4)}
