@@ -517,3 +517,64 @@ def test_winnow_fast_numpy_kernel_matches_bruteforce(spark, texts):
     for i, t in enumerate(texts):
         want = _brute_winnow(t, k, w, poly_hash)
         assert got.get(i, set()) == want, f"doc {i}: {t!r}"
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(st.text(alphabet=_ALPHA, min_size=0, max_size=40),
+                min_size=1, max_size=4))
+def test_fast_winnow_duckdb_oracle_matches_reference(texts):
+    """The DuckDB wrapping-uint64 restatement of the fast-winnow gram
+    hash + selection (oracles._FAST_GRAMS — UHUGEINT-mod-2^64
+    multiplies, staged xor/shift passes, signed view) must equal the
+    plain-Python uint64 reference on ARBITRARY unicode, astral chars
+    included — the oracle itself, not just the kernel, is pinned."""
+    import duckdb
+
+    from kafkastreams_tp3_is_spark.oracles import (_FAST_GRAMS,
+                                                   _winnow_fps_sql)
+
+    k, w = 8, 4
+    M = (1 << 64) - 1
+
+    def poly_hash(s: str) -> int:
+        h = 0
+        for ch in s:
+            h = (h * 1099511628211 + ord(ch)) & M
+        h ^= h >> 30
+        h = (h * 0xBF58476D1CE4E5B9) & M
+        h ^= h >> 27
+        h = (h * 0x94D049BB133111EB) & M
+        h ^= h >> 31
+        return h - (1 << 64) if h >= (1 << 63) else h
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d (doc_id BIGINT, t VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?)",
+                    [(i, t) for i, t in enumerate(texts)])
+    got: dict = {}
+    for doc_id, pos, fp in con.execute(
+            _winnow_fps_sql("d", _FAST_GRAMS)).fetchall():
+        got.setdefault(doc_id, set()).add((pos, fp))
+    con.close()
+    for i, t in enumerate(texts):
+        want = _brute_winnow(t, k, w, poly_hash)
+        assert got.get(i, set()) == want, f"doc {i}: {t!r}"
+
+
+def test_lsh_projection_margin_dwarfs_reordering_error():
+    """ann_recall_lsh's cross-engine validity rests on no projection
+    sign flipping between numpy's BLAS summation order and the
+    oracle's sequential fold. The reordering error is ~n*eps*|terms|
+    ~ 1e-13; assert the smallest |projection| over the whole sf0.001
+    corpus x all 64 planes is orders of magnitude above it, so the
+    sign set — hence the bucket keys, candidates, and the recall
+    report — is engine-order-invariant with wide margin."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    emb = pq.read_table(
+        "/root/testdata/sf0.001/embeddings.parquet").to_pandas()
+    M = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    planes = np.random.default_rng(42).standard_normal((M.shape[1], 64))
+    margin = np.abs(M @ planes).min()
+    assert margin > 1e-9, f"projection margin {margin} too small"
