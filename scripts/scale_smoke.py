@@ -34,6 +34,8 @@ from kafkastreams_tp3_is_spark.operators.dedup import (  # noqa: E402
     bloom_decontaminate_spans_df, containment_pairs_df, dedup_minhash_lsh_df,
     dedup_simhash_df, paragraph_dedup_df, repeated_spans_df,
     winnow_fingerprints_df, winnow_fingerprints_fast_df, winnow_pairs_df)
+from kafkastreams_tp3_is_spark.operators.fuzzy import (  # noqa: E402
+    edit_distance_pairs_df)
 from kafkastreams_tp3_is_spark.operators.text import (  # noqa: E402
     ngram_lm_score_df)
 from kafkastreams_tp3_is_spark.operators.multimodal import (  # noqa: E402
@@ -145,6 +147,27 @@ def _winnow_pairs_planted(docs):
     return winnow_pairs_df(docs.unionByName(planted))
 
 
+def _fuzzy_planted(docs):
+    # O(n) planted typo twins (every 25th long-enough doc: one char
+    # deleted at 40, one substituted at 80) so the pair output scales
+    # linearly with rows — cross-copy texts differ in nearly every
+    # char, so accidental levenshtein<=2 pairs are essentially absent
+    planted = (docs.where((F.col("doc_id") % 25 == 0)
+                          & (F.length(F.coalesce(F.col("text"),
+                                                 F.lit(""))) >= 81))
+               .select((F.col("doc_id") + F.lit(8_000_000_000))
+                       .alias("doc_id"),
+                       F.concat(
+                           F.substring(F.coalesce(F.col("text"),
+                                                  F.lit("")), 1, 39),
+                           F.substring(F.coalesce(F.col("text"),
+                                                  F.lit("")), 41, 39),
+                           F.lit("~"),
+                           F.expr("substring(coalesce(text, ''), 81, "
+                                  "2147483647)")).alias("text")))
+    return edit_distance_pairs_df(docs.unionByName(planted))
+
+
 def _containment_planted(docs):
     # O(n) planted excerpts (every 25th long-enough doc contributes one
     # contained page) so containment output scales linearly with rows
@@ -223,6 +246,9 @@ def main() -> None:
            ("winnow_pairs", _winnow_pairs_planted),
            # SSJoin prefix filter over planted excerpts
            ("containment_pairs", _containment_planted),
+           # PassJoin segment equi-join over planted typo twins: probe
+           # rows are a 75x/doc constant, candidates ~ planted pairs
+           ("fuzzy_edit_pairs", _fuzzy_planted),
            # two-pass bucket-decomposed greedy: ordered window only over
            # the bounded bucket frame + one boundary bucket
            ("select_token_budget", select_token_budget_df)]
