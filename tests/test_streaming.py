@@ -1425,3 +1425,68 @@ def test_stream_stream_full_outer_join_emits_both_null_sides(
             ("B", 2, None),        # left-only: null right columns
             ("C", None, 30)}       # right-only: null left columns, key kept
     assert got == want
+
+
+# --- RocksDB state store backend (the 100 TB state path) ---------------
+
+def test_rocksdb_windowed_counts_equal_default_provider(
+        spark, stream_dirs, tmp_path):
+    """State backends must never change RESULTS: the engine-maintained
+    windowed counts under RocksDBStateStoreProvider (+ changelog
+    checkpointing) must produce the same final upserted state as the
+    default HDFS-backed provider, == the batch aggregation."""
+    from kafkastreams_tp3_is_spark.streaming.state_backend import (
+        rocksdb_state_store)
+
+    def run(ck):
+        trips_stream = trip_file_stream(spark, str(stream_dirs / "lineitem"))
+        sink = MemoryUpsertSink(["window_start", "transport_type"])
+        run_update_mode_agg(
+            windowed_counts_stream(trips_stream, watermark="4000 days"),
+            sink, str(tmp_path / ck))
+        return {k: d["cnt"] for k, d in sink.state.items()}
+
+    default_state = run("ck_default")
+    with rocksdb_state_store(spark):
+        rocks_state = run("ck_rocks")
+        assert spark.conf.get(
+            "spark.sql.streaming.stateStore.providerClass").endswith(
+            "RocksDBStateStoreProvider")
+    assert rocks_state == default_state and len(rocks_state) > 0
+    # the scoped setter restored (or unset) the caller's provider conf
+    from kafkastreams_tp3_is_spark.streaming.state_backend import (
+        ROCKSDB_PROVIDER)
+    assert spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass",
+        "default") != ROCKSDB_PROVIDER
+
+
+def test_rocksdb_applyinpandas_state_kernel_parity(spark, tmp_path):
+    """The per-key applyInPandasWithState kernel (latest-per-key) under
+    RocksDB: final collapsed state equals the batch row_number
+    realization — the provider swap is transparent to custom stateful
+    operators too."""
+    from kafkastreams_tp3_is_spark.streaming.state_backend import (
+        rocksdb_state_store)
+    from kafkastreams_tp3_is_spark.streaming.stateful import (
+        latest_per_key_stream)
+    from kafkastreams_tp3_is_spark.views import (
+        latest_route_capacity, routes_reemitted)
+
+    chg = routes_reemitted(spark, SF_DIR)
+    src = tmp_path / "rocks_chg"
+    chg.repartition(3).write.parquet(str(src))
+    stream = (spark.readStream.schema(chg.schema)
+              .option("maxFilesPerTrigger", "1").parquet(str(src)))
+    sink = MemoryUpsertSink(["route_id"])
+    with rocksdb_state_store(spark):
+        latest = latest_per_key_stream(stream, ["route_id"], "event_ts")
+        q_ = (latest.writeStream.foreachBatch(sink.process)
+              .outputMode("update")
+              .option("checkpointLocation", str(tmp_path / "ck_rocks_st"))
+              .trigger(availableNow=True).start())
+        q_.awaitTermination()
+    got = {(d["route_id"], d["capacity"]) for d in sink.rows()}
+    want = {(r["route_id"], r["capacity"])
+            for r in latest_route_capacity(spark, SF_DIR).collect()}
+    assert got == want
