@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q11_window_max_stream": _runner.q11_transport_type_max_passengers_window_stream,
         "q12_window_min_stream": _runner.q12_least_occupied_transport_type_window_stream,
         "fuzzy_edit_pairs": _fuzzy.fuzzy_edit_pairs,
+        "fuzzy_dup_clusters": _fuzzy.fuzzy_dup_clusters,
         # --- r7-dated backlog (25) -----------------------------------------
         "ann_cosine_topk_lsh": _sim.cosine_topk_lsh,            # rows-only
         "ann_cosine_topk_ivf": _ivf.cosine_topk_ivf,            # rows-only

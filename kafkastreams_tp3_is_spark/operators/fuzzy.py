@@ -149,3 +149,22 @@ def fuzzy_edit_pairs(spark: SparkSession, sf_dir: str,
                        .alias("doc_id"), edited.alias("text")))
     both = docs.select("doc_id", "text").unionByName(planted)
     return edit_distance_pairs_df(both, max_dist=max_dist)
+
+
+def fuzzy_dup_clusters(spark: SparkSession, sf_dir: str,
+                       max_dist: int = 2) -> DataFrame:
+    """Typo-duplicate clusters — the dedup composition over the
+    edit-distance join: PassJoin pairs (same planted fixture as
+    ``fuzzy_edit_pairs``) chained into Large-Star/Small-Star connected
+    components, cluster_id = min doc_id, canonical = the record a
+    dedup pass keeps. Mirrors ``duplicate_clusters_lsh``'s
+    edges -> CC -> canonical shape with edit-distance edges: every
+    stage sub-quadratic (segment equi-join candidates, log-round CC).
+    Full-hash gate: the oracle nests the fuzzy-pair SQL inside the
+    recursive-closure spelling the other cluster oracles use."""
+    from .graph import _clusters
+
+    pairs = (fuzzy_edit_pairs(spark, sf_dir, max_dist)
+             .select(F.col("doc_a").alias("a_id"),
+                     F.col("doc_b").alias("b_id")))
+    return _clusters(pairs)

@@ -2846,3 +2846,26 @@ JOIN base ta ON ta.doc_id = cand.doc_a
 JOIN base tb ON tb.doc_id = cand.doc_b
 WHERE levenshtein(ta.t, tb.t) <= 2
 """
+
+
+# Typo-duplicate clusters: the fuzzy pair set (verbatim nested) chained
+# by the same recursive transitive closure as the other cluster oracles.
+ORACLES["fuzzy_dup_clusters"] = f"""
+WITH RECURSIVE pairs AS (
+{ORACLES["fuzzy_edit_pairs"]}
+),
+sym AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION ALL
+  SELECT doc_b AS u, doc_a AS v FROM pairs
+),
+reach (u, v) AS (
+  SELECT u, v FROM sym
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u WHERE s.v <> r.u
+)
+SELECT u AS doc_id,
+       least(u, MIN(v)) AS cluster_id,
+       least(u, MIN(v)) = u AS is_canonical
+FROM reach GROUP BY u
+"""

@@ -95,3 +95,27 @@ def test_min_len_contract_excludes_short_docs(spark):
     got = {(r["doc_a"], r["doc_b"]) for r in
            edit_distance_pairs_df(docs, max_dist=2, min_len=24).collect()}
     assert got == {(3, 4)}
+
+
+def test_fuzzy_dup_clusters_canonicals(spark):
+    """Planted typo twins must land in 2-clusters whose canonical is
+    the ORIGINAL doc (min id), and every emitted cluster must be
+    internally consistent (cluster_id = min member, exactly one
+    canonical per cluster)."""
+    from collections import defaultdict
+
+    from kafkastreams_tp3_is_spark.operators.fuzzy import (
+        fuzzy_dup_clusters)
+
+    rows = fuzzy_dup_clusters(spark, SF_DIR).collect()
+    by_cluster = defaultdict(list)
+    for r in rows:
+        by_cluster[r["cluster_id"]].append(r)
+    assert by_cluster
+    for cid, members in by_cluster.items():
+        ids = {m["doc_id"] for m in members}
+        assert cid == min(ids)
+        assert sum(1 for m in members if m["is_canonical"]) == 1
+        twins = {i for i in ids if i >= 8_000_000_000}
+        for t in twins:
+            assert t - 8_000_000_000 in ids   # twin clustered with source
