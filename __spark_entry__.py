@@ -49,13 +49,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- ROTATION BLOCK (round 10) ------------------------------------
         # The driver's correctness run caps near 50 entries in registration
-        # order. Front: the 4 round-10 newcomers (LSH/IVF recall reports),
-        # the 2 winnow fast twins whose gate upgraded rows-only -> full
-        # hash this round, then the 25 entries whose latest driver row is
-        # r7-dated (3 rounds stale), then the oldest r8-dated block up to
-        # the cap. Everything below the cap holds a green r8/r9 driver row
-        # under code re-proven every run by the sf0.001 pytest oracle and
-        # the sf0.1 parity sweep.
+        # order. Front: the round-10 newcomers (4 ANN recall reports, the
+        # 2 native-streaming Q11/Q12 demos, the 2 fuzzy edit-distance
+        # entries), the 2 winnow fast twins whose gate upgraded rows-only
+        # -> full hash this round, then the 25 entries whose latest driver
+        # row is r7-dated (3 rounds stale), then the oldest r8-dated block
+        # up to the cap. Everything below the cap holds a green r8/r9
+        # driver row under code re-proven every run by the sf0.001 pytest
+        # oracle and the sf0.1 parity sweep.
         "ann_recall_lsh": _sim.ann_recall_lsh,
         "ann_recall_ivf": _sim.ann_recall_ivf,
         "ann_recall_ivf_trained": _sim.ann_recall_ivf_trained,  # rows-only
