@@ -233,7 +233,11 @@ def pack_sequences_df(docs: DataFrame, budget: int = 2048,
     content produce identical (shard, pack_id, offset) placements."""
     from pyspark.sql import Window
 
-    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
+    # NULL text -> '' (0 tokens), matching the oracle's COALESCE: under
+    # ANSI semantics size(split(NULL)) is NULL and would poison the
+    # running offset sum for every later doc in the shard.
+    toks = F.filter(F.split(F.coalesce(F.col("text"), F.lit("")), r"\s+"),
+                    lambda x: x != "")
     base = docs.select(
         "doc_id", (F.col("doc_id") % n_shards).alias("shard"),
         F.size(toks).cast("bigint").alias("n_tokens"))

@@ -738,7 +738,10 @@ def paragraph_dedup_df(docs: DataFrame, block_tokens: int = 20) -> DataFrame:
     text never crosses the wire for the ownership side), and the rewrite
     is a per-doc ordered string_agg — a second shuffle on doc_id. Both
     keys are high-cardinality and skew-free."""
-    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
+    # NULL text -> '' (0 blocks, doc dropped by the nb > 0 guard) exactly
+    # as the oracle's COALESCE(text, '') does.
+    toks = F.filter(F.split(F.coalesce(F.col("text"), F.lit("")), r"\s+"),
+                    lambda x: x != "")
     bt = int(block_tokens)
     # bigint ceil-division (exact for any token count; a double ceil
     # drifts above 2^53 tokens) — `div` is SQL-only, hence the expr over

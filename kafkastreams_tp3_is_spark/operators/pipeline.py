@@ -144,10 +144,14 @@ def _stage_barrier(df: DataFrame) -> DataFrame:
 
     Eager (one job per barrier at pipeline-apply time, like the
     declared dedup_near exception). Blocks live on executors without
-    replication and are freed by the ContextCleaner on GC — at cluster
-    scale with dynamic allocation or flaky executors, swap for a
-    reliable ``checkpoint()`` against a durable checkpoint dir; the
-    truncation property is identical."""
+    replication — at cluster scale with dynamic allocation or flaky
+    executors, swap for a reliable ``checkpoint()`` against a durable
+    checkpoint dir; the truncation property is identical. Each stage
+    attaches its barrier frame to its output via
+    ``cache.owned_checkpoint`` so ``cache.release(result)`` frees the
+    blocks deterministically (the ContextCleaner GC path alone released
+    them nondeterministically late in long-lived sessions, ADVICE
+    r10)."""
     return df.localCheckpoint()
 
 
@@ -201,7 +205,8 @@ def _stage_repeated_spans_max_frac(df: DataFrame, max_frac: float = 0.5,
     keep = (rep.where(F.col("dup_char_fraction") <= float(max_frac))
                .select("doc_id"))
     out = df.join(keep, "doc_id", "left_semi")
-    return cache.owned(out, *cache.persisted(rep))
+    return cache.owned_checkpoint(
+        cache.owned(out, *cache.persisted(rep)), df)
 
 
 def _stage_quality_decile(df: DataFrame, drop_num: int = 1,
@@ -219,7 +224,8 @@ def _stage_quality_decile(df: DataFrame, drop_num: int = 1,
     flags = quality_decile_flags_df(df, int(drop_num), int(drop_den))
     keep = flags.where(F.col("kept")).select("doc_id")
     out = df.join(keep, "doc_id", "left_semi")
-    return cache.owned(out, *cache.persisted(flags))
+    return cache.owned_checkpoint(
+        cache.owned(out, *cache.persisted(flags)), df)
 
 
 def _stage_decontaminate(df: DataFrame, bench_mod: int = 50, k: int = 5,
@@ -244,7 +250,8 @@ def _stage_decontaminate(df: DataFrame, bench_mod: int = 50, k: int = 5,
                              int(min_overlap))
     keep = flags.where(~F.col("contaminated")).select("doc_id")
     out = train.join(keep, "doc_id", "left_semi")
-    return cache.owned(out, df, *cache.persisted(flags))
+    return cache.owned_checkpoint(
+        cache.owned(out, *cache.persisted(flags)), df)
 
 
 STAGES: dict[str, Callable[..., DataFrame]] = {
@@ -291,13 +298,20 @@ def build_pipeline(spec: list[dict]) -> Callable[[DataFrame], DataFrame]:
 
         # ownership rides each stage's own output frame; chaining hands
         # the frame to the next stage, so re-attach every intermediate
-        # stage's persisted internals to the frame the caller receives
+        # stage's persisted internals AND checkpoint barriers to the
+        # frame the caller receives (release() then frees both kinds)
         acc: list = []
+        ckpts: list = []
         for fn, params in steps:
             df = fn(df, **params)
             acc.extend(f for f in cache.persisted(df) if f not in acc)
+            ckpts.extend(f for f in cache.checkpointed(df)
+                         if f not in ckpts)
         already = cache.persisted(df)
-        return cache.owned(df, *[f for f in acc if f not in already])
+        out = cache.owned(df, *[f for f in acc if f not in already])
+        already_ck = cache.checkpointed(out)
+        return cache.owned_checkpoint(
+            out, *[f for f in ckpts if f not in already_ck])
 
     return run
 

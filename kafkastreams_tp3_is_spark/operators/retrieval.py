@@ -37,9 +37,12 @@ from ..views import load
 def lower_tokens_col(text_col: str = "text") -> F.Column:
     """Lowercased whitespace tokens with empty-token filtering — the
     shared tokenization contract of this module (the oracle restates it
-    as list_filter(string_split_regex(lower(text), '\\s+'), ...))."""
-    return F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
-                    lambda x: x != "")
+    as list_filter(string_split_regex(lower(COALESCE(text, '')), ...))).
+    NULL text coalesces to '' FIRST so a NULL document contributes zero
+    tokens instead of NULL-ing every downstream size()/explode."""
+    return F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+        lambda x: x != "")
 
 
 def tfidf_topk_df(docs: DataFrame, k: int = 5) -> DataFrame:

@@ -705,6 +705,15 @@ def ann_recall_lsh(spark: SparkSession, sf_dir: str,
     can only differ when |projection| falls inside the reordering
     error (~1e-13 on O(1)-scale projections), and the gate fails
     LOUDLY if that ever happens — it does not on the test corpora."""
+    if (n_queries, k) != (5, 10):
+        # the DuckDB oracle (ORACLES['ann_recall_lsh']) embeds these as
+        # literals (LIMIT 5, /10.0, the 64x64 plane constants); a
+        # non-default invocation would gate against a silently
+        # mismatched oracle (ADVICE r10)
+        raise ValueError(
+            f"ann_recall_lsh oracle pins n_queries=5, k=10; "
+            f"got ({n_queries}, {k}) — use cosine_topk_lsh + "
+            f"_recall_report directly for other settings")
     emb = load(spark, sf_dir, "embeddings")
     approx = cosine_topk_lsh(spark, sf_dir, n_queries, k)
     return owned(_recall_report(emb, approx, n_queries, k),
@@ -774,6 +783,12 @@ def ann_recall_ivf(spark: SparkSession, sf_dir: str,
     (pairwise-summed numpy means) with no bit-identical SQL
     restatement, so the trained variant's recall is the separate
     rows-only ``ann_recall_ivf_trained`` row with a pytest floor."""
+    if (n_queries, k) != (5, 10):
+        # ORACLES['ann_recall_ivf'] pins these as literals (ADVICE r10)
+        raise ValueError(
+            f"ann_recall_ivf oracle pins n_queries=5, k=10; "
+            f"got ({n_queries}, {k}) — use _ivf_flat_ranked + "
+            f"_recall_report directly for other settings")
     emb = load(spark, sf_dir, "embeddings")
     approx = _ivf_flat_ranked(emb, n_queries, k)
     return _recall_report(emb, approx, n_queries, k)

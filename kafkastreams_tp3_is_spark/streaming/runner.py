@@ -261,7 +261,11 @@ class RecomputeHarness:
         path = self._acc_dir(tag)
         schema = self._schemas[tag]
         if os.path.isdir(path):
-            return self.spark.read.schema(schema).parquet(path)
+            # batches live in b<batch_id> subdirs (see process());
+            # recursiveFileLookup reads them flat WITHOUT partition
+            # discovery, so the explicit schema stays authoritative.
+            return (self.spark.read.schema(schema)
+                    .option("recursiveFileLookup", "true").parquet(path))
         return self.spark.createDataFrame([], schema)
 
     def run(self, routes_stream: DataFrame, trips_stream: DataFrame,
@@ -294,7 +298,13 @@ class RecomputeHarness:
                         .select("r.*"))
                 if part.isEmpty():
                     continue
-                part.write.mode("append").parquet(self._acc_dir(tag))
+                # foreachBatch is at-least-once under checkpointed
+                # recovery: a replayed batch must not duplicate history.
+                # Each batch overwrites its OWN batch_id-named subdir, so
+                # replays are idempotent and the accumulated store stays
+                # exactly-once (ADVICE r10).
+                part.write.mode("overwrite").parquet(
+                    os.path.join(self._acc_dir(tag), f"b{batch_id:010d}"))
             routes = self._accumulated("routes")
             trips = self._accumulated("trips")
             for logic, sink in jobs.values():

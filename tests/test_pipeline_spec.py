@@ -151,3 +151,32 @@ def test_full_clean_spec_is_jsonable_and_covered():
     from kafkastreams_tp3_is_spark.operators.pipeline import FULL_CLEAN_SPEC
     assert _json.loads(_json.dumps(FULL_CLEAN_SPEC)) == FULL_CLEAN_SPEC
     build_pipeline(FULL_CLEAN_SPEC)  # validates stages + params
+
+
+def test_release_frees_checkpoint_barriers_deterministically(spark):
+    """ADVICE r10: _stage_barrier's localCheckpoint blocks used to be
+    freed only when the ContextCleaner GC'd the RDD — nondeterministic
+    in long-lived embedder sessions. Barrier frames now ride the stage
+    output via cache.owned_checkpoint, and cache.release(result) must
+    drop their executor blocks immediately."""
+    from kafkastreams_tp3_is_spark import cache
+
+    def storage_ids():
+        return {i.id() for i in
+                spark.sparkContext._jsc.sc().getRDDStorageInfo()}
+
+    before = storage_ids()
+    pipe = build_pipeline([
+        {"stage": "min_tokens", "n": 1},
+        {"stage": "quality_decile", "drop_num": 1, "drop_den": 4},
+        {"stage": "repeated_spans_max_frac", "max_frac": 0.9}])
+    common = "alpha beta gamma delta epsilon"
+    docs = _docs(spark, [(i, common + f" d{i}", "en") for i in range(8)])
+    out = pipe(docs)
+    out.collect()  # consume
+    assert cache.checkpointed(out), "barrier frames must ride the output"
+    assert storage_ids() - before, "barriers should hold blocks pre-release"
+    cache.release(out)
+    assert storage_ids() <= before, \
+        "release must free barrier blocks deterministically"
+    assert not cache.checkpointed(out) and not cache.persisted(out)

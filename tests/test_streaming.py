@@ -227,6 +227,40 @@ def test_recompute_equals_batch(label, spark, stream_dirs, tmp_path):
     assert _sorted_state(sink, cols) == _sorted_rows(batch), label
 
 
+def test_recompute_harness_replay_is_idempotent(spark, stream_dirs,
+                                                tmp_path):
+    """ADVICE r10: foreachBatch is at-least-once under checkpointed
+    recovery — with the old mode("append") accumulation a replayed batch
+    duplicated history and silently corrupted every later recompute.
+    Simulate a full replay (same workdir + same source files, FRESH
+    checkpoint => the engine re-delivers every batch with the same
+    batch_ids): the accumulated store must hold each input row exactly
+    once and the recomputed answer must still equal batch."""
+    import os
+
+    routes_s = route_file_stream(spark, str(stream_dirs / "orders"))
+    trips_s = trip_file_stream(spark, str(stream_dirs / "lineitem"))
+    h = RecomputeHarness(spark, str(tmp_path))
+    sink1 = MemoryUpsertSink(["route_id"])
+    h.run(routes_s, trips_s, q.q4_logic, sink1,
+          checkpoint_dir=str(tmp_path / "ckpt_a"))
+
+    # replay: fresh checkpoint, same accumulated workdir
+    sink2 = MemoryUpsertSink(["route_id"])
+    h.run(route_file_stream(spark, str(stream_dirs / "orders")),
+          trip_file_stream(spark, str(stream_dirs / "lineitem")),
+          q.q4_logic, sink2, checkpoint_dir=str(tmp_path / "ckpt_b"))
+
+    for tag, src in (("routes", "orders"), ("trips", "lineitem")):
+        acc = (spark.read.option("recursiveFileLookup", "true")
+               .parquet(os.path.join(str(tmp_path), f"acc_{tag}")))
+        n_src = spark.read.parquet(str(stream_dirs / src)).count()
+        assert acc.count() == n_src, f"{tag}: replay duplicated history"
+    batch = q.q4_occupancy_per_route(spark, SF_DIR)
+    cols = ["route_id", "occupancyPercentage"]
+    assert _sorted_state(sink2, cols) == _sorted_rows(batch)
+
+
 # --- S9-S11: generators ------------------------------------------------
 
 def test_generators_deterministic_and_fk_consistent(spark):

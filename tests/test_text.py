@@ -241,7 +241,11 @@ def test_null_text_documents_agree_with_oracle(spark, tmp_path):
         "CREATE VIEW documents AS SELECT * FROM "
         f"read_parquet('{sf_dir}/documents.parquet/*.parquet')")
     Q, O = entrymod.queries(), entrymod.oracle_sql()
-    for name in ("text_token_count", "text_quality_score", "text_lang_id"):
+    # ADVICE r10: pack_sequences / paragraph_dedup tokenized RAW text
+    # (NULL -> NULL n_tokens poisoning the running offset sum / block
+    # count) while their oracles already coalesced — cover them here too.
+    for name in ("text_token_count", "text_quality_score", "text_lang_id",
+                 "pack_sequences", "paragraph_dedup", "tokenize_ids"):
         sdf = Q[name](spark, sf_dir)
         assert_frames_match(sdf, con.execute(O[name]).fetchdf())
         # the gate contract is NULL-free output
