@@ -68,7 +68,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_edit_pairs": _fuzzy.fuzzy_edit_pairs,
         "fuzzy_dup_clusters": _fuzzy.fuzzy_dup_clusters,
         # --- r7-dated backlog (25) -----------------------------------------
-        "ann_cosine_topk_lsh": _sim.cosine_topk_lsh,            # rows-only
+        "ann_cosine_topk_lsh": _sim.cosine_topk_lsh,  # full hash since r11
         "ann_cosine_topk_ivf": _ivf.cosine_topk_ivf,            # rows-only
         "text_token_count": _text.token_count,
         "text_quality_score": _text.quality_score,

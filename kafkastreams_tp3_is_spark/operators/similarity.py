@@ -345,8 +345,13 @@ def cosine_topk_lsh(spark: SparkSession, sf_dir: str,
     """ANN top-k: score only corpus vectors sharing a band key with the
     query. Moderate-similarity neighbors need COARSE bands (band_bits=4 ->
     16 bands of 16 buckets: ~90% recall at cosine ~0.5); near-dup search
-    uses fine 16-bit bands instead. Approximate by construction ->
-    rows-only driver gate, recall measured in tests."""
+    uses fine 16-bit bands instead. Approximate relative to the EXACT
+    ranking, but fully deterministic given the seed — so since r11 the
+    driver gate is a FULL HASH oracle (ORACLES['ann_cosine_topk_lsh']
+    embeds the seed-42 hyperplanes as literals and re-derives band keys,
+    candidates, and the exact-cosine ranking, the technique r10 proved
+    on ann_recall_lsh); recall vs exact stays measured in tests and by
+    the ann_recall_lsh driver row."""
     from pyspark import StorageLevel
 
     # persisted: the query head and the corpus scan both consume the

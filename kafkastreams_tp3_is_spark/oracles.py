@@ -2721,6 +2721,16 @@ _LSH_AP = f"""
 
 ORACLES["ann_recall_lsh"] = _recall_oracle(_LSH_AP)
 
+# The banded-LSH top-k RANKING itself as a full-hash gate (r10 proved
+# the technique on the recall report; the ranking is the same _LSH_AP
+# derivation emitting rank) — flips ann_cosine_topk_lsh from rows-only
+# to hash-gated: an actual ANN result list verified value-by-value.
+ORACLES["ann_cosine_topk_lsh"] = f"""
+WITH ap AS ({_LSH_AP.replace("SELECT query_id, neighbor_id FROM (",
+                             "SELECT query_id, neighbor_id, rank FROM (", 1)})
+SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank FROM ap
+"""
+
 # The deterministic flat-centroid IVF probe restated: centroids = the
 # first 32 corpus vectors (cell ids in vec_id order), assignment =
 # top-m cells by (cosine desc, cell asc) with the sequential-fold
