@@ -47,16 +47,73 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # --- ROTATION BLOCK (round 10) ------------------------------------
+        # --- ROTATION BLOCK (round 11) ------------------------------------
         # The driver's correctness run caps near 50 entries in registration
-        # order. Front: the round-10 newcomers (4 ANN recall reports, the
-        # 2 native-streaming Q11/Q12 demos, the 2 fuzzy edit-distance
-        # entries), the 2 winnow fast twins whose gate upgraded rows-only
-        # -> full hash this round, then the 25 entries whose latest driver
-        # row is r7-dated (3 rounds stale), then the oldest r8-dated block
-        # up to the cap. Everything below the cap holds a green r8/r9
-        # driver row under code re-proven every run by the sf0.001 pytest
-        # oracle and the sf0.1 parity sweep.
+        # order. Front: the round-11 newcomers (the full-corpus fuzzy join
+        # with its short-string companion, the two bug-compat twins, and
+        # ann_cosine_topk_lsh whose gate upgraded rows-only -> full hash
+        # this round), then the r8-dated block that was below the cap last
+        # round (contrastive_triplets .. multimodal_frame_sample) plus
+        # Q1-Q8 (+q2_approx) whose freshest driver rows were 2 rounds
+        # stale, then the oldest r9-dated entries up to the cap.
+        # Everything below the cap holds a green r9/r10 driver row under
+        # code re-proven every run by the sf0.001 pytest oracle and the
+        # sf0.1 parity sweep.
+        "fuzzy_edit_pairs_all": _fuzzy.fuzzy_edit_pairs_all,
+        "q12_bug_compat": _q.q12_bug_compat,
+        "q13_bug_compat": _q.q13_bug_compat,
+        "ann_cosine_topk_lsh": _sim.cosine_topk_lsh,  # full hash since r11
+        # --- r8-dated backlog (24, below the cap in r10) --------------------
+        "contrastive_triplets": _sim.contrastive_triplets,
+        "containment_pairs": _dedup.containment_pairs,
+        "bpe_merge_candidates": _text.bpe_merge_candidates,
+        "embedding_gram_sq8": _embstats.embedding_gram_sq8,
+        "bpe_train": _text.bpe_train,
+        "split_by_content": _cur.split_by_content,
+        "mmr_rerank": _sim.mmr_rerank,
+        "ann_recall_sq8": _sim.ann_recall_sq8,
+        "embedding_snapshot_drift": _embstats.embedding_snapshot_drift,
+        "quality_decile_filter": _text.quality_decile_filter,
+        "mix_by_source": _cur.mix_by_source,
+        "stratified_sample": _cur.stratified_sample,
+        "doc_chunk": _cur.doc_chunk,
+        "global_shuffle": _cur.global_shuffle,
+        "contamination_overlap": _cur.contamination_overlap,
+        "contamination_attribution": _cur.contamination_attribution,
+        "embedding_kmeans_assign": _ivf.embedding_kmeans_assign,  # rows-only
+        "mix_by_cluster": _ivf.mix_by_cluster,                    # rows-only
+        "repeated_spans": _dedup.repeated_spans,
+        "semantic_dup_clusters": _graph.semantic_dup_clusters,    # rows-only
+        "semantic_dup_clusters_exact": _graph.semantic_dup_clusters_exact,
+        "multimodal_features": _mm.media_features,
+        "multimodal_resize": _mm.media_resize,
+        "multimodal_frame_sample": _mm.media_frame_sample,
+        # --- Q1-Q8 (+HLL twin), freshest rows r9 ----------------------------
+        "q1_available_seats_per_route": _q.q1_available_seats_per_route,
+        "q2_average_passengers_per_transport_type": _q.q2_average_passengers_per_transport_type,
+        "q2_approx_average_passengers": _q.q2_approx_average_passengers_per_transport_type,
+        "q3_name_passenger_most_trips": _q.q3_name_passenger_most_trips,
+        "q4_occupancy_per_route": _q.q4_occupancy_per_route,
+        "q5_passengers_per_route": _q.q5_passengers_per_route,
+        "q6_route_least_occupancy_per_transport_type": _q.q6_route_least_occupancy_per_transport_type,
+        "q7_total_capacity_available": _q.q7_total_capacity_available,
+        "q8_total_occupancy_percentage": _q.q8_total_occupancy_percentage,
+        # --- oldest r9-dated entries (fill the cap to 50) --------------------
+        "embedding_pca_project": _embstats.embedding_pca_project,  # rows-only
+        "trips_route_update_stream_left_join": _ssjoin.trips_route_update_stream_left_join,
+        "trips_route_update_stream_outer_join": _ssjoin.trips_route_update_stream_outer_join,
+        "winnow_fingerprints": _dedup.winnow_fingerprints,
+        "winnow_pairs": _dedup.winnow_pairs,
+        "ngram_lm_score": _text.ngram_lm_score,
+        "select_token_budget": _cur.select_token_budget,
+        "domain_mixture_report": _cur.domain_mixture_report,
+        "trips_route_update_stream_join": _ssjoin.trips_route_update_stream_join,
+        "tfidf_topk": _ret.tfidf_topk,
+        "embedding_matryoshka_recall": _sim.embedding_matryoshka_recall,
+        "corpus_clean": _pipe.corpus_clean,
+        "decontaminate_spans_bloom": _dedup.decontaminate_spans_bloom,
+        # === BELOW THE DRIVER CAP ==========================================
+        # --- r10-green entries (CORRECTNESS_r10.json) -----------------------
         "ann_recall_lsh": _sim.ann_recall_lsh,
         "ann_recall_ivf": _sim.ann_recall_ivf,
         "ann_recall_ivf_trained": _sim.ann_recall_ivf_trained,  # rows-only
@@ -67,8 +124,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q12_window_min_stream": _runner.q12_least_occupied_transport_type_window_stream,
         "fuzzy_edit_pairs": _fuzzy.fuzzy_edit_pairs,
         "fuzzy_dup_clusters": _fuzzy.fuzzy_dup_clusters,
-        # --- r7-dated backlog (25) -----------------------------------------
-        "ann_cosine_topk_lsh": _sim.cosine_topk_lsh,  # full hash since r11
         "ann_cosine_topk_ivf": _ivf.cosine_topk_ivf,            # rows-only
         "text_token_count": _text.token_count,
         "text_quality_score": _text.quality_score,
@@ -94,7 +149,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_temperature": _cur.mix_temperature,
         "ann_cosine_topk_stored_probe": _ivf.ann_cosine_topk_stored_probe,  # rows-only
         "dedup_suffix_prefix": _dedup.dedup_suffix_prefix,
-        # --- oldest r8-dated block (fills the cap) --------------------------
         "q9_total_passengers": _q.q9_total_passengers,
         "q10_transport_type_max_passengers": _q.q10_transport_type_max_passengers,
         "q11_transport_type_max_passengers_window": _q.q11_transport_type_max_passengers_window,
@@ -115,46 +169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": _text.corpus_stats,
         "doc_commonness": _text.doc_commonness,
         "lang_confusion": _text.lang_confusion,
-        # === BELOW THE DRIVER CAP ==========================================
-        # --- rest of the r8-dated backlog — rotates to the FRONT next round
-        "contrastive_triplets": _sim.contrastive_triplets,
-        "containment_pairs": _dedup.containment_pairs,
-        "bpe_merge_candidates": _text.bpe_merge_candidates,
-        "embedding_gram_sq8": _embstats.embedding_gram_sq8,
-        "bpe_train": _text.bpe_train,
-        "split_by_content": _cur.split_by_content,
-        "mmr_rerank": _sim.mmr_rerank,
-        "ann_recall_sq8": _sim.ann_recall_sq8,
-        "embedding_snapshot_drift": _embstats.embedding_snapshot_drift,
-        "quality_decile_filter": _text.quality_decile_filter,
-        "mix_by_source": _cur.mix_by_source,
-        "stratified_sample": _cur.stratified_sample,
-        "doc_chunk": _cur.doc_chunk,
-        "global_shuffle": _cur.global_shuffle,
-        "contamination_overlap": _cur.contamination_overlap,
-        "contamination_attribution": _cur.contamination_attribution,
-        "embedding_kmeans_assign": _ivf.embedding_kmeans_assign,  # rows-only
-        "mix_by_cluster": _ivf.mix_by_cluster,                    # rows-only
-        "repeated_spans": _dedup.repeated_spans,
-        "semantic_dup_clusters": _graph.semantic_dup_clusters,    # rows-only
-        "semantic_dup_clusters_exact": _graph.semantic_dup_clusters_exact,
-        "multimodal_features": _mm.media_features,
-        "multimodal_resize": _mm.media_resize,
-        "multimodal_frame_sample": _mm.media_frame_sample,
-        # --- r9-verified backlog (green rows in CORRECTNESS_r09.json) ------
-        "embedding_pca_project": _embstats.embedding_pca_project,  # rows-only
-        "trips_route_update_stream_left_join": _ssjoin.trips_route_update_stream_left_join,
-        "trips_route_update_stream_outer_join": _ssjoin.trips_route_update_stream_outer_join,
-        "winnow_fingerprints": _dedup.winnow_fingerprints,
-        "winnow_pairs": _dedup.winnow_pairs,
-        "ngram_lm_score": _text.ngram_lm_score,
-        "select_token_budget": _cur.select_token_budget,
-        "domain_mixture_report": _cur.domain_mixture_report,
-        "trips_route_update_stream_join": _ssjoin.trips_route_update_stream_join,
-        "tfidf_topk": _ret.tfidf_topk,
-        "embedding_matryoshka_recall": _sim.embedding_matryoshka_recall,
-        "corpus_clean": _pipe.corpus_clean,
-        "decontaminate_spans_bloom": _dedup.decontaminate_spans_bloom,
+        # --- r9-verified remainder ------------------------------------------
         "media_dhash_pairs": _mm.media_dhash_pairs,
         "ann_cosine_topk_stored": _ivf.ann_cosine_topk_stored,    # rows-only
         "materialize_mixture": _cur.materialize_mixture,
@@ -170,15 +185,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_skew_profile": _skew.key_skew_profile,
         "ann_cosine_topk_sq8_rescored": _sim.cosine_topk_sq8_rescored,
         "source_overlap_matrix": _cur.source_overlap_matrix,
-        "q1_available_seats_per_route": _q.q1_available_seats_per_route,
-        "q2_average_passengers_per_transport_type": _q.q2_average_passengers_per_transport_type,
-        "q2_approx_average_passengers": _q.q2_approx_average_passengers_per_transport_type,
-        "q3_name_passenger_most_trips": _q.q3_name_passenger_most_trips,
-        "q4_occupancy_per_route": _q.q4_occupancy_per_route,
-        "q5_passengers_per_route": _q.q5_passengers_per_route,
-        "q6_route_least_occupancy_per_transport_type": _q.q6_route_least_occupancy_per_transport_type,
-        "q7_total_capacity_available": _q.q7_total_capacity_available,
-        "q8_total_occupancy_percentage": _q.q8_total_occupancy_percentage,
         "decontaminate_spans": _dedup.decontaminate_spans,
         "dedup_exact": _dedup.dedup_exact,
         "dedup_minhash_lsh": _dedup.dedup_minhash_lsh,

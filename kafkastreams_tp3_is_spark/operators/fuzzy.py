@@ -130,6 +130,82 @@ def edit_distance_pairs_df(docs: DataFrame, max_dist: int = 2,
             .where(F.col("dist") <= d))
 
 
+def edit_distance_pairs_short_df(docs: DataFrame, max_dist: int = 2,
+                                 min_len: int = 24) -> DataFrame:
+    """The per-length-group companion the ``min_len`` contract of
+    :func:`edit_distance_pairs_df` promises: (doc_a < doc_b, dist) for
+    every pair whose SHORTER string has fewer than ``min_len`` chars
+    (reference-scale keys like ``Route_7``/``Trip_42``,
+    classes/Route.java:3-29, are exactly this short). Candidates come
+    from a length-banded join over DISTINCT strings — two strings within
+    edit distance d differ in length by at most d, so each distinct
+    string meets its candidates at the shorter one's length band;
+    identical-text pairs (distance 0) come from one equi-self-join on
+    the text.
+
+    Scale: candidate generation runs over DISTINCT strings, never docs —
+    short-string cardinality is entropy-bounded (|alphabet|^len in
+    theory, the small key space of ids/names in practice), and the
+    verify is O(d·len) per candidate. Doc-level expansion afterwards is
+    output-sized (one equi-join per side on the text). This IS the
+    brute-force-within-length-groups contract: quadratic only in
+    distinct-short-string count per d-wide length band, which is what
+    bounds real corpora; everything >= min_len stays with the
+    sub-quadratic segment path. Boundary pairs (shorter < min_len <=
+    longer) are covered HERE: the pool admits strings up to
+    min_len + d - 1 chars and keeps pairs whose shorter side is under
+    min_len, so the union with the segment path is exactly complete."""
+    d = int(max_dist)
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    pool = (docs.select("doc_id", txt.alias("t"))
+            .where(F.length("t") < int(min_len) + d)
+            .select("doc_id", "t", F.length("t").alias("n")))
+    uniq = pool.select("t", "n").distinct()
+    a = uniq.select(F.col("t").alias("ta"), F.col("n").alias("na"))
+    # B meets A at the shorter side's length: emit each string under
+    # every length in [n-d, n] -> pure equi-join on the band key
+    b = (uniq.select(F.col("t").alias("tb"), F.col("n").alias("nb"),
+                     F.explode(F.sequence(F.col("n") - d, F.col("n")))
+                      .alias("na"))
+         .where(F.col("na") >= 0))
+    upairs = (a.join(b, "na")
+              .where((F.col("na") < F.col("nb"))
+                     | ((F.col("na") == F.col("nb"))
+                        & (F.col("ta") < F.col("tb"))))
+              .where(F.col("na") < int(min_len))
+              .select("ta", "tb",
+                      F.levenshtein("ta", "tb").cast("int").alias("dist"))
+              .where(F.col("dist") <= d))
+    da = pool.select(F.col("t").alias("ta"), F.col("doc_id").alias("ida"))
+    db = pool.select(F.col("t").alias("tb"), F.col("doc_id").alias("idb"))
+    cross = (upairs.join(da, "ta").join(db, "tb")
+             .select(F.least("ida", "idb").alias("doc_a"),
+                     F.greatest("ida", "idb").alias("doc_b"), "dist"))
+    same = (pool.where(F.col("n") < int(min_len))
+            .select(F.col("t").alias("ts"), F.col("doc_id").alias("ida"))
+            .join(pool.where(F.col("n") < int(min_len))
+                  .select(F.col("t").alias("ts"),
+                          F.col("doc_id").alias("idb")), "ts")
+            .where(F.col("ida") < F.col("idb"))
+            .select(F.col("ida").alias("doc_a"),
+                    F.col("idb").alias("doc_b"),
+                    F.lit(0).cast("int").alias("dist")))
+    return cross.unionByName(same)
+
+
+def edit_distance_pairs_all_df(docs: DataFrame, max_dist: int = 2,
+                               min_len: int = 24) -> DataFrame:
+    """Full-corpus edit-distance join: the PassJoin segment path for
+    pairs with both strings >= ``min_len`` chars, unioned with the
+    length-banded short-string companion for pairs whose shorter string
+    is under it. The two partitions of the pair space are disjoint by
+    construction (min side < min_len vs both >= min_len), so the union
+    needs no dedup and covers EVERY pair within ``max_dist``."""
+    return (edit_distance_pairs_df(docs, max_dist, min_len)
+            .unionByName(edit_distance_pairs_short_df(docs, max_dist,
+                                                      min_len)))
+
+
 def fuzzy_edit_pairs(spark: SparkSession, sf_dir: str,
                      max_dist: int = 2) -> DataFrame:
     """Driver-gate fixture (full hash): edit-distance pairs over the
@@ -149,6 +225,50 @@ def fuzzy_edit_pairs(spark: SparkSession, sf_dir: str,
                        .alias("doc_id"), edited.alias("text")))
     both = docs.select("doc_id", "text").unionByName(planted)
     return edit_distance_pairs_df(both, max_dist=max_dist)
+
+
+def fuzzy_edit_pairs_all(spark: SparkSession, sf_dir: str,
+                         max_dist: int = 2) -> DataFrame:
+    """Driver-gate fixture (full hash): FULL-corpus edit-distance join —
+    the segment path's planted long typo twins (as ``fuzzy_edit_pairs``)
+    PLUS planted reference-scale short keys: every 50th document
+    contributes ``Route_<id>`` and its deletion typo ``Rout_<id>``
+    (distance 1), and every 100th an exact duplicate of its Route key
+    (distance 0) — the ``Route_7``/``Trip_42``-sized strings the
+    PassJoin min_len contract excludes. Short keys also pair with each
+    OTHER across ids where one or two character edits connect them
+    (e.g. ``Route_100``/``Route_200``), so the gate exercises genuine
+    per-band candidate structure, not just the plants."""
+    if max_dist != 2:
+        # ORACLES['fuzzy_edit_pairs_all'] pins d=2 (range literals,
+        # levenshtein <= 2, the 26-char pool bound)
+        raise ValueError(
+            f"fuzzy_edit_pairs_all oracle pins max_dist=2; got "
+            f"{max_dist} — call edit_distance_pairs_all_df directly")
+    docs = load(spark, sf_dir, "documents")
+    t = F.coalesce(F.col("text"), F.lit(""))
+    edited = F.concat(
+        F.substring(t, 1, 39), F.substring(t, 41, 39), F.lit("~"),
+        F.expr("substring(coalesce(text, ''), 81, 2147483647)"))
+    planted_long = (docs.where((F.col("doc_id") % 25 == 0)
+                               & (F.length(t) >= 81))
+                    .select((F.col("doc_id") + F.lit(8_000_000_000))
+                            .alias("doc_id"), edited.alias("text")))
+    route_key = F.concat(F.lit("Route_"), F.col("doc_id").cast("string"))
+    typo_key = F.concat(F.lit("Rout_"), F.col("doc_id").cast("string"))
+    every50 = docs.where(F.col("doc_id") % 50 == 0)
+    s_route = every50.select(
+        (F.col("doc_id") + F.lit(9_000_000_000)).alias("doc_id"),
+        route_key.alias("text"))
+    s_typo = every50.select(
+        (F.col("doc_id") + F.lit(9_500_000_000)).alias("doc_id"),
+        typo_key.alias("text"))
+    s_dup = (docs.where(F.col("doc_id") % 100 == 0)
+             .select((F.col("doc_id") + F.lit(9_750_000_000))
+                     .alias("doc_id"), route_key.alias("text")))
+    both = (docs.select("doc_id", "text").unionByName(planted_long)
+            .unionByName(s_route).unionByName(s_typo).unionByName(s_dup))
+    return edit_distance_pairs_all_df(both, max_dist=max_dist)
 
 
 def fuzzy_dup_clusters(spark: SparkSession, sf_dir: str,

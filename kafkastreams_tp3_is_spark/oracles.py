@@ -926,6 +926,64 @@ FROM occ
 ORDER BY occupancyPercentage DESC, operator ASC LIMIT 1
 """
 
+# --- bug-compat twins (reference's latest-wins collapse, notes 7.3/7.4) --
+# Q12: per window, the row kept is the transport type of the window's
+# latest-arriving trip (event_ts DESC, transport_type DESC tie-break —
+# the struct-max spelling of q12_logic's max_by), at that type's FINAL
+# windowed occupancy.
+ORACLES["q12_bug_compat"] = f"""{_RT},
+cap AS (SELECT transport_type, CAST(SUM(capacity) AS BIGINT) AS cap FROM routes GROUP BY transport_type),
+wc AS (
+  SELECT date_trunc('hour', event_ts) AS window_start, transport_type,
+         COUNT(*) AS cnt
+  FROM trips GROUP BY 1, 2
+),
+occ AS (
+  SELECT wc.window_start, wc.transport_type,
+         {_occ('wc.cnt', 'cap.cap')} AS occupancy
+  FROM wc LEFT JOIN cap ON wc.transport_type = cap.transport_type
+),
+last_type AS (
+  SELECT window_start, transport_type
+  FROM (SELECT date_trunc('hour', event_ts) AS window_start, transport_type,
+               ROW_NUMBER() OVER (PARTITION BY date_trunc('hour', event_ts)
+                                  ORDER BY event_ts DESC, transport_type DESC) AS rn
+        FROM trips)
+  WHERE rn = 1
+)
+SELECT occ.window_start, occ.transport_type AS transportType, occ.occupancy
+FROM occ JOIN last_type
+  ON occ.window_start = last_type.window_start
+ AND occ.transport_type = last_type.transport_type
+"""
+
+# Q13: each operator's passenger figure is the final count of the route
+# that updated last (last_ts DESC, route_id DESC tie-break), then the
+# same occupancy argmax as the intended twin.
+ORACLES["q13_bug_compat"] = f"""{_RT},
+cap AS (SELECT operator, CAST(SUM(capacity) AS BIGINT) AS cap FROM routes GROUP BY operator),
+per_route AS (
+  SELECT r.operator, t.route_id, COUNT(*) AS route_pax,
+         MAX(t.event_ts) AS last_ts
+  FROM trips t JOIN routes r ON t.route_id = r.route_id
+  GROUP BY r.operator, t.route_id
+),
+pax AS (
+  SELECT operator, route_pax AS pax
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY operator
+                                     ORDER BY last_ts DESC, route_id DESC) AS rn
+        FROM per_route)
+  WHERE rn = 1
+),
+occ AS (
+  SELECT cap.operator, {_occ('pax.pax', 'cap.cap')} AS occupancyPercentage
+  FROM cap LEFT JOIN pax ON cap.operator = pax.operator
+)
+SELECT operator, occupancyPercentage
+FROM occ
+ORDER BY occupancyPercentage DESC, operator ASC LIMIT 1
+"""
+
 #: The 13 reference queries by exact registered name — the shared
 #: allowlist for every surface that means "the reference queries"
 #: (sql.py QUERY_SQL, bench.py reference_queries_sec). A name-prefix
@@ -2804,8 +2862,9 @@ _FUZZY_SEG_START = (f"(j * {_FUZZY_SEG_BASE} + GREATEST(0, "
 _FUZZY_SEG_LEN = (f"(CASE WHEN j >= 3 - {_FUZZY_SEG_REM} "
                   f"THEN {_FUZZY_SEG_BASE} + 1 ELSE {_FUZZY_SEG_BASE} END)")
 
-ORACLES["fuzzy_edit_pairs"] = f"""
-WITH d0 AS (
+# The planted long-typo corpus shared by fuzzy_edit_pairs and the
+# full-corpus variant (which adds short-key plants).
+_FUZZY_CORPUS_LONG = """
   SELECT doc_id, COALESCE(text, '') AS t FROM documents
   UNION ALL
   SELECT doc_id + 8000000000 AS doc_id,
@@ -2815,6 +2874,11 @@ WITH d0 AS (
                         length(COALESCE(text, ''))) AS t
   FROM documents
   WHERE doc_id % 25 = 0 AND length(COALESCE(text, '')) >= 81
+"""
+
+ORACLES["fuzzy_edit_pairs"] = f"""
+WITH d0 AS (
+{_FUZZY_CORPUS_LONG}
 ), base AS (
   SELECT doc_id, t, length(t) AS n FROM d0 WHERE length(t) >= 24
 ), a_side AS (
@@ -2855,6 +2919,65 @@ FROM cand
 JOIN base ta ON ta.doc_id = cand.doc_a
 JOIN base tb ON tb.doc_id = cand.doc_b
 WHERE levenshtein(ta.t, tb.t) <= 2
+"""
+
+
+# Full-corpus edit-distance join: the PassJoin path over an extended
+# corpus (long typo twins + planted reference-scale short keys
+# Route_<id>/Rout_<id> + exact short duplicates), UNION ALL the
+# short-string companion — a length-banded brute force over DISTINCT
+# strings whose shorter side is under min_len=24, restating
+# fuzzy.edit_distance_pairs_short_df: candidates where the length gap
+# is <= d and the shorter side is < 24 chars, exact levenshtein verify,
+# doc-level expansion by text equality, plus identical-text pairs at
+# distance 0. The two partitions of the pair space are disjoint
+# (min side < 24 vs both >= 24), so UNION ALL is exact.
+_FUZZY_CORPUS_ALL = _FUZZY_CORPUS_LONG + """
+  UNION ALL
+  SELECT doc_id + 9000000000 AS doc_id,
+         'Route_' || CAST(doc_id AS VARCHAR) AS t
+  FROM documents WHERE doc_id % 50 = 0
+  UNION ALL
+  SELECT doc_id + 9500000000 AS doc_id,
+         'Rout_' || CAST(doc_id AS VARCHAR) AS t
+  FROM documents WHERE doc_id % 50 = 0
+  UNION ALL
+  SELECT doc_id + 9750000000 AS doc_id,
+         'Route_' || CAST(doc_id AS VARCHAR) AS t
+  FROM documents WHERE doc_id % 100 = 0
+"""
+
+ORACLES["fuzzy_edit_pairs_all"] = f"""
+WITH lng AS (
+{ORACLES["fuzzy_edit_pairs"].replace(_FUZZY_CORPUS_LONG,
+                                     _FUZZY_CORPUS_ALL, 1)}
+), s0 AS (
+{_FUZZY_CORPUS_ALL}
+), sbase AS (
+  SELECT doc_id, t, length(t) AS n FROM s0 WHERE length(t) < 26
+), uqn AS (
+  SELECT t, length(t) AS n FROM (SELECT DISTINCT t FROM sbase)
+), upairs AS (
+  SELECT a.t AS ta, b.t AS tb,
+         CAST(levenshtein(a.t, b.t) AS INT) AS dist
+  FROM uqn a JOIN uqn b ON b.n >= a.n AND b.n <= a.n + 2
+  WHERE (a.n < b.n OR (a.n = b.n AND a.t < b.t))
+    AND a.n < 24
+    AND levenshtein(a.t, b.t) <= 2
+), short_cross AS (
+  SELECT LEAST(da.doc_id, db.doc_id) AS doc_a,
+         GREATEST(da.doc_id, db.doc_id) AS doc_b, up.dist
+  FROM upairs up
+  JOIN sbase da ON da.t = up.ta
+  JOIN sbase db ON db.t = up.tb
+), short_same AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(0 AS INT) AS dist
+  FROM sbase a JOIN sbase b ON a.t = b.t AND a.doc_id < b.doc_id
+  WHERE length(a.t) < 24
+)
+SELECT doc_a, doc_b, dist FROM lng
+UNION ALL SELECT doc_a, doc_b, dist FROM short_cross
+UNION ALL SELECT doc_a, doc_b, dist FROM short_same
 """
 
 

@@ -366,6 +366,33 @@ def q13_most_occupied_operator(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q13_logic(routes(spark, sf_dir), trips(spark, sf_dir))
 
 
+# --- bug-compat driver fixtures ----------------------------------------
+# The reference's Q12/Q13 aggregators return ``newValue`` unconditionally
+# (latest-wins collapse; fidelity notes 7.3/7.4). The bug_compatible
+# modes reproduce that shipped behavior for 1:1 migration diffs; these
+# fixtures put them under the driver's hash gate (the intended-semantics
+# twins above are the headline entries).
+
+def q12_bug_compat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 with the reference's actual latest-wins collapse: per window,
+    the occupancy of the transport type whose count updated LAST
+    (LeastOccupiedTransportTypeWindow.java:90-94), arrival order stood in
+    by event_ts with transport_type DESC tie-break."""
+    configure_for_engine(spark)
+    return q12_logic(routes(spark, sf_dir), trips(spark, sf_dir),
+                     bug_compatible=True)
+
+
+def q13_bug_compat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 with the reference's actual latest-wins passenger aggregation:
+    each operator's passenger figure is the final count of the route that
+    updated last (MostOccupiedOperator.java:100-111), arrival order stood
+    in by event_ts with route_id DESC tie-break."""
+    configure_for_engine(spark)
+    return q13_logic(routes(spark, sf_dir), trips(spark, sf_dir),
+                     bug_compatible=True)
+
+
 #: Q label -> logic fn, for the streaming recompute harness and tests.
 QUERY_LOGIC: dict[str, object] = {
     "q1": q1_logic, "q2": q2_logic, "q3": q3_logic, "q4": q4_logic,

@@ -119,3 +119,84 @@ def test_fuzzy_dup_clusters_canonicals(spark):
         twins = {i for i in ids if i >= 8_000_000_000}
         for t in twins:
             assert t - 8_000_000_000 in ids   # twin clustered with source
+
+
+def _brute_all(spark, docs, d):
+    """Brute-force levenshtein<=d over the WHOLE corpus (no length
+    floor) — the ground truth for the full-corpus union."""
+    a = docs.selectExpr("doc_id AS doc_a",
+                        "coalesce(text, '') AS ta")
+    b = docs.selectExpr("doc_id AS doc_b",
+                        "coalesce(text, '') AS tb")
+    return {(r["doc_a"], r["doc_b"], r["dist"]) for r in
+            a.crossJoin(b).where("doc_a < doc_b")
+             .select("doc_a", "doc_b",
+                     F.levenshtein("ta", "tb").cast("int").alias("dist"))
+             .where(f"dist <= {d}").collect()}
+
+
+def test_short_companion_plus_segment_path_equals_bruteforce(spark):
+    """The r10 verdict's missing piece: edit_distance_pairs_all_df
+    (segment path >= min_len UNION short-string companion) must equal
+    brute force over a MIXED-length corpus — reference-scale short keys
+    (Route_7/Trip_42 sizes), identical short strings (distance 0),
+    BOUNDARY pairs straddling min_len (23 vs 24/25 chars — covered by
+    neither the old segment path nor a naive both-short rule), and the
+    long strings the segment path owns."""
+    from kafkastreams_tp3_is_spark.operators.fuzzy import (
+        edit_distance_pairs_all_df, edit_distance_pairs_short_df)
+
+    rng = random.Random(11)
+    alpha = "abcdefgh "
+    rows = [
+        (1, "Route_7"), (2, "Rout_7"), (3, "Route_7"),     # typo + exact dup
+        (4, "Trip_42"), (5, "Trip_421"), (6, "Trxp_42"),
+        (7, ""), (8, None),                                 # empty/NULL
+        (9, "b" * 23), (10, "b" * 24), (11, "b" * 25),      # boundary band
+        (12, "b" * 26),                                     # long side only
+    ]
+    for i in range(40):
+        rows.append((100 + i, "".join(
+            rng.choice(alpha) for _ in range(rng.randint(1, 60)))))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["doc_a"], r["doc_b"], r["dist"]) for r in
+           edit_distance_pairs_all_df(docs, max_dist=2,
+                                      min_len=24).collect()}
+    want = _brute_all(spark, docs, 2)
+    assert got == want
+    # the planted structure actually exercised every family
+    assert (1, 3, 0) in want                      # identical short keys
+    assert (1, 2, 1) in want                      # short typo
+    assert (9, 11, 2) in want and (9, 10, 1) in want   # boundary pairs
+    assert (10, 12, 2) in want                    # both >= min_len
+    # disjointness: the short companion emits ONLY pairs whose shorter
+    # side is under min_len (no double counting in the union)
+    short = edit_distance_pairs_short_df(docs, max_dist=2, min_len=24)
+    assert short.count() == short.distinct().count()
+    lens = {r["doc_id"]: len(r["text"] or "") for r in docs.collect()}
+    for ra, rb, _ in {(r["doc_a"], r["doc_b"], r["dist"])
+                      for r in short.collect()}:
+        assert min(lens[ra], lens[rb]) < 24
+
+
+def test_fuzzy_all_gate_fixture_recovers_planted_short_pairs(spark):
+    """Driver fixture: every planted Route_<id>/Rout_<id> twin must be
+    recovered at distance 1, every planted exact short duplicate at
+    distance 0, and the long typo twins stay recovered."""
+    from kafkastreams_tp3_is_spark.operators.fuzzy import (
+        fuzzy_edit_pairs_all)
+    from kafkastreams_tp3_is_spark.views import load
+
+    docs = load(spark, SF_DIR, "documents")
+    ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+    pairs = {(r["doc_a"], r["doc_b"]): r["dist"] for r in
+             fuzzy_edit_pairs_all(spark, SF_DIR).collect()}
+    planted50 = [i for i in ids if i % 50 == 0]
+    assert planted50
+    for i in planted50:
+        assert pairs.get((9_000_000_000 + i, 9_500_000_000 + i)) == 1
+    for i in ids:
+        if i % 100 == 0:
+            assert pairs.get((9_000_000_000 + i, 9_750_000_000 + i)) == 0
+    long_twins = [(i, 8_000_000_000 + i) for i in ids if i % 25 == 0]
+    assert any(p in pairs for p in long_twins)
