@@ -51,15 +51,24 @@ TOPOLOGY: dict[str, list[str]] = {
 
 def run_topology(spark: SparkSession, routes_stream: DataFrame,
                  trips_stream: DataFrame, workdir: str,
-                 sinks: dict[str, object] | None = None) -> dict[str, object]:
+                 sinks: dict[str, object] | None = None,
+                 stats: dict | None = None) -> dict[str, object]:
     """Attach all 13 queries to the shared input streams and run to
     completion of available data. Returns the per-query sinks (defaults
     to in-memory upsert sinks keyed per TOPOLOGY; pass DbUpsertSink
-    instances for the JDBC path)."""
+    instances for the JDBC path). Pass a dict as ``stats`` to receive
+    the harness's per-trigger record (trigger wall seconds, fact rows
+    aggregated, stored aggregate rows read) — the cost-model evidence
+    bench.py's topology_13q section publishes."""
     if sinks is None:
         sinks = {name: MemoryUpsertSink(keys)
                  for name, keys in TOPOLOGY.items()}
     jobs = {name: (FINALIZE[name], sinks[name]) for name in TOPOLOGY}
-    IncrementalAggHarness(spark, workdir).run_many(
-        routes_stream, trips_stream, jobs)
+    h = IncrementalAggHarness(spark, workdir)
+    h.run_many(routes_stream, trips_stream, jobs)
+    if stats is not None:
+        stats["n_triggers"] = len(h.trigger_secs)
+        stats["trigger_secs"] = h.trigger_secs
+        stats["fact_rows_per_trigger"] = h.fact_rows_per_trigger
+        stats["agg_rows_read_per_trigger"] = h.agg_rows_read_per_trigger
     return sinks

@@ -395,6 +395,10 @@ class IncrementalAggHarness:
         }
         self.fact_rows_per_trigger: list[int] = []
         self.agg_rows_read_per_trigger: list[int] = []
+        # wall-clock per trigger (store merges + every finalize + upserts)
+        # — the number a MainStreamApp analogue is judged on; consumed by
+        # bench.py's topology_13q section
+        self.trigger_secs: list[float] = []
         self._schemas = {}
 
     def run(self, routes_stream: DataFrame, trips_stream: DataFrame,
@@ -428,6 +432,9 @@ class IncrementalAggHarness:
         )
 
         def process(batch_df: DataFrame, batch_id: int) -> None:
+            import time as _time
+
+            t0 = _time.perf_counter()
             batch_df = batch_df.persist()
             try:
                 slices = {}
@@ -452,6 +459,8 @@ class IncrementalAggHarness:
                     sink.process(finalize(aggs), batch_id)
             finally:
                 batch_df.unpersist()
+                self.trigger_secs.append(
+                    round(_time.perf_counter() - t0, 4))
 
         q = (tagged.writeStream
              .foreachBatch(process)

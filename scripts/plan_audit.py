@@ -69,9 +69,115 @@ def fingerprint(plan: str) -> dict:
     # push; test_plans.py asserts pushdown on entries that DO filter
     # source columns at the scan.
     out["n_filters"] = len(re.findall(r"\bFilter \(", plan))
-    out["pushed_filters"] = "PushedFilters: [" in plan and \
-        not re.search(r"PushedFilters: \[\]", plan)
+    # ANY scan carrying a non-empty PushedFilters list counts (the old
+    # spelling `not search("PushedFilters: []")` flipped the flag false
+    # whenever one OTHER scan in the same plan legitimately had nothing
+    # to push — e.g. events_funnel's user-universe scan next to three
+    # fully-pushed event_type scans)
+    out["pushed_filters"] = bool(re.search(r"PushedFilters: \[[^\]]", plan))
     return out
+
+
+def classify_filters(jdf) -> dict:
+    """Split the physical Filter nodes by WHERE they sit in the tree
+    (VERDICT r10: 49 entries flagged pushed_filters=false needed human
+    adjudication to see they were HAVING-style post-aggregate filters):
+
+    - post_agg_filters    — an Aggregate/Window in the subtree: the
+      predicate is over derived values (HAVING); CANNOT push to a scan.
+    - post_join_filters   — a join (but no aggregate) in the subtree:
+      residual/derived predicates on join output.
+    - derived_col_filters — a Project/Generate/Python-eval/Expand below
+      computes columns first: the predicate references computed values
+      (hashes, cosines, exploded rows); CANNOT push either.
+    - expr_scan_filters   — sits on the scan but the predicate is an
+      EXPRESSION over source columns (length(coalesce(text, '')) >= 24,
+      doc_id % 25 = 0, ...): no parquet source can push a computed
+      predicate, only bare column comparisons. Not a defect.
+    - null_guard_filters  — IsNotNull-only conditions: the optimizer's
+      join-key null guards (it inserts them above every inner-join
+      input; on nested/array columns parquet cannot absorb them). Not
+      written by any operator, not a defect.
+    - cached_scan_filters — above an InMemoryTableScan / LogicalRDD /
+      LocalTableScan: a persisted or literal intermediate, no file
+      source to push into. Not a defect.
+    - pushed_residual_filters — pushable by shape AND the file scan
+      below carries matching non-empty dataFilters: pushdown DID
+      happen; Spark always re-applies the exact predicate above the
+      scan because parquet pushdown is advisory (row-group/page
+      pruning). The normal healthy pattern.
+    - scan_adjacent_filters — on a FILE scan with EMPTY dataFilters yet
+      pushable by shape: the ONLY suspicious bucket — a nonzero count
+      here means a predicate the scan should have absorbed
+      (test_plans.py asserts pushdown for the entries that filter
+      source columns at the scan).
+
+    Walks the pre-AQE sparkPlan tree (toJSON pre-order with
+    num-children; AdaptiveSparkPlanExec hides its input plan from
+    toJSON, and filter placement is decided before AQE anyway)."""
+    nodes = json.loads(jdf.queryExecution().sparkPlan().toJSON())
+
+    def span(i: int) -> int:
+        j = i + 1
+        for _ in range(int(nodes[i].get("num-children", 0))):
+            j = span(j)
+        return j
+
+    derived_markers = ("Project", "Generate", "ArrowEval", "BatchEval",
+                       "MapInPandas", "FlatMapGroupsInPandas", "Expand",
+                       "MapPartitions")
+    # expression node classes a parquet source CAN translate to pushed
+    # filters: bare attribute/literal comparisons and boolean structure
+    pushable = {"AttributeReference", "Literal", "And", "Or", "Not",
+                "EqualTo", "EqualNullSafe", "GreaterThan", "LessThan",
+                "GreaterThanOrEqual", "LessThanOrEqual", "In", "InSet",
+                "IsNull", "IsNotNull", "StartsWith", "EndsWith",
+                "Contains"}
+
+    def cond_classes(x, acc):
+        if isinstance(x, list):
+            for y in x:
+                cond_classes(y, acc)
+        elif isinstance(x, dict):
+            if "class" in x:
+                acc.add(x["class"].rsplit(".", 1)[-1])
+            for v in x.values():
+                cond_classes(v, acc)
+        return acc
+
+    counts = {"scan_adjacent_filters": 0, "post_agg_filters": 0,
+              "post_join_filters": 0, "derived_col_filters": 0,
+              "expr_scan_filters": 0, "null_guard_filters": 0,
+              "cached_scan_filters": 0, "pushed_residual_filters": 0}
+    for i, n in enumerate(nodes):
+        if n.get("class", "").rsplit(".", 1)[-1] != "FilterExec":
+            continue
+        end = span(i)
+        sub = [nodes[k].get("class", "").rsplit(".", 1)[-1]
+               for k in range(i + 1, end)]
+        klass = cond_classes(n.get("condition"), set())
+        scan_pushed = any(
+            nodes[k].get("class", "").rsplit(".", 1)[-1]
+            == "FileSourceScanExec" and nodes[k].get("dataFilters")
+            for k in range(i + 1, end))
+        if any("Aggregate" in c or "Window" in c for c in sub):
+            counts["post_agg_filters"] += 1
+        elif any("Join" in c for c in sub):
+            counts["post_join_filters"] += 1
+        elif any(m in c for c in sub for m in derived_markers):
+            counts["derived_col_filters"] += 1
+        elif klass - pushable:
+            counts["expr_scan_filters"] += 1
+        elif klass <= {"IsNotNull", "AttributeReference", "And"}:
+            counts["null_guard_filters"] += 1
+        elif any(c in ("InMemoryTableScanExec", "LogicalRDD",
+                       "RDDScanExec", "LocalTableScanExec") for c in sub):
+            counts["cached_scan_filters"] += 1
+        elif scan_pushed:
+            counts["pushed_residual_filters"] += 1
+        else:
+            counts["scan_adjacent_filters"] += 1
+    return counts
 
 
 def main() -> None:
@@ -98,6 +204,10 @@ def main() -> None:
             bad.append(name)
             continue
         fp = fingerprint(plan)
+        try:
+            fp.update(classify_filters(df._jdf))
+        except Exception as exc:   # noqa: BLE001
+            fp["filter_classify_error"] = str(exc)[:120]
         entries[name] = fp
         if fp["cartesian_products"] or fp["python_row_udfs"]:
             bad.append(name)
