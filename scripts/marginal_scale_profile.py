@@ -1,7 +1,8 @@
-"""Marginal-cost scale profiles for the two heaviest timed registry
-entries (VERDICT r9 ask #4): ``winnow_pairs`` (6.99 s at sf0.1) and
-``bloom_decontaminate`` (4.80 s) — the TFIDF_SCALE.md method
-generalized.
+"""Marginal-cost scale profiles for the heaviest timed registry
+entries: ``winnow_pairs`` (6.99 s at sf0.1) and ``bloom_decontaminate``
+(4.80 s) per VERDICT r9 ask #4, plus ``fuzzy_edit_pairs`` (3.0 s, the
+round-10 PassJoin newcomer) per VERDICT r10 ask #6 — the
+TFIDF_SCALE.md method generalized.
 
 Method (TFIDF_SCALE.md's, with one refinement): at 1x/10x/30x of the
 sf0.1 scale-smoke cipher corpus, time each op twice —
@@ -38,10 +39,12 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from kafkastreams_tp3_is_spark.session import get_spark  # noqa: E402
 from scripts.scale_smoke import (  # noqa: E402
-    _bloom_decontaminate, _winnow_pairs_planted, scaled_docs)
+    _bloom_decontaminate, _fuzzy_planted, _winnow_pairs_planted,
+    scaled_docs)
 
 OPS = [("winnow_pairs", _winnow_pairs_planted),
-       ("bloom_decontaminate", _bloom_decontaminate)]
+       ("bloom_decontaminate", _bloom_decontaminate),
+       ("fuzzy_edit_pairs", _fuzzy_planted)]
 
 COPIES = (1, 10, 30)
 
@@ -121,10 +124,11 @@ def main() -> None:
   (growth **{r['fixture_growth']}**)
 """)
 
-    md = ("""# Marginal-cost scale profiles: winnow_pairs, bloom_decontaminate
+    md = ("""# Marginal-cost scale profiles: winnow_pairs, bloom_decontaminate, fuzzy_edit_pairs
 
-**Question** (VERDICT r9 ask #4): the two heaviest timed registry
-entries — do their SCALE_SMOKE 10x ratios hide super-linear work?
+**Question** (VERDICT r9 ask #4, r10 ask #6): the heaviest timed
+registry entries — do their SCALE_SMOKE 10x ratios hide super-linear
+work?
 
 **Method** (`scripts/marginal_scale_profile.py`, = TFIDF_SCALE.md's
 with parquet-snapshot isolation): at 1x/10x/30x of the scale-smoke
@@ -145,9 +149,13 @@ reported as such, not as a growth number.
           + "\n".join(sections) +
           """
 **Reading**: `winnow_pairs` is expression-kernel fingerprinting
-(row-local, shuffle only on the df<=20-cut fingerprint join) and
+(row-local, shuffle only on the df<=20-cut fingerprint join),
 `bloom_decontaminate` is a bitset build + per-row probe + bounded
-candidate join — both designs are candidate-linear, and the measured
+candidate join, and `fuzzy_edit_pairs` is PassJoin — per-doc linear
+segment/probe emission, candidates from an equi-join on (len, seg,
+hash), Levenshtein verify on candidates only (the planted-twin fixture
+keeps pair output linear in rows, so the verify stage scales with the
+corpus too) — all three designs are candidate-linear, and the measured
 operator-only marginals above are the empirical confirmation at a 30x
 corpus (the flat-marginal criterion TFIDF_SCALE.md established;
 growth near 1.0 = no quadratic stage surfaced at 30x). Where the
