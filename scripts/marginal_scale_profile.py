@@ -148,6 +148,15 @@ reported as such, not as a growth number.
 """
           + "\n".join(sections) +
           """
+**Fixture-period caveat** (round 11): the scaled corpus's consonant
+rotation has period 19, so at 30 copies the ORIGINAL fixture made
+copies i and i+19 exact duplicates — quadratic cross-copy duplicate
+structure that measured the fixture, not the operator (first caught
+here: fuzzy_edit_pairs emitted 375k pairs at 30x vs the ~6k a linear
+plant produces, a spurious 13x growth ratio). scale_smoke.scaled_docs
+now rotates vowels by copy // 19 (period 95); copies 0..18 — every
+1x/10x number ever published — are byte-identical to the old fixture.
+
 **Reading**: `winnow_pairs` is expression-kernel fingerprinting
 (row-local, shuffle only on the df<=20-cut fingerprint join),
 `bloom_decontaminate` is a bitset build + per-row probe + bounded

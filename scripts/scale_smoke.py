@@ -56,17 +56,30 @@ from kafkastreams_tp3_is_spark.session import get_spark  # noqa: E402
 _ALPHA = "bcdfghjklmnpqrstvwz"
 
 
+_VOWELS = "aeiou"
+
+
 def scaled_docs(spark, sf_dir: str, copies: int):
     base = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n = base.count()
     parts = []
     for i in range(copies):
         # rotate the consonant alphabet by i: copy 0 is the original text,
-        # every other copy rewrites nearly every shingle
-        cipher = _ALPHA[i:] + _ALPHA[:i]
+        # every other copy rewrites nearly every shingle. The consonant
+        # rotation alone has PERIOD 19 — at >= 20 copies, copies i and
+        # i+19 would be exact duplicates, and the quadratic cross-copy
+        # duplicate structure measures the fixture, not the operator
+        # (first caught by the fuzzy 30x marginal profile: 375k output
+        # pairs vs the ~6k a linear plant produces). Rotating the vowels
+        # by i // 19 extends the cipher period to 95 copies while
+        # leaving copies 0..18 — every existing 1x/10x number —
+        # byte-identical to the old fixture.
+        ci, vi = i % len(_ALPHA), (i // len(_ALPHA)) % len(_VOWELS)
+        cipher = (_ALPHA[ci:] + _ALPHA[:ci]
+                  + _VOWELS[vi:] + _VOWELS[:vi])
         parts.append(base.select(
             (F.col("doc_id") + F.lit(i * n)).alias("doc_id"),
-            F.translate("text", _ALPHA, cipher).alias("text")))
+            F.translate("text", _ALPHA + _VOWELS, cipher).alias("text")))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
