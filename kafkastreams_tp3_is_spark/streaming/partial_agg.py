@@ -100,6 +100,10 @@ class KeyedAggStore:
             if v != self.version:
                 shutil.rmtree(self._vdir(v), ignore_errors=True)
         self.rows_read_last_merge = 0
+        # row count of the stored version, maintained via an Observation
+        # on each merge write so no separate count job runs per trigger;
+        # None after adopting a resumed store (counted lazily once)
+        self._stored_rows: int | None = None
 
     def _vdir(self, v: int) -> str:
         return os.path.join(self.path, f"b{v}")
@@ -120,34 +124,53 @@ class KeyedAggStore:
                                "yet — call update() first")
         return self._template
 
-    def update(self, batch_df: DataFrame, batch_id: int) -> None:
+    def update(self, batch_df: DataFrame, batch_id: int,
+               n_source_rows: int | None = None) -> None:
+        """Merge one micro-batch. ``n_source_rows``, when the caller
+        already knows the batch's row count for this source (the harness
+        computes all slice counts in ONE job), skips the per-store
+        emptiness probe job; None falls back to probing."""
+        from pyspark.sql import Observation
+
         part = self.partial_fn(batch_df)
         if self._template is None:
             self._template = part.limit(0)
         self.rows_read_last_merge = 0
         if batch_id <= self.version:
             return  # replayed batch: merge already durable
-        # the aggregate-sized partial is consumed twice (emptiness probe +
-        # merge write); persist so the batch aggregation runs once
-        part = part.persist()
+        if n_source_rows == 0:
+            return  # nothing from this source this trigger (known free)
+        probe = n_source_rows is None
+        if probe:
+            # consumed twice (emptiness probe + merge write); persist so
+            # the batch aggregation runs once
+            part = part.persist()
         try:
-            if part.isEmpty():
-                return  # nothing from this source this trigger
+            if probe and part.isEmpty():
+                return
             cur = self.current()
             if cur is None:
                 merged = part
             else:
-                self.rows_read_last_merge = cur.count()
+                if self._stored_rows is None:   # adopted store: count once
+                    self._stored_rows = cur.count()
+                self.rows_read_last_merge = self._stored_rows
                 merged = (cur.unionByName(part)
                              .groupBy(*self.key_cols)
                              .agg(*self.merge_exprs()))
             old = self._vdir(self.version) if self.version >= 0 else None
-            merged.write.mode("overwrite").parquet(self._vdir(batch_id))
+            # the write job doubles as the row count of the new version
+            # (next trigger's rows_read) — no separate count job
+            obs = Observation()
+            (merged.observe(obs, F.count(F.lit(1)).alias("n"))
+             .write.mode("overwrite").parquet(self._vdir(batch_id)))
+            self._stored_rows = int(obs.get["n"])
             self.version = batch_id
             if old:
                 shutil.rmtree(old, ignore_errors=True)
         finally:
-            part.unpersist()
+            if probe:
+                part.unpersist()
 
 
 def route_agg_store(spark: SparkSession, path: str) -> KeyedAggStore:
@@ -444,14 +467,20 @@ class IncrementalAggHarness:
                         .select(F.from_json("js", self._schemas[tag])
                                 .alias("r"))
                         .select("r.*"))
+                # ONE job counts every slice; the counts also spare each
+                # store its per-trigger emptiness-probe job
+                n_by_tag = {r["src"]: r["n"] for r in
+                            batch_df.groupBy("src")
+                            .agg(F.count(F.lit(1)).alias("n")).collect()}
                 self.fact_rows_per_trigger.append(
-                    slices["routes"].count() + slices["trips"].count())
+                    sum(n_by_tag.values()))
                 source_of = {"route": "routes", "trip_rt": "trips",
                              "trip_pax": "trips", "trip_wt": "trips"}
                 for name in source_of:
                     if name in needed:
                         self.stores[name].update(
-                            slices[source_of[name]], batch_id)
+                            slices[source_of[name]], batch_id,
+                            n_by_tag.get(source_of[name], 0))
                 self.agg_rows_read_per_trigger.append(sum(
                     self.stores[n].rows_read_last_merge for n in needed))
                 aggs = {n: self.stores[n].frame() for n in needed}
