@@ -73,7 +73,7 @@ COMPOSED_QUERIES = {"pipeline_full_clean"}
 from kafkastreams_tp3_is_spark.oracles import Q_NAMES as _REFERENCE_QUERIES  # noqa: E402
 
 
-def bench_topology(spark, sf_dir: str) -> dict:
+def bench_topology(spark, sf_dir: str, changelog: bool = True) -> dict:
     """End-to-end 13-query streaming topology (the MainStreamApp
     analogue, streaming/app.py run_topology): all 13 reference queries
     share ONE foreachBatch runtime over the tag-unioned Routes/Trips
@@ -83,7 +83,13 @@ def bench_topology(spark, sf_dir: str) -> dict:
     drain wall, per-trigger latency stats, and end-to-end record
     throughput — the number the reference's MainStreamApp would be
     judged on. Runs once (micro-batch scheduler latency dominates
-    repeat-run noise the same way the per-query demos do)."""
+    repeat-run noise the same way the per-query demos do).
+
+    ``changelog`` toggles per-updated-key emission (the Kafka Streams
+    contract and the 100 TB setting) vs whole-table emission; BOTH are
+    reported so the crossover is visible — at gate scale the changed-set
+    computation costs more than the in-process emission it saves, at
+    cluster scale the sink volume term dominates."""
     import shutil
     import tempfile
 
@@ -102,12 +108,14 @@ def bench_topology(spark, sf_dir: str) -> dict:
         stats: dict = {}
         t0 = time.perf_counter()
         sinks = run_topology(spark, routes_s, trips_s,
-                             os.path.join(workdir, "topo"), stats=stats)
+                             os.path.join(workdir, "topo"), stats=stats,
+                             changelog=changelog)
         wall = round(time.perf_counter() - t0, 4)
         n_rows = sum(stats["fact_rows_per_trigger"])
         ts = stats["trigger_secs"]
         return {
             "wall_sec": wall,
+            "changelog_emission": changelog,
             "n_queries": len(sinks),
             "n_triggers": stats["n_triggers"],
             "input_rows": n_rows,
@@ -242,8 +250,10 @@ def main() -> None:
         if out is timings:
             timings_min[name] = min(samples)
     # whole-topology streaming bench (after the demos — same state-store
-    # residue ordering concern)
-    topology_13q = bench_topology(spark, sf_dir)
+    # residue ordering concern); both emission modes, see bench_topology
+    topology_13q = bench_topology(spark, sf_dir, changelog=True)
+    topology_13q_full_emission = bench_topology(spark, sf_dir,
+                                                changelog=False)
     total = round(sum(timings.values()), 4)
     ref_total = round(sum(timings[k] for k in _REFERENCE_QUERIES
                           if k in timings), 4)
@@ -270,6 +280,7 @@ def main() -> None:
             "demos": demos,
             "composed": composed,
             "topology_13q": topology_13q,
+            "topology_13q_full_emission": topology_13q_full_emission,
             "reference_queries_sec": ref_total,
             "sf": sf_val,
         }, f, indent=1)

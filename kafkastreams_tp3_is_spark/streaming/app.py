@@ -52,7 +52,8 @@ TOPOLOGY: dict[str, list[str]] = {
 def run_topology(spark: SparkSession, routes_stream: DataFrame,
                  trips_stream: DataFrame, workdir: str,
                  sinks: dict[str, object] | None = None,
-                 stats: dict | None = None) -> dict[str, object]:
+                 stats: dict | None = None,
+                 changelog: bool = True) -> dict[str, object]:
     """Attach all 13 queries to the shared input streams and run to
     completion of available data. Returns the per-query sinks (defaults
     to in-memory upsert sinks keyed per TOPOLOGY; pass DbUpsertSink
@@ -65,7 +66,7 @@ def run_topology(spark: SparkSession, routes_stream: DataFrame,
                  for name, keys in TOPOLOGY.items()}
     jobs = {name: (FINALIZE[name], sinks[name]) for name in TOPOLOGY}
     h = IncrementalAggHarness(spark, workdir)
-    h.run_many(routes_stream, trips_stream, jobs)
+    h.run_many(routes_stream, trips_stream, jobs, changelog=changelog)
     if stats is not None:
         stats["n_triggers"] = len(h.trigger_secs)
         stats["trigger_secs"] = h.trigger_secs

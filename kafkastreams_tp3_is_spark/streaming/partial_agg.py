@@ -255,11 +255,50 @@ def _uses(*store_names: str):
     return deco
 
 
+def _touched(keys_fn):
+    """Declare a changelog key set: ``keys_fn(slices) -> DataFrame`` of
+    the RESULT keys whose value this micro-batch can have changed.
+    run_many then emits only those rows per trigger (left-semi join) —
+    the Kafka Streams changelog contract (a KTable forwards per UPDATED
+    key, never the whole table), and the reason the reference's output
+    volume per commit is O(changed keys). Upsert-collapse still equals
+    the batch answer: an untouched key keeps its previously upserted
+    value, and every key is touched on first creation.
+
+    Declared only where it pays and is exact: per-route queries (q1
+    capacity: routes in batch; q5 passengers: trips in batch; q4
+    occupancy: union — either side changes the ratio) and q11 (per
+    window: counts only change for windows with batch trips). Global /
+    5-type-domain queries emit whole (1-5 rows); q12/q6 stay whole-table
+    because a capacity update shifts occupancy for EVERY window/route of
+    that type, so their true changed-set is not key-local."""
+    def deco(fn):
+        fn.touched = keys_fn
+        return fn
+    return deco
+
+
+def _batch_route_ids(slices: dict[str, DataFrame]) -> DataFrame:
+    return (slices["routes"].select("route_id")
+            .unionByName(slices["trips"].select("route_id")))
+
+
+def _batch_trip_route_ids(slices: dict[str, DataFrame]) -> DataFrame:
+    return slices["trips"].select("route_id")
+
+
+def _batch_windows(slices: dict[str, DataFrame]) -> DataFrame:
+    # identical window derivation to trip_window_type_store's partial
+    w = F.window(F.col("event_ts").cast("timestamp"), "1 hour")
+    return slices["trips"].select(w["start"].alias("window_start"))
+
+
 def _pax_per_route(aggs: dict[str, DataFrame]) -> DataFrame:
     return (aggs["trip_rt"].groupBy("route_id")
             .agg(F.sum("n").alias("passengerCount")))
 
 
+@_touched(lambda slices: slices["routes"].select("route_id"))
 @_uses("route")
 def q1_final(aggs: dict[str, DataFrame]) -> DataFrame:
     return aggs["route"].select(
@@ -282,6 +321,7 @@ def q3_final(aggs: dict[str, DataFrame]) -> DataFrame:
             .select(F.col("passenger_name").alias("passengerName")))
 
 
+@_touched(_batch_route_ids)
 @_uses("route", "trip_rt")
 def q4_final(aggs: dict[str, DataFrame]) -> DataFrame:
     cap = aggs["route"].select("route_id",
@@ -292,6 +332,7 @@ def q4_final(aggs: dict[str, DataFrame]) -> DataFrame:
                        .alias(_OCC)))
 
 
+@_touched(_batch_trip_route_ids)
 @_uses("trip_rt")
 def q5_final(aggs: dict[str, DataFrame]) -> DataFrame:
     return _pax_per_route(aggs)
@@ -340,6 +381,7 @@ def q10_final(aggs: dict[str, DataFrame]) -> DataFrame:
             .select(F.col("transport_type").alias("transportType")))
 
 
+@_touched(_batch_windows)
 @_uses("trip_wt")
 def q11_final(aggs: dict[str, DataFrame]) -> DataFrame:
     counts = aggs["trip_wt"].select(
@@ -431,7 +473,8 @@ class IncrementalAggHarness:
 
     def run_many(self, routes_stream: DataFrame, trips_stream: DataFrame,
                  jobs: dict[str, tuple],
-                 checkpoint_dir: str | None = None) -> None:
+                 checkpoint_dir: str | None = None,
+                 changelog: bool = True) -> None:
         """``jobs``: label -> (finalize_fn, sink). All jobs share the one
         maintained store set — the MainStreamApp all-queries-one-runtime
         shape with stage-1 state maintained ONCE, where the reference
@@ -439,7 +482,18 @@ class IncrementalAggHarness:
         section 4 'Topology/plan reuse'). Only stores some job's finalize
         declares (via ``_uses``) are maintained: a q4+q8 topology pays
         neither the passenger- nor window-store aggregation/rewrite.
-        Undeclared finalizers conservatively require every store."""
+        Undeclared finalizers conservatively require every store.
+
+        ``changelog`` (default True) emits per trigger only the result
+        keys the batch can have changed, for finalizers carrying a
+        ``_touched`` declaration — the Kafka Streams contract (a KTable
+        forwards per updated key). At 100 TB this is the difference
+        between O(changed keys) and O(result table) sink volume per
+        commit; at the sf0.1 gate the changed-set computation itself
+        costs ~2 s/trigger MORE than the in-process emission it saves
+        (both modes are benchmarked — BENCH_DETAIL topology sections),
+        so ``changelog=False`` is the local-micro-benchmark escape
+        hatch, not the production setting."""
         needed = set()
         for finalize, _ in jobs.values():
             needed |= getattr(finalize, "stores", set(self.stores))
@@ -459,14 +513,20 @@ class IncrementalAggHarness:
 
             t0 = _time.perf_counter()
             batch_df = batch_df.persist()
+            slices: dict[str, DataFrame] = {}
             try:
-                slices = {}
                 for tag in ("routes", "trips"):
+                    # persisted: the parsed slice is consumed by every
+                    # store update for its source AND the touched-key
+                    # projections — without the persist each consumer
+                    # re-runs the from_json parse over the whole batch
+                    # (measured ~1s/trigger of redundant parsing at
+                    # sf0.1 with 4 changelog queries)
                     slices[tag] = (
                         batch_df.where(F.col("src") == tag)
                         .select(F.from_json("js", self._schemas[tag])
                                 .alias("r"))
-                        .select("r.*"))
+                        .select("r.*").persist())
                 # ONE job counts every slice; the counts also spare each
                 # store its per-trigger emptiness-probe job
                 n_by_tag = {r["src"]: r["n"] for r in
@@ -485,8 +545,23 @@ class IncrementalAggHarness:
                     self.stores[n].rows_read_last_merge for n in needed))
                 aggs = {n: self.stores[n].frame() for n in needed}
                 for finalize, sink in jobs.values():
-                    sink.process(finalize(aggs), batch_id)
+                    result = finalize(aggs)
+                    keys_fn = (getattr(finalize, "touched", None)
+                               if changelog else None)
+                    if keys_fn is not None:
+                        # changelog emission: only rows this batch can
+                        # have changed (see _touched) — at scale the
+                        # per-trigger sink volume is O(changed keys),
+                        # not O(result table)
+                        # batch-bounded slim key set -> broadcast: the
+                        # semi-join then adds no shuffle of the result
+                        touched = F.broadcast(keys_fn(slices).distinct())
+                        result = result.join(
+                            touched, list(touched.columns), "left_semi")
+                    sink.process(result, batch_id)
             finally:
+                for s in slices.values():
+                    s.unpersist()
                 batch_df.unpersist()
                 self.trigger_secs.append(
                     round(_time.perf_counter() - t0, 4))

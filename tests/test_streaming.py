@@ -674,6 +674,46 @@ def test_full_topology_all_13_queries_equal_batch(spark, stream_dirs, tmp_path):
                 == _sorted_rows(batch)), name
 
 
+def test_topology_changelog_emission_is_touched_keys_only(
+        spark, stream_dirs, tmp_path):
+    """Kafka Streams KTables forward per UPDATED key, never the whole
+    table; the _touched declarations give the per-route queries the same
+    changelog contract. For q4: every trigger's emission must cover
+    exactly the route_ids present in that batch (routes or trips side),
+    and the upsert-collapsed final state must still equal batch."""
+    from kafkastreams_tp3_is_spark.streaming.partial_agg import (
+        FINALIZE, IncrementalAggHarness)
+
+    emitted_per_batch: list[set] = []
+
+    class RecordingSink(MemoryUpsertSink):
+        def process(self, batch_df, batch_id):
+            super().process(batch_df, batch_id)
+            # state keys written THIS batch
+            emitted_per_batch.append(
+                {r["route_id"] for r in batch_df.select("route_id")
+                 .collect()})
+
+    routes_s = route_file_stream(spark, str(stream_dirs / "orders"))
+    trips_s = trip_file_stream(spark, str(stream_dirs / "lineitem"))
+    sink = RecordingSink(["route_id"])
+    h = IncrementalAggHarness(spark, str(tmp_path))
+    h.run_many(routes_s, trips_s, {"q4": (FINALIZE["q4"], sink)})
+
+    assert len(emitted_per_batch) >= 2
+    all_routes = {r["route_id"]
+                  for r in q.q4_occupancy_per_route(spark, SF_DIR)
+                  .select("route_id").collect()}
+    # each trigger emits a strict subset of the table (changelog, not
+    # full-table re-emission) ...
+    assert all(e < all_routes for e in emitted_per_batch)
+    # ... and the union covers every key (each was touched when created)
+    assert set().union(*emitted_per_batch) == all_routes
+    batch = q.q4_occupancy_per_route(spark, SF_DIR)
+    cols = ["route_id", "occupancyPercentage"]
+    assert _sorted_state(sink, cols) == _sorted_rows(batch)
+
+
 def test_native_windowed_argmax_q11_equals_batch(spark, stream_dirs, tmp_path):
     """Native streaming path for Q11: windowed counts maintained by the
     engine in update mode, per-window argmax re-derived incrementally for
