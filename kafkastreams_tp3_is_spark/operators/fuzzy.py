@@ -130,6 +130,183 @@ def edit_distance_pairs_df(docs: DataFrame, max_dist: int = 2,
             .where(F.col("dist") <= d))
 
 
+def _seg_arith(src_n: F.Column, j: F.Column, k: int):
+    """1-based start and length of segment ``j`` of a string of length
+    ``src_n`` split into k even segments (first k - n%k take floor(n/k)
+    chars, the rest one more). FLOOR keeps the integer arithmetic
+    identical across engines. Shared by the self-join and the
+    cross-table join."""
+    b = F.floor(src_n / k).cast("int")
+    rem = (src_n % k).cast("int")
+    extra = F.greatest(F.lit(0), j - (F.lit(k) - rem))
+    start = (j * b + extra + 1).cast("int")
+    length = F.when(j >= F.lit(k) - rem, b + 1).otherwise(b).cast("int")
+    return start, length
+
+
+def _prep(docs: DataFrame, id_out: str) -> DataFrame:
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    return (docs.select(F.col("doc_id").alias(id_out), txt.alias("t"))
+            .select(id_out, "t", F.length("t").alias("n")))
+
+
+def edit_distance_join_df(left: DataFrame, right: DataFrame,
+                          max_dist: int = 2,
+                          min_len: int = 24) -> DataFrame:
+    """CROSS-TABLE edit-distance join: (l_id, r_id, dist) for every
+    (left, right) pair with ``levenshtein <= max_dist`` — entity
+    resolution / fuzzy decontamination against a reference table, the
+    two-frame variant of :func:`edit_distance_pairs_all_df`. Both
+    frames are (doc_id, text).
+
+    Long pairs (both >= ``min_len``) come from PassJoin's pigeonhole,
+    directional: segments from the LEFT string, probe substrings from
+    the RIGHT (ed(a,b) <= d guarantees b contains one of a's d+1
+    segments at source length len(a) within the position window, so one
+    direction is complete — Li et al. ICDE'12 Lemma 1). Pairs whose
+    shorter side is under ``min_len`` come from a length-banded join
+    over DISTINCT strings (right side emits keys len-d..len+d, no
+    canonicalization since the pair is ordered by table). Partitions
+    disjoint on min-side length; union exact.
+
+    Scale: identical candidate structure to the self-join — per-doc
+    linear emission, equi-join keys, Levenshtein only on candidates;
+    the short band runs over distinct strings per side."""
+    d = int(max_dist)
+    k = d + 1
+    base_l = _prep(left, "l_id")
+    base_r = _prep(right, "r_id")
+
+    # --- long path: segments(L) equi-join probes(R) ---------------------
+    long_l = base_l.where(F.col("n") >= int(min_len))
+    long_r = base_r.where(F.col("n") >= int(min_len))
+    j_arr = F.array(*[F.lit(j) for j in range(k)])
+    segs = long_l.select("l_id", "t", F.col("n").alias("src_n"),
+                         F.explode(j_arr).alias("j"))
+    s_start, s_len = _seg_arith(F.col("src_n"), F.col("j"), k)
+    l_side = (segs.select("l_id", "src_n", "j",
+                          s_start.alias("pos"), s_len.alias("len"), "t")
+              .select("l_id", "src_n", "j",
+                      _md5_prefix(F.expr("substring(t, pos, len)"))
+                      .alias("h")))
+    combos = F.array(*[
+        F.struct(F.lit(dn).alias("dn"), F.lit(j).alias("j"),
+                 F.lit(ds).alias("ds"))
+        for dn in range(-d, d + 1)
+        for j in range(k)
+        for ds in range(-d, d + 1)])
+    probes = (long_r.select("r_id", "t", F.col("n").alias("m"),
+                            F.explode(combos).alias("c"))
+              .select("r_id", "t", "m",
+                      (F.col("m") + F.col("c.dn")).alias("src_n"),
+                      F.col("c.j").alias("j"), F.col("c.ds").alias("ds")))
+    p_start, p_len = _seg_arith(F.col("src_n"), F.col("j"), k)
+    r_side = (probes
+              .where(F.col("src_n") >= int(min_len))
+              .select("r_id", "src_n", "j",
+                      (p_start + F.col("ds")).cast("int").alias("pos"),
+                      p_len.alias("len"), "t", "m")
+              .where((F.col("pos") >= 1)
+                     & (F.col("pos") + F.col("len") - 1 <= F.col("m")))
+              .select("r_id", "src_n", "j",
+                      _md5_prefix(F.expr("substring(t, pos, len)"))
+                      .alias("h")))
+    long_cands = (l_side.join(r_side, ["src_n", "j", "h"])
+                  .select("l_id", "r_id").distinct())
+    tl = base_l.select("l_id", F.col("t").alias("tl"))
+    tr = base_r.select("r_id", F.col("t").alias("tr"))
+    long_pairs = (long_cands.join(tl, "l_id").join(tr, "r_id")
+                  .select("l_id", "r_id",
+                          F.levenshtein("tl", "tr").cast("int")
+                          .alias("dist"))
+                  .where(F.col("dist") <= d))
+
+    # --- short path: length-banded distinct join, min side < min_len ----
+    pool_l = base_l.where(F.length("t") < int(min_len) + d)
+    pool_r = base_r.where(F.length("t") < int(min_len) + d)
+    uq_l = pool_l.select("t", "n").distinct().select(
+        F.col("t").alias("tl"), F.col("n").alias("nl"))
+    uq_r = (pool_r.select("t", "n").distinct()
+            .select(F.col("t").alias("tr"), F.col("n").alias("nr"),
+                    F.explode(F.sequence(F.col("n") - d, F.col("n") + d))
+                     .alias("nl"))
+            .where(F.col("nl") >= 0))
+    short_upairs = (uq_l.join(uq_r, "nl")
+                    .where(F.least("nl", "nr") < int(min_len))
+                    .select("tl", "tr",
+                            F.levenshtein("tl", "tr").cast("int")
+                            .alias("dist"))
+                    .where(F.col("dist") <= d))
+    short_pairs = (short_upairs
+                   .join(pool_l.select(F.col("t").alias("tl"), "l_id"),
+                         "tl")
+                   .join(pool_r.select(F.col("t").alias("tr"), "r_id"),
+                         "tr")
+                   .select("l_id", "r_id", "dist"))
+    return long_pairs.unionByName(short_pairs)
+
+
+def fuzzy_dedup_against_df(corpus: DataFrame, reference: DataFrame,
+                           max_dist: int = 2,
+                           min_len: int = 24) -> DataFrame:
+    """Cross-corpus fuzzy decontamination: per corpus document, how many
+    reference documents sit within ``max_dist`` edits, and the drop
+    verdict — the edit-distance analogue of ``dedup_against`` (minhash)
+    and ``decontaminate`` (n-gram): near-verbatim benchmark copies that
+    differ by a character of punctuation still leak eval data. Output:
+    (doc_id, n_fuzzy_matches, dropped) for EVERY corpus document."""
+    hits = (edit_distance_join_df(corpus, reference, max_dist, min_len)
+            .groupBy("l_id")
+            .agg(F.count(F.lit(1)).alias("n_fuzzy_matches")))
+    return (corpus.select("doc_id")
+            .join(hits, corpus["doc_id"] == hits["l_id"], "left")
+            .select("doc_id",
+                    F.coalesce("n_fuzzy_matches", F.lit(0).cast("bigint"))
+                     .alias("n_fuzzy_matches"))
+            .withColumn("dropped", F.col("n_fuzzy_matches") > 0))
+
+
+def fuzzy_dedup_against(spark: SparkSession, sf_dir: str,
+                        max_dist: int = 2) -> DataFrame:
+    """Driver-gate fixture (full hash): fuzzy decontamination of the
+    documents corpus (plus planted short typo keys ``Rout_<id>``)
+    against a synthetic reference set — every 40th document with one
+    substituted char at position 50 (distance 1 from its source) and
+    the clean short keys ``Route_<id>`` for every 50th doc (distance 1
+    from the planted typos). Expected drops: the %40 source docs and
+    the planted short keys; everything else survives. Exercises BOTH
+    paths of the cross-table join under the hash gate."""
+    if max_dist != 2:
+        # ORACLES['fuzzy_dedup_against'] pins d=2
+        raise ValueError(
+            f"fuzzy_dedup_against oracle pins max_dist=2; got "
+            f"{max_dist} — call fuzzy_dedup_against_df directly")
+    docs = load(spark, sf_dir, "documents")
+    t = F.coalesce(F.col("text"), F.lit(""))
+    short_typos = (docs.where(F.col("doc_id") % 50 == 0)
+                   .select((F.col("doc_id") + F.lit(9_500_000_000))
+                           .alias("doc_id"),
+                           F.concat(F.lit("Rout_"),
+                                    F.col("doc_id").cast("string"))
+                            .alias("text")))
+    corpus = docs.select("doc_id", "text").unionByName(short_typos)
+    mutated = (docs.where((F.col("doc_id") % 40 == 0)
+                          & (F.length(t) >= 51))
+               .select((F.col("doc_id") + F.lit(7_000_000_000))
+                       .alias("doc_id"),
+                       F.concat(F.substring(t, 1, 49), F.lit("~"),
+                                F.expr("substring(coalesce(text, ''), 51,"
+                                       " 2147483647)")).alias("text")))
+    short_ref = (docs.where(F.col("doc_id") % 50 == 0)
+                 .select((F.col("doc_id") + F.lit(7_500_000_000))
+                         .alias("doc_id"),
+                         F.concat(F.lit("Route_"),
+                                  F.col("doc_id").cast("string"))
+                          .alias("text")))
+    reference = mutated.unionByName(short_ref)
+    return fuzzy_dedup_against_df(corpus, reference, max_dist)
+
+
 def edit_distance_pairs_short_df(docs: DataFrame, max_dist: int = 2,
                                  min_len: int = 24) -> DataFrame:
     """The per-length-group companion the ``min_len`` contract of

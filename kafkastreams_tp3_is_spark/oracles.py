@@ -2981,6 +2981,96 @@ UNION ALL SELECT doc_a, doc_b, dist FROM short_same
 """
 
 
+# Cross-corpus fuzzy decontamination: the documents corpus (plus planted
+# short typo keys Rout_<id>) probed against a synthetic reference — every
+# 40th doc with one substituted char at position 50, plus clean
+# Route_<id> keys. Long pairs: the directional PassJoin (segments from
+# the corpus side, probe substrings from the reference side — Lemma 1 of
+# ICDE'12 needs only one direction); short pairs: the length-banded
+# distinct-string join with the min-side < 24 rule. Same FLOOR seg
+# arithmetic macros as the self-join oracle.
+ORACLES["fuzzy_dedup_against"] = f"""
+WITH corpus AS (
+  SELECT doc_id, COALESCE(text, '') AS t FROM documents
+  UNION ALL
+  SELECT doc_id + 9500000000 AS doc_id,
+         'Rout_' || CAST(doc_id AS VARCHAR) AS t
+  FROM documents WHERE doc_id % 50 = 0
+), ref AS (
+  SELECT doc_id + 7000000000 AS doc_id,
+         substring(COALESCE(text, ''), 1, 49) || '~'
+           || substring(COALESCE(text, ''), 51,
+                        length(COALESCE(text, ''))) AS t
+  FROM documents
+  WHERE doc_id % 40 = 0 AND length(COALESCE(text, '')) >= 51
+  UNION ALL
+  SELECT doc_id + 7500000000 AS doc_id,
+         'Route_' || CAST(doc_id AS VARCHAR) AS t
+  FROM documents WHERE doc_id % 50 = 0
+), lbase AS (
+  SELECT doc_id, t, length(t) AS n FROM corpus
+), rbase AS (
+  SELECT doc_id, t, length(t) AS n FROM ref
+), l_side AS (
+  SELECT l_id, src_n, j,
+         ('0x' || substring(md5(substring(t,
+             CAST({_FUZZY_SEG_START} AS INT),
+             CAST({_FUZZY_SEG_LEN} AS INT))), 1, 15))::BIGINT AS h
+  FROM (SELECT doc_id AS l_id, t, n AS src_n, sg.j
+        FROM lbase, (SELECT unnest(range(0, 3)) AS j) sg
+        WHERE n >= 24)
+), r_side AS (
+  SELECT r_id, src_n, j,
+         ('0x' || substring(md5(substring(t, pos, len)),
+                            1, 15))::BIGINT AS h
+  FROM (
+    SELECT r_id, t, m, src_n, j,
+           CAST({_FUZZY_SEG_START} + ds AS INT) AS pos,
+           CAST({_FUZZY_SEG_LEN} AS INT) AS len
+    FROM (
+      SELECT doc_id AS r_id, t, n AS m, n + c.dn AS src_n,
+             c.j AS j, c.ds AS ds
+      FROM rbase,
+           (SELECT dn.x AS dn, jj.x AS j, ds.x AS ds
+            FROM (SELECT unnest(range(-2, 3)) AS x) dn,
+                 (SELECT unnest(range(0, 3)) AS x) jj,
+                 (SELECT unnest(range(-2, 3)) AS x) ds) c
+      WHERE n >= 24
+    )
+  )
+  WHERE src_n >= 24 AND pos >= 1 AND pos + len - 1 <= m
+), long_cands AS (
+  SELECT DISTINCT l_id, r_id FROM l_side JOIN r_side USING (src_n, j, h)
+), long_pairs AS (
+  SELECT l_id, r_id
+  FROM long_cands
+  JOIN lbase tl ON tl.doc_id = long_cands.l_id
+  JOIN rbase tr ON tr.doc_id = long_cands.r_id
+  WHERE levenshtein(tl.t, tr.t) <= 2
+), su AS (
+  SELECT a.t AS tl, b.t AS tr
+  FROM (SELECT DISTINCT t, n FROM lbase WHERE n < 26) a
+  JOIN (SELECT DISTINCT t, n FROM rbase WHERE n < 26) b
+    ON b.n BETWEEN a.n - 2 AND a.n + 2
+  WHERE LEAST(a.n, b.n) < 24 AND levenshtein(a.t, b.t) <= 2
+), short_pairs AS (
+  SELECT pl.doc_id AS l_id, pr.doc_id AS r_id
+  FROM su
+  JOIN (SELECT doc_id, t FROM lbase WHERE n < 26) pl ON pl.t = su.tl
+  JOIN (SELECT doc_id, t FROM rbase WHERE n < 26) pr ON pr.t = su.tr
+), hits AS (
+  SELECT l_id, COUNT(*) AS nh
+  FROM (SELECT l_id, r_id FROM long_pairs
+        UNION ALL SELECT l_id, r_id FROM short_pairs)
+  GROUP BY l_id
+)
+SELECT c.doc_id,
+       CAST(COALESCE(hits.nh, 0) AS BIGINT) AS n_fuzzy_matches,
+       COALESCE(hits.nh, 0) > 0 AS dropped
+FROM corpus c LEFT JOIN hits ON hits.l_id = c.doc_id
+"""
+
+
 # Typo-duplicate clusters: the fuzzy pair set (verbatim nested) chained
 # by the same recursive transitive closure as the other cluster oracles.
 ORACLES["fuzzy_dup_clusters"] = f"""

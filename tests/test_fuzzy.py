@@ -200,3 +200,67 @@ def test_fuzzy_all_gate_fixture_recovers_planted_short_pairs(spark):
             assert pairs.get((9_000_000_000 + i, 9_750_000_000 + i)) == 0
     long_twins = [(i, 8_000_000_000 + i) for i in ids if i % 25 == 0]
     assert any(p in pairs for p in long_twins)
+
+
+def test_cross_table_join_equals_bruteforce(spark):
+    """edit_distance_join_df (the A-x-B variant): directional PassJoin
+    for long pairs + length-banded short path must equal brute force
+    over mixed-length corpora on BOTH sides, including boundary pairs
+    and pairs where the LEFT string is the longer one (the self-join's
+    least/greatest canonicalization does not exist here)."""
+    from kafkastreams_tp3_is_spark.operators.fuzzy import (
+        edit_distance_join_df)
+
+    rng = random.Random(7)
+    alpha = "abcdefgh "
+    left_rows = [(1, "Route_7"), (2, "b" * 25), (3, "b" * 23), (4, None)]
+    right_rows = [(100, "Rout_7"), (101, "b" * 24), (102, "b" * 23),
+                  (103, "")]
+    for i in range(30):
+        s = "".join(rng.choice(alpha) for _ in range(rng.randint(1, 60)))
+        (left_rows if i % 2 else right_rows).append((200 + i, s))
+        if i % 5 == 0:  # cross-table near-twin: one substitution
+            (right_rows if i % 2 else left_rows).append(
+                (300 + i, ("z" + s[1:]) if s else s))
+    left = spark.createDataFrame(left_rows, "doc_id long, text string")
+    right = spark.createDataFrame(right_rows, "doc_id long, text string")
+    got = {(r["l_id"], r["r_id"], r["dist"]) for r in
+           edit_distance_join_df(left, right, max_dist=2,
+                                 min_len=24).collect()}
+    lf = left.selectExpr("doc_id AS l_id", "coalesce(text,'') AS tl")
+    rf = right.selectExpr("doc_id AS r_id", "coalesce(text,'') AS tr")
+    want = {(r["l_id"], r["r_id"], r["dist"]) for r in
+            lf.crossJoin(rf)
+            .select("l_id", "r_id",
+                    F.levenshtein("tl", "tr").cast("int").alias("dist"))
+            .where("dist <= 2").collect()}
+    assert got == want
+    assert (1, 100, 1) in want            # short cross twin
+    assert (2, 101, 1) in want            # long boundary-ish pair
+    assert (3, 101, 1) in want and (3, 102, 0) in want  # 23 vs 24 / 23
+
+
+def test_fuzzy_dedup_against_drops_exactly_planted(spark):
+    """Driver fixture semantics: the %40 long docs (1-char-substituted
+    reference twins) and the planted Rout_<id> keys drop; everything
+    else survives (no accidental contamination on the synthetic
+    corpus)."""
+    from kafkastreams_tp3_is_spark.operators.fuzzy import (
+        fuzzy_dedup_against)
+    from kafkastreams_tp3_is_spark.views import load
+
+    docs = load(spark, SF_DIR, "documents")
+    long_enough = {r["doc_id"] for r in docs
+                   .where("doc_id % 40 = 0 AND "
+                          "length(coalesce(text,'')) >= 51")
+                   .select("doc_id").collect()}
+    keys50 = {r["doc_id"] for r in
+              docs.where("doc_id % 50 = 0").select("doc_id").collect()}
+    out = {r["doc_id"]: r["dropped"] for r in
+           fuzzy_dedup_against(spark, SF_DIR).collect()}
+    for i in long_enough:
+        assert out[i], f"planted mutated twin for doc {i} not caught"
+    for i in keys50:
+        assert out[9_500_000_000 + i], f"short typo key for {i} not caught"
+    survivors = [i for i, dropped in out.items() if not dropped]
+    assert survivors, "fixture must not drop the whole corpus"
