@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # code re-proven every run by the sf0.001 pytest oracle and the
         # sf0.1 parity sweep.
         "fuzzy_edit_pairs_all": _fuzzy.fuzzy_edit_pairs_all,
+        "fuzzy_dup_clusters_all": _fuzzy.fuzzy_dup_clusters_all,
         "fuzzy_dedup_against": _fuzzy.fuzzy_dedup_against,
         "q12_bug_compat": _q.q12_bug_compat,
         "q13_bug_compat": _q.q13_bug_compat,

@@ -448,6 +448,23 @@ def fuzzy_edit_pairs_all(spark: SparkSession, sf_dir: str,
     return edit_distance_pairs_all_df(both, max_dist=max_dist)
 
 
+def fuzzy_dup_clusters_all(spark: SparkSession, sf_dir: str,
+                           max_dist: int = 2) -> DataFrame:
+    """Typo-duplicate clusters over the FULL corpus — the
+    ``fuzzy_dup_clusters`` composition with ``fuzzy_edit_pairs_all``'s
+    edges, so reference-scale short keys cluster too: each planted
+    Route_<id>/Rout_<id>(/exact-dup) family lands in one component with
+    the original id as canonical, alongside the long typo-twin
+    clusters. Full-hash gate (pair SQL nested in the recursive-closure
+    spelling)."""
+    from .graph import _clusters
+
+    pairs = (fuzzy_edit_pairs_all(spark, sf_dir, max_dist)
+             .select(F.col("doc_a").alias("a_id"),
+                     F.col("doc_b").alias("b_id")))
+    return _clusters(pairs)
+
+
 def fuzzy_dup_clusters(spark: SparkSession, sf_dir: str,
                        max_dist: int = 2) -> DataFrame:
     """Typo-duplicate clusters — the dedup composition over the

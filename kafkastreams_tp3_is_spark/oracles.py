@@ -3071,6 +3071,30 @@ FROM corpus c LEFT JOIN hits ON hits.l_id = c.doc_id
 """
 
 
+# Full-corpus typo-duplicate clusters: the fuzzy_edit_pairs_all pair
+# set (verbatim nested) chained by the recursive transitive closure.
+ORACLES["fuzzy_dup_clusters_all"] = f"""
+WITH RECURSIVE pairs AS (
+  SELECT * FROM (
+{ORACLES["fuzzy_edit_pairs_all"]}
+  ) all_pairs_q
+),
+sym AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION ALL
+  SELECT doc_b AS u, doc_a AS v FROM pairs
+),
+reach (u, v) AS (
+  SELECT u, v FROM sym
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u WHERE s.v <> r.u
+)
+SELECT u AS doc_id,
+       least(u, MIN(v)) AS cluster_id,
+       least(u, MIN(v)) = u AS is_canonical
+FROM reach GROUP BY u
+"""
+
 # Typo-duplicate clusters: the fuzzy pair set (verbatim nested) chained
 # by the same recursive transitive closure as the other cluster oracles.
 ORACLES["fuzzy_dup_clusters"] = f"""

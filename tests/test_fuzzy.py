@@ -264,3 +264,30 @@ def test_fuzzy_dedup_against_drops_exactly_planted(spark):
         assert out[9_500_000_000 + i], f"short typo key for {i} not caught"
     survivors = [i for i, dropped in out.items() if not dropped]
     assert survivors, "fixture must not drop the whole corpus"
+
+
+def test_fuzzy_dup_clusters_all_short_key_families(spark):
+    """Full-corpus clusters: every planted short-key family
+    (Route_<id> clean dup + Rout_<id> typo) must land in ONE component
+    whose canonical is the lowest planted id, alongside the long
+    typo-twin clusters the base composition already covers."""
+    from collections import defaultdict
+
+    from kafkastreams_tp3_is_spark.operators.fuzzy import (
+        fuzzy_dup_clusters_all)
+    from kafkastreams_tp3_is_spark.views import load
+
+    rows = fuzzy_dup_clusters_all(spark, SF_DIR).collect()
+    cluster_of = {r["doc_id"]: r["cluster_id"] for r in rows}
+    by_cluster = defaultdict(set)
+    for r in rows:
+        by_cluster[r["cluster_id"]].add(r["doc_id"])
+    docs = load(spark, SF_DIR, "documents")
+    for i in [r["doc_id"] for r in
+              docs.where("doc_id % 50 = 0").select("doc_id").collect()]:
+        route, typo = 9_000_000_000 + i, 9_500_000_000 + i
+        assert cluster_of[route] == cluster_of[typo], i
+        if i % 100 == 0:  # exact dup planted too
+            assert cluster_of[route] == cluster_of[9_750_000_000 + i], i
+    for cid, members in by_cluster.items():
+        assert cid == min(members)
