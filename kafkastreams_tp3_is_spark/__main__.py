@@ -105,15 +105,26 @@ def cmd_topology(args) -> int:
     workdir = args.workdir or tempfile.mkdtemp(prefix="topology_")
     own = args.workdir is None
     try:
-        for t in ("orders", "lineitem"):
-            (spark.read.parquet(f"{args.sf_dir}/{t}.parquet")
-             .repartition(4).write.mode("overwrite")
-             .parquet(os.path.join(workdir, t)))
+        if args.kafka:
+            # the reference's actual runtime shape: consume
+            # Routes_topic/Trips_topic from a broker
+            # (MainStreamApp.java:20-27)
+            from .sources.kafka import route_stream, trip_stream
+
+            routes_s = route_stream(spark, args.kafka)
+            trips_s = trip_stream(spark, args.kafka)
+        else:
+            for t in ("orders", "lineitem"):
+                (spark.read.parquet(f"{args.sf_dir}/{t}.parquet")
+                 .repartition(4).write.mode("overwrite")
+                 .parquet(os.path.join(workdir, t)))
+            routes_s = route_file_stream(
+                spark, os.path.join(workdir, "orders"))
+            trips_s = trip_file_stream(
+                spark, os.path.join(workdir, "lineitem"))
         stats: dict = {}
         sinks = run_topology(
-            spark,
-            route_file_stream(spark, os.path.join(workdir, "orders")),
-            trip_file_stream(spark, os.path.join(workdir, "lineitem")),
+            spark, routes_s, trips_s,
             os.path.join(workdir, "topo"), stats=stats,
             changelog=not args.no_changelog)
         print(json.dumps({
@@ -178,6 +189,9 @@ def build_parser() -> argparse.ArgumentParser:
                        help="run the 13-query streaming topology")
     t.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     t.add_argument("--workdir", default=None)
+    t.add_argument("--kafka", default=None,
+                   help="bootstrap servers: consume Routes_topic/"
+                        "Trips_topic instead of file streams")
     t.add_argument("--no-changelog", action="store_true",
                    help="whole-table emission per trigger")
 
