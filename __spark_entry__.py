@@ -50,7 +50,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- ROTATION BLOCK (round 11) ------------------------------------
         # The driver's correctness run caps near 50 entries in registration
         # order. Front: the round-11 newcomers (the full-corpus fuzzy join
-        # with its short-string companion, the two bug-compat twins, and
+        # with its short-string companion, its cluster composition, the
+        # cross-table fuzzy decontamination, the two bug-compat twins, and
         # ann_cosine_topk_lsh whose gate upgraded rows-only -> full hash
         # this round), then the r8-dated block that was below the cap last
         # round (contrastive_triplets .. multimodal_frame_sample) plus
