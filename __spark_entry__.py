@@ -65,7 +65,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_dedup_against": _fuzzy.fuzzy_dedup_against,
         "q12_bug_compat": _q.q12_bug_compat,
         "q13_bug_compat": _q.q13_bug_compat,
-        "ann_cosine_topk_lsh": _sim.cosine_topk_lsh,  # full hash since r11
+        "ann_cosine_topk_lsh": _sim.ann_cosine_topk_lsh,  # full hash since r11; pin-guarded wrapper
         # --- r8-dated backlog (24, below the cap in r10) --------------------
         "contrastive_triplets": _sim.contrastive_triplets,
         "containment_pairs": _dedup.containment_pairs,

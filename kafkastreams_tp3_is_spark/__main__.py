@@ -81,13 +81,24 @@ def cmd_run(args) -> int:
 def cmd_sql(args) -> int:
     from .sql import QUERY_SQL, run_sql
 
-    spark = _spark(args.cpus)
+    import re
+
     name = args.query
     if name not in QUERY_SQL:
         # accept the short q-label ("q7" -> "q7_total_capacity_available")
         expanded = [k for k in QUERY_SQL if k.split("_", 1)[0] == name]
         if len(expanded) == 1:
             name = expanded[0]
+        elif re.fullmatch(r"q\d+", name):
+            # Looks like a q-label but resolved to 0 or >1 entries: a
+            # typo like "q99" must NOT fall through to spark.sql() as
+            # ad-hoc SQL (raw AnalysisException) — fail friendly like
+            # cmd_run does (ADVICE r11).
+            cands = expanded or sorted(QUERY_SQL)
+            print(f"unknown query label {args.query!r}; candidates: "
+                  f"{', '.join(cands)}", file=sys.stderr)
+            return 2
+    spark = _spark(args.cpus)
     if name in QUERY_SQL:
         print(QUERY_SQL[name].strip())
     run_sql(spark, args.sf_dir, name).show(args.limit, truncate=False)

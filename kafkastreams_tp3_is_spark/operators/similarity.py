@@ -382,6 +382,28 @@ def cosine_topk_lsh(spark: SparkSession, sf_dir: str,
 
 # --- int8 scalar quantization ------------------------------------------
 
+def ann_cosine_topk_lsh(spark: SparkSession, sf_dir: str,
+                        n_queries: int = 5, k: int = 10,
+                        n_planes: int = 64, band_bits: int = 4,
+                        seed: int = 42) -> DataFrame:
+    """Registry wrapper for the FULL-HASH driver gate on
+    ``cosine_topk_lsh``: the DuckDB oracle (ORACLES['ann_cosine_topk_lsh'])
+    embeds n_queries/k/seed and the 64x64 seed-42 hyperplanes as
+    LITERALS, so a non-default invocation routed through the gate would
+    silently compare against a mismatched oracle — same pin guard
+    ``ann_recall_lsh``/``ann_recall_ivf`` carry (ADVICE r11).
+    ``cosine_topk_lsh`` itself stays unpinned for general use."""
+    pinned = (5, 10, 64, 4, 42)
+    got = (n_queries, k, n_planes, band_bits, seed)
+    if got != pinned:
+        raise ValueError(
+            f"ann_cosine_topk_lsh oracle pins (n_queries, k, n_planes, "
+            f"band_bits, seed)={pinned}; got {got} — call "
+            f"cosine_topk_lsh directly for other settings")
+    return cosine_topk_lsh(spark, sf_dir, n_queries, k,
+                           n_planes, band_bits, seed)
+
+
 def sq8_quantize(vec_col: F.Column) -> tuple[F.Column, F.Column]:
     """Symmetric per-vector int8 quantization: ``scale = max|x_i|`` and
     ``q_i = floor(x_i * 127.0 / scale + 0.5)`` (round-half-up written as

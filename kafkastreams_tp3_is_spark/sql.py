@@ -79,7 +79,13 @@ def register_operator_views(spark: SparkSession, sf_dir: str,
     Returns {name: DataFrame} — the frames carrying any operator-owned
     persisted internals (cache.py ownership), so a long-lived session
     can ``cache.release`` each one when done with its view instead of
-    reaching for clearCache."""
+    reaching for clearCache. Release semantics for PIPELINE-backed
+    operators (``pipeline_standard_clean``/``pipeline_full_clean``, whose
+    internals are localCheckpoint barriers with truncated lineage):
+    ``release(df)`` defaults to ``consumed=True``, which frees the
+    barrier blocks and makes the VIEW permanently unqueryable — call
+    ``cache.release(df, consumed=False)`` instead if SQL will still read
+    the view, and the full release only once the view is retired."""
     import __spark_entry__ as entrymod
 
     registry = entrymod.queries()

@@ -43,6 +43,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+try:  # the conversion-layer exception family for the Arrow sink path
+    from pyarrow.lib import ArrowException as _ArrowError
+except ImportError:  # pragma: no cover - pyarrow is baked into the env
+    class _ArrowError(Exception):
+        pass
+
 
 class MemoryUpsertSink:
     """Key-upsert sink emulating Connect's JDBC upsert collapse: the last
@@ -69,15 +75,37 @@ class MemoryUpsertSink:
         import datetime as _dt
 
         def _naive(v):
+            # Recurses through structs (dicts) and arrays (lists) so a
+            # timestamp NESTED in the sink schema (e.g. a raw window
+            # struct) gets the same repair as a top-level one — the
+            # byte-compatibility promise is recursive because
+            # Row.asDict(recursive=True) is (ADVICE r11).
             if isinstance(v, _dt.datetime) and v.tzinfo is not None:
                 return v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+            if isinstance(v, dict):
+                return {k: _naive(x) for k, x in v.items()}
+            if isinstance(v, list):
+                return [_naive(x) for x in v]
             return v
 
         try:
-            rows = [{k: _naive(v) for k, v in d.items()}
-                    for d in batch_df.toArrow().to_pylist()]
-        except Exception:  # non-Arrow-convertible schema: the slow path
+            arrow_rows = batch_df.toArrow().to_pylist()
+        except (TypeError, ValueError, _ArrowError) as exc:
+            # Conversion-layer failures ONLY (PySparkTypeError /
+            # PySparkValueError are TypeError/ValueError subclasses;
+            # pyarrow raises ArrowException): an unsupported sink-schema
+            # type falls back to the collect() path. Genuine Spark JOB
+            # errors (CapturedException / Py4JJavaError) propagate —
+            # re-running the whole batch via collect() would double the
+            # work and mask the original failure (ADVICE r11).
+            import logging
+            logging.getLogger(__name__).info(
+                "MemoryUpsertSink: non-Arrow-convertible sink schema "
+                "(%s); using the Row.asDict path", exc)
             rows = [r.asDict(recursive=True) for r in batch_df.collect()]
+        else:
+            rows = [{k: _naive(v) for k, v in d.items()}
+                    for d in arrow_rows]
         for d in rows:
             key = (tuple(d[k] for k in self.key_cols) if self.key_cols
                    else ("__global__",))

@@ -68,3 +68,13 @@ def test_cli_topology(spark, tmp_path, capsys):
     stats = json.loads(line)
     assert stats["n_queries"] == 13 and stats["n_triggers"] >= 1
     assert stats["rows_per_query"]["q9"] == 1
+
+
+def test_cli_sql_unknown_label_fails_friendly(capsys):
+    """A q-label typo ('q99') must not fall through to spark.sql() as
+    ad-hoc SQL (raw AnalysisException) — it exits 2 with the candidate
+    list, like cmd_run's unknown-query path (ADVICE r11)."""
+    assert main(["sql", "q99", "--sf-dir", SF_DIR]) == 2
+    err = capsys.readouterr().err
+    assert "unknown query label 'q99'" in err
+    assert "q7_total_capacity_available" in err

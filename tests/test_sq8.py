@@ -153,3 +153,19 @@ def test_ivf_flat_probe_subset_of_exact_when_all_cells_probed(spark):
             for r in _bruteforce_ranked(emb, 3)
             .where("rank <= 10").collect()}
     assert got == want
+
+
+def test_ann_cosine_topk_lsh_gate_pins_parameters(spark):
+    """The registry's hash-gated wrapper refuses non-default parameters:
+    the DuckDB oracle embeds n_queries/k/planes/bands/seed as literals,
+    so a non-default call would gate against a mismatched oracle
+    (ADVICE r11). The general operator stays unpinned."""
+    import pytest
+
+    from kafkastreams_tp3_is_spark.operators.similarity import (
+        ann_cosine_topk_lsh)
+
+    with pytest.raises(ValueError, match="oracle pins"):
+        ann_cosine_topk_lsh(spark, SF_DIR, n_queries=3)
+    with pytest.raises(ValueError, match="oracle pins"):
+        ann_cosine_topk_lsh(spark, SF_DIR, seed=7)

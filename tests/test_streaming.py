@@ -1564,3 +1564,59 @@ def test_rocksdb_applyinpandas_state_kernel_parity(spark, tmp_path):
     want = {(r["route_id"], r["capacity"])
             for r in latest_route_capacity(spark, SF_DIR).collect()}
     assert got == want
+
+
+# --- ADVICE r11: Arrow sink repair recursion + narrowed fallback -------
+
+def test_sink_arrow_repair_recurses_into_nested_timestamps(spark):
+    """A timestamp nested inside a struct or array in the sink schema
+    must get the same tz-strip repair as a top-level one — the
+    byte-compatibility target is Row.asDict(recursive=True), which is
+    recursive (ADVICE r11)."""
+    from pyspark.sql import functions as FF
+
+    batch = (spark.range(3)
+             .select(FF.col("id").alias("k"),
+                     FF.struct(
+                         FF.to_timestamp(FF.lit("2024-01-02 03:04:05"))
+                         .alias("ts"),
+                         FF.col("id").alias("n")).alias("s"),
+                     FF.array(
+                         FF.to_timestamp(FF.lit("2024-05-06 07:08:09")))
+                     .alias("arr")))
+    want = {r["k"]: r.asDict(recursive=True) for r in batch.collect()}
+    sink = MemoryUpsertSink(["k"])
+    sink.process(batch, 0)
+    got = {d["k"]: d for d in sink.rows()}
+    assert got == want  # dict-equality checks nested tzinfo too
+    for d in got.values():
+        assert d["s"]["ts"].tzinfo is None
+        assert d["arr"][0].tzinfo is None
+
+
+def test_sink_arrow_fallback_only_for_conversion_errors(spark, monkeypatch):
+    """Conversion-layer failures (TypeError/ValueError family) take the
+    collect() slow path; any OTHER toArrow failure — e.g. a genuine
+    Spark job error — must propagate instead of silently re-running the
+    whole batch job (ADVICE r11)."""
+    import pytest
+
+    batch = spark.range(3).withColumnRenamed("id", "k")
+    # patch the CONCRETE class (pyspark.sql.classic.dataframe.DataFrame in
+    # Spark 4) — the pyspark.sql.DataFrame base would be shadowed by it
+    cls = type(batch)
+
+    def _raise_conversion(self):
+        raise TypeError("unsupported sink-schema type")
+
+    monkeypatch.setattr(cls, "toArrow", _raise_conversion)
+    sink = MemoryUpsertSink(["k"])
+    sink.process(batch, 0)  # falls back to collect()
+    assert sorted(d["k"] for d in sink.rows()) == [0, 1, 2]
+
+    def _raise_job_error(self):
+        raise RuntimeError("executor lost: job aborted")
+
+    monkeypatch.setattr(cls, "toArrow", _raise_job_error)
+    with pytest.raises(RuntimeError, match="job aborted"):
+        MemoryUpsertSink(["k"]).process(batch, 1)
