@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from kafkastreams_tp3_is_spark import oracles as _oracles
 from kafkastreams_tp3_is_spark import queries as _q
 from kafkastreams_tp3_is_spark.operators import dedup as _dedup
+from kafkastreams_tp3_is_spark.operators import dsir as _dsir
 from kafkastreams_tp3_is_spark.operators import embstats as _embstats
 from kafkastreams_tp3_is_spark.operators import events as _events
 from kafkastreams_tp3_is_spark.operators import fuzzy as _fuzzy
@@ -60,6 +61,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Everything below the cap holds a green r9/r10 driver row under
         # code re-proven every run by the sf0.001 pytest oracle and the
         # sf0.1 parity sweep.
+        "dsir_bucket_stats": _dsir.dsir_bucket_stats_gate,
+        "dsir_select": _dsir.dsir_select_gate,
+        "dsir_resample_gumbel": _dsir.dsir_resample_gumbel_gate,
+        "q5_stream_passengers_per_route": _runner.q5_passengers_per_route_stream,
+        "q7_stream_total_capacity": _runner.q7_total_capacity_available_stream,
         "fuzzy_edit_pairs_all": _fuzzy.fuzzy_edit_pairs_all,
         "fuzzy_dup_clusters_all": _fuzzy.fuzzy_dup_clusters_all,
         "fuzzy_dedup_against": _fuzzy.fuzzy_dedup_against,

@@ -1,0 +1,253 @@
+"""DSIR-style importance resampling for training-data selection.
+
+Public method: Xie et al., *Data Selection for Language Models via
+Importance Resampling* (NeurIPS 2023). A raw corpus is scored against a
+small TARGET corpus by a bag-of-hashed-n-grams importance weight
+
+    log w(d) = sum_{g in grams(d)} [ ln p_target(bucket(g))
+                                     - ln p_raw(bucket(g)) ]
+
+with Laplace-smoothed bucket multinomials, and the top candidates (or a
+Gumbel-top-k sample, the paper's actual resampling rule) are kept.
+
+Spark-first layout — the whole scorer is TWO tiny shuffles at any scale:
+
+1. bucket distributions: explode word bigrams map-side, hash each gram to
+   one of ``n_buckets`` ids, and groupBy(bucket) with map-side partial
+   aggregation — the shuffle moves at most ``n_buckets`` rows per task,
+   independent of corpus size;
+2. the per-document score: the two bucket tables are CONTRACT-BOUNDED
+   (<= n_buckets rows), so they come back to the driver (same ownership
+   rule as the IVF centroids) and ride into the executors as two map
+   LITERALS inside one ``F.aggregate`` fold over the doc's gram array —
+   ZERO shuffle, no join, whole-stage codegen end to end;
+3. top-k: ``orderBy(...).limit(k)`` compiles to TakeOrderedAndProject
+   (per-partition heaps + a k-row merge), never a global sort.
+
+The gram hash is md5-derived (``conv(substring(md5(g),1,8),16,10) %
+n_buckets``) because DuckDB computes the IDENTICAL bucket ids
+(``('0x'||substring(md5(g),1,8))::BIGINT``), which is what makes the
+driver gates below full-hash instead of rows-only.
+
+Float discipline: Spark's ``ln`` and DuckDB's ``ln`` are NOT bit-identical
+(measured ~7% of ratio-of-small-int inputs differ in the last ulp), so no
+gated column ever carries a log — the gates hash doc ids, ranks, and
+integer gram/count aggregates; weights stay internal ranking state whose
+cross-engine gaps (>= 1e-3 between distinct documents) dwarf the ~1e-15
+accumulated ulp noise, and the gate fails LOUDLY if that ever stops being
+true. Ratios that ARE emitted (`dsir_bucket_stats.ratio`) are one division
+of exact integer aggregates, which IEEE 754 rounds identically everywhere.
+
+Reference scope note: the reference engine (Kafka Streams DSL, e.g.
+Query5.java's per-key counts) has no corpus-selection surface; this module
+is part of the training-data-pipeline extension the engine adds on top.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..views import load
+from .text import tokens_col
+
+N_BUCKETS = 256
+TARGET_LANG = "en"
+K_SELECT = 100
+GUMBEL_SEED = 42
+
+
+def _bigrams(text_col: str = "text") -> Column:
+    """Word-bigram array (space-joined token pairs); empty for docs with
+    fewer than two tokens. zip_with over the two shifted slices — never
+    an indexed transform (ANSI element_at bounds checks; and the two-arg
+    transform lambda receives the ARRAY INDEX, a known footgun)."""
+    t = tokens_col(text_col)
+    n = F.size(t)
+    return F.when(n >= 2, F.zip_with(
+        F.slice(t, 1, n - 1), F.slice(t, 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )).otherwise(F.array().cast("array<string>"))
+
+
+def _bucket_of(gram: Column, n_buckets: int) -> Column:
+    """Hashed-n-gram bucket id in [0, n_buckets): md5-derived so DuckDB
+    re-derives the same id (see module docstring)."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(gram), 1, 8), 16, 10).cast("long"),
+        F.lit(n_buckets))
+
+
+def _bucket_counts(docs: DataFrame, n_buckets: int) -> DataFrame:
+    """(bucket, cnt) over all word bigrams of ``docs`` — one map-side
+    explode + a <= n_buckets-row shuffle (partial agg combines first)."""
+    return (docs
+            .select(F.explode(_bigrams()).alias("gram"))
+            .select(_bucket_of(F.col("gram"), n_buckets).alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def dsir_bucket_stats(spark: SparkSession, sf_dir: str,
+                      target_lang: str = TARGET_LANG,
+                      n_buckets: int = N_BUCKETS) -> DataFrame:
+    """The two hashed-bigram bucket multinomials the DSIR weight is built
+    from: per bucket, the TARGET gram count (docs with ``lang ==
+    target_lang``), the RAW gram count (every other doc), and the
+    Laplace-smoothed count ratio ``(ct+1)/(cr+1)`` — one division of
+    exact integers, so bit-stable. Buckets unseen on one side surface
+    with count 0 (full outer join + coalesce), never dropped."""
+    docs = load(spark, sf_dir, "documents")
+    ct = (_bucket_counts(docs.where(F.col("lang") == target_lang), n_buckets)
+          .withColumnRenamed("cnt", "target_count"))
+    cr = (_bucket_counts(docs.where(F.col("lang") != target_lang), n_buckets)
+          .withColumnRenamed("cnt", "raw_count"))
+    # both sides are <= n_buckets rows; broadcast keeps this shuffle-free
+    joined = ct.join(F.broadcast(cr), "bucket", "full_outer")
+    t = F.coalesce(F.col("target_count"), F.lit(0)).cast("long")
+    r = F.coalesce(F.col("raw_count"), F.lit(0)).cast("long")
+    return joined.select(
+        "bucket",
+        t.alias("target_count"),
+        r.alias("raw_count"),
+        ((t + F.lit(1)).cast("double") / (r + F.lit(1)).cast("double"))
+        .alias("ratio"))
+
+
+def _stats_maps(spark: SparkSession, sf_dir: str, target_lang: str,
+                n_buckets: int) -> tuple[Column, Column, int, int]:
+    """Driver-side densified bucket->count map literals (mt, mr) plus the
+    total gram masses (Nt, Nr). The collect is contract-bounded at
+    n_buckets rows — the IVF-centroid rule — and densifying to ALL
+    bucket ids keeps ANSI ``element_at`` total (no missing-key error)."""
+    rows = dsir_bucket_stats(spark, sf_dir, target_lang, n_buckets).collect()
+    ct = {r["bucket"]: r["target_count"] for r in rows}
+    cr = {r["bucket"]: r["raw_count"] for r in rows}
+    keys = list(range(n_buckets))
+    mt = F.map_from_arrays(
+        F.lit(keys).cast("array<bigint>"),
+        F.lit([ct.get(b, 0) for b in keys]).cast("array<bigint>"))
+    mr = F.map_from_arrays(
+        F.lit(keys).cast("array<bigint>"),
+        F.lit([cr.get(b, 0) for b in keys]).cast("array<bigint>"))
+    return mt, mr, sum(ct.values()), sum(cr.values())
+
+
+def _scored_candidates(spark: SparkSession, sf_dir: str,
+                       target_lang: str, n_buckets: int) -> DataFrame:
+    """Candidate (non-target) docs with integer gram aggregates and the
+    internal DSIR log-weight: one F.aggregate fold per doc over its
+    bucket-id array against the broadcast map literals — no join, no
+    shuffle, codegen throughout."""
+    mt, mr, n_t, n_r = _stats_maps(spark, sf_dir, target_lang, n_buckets)
+    docs = load(spark, sf_dir, "documents").where(
+        F.col("lang") != target_lang)
+    buckets = F.transform(_bigrams(),
+                          lambda g: _bucket_of(g, n_buckets))
+    # normalizer term of the smoothed multinomial ratio, constant per gram
+    z = F.lit(float(0)) + (F.log(F.lit(float(n_r + n_buckets)))
+                           - F.log(F.lit(float(n_t + n_buckets))))
+    folded = F.aggregate(
+        F.col("_buckets"),
+        F.struct(F.lit(0).cast("long").alias("n"),
+                 F.lit(0).cast("long").alias("st"),
+                 F.lit(0).cast("long").alias("sr"),
+                 F.lit(0.0).alias("w")),
+        lambda acc, b: F.struct(
+            (acc["n"] + 1).alias("n"),
+            (acc["st"] + F.element_at(mt, b)).alias("st"),
+            (acc["sr"] + F.element_at(mr, b)).alias("sr"),
+            (acc["w"]
+             + F.log((F.element_at(mt, b) + F.lit(1)).cast("double")
+                     / (F.element_at(mr, b) + F.lit(1)).cast("double"))
+             + z).alias("w")))
+    return (docs
+            .withColumn("_buckets", buckets)
+            .withColumn("_f", folded)
+            .select("doc_id", "lang",
+                    F.col("_f.n").alias("n_grams"),
+                    F.col("_f.st").alias("sum_target_count"),
+                    F.col("_f.sr").alias("sum_raw_count"),
+                    F.col("_f.w").alias("_logw")))
+
+
+def dsir_select(spark: SparkSession, sf_dir: str,
+                target_lang: str = TARGET_LANG,
+                n_buckets: int = N_BUCKETS,
+                k: int = K_SELECT) -> DataFrame:
+    """Deterministic DSIR selection: the top-``k`` candidate docs by
+    importance weight (ties broken by doc_id). Emitted columns are the
+    hash-stable ones — rank + integer gram aggregates; the float weight
+    stays internal (module docstring, float discipline)."""
+    scored = _scored_candidates(spark, sf_dir, target_lang, n_buckets)
+    # TakeOrderedAndProject: per-partition k-row heaps, no global sort
+    top = scored.orderBy(F.col("_logw").desc(), F.col("doc_id").asc()) \
+                .limit(k)
+    w = Window.orderBy(F.col("_logw").desc(), F.col("doc_id").asc())
+    return (top.withColumn("rank", F.row_number().over(w))
+            .select("doc_id", "lang", "rank", "n_grams",
+                    "sum_target_count", "sum_raw_count"))
+
+
+def dsir_resample_gumbel(spark: SparkSession, sf_dir: str,
+                         target_lang: str = TARGET_LANG,
+                         n_buckets: int = N_BUCKETS,
+                         k: int = K_SELECT,
+                         seed: int = GUMBEL_SEED) -> DataFrame:
+    """The paper's actual resampling rule: sample ``k`` docs WITHOUT
+    replacement proportionally to w(d) via the Gumbel-top-k trick —
+    rank by ``log w(d) + Gumbel(0,1)`` where the Gumbel noise is a PURE
+    FUNCTION of (doc_id, seed): u = (md5-derived 24-bit int + 0.5) / 2^24,
+    g = -ln(-ln(u)). Deterministic given the seed, so the driver gate is
+    a full hash (the oracle re-derives the same noise); emitted columns
+    stay integer/rank-only per the module's float discipline."""
+    scored = _scored_candidates(spark, sf_dir, target_lang, n_buckets)
+    u = ((F.conv(F.substring(
+            F.md5(F.concat_ws("#", F.col("doc_id"), F.lit(seed))), 1, 6),
+            16, 10).cast("long").cast("double") + F.lit(0.5))
+         / F.lit(float(1 << 24)))
+    noisy = scored.withColumn(
+        "_key", F.col("_logw") - F.log(-F.log(u)))
+    top = noisy.orderBy(F.col("_key").desc(), F.col("doc_id").asc()) \
+               .limit(k)
+    w = Window.orderBy(F.col("_key").desc(), F.col("doc_id").asc())
+    return (top.withColumn("rank", F.row_number().over(w))
+            .select("doc_id", "lang", "rank", "n_grams",
+                    "sum_target_count", "sum_raw_count"))
+
+
+# --- pin-guarded registry wrappers (oracles embed the defaults) ---------
+
+def _pin(name: str, got: tuple, pinned: tuple) -> None:
+    if got != pinned:
+        raise ValueError(
+            f"{name} oracle pins {pinned}; got {got} — call the "
+            f"unpinned operator directly for other settings")
+
+
+def dsir_bucket_stats_gate(spark: SparkSession, sf_dir: str,
+                           target_lang: str = TARGET_LANG,
+                           n_buckets: int = N_BUCKETS) -> DataFrame:
+    _pin("dsir_bucket_stats", (target_lang, n_buckets),
+         (TARGET_LANG, N_BUCKETS))
+    return dsir_bucket_stats(spark, sf_dir, target_lang, n_buckets)
+
+
+def dsir_select_gate(spark: SparkSession, sf_dir: str,
+                     target_lang: str = TARGET_LANG,
+                     n_buckets: int = N_BUCKETS,
+                     k: int = K_SELECT) -> DataFrame:
+    _pin("dsir_select", (target_lang, n_buckets, k),
+         (TARGET_LANG, N_BUCKETS, K_SELECT))
+    return dsir_select(spark, sf_dir, target_lang, n_buckets, k)
+
+
+def dsir_resample_gumbel_gate(spark: SparkSession, sf_dir: str,
+                              target_lang: str = TARGET_LANG,
+                              n_buckets: int = N_BUCKETS,
+                              k: int = K_SELECT,
+                              seed: int = GUMBEL_SEED) -> DataFrame:
+    _pin("dsir_resample_gumbel", (target_lang, n_buckets, k, seed),
+         (TARGET_LANG, N_BUCKETS, K_SELECT, GUMBEL_SEED))
+    return dsir_resample_gumbel(spark, sf_dir, target_lang, n_buckets,
+                                k, seed)

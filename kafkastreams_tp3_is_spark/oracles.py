@@ -3116,3 +3116,110 @@ SELECT u AS doc_id,
        least(u, MIN(v)) = u AS is_canonical
 FROM reach GROUP BY u
 """
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling (operators/dsir.py; Xie et al., NeurIPS 2023).
+# Bucket ids are md5-derived so both engines agree bit-for-bit; the smoothed
+# ratio is ONE division of exact integer counts. No gated column carries a
+# log — Spark ln and DuckDB ln differ in the last ulp on ~7% of inputs
+# (dsir.py module docstring), so weights are ranking-internal only.
+_DSIR_TOKS = ("list_filter(string_split_regex(COALESCE(text, ''), '\\s+'), "
+              "x -> x <> '')")
+_DSIR_GRAMS = f"""
+  SELECT doc_id, lang,
+         ('0x' || substring(md5(
+             lt[CAST(i AS INTEGER)] || ' ' || lt[CAST(i + 1 AS INTEGER)]
+           ), 1, 8))::BIGINT % 256 AS bucket
+  FROM (SELECT doc_id, lang, lt, unnest(generate_series(1, n - 1)) AS i
+        FROM (SELECT doc_id, lang, {_DSIR_TOKS} AS lt,
+                     len({_DSIR_TOKS}) AS n
+              FROM documents)
+        WHERE n >= 2)
+"""
+_DSIR_STATS = f"""
+grams AS ({_DSIR_GRAMS}),
+ct AS (SELECT bucket, COUNT(*) AS target_count FROM grams
+       WHERE lang = 'en' GROUP BY bucket),
+cr AS (SELECT bucket, COUNT(*) AS raw_count FROM grams
+       WHERE lang <> 'en' GROUP BY bucket),
+stats AS (
+  SELECT COALESCE(ct.bucket, cr.bucket) AS bucket,
+         CAST(COALESCE(target_count, 0) AS BIGINT) AS target_count,
+         CAST(COALESCE(raw_count, 0) AS BIGINT) AS raw_count
+  FROM ct FULL OUTER JOIN cr ON ct.bucket = cr.bucket
+),
+tot AS (SELECT CAST(SUM(target_count) AS BIGINT) AS nt,
+               CAST(SUM(raw_count) AS BIGINT) AS nr FROM stats)
+"""
+ORACLES["dsir_bucket_stats"] = f"""
+WITH {_DSIR_STATS}
+SELECT bucket, target_count, raw_count,
+       CAST(target_count + 1 AS DOUBLE) / CAST(raw_count + 1 AS DOUBLE)
+         AS ratio
+FROM stats
+"""
+
+# Per-candidate-doc DSIR aggregates: every gram LEFT-joins the bucket
+# stats (missing buckets smooth to 0 counts), integer sums are exact,
+# and the log-weight orders the top-k only (never emitted).
+_DSIR_SCORED = f"""
+scored AS (
+  SELECT g.doc_id, g.lang,
+         CAST(COUNT(*) AS BIGINT) AS n_grams,
+         CAST(SUM(COALESCE(s.target_count, 0)) AS BIGINT)
+           AS sum_target_count,
+         CAST(SUM(COALESCE(s.raw_count, 0)) AS BIGINT) AS sum_raw_count,
+         SUM(ln(CAST(COALESCE(s.target_count, 0) + 1 AS DOUBLE)
+                / CAST(COALESCE(s.raw_count, 0) + 1 AS DOUBLE))
+             + ln(CAST(nr + 256 AS DOUBLE))
+             - ln(CAST(nt + 256 AS DOUBLE))) AS logw
+  FROM grams g LEFT JOIN stats s ON g.bucket = s.bucket, tot
+  WHERE g.lang <> 'en'
+  GROUP BY g.doc_id, g.lang
+),
+zero AS (
+  SELECT doc_id, lang,
+         CAST(0 AS BIGINT) AS n_grams,
+         CAST(0 AS BIGINT) AS sum_target_count,
+         CAST(0 AS BIGINT) AS sum_raw_count,
+         0.0 AS logw
+  FROM documents
+  WHERE lang <> 'en'
+    AND len({_DSIR_TOKS}) < 2
+),
+cand AS (SELECT * FROM scored UNION ALL SELECT * FROM zero)
+"""
+ORACLES["dsir_select"] = f"""
+WITH {_DSIR_STATS},
+{_DSIR_SCORED}
+SELECT doc_id, lang, rank, n_grams, sum_target_count, sum_raw_count
+FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY logw DESC, doc_id) AS rank
+      FROM cand)
+WHERE rank <= 100
+"""
+
+# Gumbel-top-k resampling: the noise is a pure function of (doc_id, seed)
+# via the same md5-derived uniform both engines compute identically.
+ORACLES["dsir_resample_gumbel"] = f"""
+WITH {_DSIR_STATS},
+{_DSIR_SCORED}
+SELECT doc_id, lang, rank, n_grams, sum_target_count, sum_raw_count
+FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY gkey DESC, doc_id) AS rank
+  FROM (
+    SELECT *,
+           logw - ln(-ln(
+             (('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '#42'),
+                        1, 6))::BIGINT + 0.5) / 16777216.0)) AS gkey
+    FROM cand)
+)
+WHERE rank <= 100
+"""
+
+
+# Native-streaming demo twins (streaming/runner.py): final update-mode
+# state must equal the batch answer, so they gate against the SAME
+# oracle text as their batch queries — the q11/q12 stream-demo pattern.
+ORACLES["q5_stream_passengers_per_route"] = ORACLES["q5_passengers_per_route"]
+ORACLES["q7_stream_total_capacity"] = ORACLES["q7_total_capacity_available"]

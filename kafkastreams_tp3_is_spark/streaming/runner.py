@@ -407,6 +407,81 @@ def _windowed_stream_demo(spark: SparkSession, sf_dir: str, sink,
     return sink
 
 
+def _update_mode_demo(spark: SparkSession, view_df: DataFrame,
+                      logic, key_cols: list[str], prefix: str
+                      ) -> "MemoryUpsertSink":
+    """Shared staging for the native-streaming unwindowed demo fixtures:
+    land the (batch) view as a 4-file parquet zone, replay it with
+    maxFilesPerTrigger=1 (4 genuine micro-batches), run ``logic`` over
+    the stream in update mode into a key-upsert sink. The engine
+    maintains the aggregate state store across triggers — the Kafka
+    Streams KTable contract — and the demo's gate is final-state ==
+    batch (prefix consistency)."""
+    import shutil
+    import tempfile
+
+    workdir = tempfile.mkdtemp(prefix=prefix)
+    src = os.path.join(workdir, "fact")
+    view_df.repartition(4).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    sink = MemoryUpsertSink(key_cols)
+    conf_key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(conf_key)
+    spark.conf.set(conf_key, "16")
+    try:
+        run_update_mode_agg(logic(stream), sink,
+                            os.path.join(workdir, "ckpt"))
+    finally:
+        spark.conf.set(conf_key, prev)
+        shutil.rmtree(workdir, ignore_errors=True)
+    return sink
+
+
+def q5_passengers_per_route_stream(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Driver-gate DEMO fixture (full hash against the SAME oracle as
+    batch Q5): A1 per-key count in native streaming form — the engine's
+    update-mode keyed state store maintains the per-route counts across
+    4 micro-batches (PassengersPerRoute.java:37-40's groupBy().count()
+    KTable), the upsert sink collapses the changelog, and the final
+    state must equal the batch q5_logic answer exactly."""
+    from .. import queries as _q
+    from ..session import configure_for_engine
+    from ..views import trips
+
+    configure_for_engine(spark)
+    sink = _update_mode_demo(
+        spark, trips(spark, sf_dir).select("route_id"),
+        lambda s: _q.q5_logic(None, s), ["route_id"], "q5stream_")
+    return spark.createDataFrame(
+        [(r["route_id"], int(r["passengerCount"])) for r in sink.rows()],
+        "route_id string, passengerCount bigint")
+
+
+def q7_total_capacity_available_stream(spark: SparkSession,
+                                       sf_dir: str) -> DataFrame:
+    """Driver-gate DEMO fixture (full hash against the SAME oracle as
+    batch Q7): A3/A4 global SUM in native streaming form — the
+    reference's two-level re-aggregation with subtractor
+    (TotalCapacityAvailable.java:35-57) realized as the engine's
+    update-mode global aggregate state; integer sums make the final
+    state bit-identical to the batch answer."""
+    from .. import queries as _q
+    from ..session import configure_for_engine
+    from ..views import routes
+
+    configure_for_engine(spark)
+    sink = _update_mode_demo(
+        spark, routes(spark, sf_dir).select("capacity"),
+        lambda s: _q.q7_logic(s, None), [], "q7stream_")
+    rows = sink.rows()
+    assert len(rows) == 1, "global aggregate must collapse to one row"
+    return spark.createDataFrame(
+        [(int(rows[0]["totalCapacity"]),)], "totalCapacity bigint")
+
+
 def q11_transport_type_max_passengers_window_stream(
         spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-gate DEMO fixture (full hash against the SAME oracle as
