@@ -48,17 +48,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # --- ROTATION BLOCK (round 11) ------------------------------------
+        # --- ROTATION BLOCK (round 12) ------------------------------------
         # The driver's correctness run caps near 50 entries in registration
-        # order. Front: the round-11 newcomers (the full-corpus fuzzy join
-        # with its short-string companion, its cluster composition, the
-        # cross-table fuzzy decontamination, the two bug-compat twins, and
-        # ann_cosine_topk_lsh whose gate upgraded rows-only -> full hash
-        # this round), then the r8-dated block that was below the cap last
-        # round (contrastive_triplets .. multimodal_frame_sample) plus
-        # Q1-Q8 (+q2_approx) whose freshest driver rows were 2 rounds
-        # stale, then the oldest r9-dated entries up to the cap.
-        # Everything below the cap holds a green r9/r10 driver row under
+        # order. Front: the round-12 newcomers (the three DSIR importance-
+        # resampling entries and the native-streaming Q5/Q7 demo twins),
+        # then the ENTIRE r9-dated remainder (media_dhash_pairs ..
+        # ann_cosine_topk, 26 entries whose freshest driver rows are 3
+        # rounds stale), then the oldest r10-dated entries up to the cap —
+        # reference queries Q9-Q13 + the envelope/latest-capacity sinks and
+        # the q11/q12 native-stream demos first, then the recall reports,
+        # winnow fast twins and fuzzy PassJoin pair/cluster entries.
+        # Everything below the cap holds a green r10/r11 driver row under
         # code re-proven every run by the sf0.001 pytest oracle and the
         # sf0.1 parity sweep.
         "dsir_bucket_stats": _dsir.dsir_bucket_stats_gate,
@@ -66,119 +66,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_resample_gumbel": _dsir.dsir_resample_gumbel_gate,
         "q5_stream_passengers_per_route": _runner.q5_passengers_per_route_stream,
         "q7_stream_total_capacity": _runner.q7_total_capacity_available_stream,
-        "fuzzy_edit_pairs_all": _fuzzy.fuzzy_edit_pairs_all,
-        "fuzzy_dup_clusters_all": _fuzzy.fuzzy_dup_clusters_all,
-        "fuzzy_dedup_against": _fuzzy.fuzzy_dedup_against,
-        "q12_bug_compat": _q.q12_bug_compat,
-        "q13_bug_compat": _q.q13_bug_compat,
-        "ann_cosine_topk_lsh": _sim.ann_cosine_topk_lsh,  # full hash since r11; pin-guarded wrapper
-        # --- r8-dated backlog (24, below the cap in r10) --------------------
-        "contrastive_triplets": _sim.contrastive_triplets,
-        "containment_pairs": _dedup.containment_pairs,
-        "bpe_merge_candidates": _text.bpe_merge_candidates,
-        "embedding_gram_sq8": _embstats.embedding_gram_sq8,
-        "bpe_train": _text.bpe_train,
-        "split_by_content": _cur.split_by_content,
-        "mmr_rerank": _sim.mmr_rerank,
-        "ann_recall_sq8": _sim.ann_recall_sq8,
-        "embedding_snapshot_drift": _embstats.embedding_snapshot_drift,
-        "quality_decile_filter": _text.quality_decile_filter,
-        "mix_by_source": _cur.mix_by_source,
-        "stratified_sample": _cur.stratified_sample,
-        "doc_chunk": _cur.doc_chunk,
-        "global_shuffle": _cur.global_shuffle,
-        "contamination_overlap": _cur.contamination_overlap,
-        "contamination_attribution": _cur.contamination_attribution,
-        "embedding_kmeans_assign": _ivf.embedding_kmeans_assign,  # rows-only
-        "mix_by_cluster": _ivf.mix_by_cluster,                    # rows-only
-        "repeated_spans": _dedup.repeated_spans,
-        "semantic_dup_clusters": _graph.semantic_dup_clusters,    # rows-only
-        "semantic_dup_clusters_exact": _graph.semantic_dup_clusters_exact,
-        "multimodal_features": _mm.media_features,
-        "multimodal_resize": _mm.media_resize,
-        "multimodal_frame_sample": _mm.media_frame_sample,
-        # --- Q1-Q8 (+HLL twin), freshest rows r9 ----------------------------
-        "q1_available_seats_per_route": _q.q1_available_seats_per_route,
-        "q2_average_passengers_per_transport_type": _q.q2_average_passengers_per_transport_type,
-        "q2_approx_average_passengers": _q.q2_approx_average_passengers_per_transport_type,
-        "q3_name_passenger_most_trips": _q.q3_name_passenger_most_trips,
-        "q4_occupancy_per_route": _q.q4_occupancy_per_route,
-        "q5_passengers_per_route": _q.q5_passengers_per_route,
-        "q6_route_least_occupancy_per_transport_type": _q.q6_route_least_occupancy_per_transport_type,
-        "q7_total_capacity_available": _q.q7_total_capacity_available,
-        "q8_total_occupancy_percentage": _q.q8_total_occupancy_percentage,
-        # --- oldest r9-dated entries (fill the cap to 50) --------------------
-        "embedding_pca_project": _embstats.embedding_pca_project,  # rows-only
-        "trips_route_update_stream_left_join": _ssjoin.trips_route_update_stream_left_join,
-        "trips_route_update_stream_outer_join": _ssjoin.trips_route_update_stream_outer_join,
-        "winnow_fingerprints": _dedup.winnow_fingerprints,
-        "winnow_pairs": _dedup.winnow_pairs,
-        "ngram_lm_score": _text.ngram_lm_score,
-        "select_token_budget": _cur.select_token_budget,
-        "domain_mixture_report": _cur.domain_mixture_report,
-        "trips_route_update_stream_join": _ssjoin.trips_route_update_stream_join,
-        "tfidf_topk": _ret.tfidf_topk,
-        "embedding_matryoshka_recall": _sim.embedding_matryoshka_recall,
-        "corpus_clean": _pipe.corpus_clean,
-        "decontaminate_spans_bloom": _dedup.decontaminate_spans_bloom,
-        # === BELOW THE DRIVER CAP ==========================================
-        # --- r10-green entries (CORRECTNESS_r10.json) -----------------------
-        "ann_recall_lsh": _sim.ann_recall_lsh,
-        "ann_recall_ivf": _sim.ann_recall_ivf,
-        "ann_recall_ivf_trained": _sim.ann_recall_ivf_trained,  # rows-only
-        "ann_recall_stored": _sim.ann_recall_stored,            # rows-only
-        "winnow_fingerprints_fast": _dedup.winnow_fingerprints_fast,
-        "winnow_pairs_fast": _dedup.winnow_pairs_fast,
-        "q11_window_max_stream": _runner.q11_transport_type_max_passengers_window_stream,
-        "q12_window_min_stream": _runner.q12_least_occupied_transport_type_window_stream,
-        "fuzzy_edit_pairs": _fuzzy.fuzzy_edit_pairs,
-        "fuzzy_dup_clusters": _fuzzy.fuzzy_dup_clusters,
-        "ann_cosine_topk_ivf": _ivf.cosine_topk_ivf,            # rows-only
-        "text_token_count": _text.token_count,
-        "text_quality_score": _text.quality_score,
-        "text_lang_id": _text.lang_id,
-        "text_fingerprint": _text.fingerprint,
-        "text_vocab_topk": _text.vocab_top_tokens,
-        "repetition_signals": _text.repetition_signals,
-        "quality_filter": _text.quality_filter,
-        "sample_deterministic": _cur.sample_deterministic,
-        "train_val_test_split": _cur.train_val_test_split,
-        "normalize_text": _cur.normalize_text,
-        "pii_scrub": _cur.pii_scrub,
-        "pack_sequences": lambda spark, sf_dir: _cur.pack_sequences(
-            spark, sf_dir, n_shards=16),
-        "error_incident_events": _temporal.error_incident_events,
-        "trip_time_rollup": _olap.trip_time_rollup,
-        "events_value_quantiles": _olap.events_value_quantiles,  # rows-only
-        "bm25_search": _ret.bm25_search,
-        "corpus_diff": _cur.corpus_diff,
-        "events_funnel": _events.funnel,
-        "events_attribution": _temporal.events_attribution,
-        "vocab_drift": _text.vocab_drift,
-        "mix_temperature": _cur.mix_temperature,
-        "ann_cosine_topk_stored_probe": _ivf.ann_cosine_topk_stored_probe,  # rows-only
-        "dedup_suffix_prefix": _dedup.dedup_suffix_prefix,
-        "q9_total_passengers": _q.q9_total_passengers,
-        "q10_transport_type_max_passengers": _q.q10_transport_type_max_passengers,
-        "q11_transport_type_max_passengers_window": _q.q11_transport_type_max_passengers_window,
-        "q12_least_occupied_transport_type_window": _q.q12_least_occupied_transport_type_window,
-        "q13_most_occupied_operator": _q.q13_most_occupied_operator,
-        "envelope_passengers_per_route": _env.envelope_passengers_per_route,
-        "latest_route_capacity": _views.latest_route_capacity,
-        "events_sessionize": _events.sessionize,
-        "events_sliding_counts": _events.sliding_counts,
-        "events_json_props_stats": _events.json_props_stats,
-        "events_topk_users": _events.topk_users,
-        "events_user_anomaly": _events.user_anomaly,
-        "events_cohort_retention": _events.cohort_retention,
-        "trips_asof_route_version": _temporal.trips_asof_route_version,
-        "tokenize_ids": _ret.tokenize_ids,
-        "pack_token_sequences": _ret.pack_token_sequences,
-        "heavy_hitters": _sketch.heavy_hitters,
-        "corpus_stats": _text.corpus_stats,
-        "doc_commonness": _text.doc_commonness,
-        "lang_confusion": _text.lang_confusion,
-        # --- r9-verified remainder ------------------------------------------
+        # --- r9-dated remainder (26, freshest rows r9) ----------------------
         "media_dhash_pairs": _mm.media_dhash_pairs,
         "ann_cosine_topk_stored": _ivf.ann_cosine_topk_stored,    # rows-only
         "materialize_mixture": _cur.materialize_mixture,
@@ -205,6 +93,117 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": _ivf.embedding_near_dup_ivf,      # rows-only
         "embedding_near_dup_exact": _sim.embedding_near_dup_exact,
         "ann_cosine_topk": _sim.cosine_topk_bruteforce,
+        # --- oldest r10-dated entries (fill the cap to 50) -------------------
+        "q9_total_passengers": _q.q9_total_passengers,
+        "q10_transport_type_max_passengers": _q.q10_transport_type_max_passengers,
+        "q11_transport_type_max_passengers_window": _q.q11_transport_type_max_passengers_window,
+        "q12_least_occupied_transport_type_window": _q.q12_least_occupied_transport_type_window,
+        "q13_most_occupied_operator": _q.q13_most_occupied_operator,
+        "envelope_passengers_per_route": _env.envelope_passengers_per_route,
+        "latest_route_capacity": _views.latest_route_capacity,
+        "q11_window_max_stream": _runner.q11_transport_type_max_passengers_window_stream,
+        "q12_window_min_stream": _runner.q12_least_occupied_transport_type_window_stream,
+        "ann_recall_lsh": _sim.ann_recall_lsh,
+        "ann_recall_ivf": _sim.ann_recall_ivf,
+        "ann_recall_ivf_trained": _sim.ann_recall_ivf_trained,  # rows-only
+        "ann_recall_stored": _sim.ann_recall_stored,            # rows-only
+        "winnow_fingerprints_fast": _dedup.winnow_fingerprints_fast,
+        "winnow_pairs_fast": _dedup.winnow_pairs_fast,
+        "fuzzy_edit_pairs": _fuzzy.fuzzy_edit_pairs,
+        "fuzzy_dup_clusters": _fuzzy.fuzzy_dup_clusters,
+        "ann_cosine_topk_ivf": _ivf.cosine_topk_ivf,            # rows-only
+        "events_sessionize": _events.sessionize,
+        # === BELOW THE DRIVER CAP ==========================================
+        # --- remaining r10-green entries (CORRECTNESS_r10.json) --------------
+        "text_token_count": _text.token_count,
+        "text_quality_score": _text.quality_score,
+        "text_lang_id": _text.lang_id,
+        "text_fingerprint": _text.fingerprint,
+        "text_vocab_topk": _text.vocab_top_tokens,
+        "repetition_signals": _text.repetition_signals,
+        "quality_filter": _text.quality_filter,
+        "sample_deterministic": _cur.sample_deterministic,
+        "train_val_test_split": _cur.train_val_test_split,
+        "normalize_text": _cur.normalize_text,
+        "pii_scrub": _cur.pii_scrub,
+        "pack_sequences": lambda spark, sf_dir: _cur.pack_sequences(
+            spark, sf_dir, n_shards=16),
+        "error_incident_events": _temporal.error_incident_events,
+        "trip_time_rollup": _olap.trip_time_rollup,
+        "events_value_quantiles": _olap.events_value_quantiles,  # rows-only
+        "bm25_search": _ret.bm25_search,
+        "corpus_diff": _cur.corpus_diff,
+        "events_funnel": _events.funnel,
+        "events_attribution": _temporal.events_attribution,
+        "vocab_drift": _text.vocab_drift,
+        "mix_temperature": _cur.mix_temperature,
+        "ann_cosine_topk_stored_probe": _ivf.ann_cosine_topk_stored_probe,  # rows-only
+        "dedup_suffix_prefix": _dedup.dedup_suffix_prefix,
+        "events_sliding_counts": _events.sliding_counts,
+        "events_json_props_stats": _events.json_props_stats,
+        "events_topk_users": _events.topk_users,
+        "events_user_anomaly": _events.user_anomaly,
+        "events_cohort_retention": _events.cohort_retention,
+        "trips_asof_route_version": _temporal.trips_asof_route_version,
+        "tokenize_ids": _ret.tokenize_ids,
+        "pack_token_sequences": _ret.pack_token_sequences,
+        "heavy_hitters": _sketch.heavy_hitters,
+        "corpus_stats": _text.corpus_stats,
+        "doc_commonness": _text.doc_commonness,
+        "lang_confusion": _text.lang_confusion,
+        # --- r11-green entries (CORRECTNESS_r11.json) -------------------------
+        "fuzzy_edit_pairs_all": _fuzzy.fuzzy_edit_pairs_all,
+        "fuzzy_dup_clusters_all": _fuzzy.fuzzy_dup_clusters_all,
+        "fuzzy_dedup_against": _fuzzy.fuzzy_dedup_against,
+        "q12_bug_compat": _q.q12_bug_compat,
+        "q13_bug_compat": _q.q13_bug_compat,
+        "ann_cosine_topk_lsh": _sim.ann_cosine_topk_lsh,  # pin-guarded wrapper
+        "contrastive_triplets": _sim.contrastive_triplets,
+        "containment_pairs": _dedup.containment_pairs,
+        "bpe_merge_candidates": _text.bpe_merge_candidates,
+        "embedding_gram_sq8": _embstats.embedding_gram_sq8,
+        "bpe_train": _text.bpe_train,
+        "split_by_content": _cur.split_by_content,
+        "mmr_rerank": _sim.mmr_rerank,
+        "ann_recall_sq8": _sim.ann_recall_sq8,
+        "embedding_snapshot_drift": _embstats.embedding_snapshot_drift,
+        "quality_decile_filter": _text.quality_decile_filter,
+        "mix_by_source": _cur.mix_by_source,
+        "stratified_sample": _cur.stratified_sample,
+        "doc_chunk": _cur.doc_chunk,
+        "global_shuffle": _cur.global_shuffle,
+        "contamination_overlap": _cur.contamination_overlap,
+        "contamination_attribution": _cur.contamination_attribution,
+        "embedding_kmeans_assign": _ivf.embedding_kmeans_assign,  # rows-only
+        "mix_by_cluster": _ivf.mix_by_cluster,                    # rows-only
+        "repeated_spans": _dedup.repeated_spans,
+        "semantic_dup_clusters": _graph.semantic_dup_clusters,    # rows-only
+        "semantic_dup_clusters_exact": _graph.semantic_dup_clusters_exact,
+        "multimodal_features": _mm.media_features,
+        "multimodal_resize": _mm.media_resize,
+        "multimodal_frame_sample": _mm.media_frame_sample,
+        "q1_available_seats_per_route": _q.q1_available_seats_per_route,
+        "q2_average_passengers_per_transport_type": _q.q2_average_passengers_per_transport_type,
+        "q2_approx_average_passengers": _q.q2_approx_average_passengers_per_transport_type,
+        "q3_name_passenger_most_trips": _q.q3_name_passenger_most_trips,
+        "q4_occupancy_per_route": _q.q4_occupancy_per_route,
+        "q5_passengers_per_route": _q.q5_passengers_per_route,
+        "q6_route_least_occupancy_per_transport_type": _q.q6_route_least_occupancy_per_transport_type,
+        "q7_total_capacity_available": _q.q7_total_capacity_available,
+        "q8_total_occupancy_percentage": _q.q8_total_occupancy_percentage,
+        "embedding_pca_project": _embstats.embedding_pca_project,  # rows-only
+        "trips_route_update_stream_left_join": _ssjoin.trips_route_update_stream_left_join,
+        "trips_route_update_stream_outer_join": _ssjoin.trips_route_update_stream_outer_join,
+        "winnow_fingerprints": _dedup.winnow_fingerprints,
+        "winnow_pairs": _dedup.winnow_pairs,
+        "ngram_lm_score": _text.ngram_lm_score,
+        "select_token_budget": _cur.select_token_budget,
+        "domain_mixture_report": _cur.domain_mixture_report,
+        "trips_route_update_stream_join": _ssjoin.trips_route_update_stream_join,
+        "tfidf_topk": _ret.tfidf_topk,
+        "embedding_matryoshka_recall": _sim.embedding_matryoshka_recall,
+        "corpus_clean": _pipe.corpus_clean,
+        "decontaminate_spans_bloom": _dedup.decontaminate_spans_bloom,
     }
 
 
