@@ -57,7 +57,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rounds stale), then the oldest r10-dated entries up to the cap —
         # reference queries Q9-Q13 + the envelope/latest-capacity sinks and
         # the q11/q12 native-stream demos first, then the recall reports,
-        # winnow fast twins and fuzzy PassJoin pair/cluster entries.
+        # winnow fast twins and fuzzy PassJoin pair/cluster entries, and
+        # finally bpe_train and mmr_rerank, whose gates upgraded
+        # rows-only -> full hash this round (unrolled-CTE oracles).
         # Everything below the cap holds a green r10/r11 driver row under
         # code re-proven every run by the sf0.001 pytest oracle and the
         # sf0.1 parity sweep.
@@ -113,6 +115,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_dup_clusters": _fuzzy.fuzzy_dup_clusters,
         "ann_cosine_topk_ivf": _ivf.cosine_topk_ivf,            # rows-only
         "events_sessionize": _events.sessionize,
+        "bpe_train": _text.bpe_train,   # gate upgraded rows-only -> full hash in r12
+        "mmr_rerank": _sim.mmr_rerank,  # gate upgraded rows-only -> full hash in r12
         # === BELOW THE DRIVER CAP ==========================================
         # --- remaining r10-green entries (CORRECTNESS_r10.json) --------------
         "text_token_count": _text.token_count,
@@ -162,9 +166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs": _dedup.containment_pairs,
         "bpe_merge_candidates": _text.bpe_merge_candidates,
         "embedding_gram_sq8": _embstats.embedding_gram_sq8,
-        "bpe_train": _text.bpe_train,
         "split_by_content": _cur.split_by_content,
-        "mmr_rerank": _sim.mmr_rerank,
         "ann_recall_sq8": _sim.ann_recall_sq8,
         "embedding_snapshot_drift": _embstats.embedding_snapshot_drift,
         "quality_decile_filter": _text.quality_decile_filter,

@@ -88,16 +88,15 @@ def _bucket_counts(docs: DataFrame, n_buckets: int) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("cnt")))
 
 
-def dsir_bucket_stats(spark: SparkSession, sf_dir: str,
-                      target_lang: str = TARGET_LANG,
-                      n_buckets: int = N_BUCKETS) -> DataFrame:
+def dsir_bucket_stats_df(docs: DataFrame,
+                         target_lang: str = TARGET_LANG,
+                         n_buckets: int = N_BUCKETS) -> DataFrame:
     """The two hashed-bigram bucket multinomials the DSIR weight is built
     from: per bucket, the TARGET gram count (docs with ``lang ==
     target_lang``), the RAW gram count (every other doc), and the
     Laplace-smoothed count ratio ``(ct+1)/(cr+1)`` — one division of
     exact integers, so bit-stable. Buckets unseen on one side surface
     with count 0 (full outer join + coalesce), never dropped."""
-    docs = load(spark, sf_dir, "documents")
     ct = (_bucket_counts(docs.where(F.col("lang") == target_lang), n_buckets)
           .withColumnRenamed("cnt", "target_count"))
     cr = (_bucket_counts(docs.where(F.col("lang") != target_lang), n_buckets)
@@ -114,13 +113,20 @@ def dsir_bucket_stats(spark: SparkSession, sf_dir: str,
         .alias("ratio"))
 
 
-def _stats_maps(spark: SparkSession, sf_dir: str, target_lang: str,
+def dsir_bucket_stats(spark: SparkSession, sf_dir: str,
+                      target_lang: str = TARGET_LANG,
+                      n_buckets: int = N_BUCKETS) -> DataFrame:
+    return dsir_bucket_stats_df(load(spark, sf_dir, "documents"),
+                                target_lang, n_buckets)
+
+
+def _stats_maps(docs: DataFrame, target_lang: str,
                 n_buckets: int) -> tuple[Column, Column, int, int]:
     """Driver-side densified bucket->count map literals (mt, mr) plus the
     total gram masses (Nt, Nr). The collect is contract-bounded at
     n_buckets rows — the IVF-centroid rule — and densifying to ALL
     bucket ids keeps ANSI ``element_at`` total (no missing-key error)."""
-    rows = dsir_bucket_stats(spark, sf_dir, target_lang, n_buckets).collect()
+    rows = dsir_bucket_stats_df(docs, target_lang, n_buckets).collect()
     ct = {r["bucket"]: r["target_count"] for r in rows}
     cr = {r["bucket"]: r["raw_count"] for r in rows}
     keys = list(range(n_buckets))
@@ -133,15 +139,14 @@ def _stats_maps(spark: SparkSession, sf_dir: str, target_lang: str,
     return mt, mr, sum(ct.values()), sum(cr.values())
 
 
-def _scored_candidates(spark: SparkSession, sf_dir: str,
+def _scored_candidates(docs_all: DataFrame,
                        target_lang: str, n_buckets: int) -> DataFrame:
     """Candidate (non-target) docs with integer gram aggregates and the
     internal DSIR log-weight: one F.aggregate fold per doc over its
     bucket-id array against the broadcast map literals — no join, no
     shuffle, codegen throughout."""
-    mt, mr, n_t, n_r = _stats_maps(spark, sf_dir, target_lang, n_buckets)
-    docs = load(spark, sf_dir, "documents").where(
-        F.col("lang") != target_lang)
+    mt, mr, n_t, n_r = _stats_maps(docs_all, target_lang, n_buckets)
+    docs = docs_all.where(F.col("lang") != target_lang)
     buckets = F.transform(_bigrams(),
                           lambda g: _bucket_of(g, n_buckets))
     # normalizer term of the smoothed multinomial ratio, constant per gram
@@ -171,15 +176,15 @@ def _scored_candidates(spark: SparkSession, sf_dir: str,
                     F.col("_f.w").alias("_logw")))
 
 
-def dsir_select(spark: SparkSession, sf_dir: str,
-                target_lang: str = TARGET_LANG,
-                n_buckets: int = N_BUCKETS,
-                k: int = K_SELECT) -> DataFrame:
+def dsir_select_df(docs: DataFrame,
+                   target_lang: str = TARGET_LANG,
+                   n_buckets: int = N_BUCKETS,
+                   k: int = K_SELECT) -> DataFrame:
     """Deterministic DSIR selection: the top-``k`` candidate docs by
     importance weight (ties broken by doc_id). Emitted columns are the
     hash-stable ones — rank + integer gram aggregates; the float weight
     stays internal (module docstring, float discipline)."""
-    scored = _scored_candidates(spark, sf_dir, target_lang, n_buckets)
+    scored = _scored_candidates(docs, target_lang, n_buckets)
     # TakeOrderedAndProject: per-partition k-row heaps, no global sort
     top = scored.orderBy(F.col("_logw").desc(), F.col("doc_id").asc()) \
                 .limit(k)
@@ -187,6 +192,14 @@ def dsir_select(spark: SparkSession, sf_dir: str,
     return (top.withColumn("rank", F.row_number().over(w))
             .select("doc_id", "lang", "rank", "n_grams",
                     "sum_target_count", "sum_raw_count"))
+
+
+def dsir_select(spark: SparkSession, sf_dir: str,
+                target_lang: str = TARGET_LANG,
+                n_buckets: int = N_BUCKETS,
+                k: int = K_SELECT) -> DataFrame:
+    return dsir_select_df(load(spark, sf_dir, "documents"),
+                          target_lang, n_buckets, k)
 
 
 def dsir_resample_gumbel(spark: SparkSession, sf_dir: str,
@@ -201,7 +214,8 @@ def dsir_resample_gumbel(spark: SparkSession, sf_dir: str,
     g = -ln(-ln(u)). Deterministic given the seed, so the driver gate is
     a full hash (the oracle re-derives the same noise); emitted columns
     stay integer/rank-only per the module's float discipline."""
-    scored = _scored_candidates(spark, sf_dir, target_lang, n_buckets)
+    scored = _scored_candidates(
+        load(spark, sf_dir, "documents"), target_lang, n_buckets)
     u = ((F.conv(F.substring(
             F.md5(F.concat_ws("#", F.col("doc_id"), F.lit(seed))), 1, 6),
             16, 10).cast("long").cast("double") + F.lit(0.5))

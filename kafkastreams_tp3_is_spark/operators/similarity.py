@@ -103,9 +103,18 @@ def mmr_rerank_df(emb: DataFrame, n_queries: int = 5, k: int = 10,
     O(shortlist^2) greedy in numpy. Driver never sees rows; group size
     is shortlist-bounded by construction, so per-key state is O(1) in
     corpus size. Ties break (score desc, neighbor_id asc) making the
-    output deterministic; the rows-only gate is backed by a pytest
-    running the identical-arithmetic numpy reference plus the
-    first-pick==rank-1 invariant."""
+    output deterministic.
+
+    FULL-HASH gate since r12: the pairwise sims accumulate in dimension
+    order (one vectorized add per dimension, not a BLAS matmul whose
+    pairwise/FMA summation reorders), and the norm is sqrt(self-dot) in
+    the same order (np.linalg.norm is dnrm2's SCALED form, a different
+    bit pattern) — exactly the arithmetic DuckDB's list_dot_product /
+    sqrt restate, so the oracle (ORACLES['mmr_rerank'], k unrolled
+    greedy stages) re-derives bit-identical scores. The relevance column
+    was already the JVM-fold cosine the ann_cosine_topk gate pins. A
+    pytest additionally runs an independent numpy reference greedy plus
+    the first-pick==rank-1 invariant."""
     short = (_bruteforce_ranked(emb, n_queries)
              .where(F.col("rank") <= shortlist))
     cand = short.join(
@@ -120,8 +129,13 @@ def mmr_rerank_df(emb: DataFrame, n_queries: int = 5, k: int = 10,
         pdf = pdf.sort_values("rank").reset_index(drop=True)
         v = np.asarray([np.asarray(e, dtype=np.float64)
                         for e in pdf["n_vec"]])
-        norms = np.maximum(np.linalg.norm(v, axis=1), 1e-30)
-        sims = (v @ v.T) / np.outer(norms, norms)
+        # dimension-ordered accumulation == the sequential fold DuckDB's
+        # list_dot_product computes (bit-identical; BLAS matmul is not)
+        dots = np.zeros((len(v), len(v)))
+        for t in range(v.shape[1]):
+            dots += np.outer(v[:, t], v[:, t])
+        norms = np.maximum(np.sqrt(np.diagonal(dots)), 1e-30)
+        sims = dots / np.outer(norms, norms)
         rel = pdf["cosine"].to_numpy(dtype=np.float64)
         ids = pdf["neighbor_id"].to_numpy()
         selected: list[int] = []
@@ -148,8 +162,10 @@ def mmr_rerank_df(emb: DataFrame, n_queries: int = 5, k: int = 10,
 
 
 def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Driver-gate fixture (rows-only; numpy-reference pytest pins exact
-    selections): MMR-diversified top-10 over the embeddings table."""
+    """Driver-gate fixture (FULL HASH since r12; ORACLES['mmr_rerank']
+    unrolls the 10 greedy stages over the same bit-stable arithmetic —
+    see mmr_rerank_df): MMR-diversified top-10 over the embeddings
+    table, defaults pinned by the oracle's literals."""
     return mmr_rerank_df(load(spark, sf_dir, "embeddings"))
 
 

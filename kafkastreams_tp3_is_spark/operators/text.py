@@ -634,9 +634,12 @@ def bpe_train_df(docs: DataFrame, n_merges: int = 8) -> DataFrame:
         ``localCheckpoint`` truncates the per-round lineage so the plan
         does not nest n_merges folds deep.
 
-    The registry gate is rows-only (an iterated argmax is not
-    SQL-expressible); exactness is pinned by a pytest running a pure-
-    Python reference BPE with identical tie-break and apply semantics."""
+    The registry gate is a FULL HASH since r12: with n_merges pinned the
+    iterated argmax unrolls into chained DuckDB CTEs, and the merge fold
+    restates as a wrapped-symbol string replace (oracles._bpe_train_oracle)
+    — '|a||b|' -> '|ab|' resolves left-to-right exactly like this fold.
+    Exactness is additionally pinned by a pytest running a pure-Python
+    reference BPE with identical tie-break and apply semantics."""
     spark = docs.sparkSession
     words = (docs.select(F.explode(tokens_col()).alias("tok"))
              .groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
@@ -674,6 +677,12 @@ def bpe_train_df(docs: DataFrame, n_merges: int = 8) -> DataFrame:
 
 def bpe_train(spark: SparkSession, sf_dir: str,
               n_merges: int = 8) -> DataFrame:
-    """Driver-gate fixture (rows-only; pure-Python-reference pytest pins
-    exact values): 8 BPE merge rounds over the documents table."""
+    """Driver-gate fixture (full hash since r12; the DuckDB oracle
+    unrolls the 8 pinned merge rounds): BPE training over the documents
+    table. n_merges != 8 would gate against a mismatched oracle, so the
+    registry path pin-guards it."""
+    if n_merges != 8:
+        raise ValueError(
+            f"bpe_train oracle pins n_merges=8; got {n_merges} — call "
+            f"bpe_train_df directly for other settings")
     return bpe_train_df(load(spark, sf_dir, "documents"), n_merges)

@@ -3223,3 +3223,131 @@ WHERE rank <= 100
 # oracle text as their batch queries — the q11/q12 stream-demo pattern.
 ORACLES["q5_stream_passengers_per_route"] = ORACLES["q5_passengers_per_route"]
 ORACLES["q7_stream_total_capacity"] = ORACLES["q7_total_capacity_available"]
+
+
+# ---------------------------------------------------------------------------
+# bpe_train (text.py bpe_train_df): the 8-round iterated argmax IS
+# SQL-expressible after all, because n_merges is a pinned constant — each
+# round is one chained CTE trio (pair counts -> LIMIT-1 argmax with the
+# (n DESC, a, b) tie-break -> merge application). The greedy left-to-right
+# merge fold is restated as a string replace over a WRAPPED symbol
+# encoding: 'abc' -> '|a||b||c|', merge (a,b) = replace('|a||b|','|ab|').
+# Each symbol carries its OWN delimiters, so consecutive merges stay
+# independent ('|a||b||a||b|' -> '|ab||ab|') and overlapping runs resolve
+# left-to-right exactly like the JVM fold ('|a||a||a|' -> '|aa||a|').
+# Symbols never contain '|' (whitespace tokenization of the testdata
+# corpus). A vanished-pair round leaves b{k} empty, which empties w{k}
+# and every later round — the oracle then emits fewer rows, matching the
+# trainer's break. This upgrades the entry from rows-only to full hash.
+def _bpe_train_oracle(n_merges: int = 8) -> str:
+    parts = [f"""w0 AS (
+  SELECT regexp_replace(tok, '(.)', '|\\1|', 'g') AS w, cnt FROM (
+    SELECT tok, COUNT(*) AS cnt
+    FROM (SELECT unnest({_TOKENS}) AS tok FROM documents)
+    WHERE length(tok) >= 2 GROUP BY tok)
+)"""]
+    for k in range(1, n_merges + 1):
+        parts.append(f"""p{k} AS (
+  SELECT s[CAST(i AS INTEGER)] AS a, s[CAST(i + 1 AS INTEGER)] AS b,
+         SUM(cnt) AS n
+  FROM (SELECT s, cnt, unnest(generate_series(1, len(s) - 1)) AS i
+        FROM (SELECT list_filter(string_split(w, '|'), x -> x <> '') AS s,
+                     cnt FROM w{k - 1})
+        WHERE len(s) >= 2)
+  GROUP BY a, b
+),
+b{k} AS (SELECT a, b, n FROM p{k} ORDER BY n DESC, a ASC, b ASC LIMIT 1),
+w{k} AS (
+  SELECT replace(w, '|' || a || '||' || b || '|',
+                 '|' || a || b || '|') AS w, cnt
+  FROM w{k - 1}, b{k}
+)""")
+        # w{n_merges} is never read; harmless tail CTE
+    rounds = "\nUNION ALL\n".join(
+        f"""SELECT {k} AS round, a AS "left", b AS "right",
+       a || b AS merged, CAST(n AS BIGINT) AS n_occurrences FROM b{k}"""
+        for k in range(1, n_merges + 1))
+    return "WITH " + ",\n".join(parts) + "\n" + rounds
+
+
+ORACLES["bpe_train"] = _bpe_train_oracle(8)
+
+
+# ---------------------------------------------------------------------------
+# mmr_rerank (similarity.py mmr_rerank_df): greedy MMR unrolled into k
+# pinned stages. Bit-stable because BOTH engines now spell every float
+# the same way: relevance is the JVM-fold cosine (the ann_cosine_topk
+# expression), pairwise sims accumulate in dimension order on the Spark
+# side (kernel comment) == list_dot_product here, norms are
+# greatest(sqrt(self-dot), 1e-30), and the score is
+# 0.7*rel - (1.0-0.7)*max_sim in that exact operation order. Each stage
+# is one ROW_NUMBER argmax (score DESC, neighbor_id ASC) per query over
+# the not-yet-selected shortlist. Upgrades the entry rows-only -> hash.
+def _mmr_oracle(n_queries: int = 5, k: int = 10, shortlist: int = 40,
+                lam: str = "0.7") -> str:
+    head = f"""WITH q AS MATERIALIZED (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings ORDER BY vec_id LIMIT {n_queries}
+), c AS MATERIALIZED (
+  SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings
+), short AS MATERIALIZED (
+  SELECT query_id, neighbor_id, rel FROM (
+    SELECT query_id, neighbor_id, cosine AS rel,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id ASC) AS rank
+    FROM (SELECT query_id, neighbor_id,
+                 list_dot_product(qv, cv)
+                   / (sqrt(list_dot_product(qv, qv))
+                      * sqrt(list_dot_product(cv, cv))) AS cosine
+          FROM c, q WHERE neighbor_id <> query_id))
+  WHERE rank <= {shortlist}
+), pairsim AS MATERIALIZED (
+  SELECT a.query_id, a.neighbor_id AS i, b.neighbor_id AS j,
+         list_dot_product(va.cv, vb.cv)
+           / (greatest(sqrt(list_dot_product(va.cv, va.cv)), 1e-30)
+              * greatest(sqrt(list_dot_product(vb.cv, vb.cv)), 1e-30))
+           AS sim
+  FROM short a
+  JOIN short b ON a.query_id = b.query_id
+               AND a.neighbor_id <> b.neighbor_id
+  JOIN c va ON va.neighbor_id = a.neighbor_id
+  JOIN c vb ON vb.neighbor_id = b.neighbor_id
+), s1 AS MATERIALIZED (
+  SELECT query_id, neighbor_id, rel, 1 AS mmr_rank FROM (
+    SELECT query_id, neighbor_id, rel,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY {lam} * rel DESC,
+                                       neighbor_id ASC) AS rn
+    FROM short) WHERE rn = 1
+), sel1 AS MATERIALIZED (SELECT query_id, neighbor_id FROM s1)"""
+    stages = []
+    for t in range(2, k + 1):
+        stages.append(f""", s{t} AS MATERIALIZED (
+  SELECT query_id, neighbor_id, rel, {t} AS mmr_rank FROM (
+    SELECT sh.query_id, sh.neighbor_id, sh.rel,
+           ROW_NUMBER() OVER (PARTITION BY sh.query_id
+                              ORDER BY ({lam} * sh.rel
+                                        - (1.0 - {lam}) * pen.p) DESC,
+                                       sh.neighbor_id ASC) AS rn
+    FROM short sh
+    JOIN (SELECT ps.query_id, ps.i AS neighbor_id, MAX(ps.sim) AS p
+          FROM pairsim ps
+          JOIN sel{t - 1} s ON ps.query_id = s.query_id
+                            AND ps.j = s.neighbor_id
+          GROUP BY ps.query_id, ps.i) pen
+      ON pen.query_id = sh.query_id
+     AND pen.neighbor_id = sh.neighbor_id
+    WHERE NOT EXISTS (SELECT 1 FROM sel{t - 1} s
+                      WHERE s.query_id = sh.query_id
+                        AND s.neighbor_id = sh.neighbor_id))
+  WHERE rn = 1
+), sel{t} AS MATERIALIZED (SELECT query_id, neighbor_id FROM sel{t - 1}
+              UNION ALL SELECT query_id, neighbor_id FROM s{t})""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT query_id, neighbor_id, rel AS relevance, "
+        f"CAST(mmr_rank AS INTEGER) AS mmr_rank FROM s{t}"
+        for t in range(1, k + 1))
+    return head + "".join(stages) + "\n" + union
+
+
+ORACLES["mmr_rerank"] = _mmr_oracle(5, 10, 40, "0.7")

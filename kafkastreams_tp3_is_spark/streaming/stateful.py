@@ -18,7 +18,8 @@ per-key-state shape Kafka Streams itself uses for ``toTable``.
 At extreme key cardinality the per-key Python kernel invocation of
 ``applyInPandasWithState`` is the bottleneck; Spark 4's
 ``transformWithStateInPandas`` (RocksDB-backed, richer state API) is the
-successor. RE-VERIFIED BLOCKED (round 7, pyspark 4.1.2): a complete
+successor. RE-VERIFIED BLOCKED (round 7, re-checked round 12, pyspark
+4.1.2): a complete
 minimal port (StatefulProcessor with a getValueState handle, grouped
 parquet file stream, availableNow trigger) fails at runtime with
 ``STREAM_FAILED ... TransformWithStateInPySpark driver worker exited

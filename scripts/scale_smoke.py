@@ -34,6 +34,8 @@ from kafkastreams_tp3_is_spark.operators.dedup import (  # noqa: E402
     bloom_decontaminate_spans_df, containment_pairs_df, dedup_minhash_lsh_df,
     dedup_simhash_df, paragraph_dedup_df, repeated_spans_df,
     winnow_fingerprints_df, winnow_fingerprints_fast_df, winnow_pairs_df)
+from kafkastreams_tp3_is_spark.operators.dsir import (  # noqa: E402
+    dsir_select_df)
 from kafkastreams_tp3_is_spark.operators.fuzzy import (  # noqa: E402
     edit_distance_pairs_df)
 from kafkastreams_tp3_is_spark.operators.text import (  # noqa: E402
@@ -84,6 +86,16 @@ def scaled_docs(spark, sf_dir: str, copies: int):
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def _dsir_planted(docs):
+    # scaled_docs keeps only (doc_id, text); synthesize the target/raw
+    # split from doc_id so BOTH distributions grow linearly with copies
+    # (every 5th doc is the 'en' target corpus, the rest are candidates)
+    tagged = docs.withColumn(
+        "lang", F.when(F.col("doc_id") % 5 == 0, F.lit("en"))
+                 .otherwise(F.lit("xx")))
+    return dsir_select_df(tagged, k=100)
 
 
 def _decontaminate(docs):
@@ -264,7 +276,13 @@ def main() -> None:
            ("fuzzy_edit_pairs", _fuzzy_planted),
            # two-pass bucket-decomposed greedy: ordered window only over
            # the bounded bucket frame + one boundary bucket
-           ("select_token_budget", select_token_budget_df)]
+           ("select_token_budget", select_token_budget_df),
+           # DSIR: bucket stats are a <=256-row shuffle regardless of
+           # corpus size; scoring is one map-literal fold per doc (zero
+           # shuffle) + TakeOrdered top-k — ratio should track the scan.
+           # k scales with rows only to keep output comparable; the
+           # selection itself is corpus-size-independent
+           ("dsir_select", _dsir_planted)]
     for name, fn in ops:
         d1 = scaled_docs(spark, sf_dir, 1)
         timed(fn, d1)                       # untimed warmup: codegen/JIT

@@ -100,8 +100,9 @@ def test_score_stage_is_join_free(spark):
     """The per-doc scorer must be map literals + one aggregate fold —
     no join or shuffle in the plan before the top-k (the 100 TB design:
     bucket stats ride broadcast-free as literals)."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     plan = dsir._scored_candidates(
-        spark, SF_DIR, dsir.TARGET_LANG, dsir.N_BUCKETS)._jdf \
+        docs, dsir.TARGET_LANG, dsir.N_BUCKETS)._jdf \
         .queryExecution().executedPlan().toString()
     assert "Join" not in plan
     assert "Exchange" not in plan
