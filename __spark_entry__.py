@@ -117,6 +117,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": _events.sessionize,
         "bpe_train": _text.bpe_train,   # gate upgraded rows-only -> full hash in r12
         "mmr_rerank": _sim.mmr_rerank,  # gate upgraded rows-only -> full hash in r12
+        "bpe_encode_vocab": _text.bpe_encode_vocab,  # NEW r12: BPE inference half
+        "curriculum_order": _cur.curriculum_order,   # NEW r12: staged training order
         # === BELOW THE DRIVER CAP ==========================================
         # --- remaining r10-green entries (CORRECTNESS_r10.json) --------------
         "text_token_count": _text.token_count,

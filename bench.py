@@ -55,6 +55,8 @@ BASELINE_QUERIES = {"embedding_near_dup_exact", "ngram_jaccard_pairs",
 DEMO_QUERIES = {"latest_route_capacity_stateful",
                 "q11_window_max_stream",
                 "q12_window_min_stream",
+                "q5_stream_passengers_per_route",
+                "q7_stream_total_capacity",
                 "trips_route_update_stream_join",
                 "trips_route_update_stream_left_join",
                 "trips_route_update_stream_outer_join"}

@@ -151,6 +151,89 @@ def global_shuffle(spark: SparkSession, sf_dir: str, seed: str = "s0",
             .select("doc_id", "shard", "pos_in_shard", "shuffle_key"))
 
 
+# --- curriculum ordering -------------------------------------------------
+
+def curriculum_order_df(docs: DataFrame, n_stages: int = 4,
+                        seed: str = "c0", n_shards: int = 16) -> DataFrame:
+    """Curriculum training order (Bengio et al., ICML'09 curriculum
+    learning): stage documents easy -> hard by a corpus-RELATIVE
+    difficulty signal (token count; short docs first), shuffled
+    reproducibly within each stage. A trainer consumes stage 0's shards,
+    then stage 1's, ... — the standard length-curriculum recipe with a
+    deterministic epoch-reshuffle knob (``seed``).
+
+    Exactness + scale, reusing two established shapes:
+    - stage boundaries come from the VALUE HISTOGRAM of n_tokens (one
+      row per distinct count — quality_decile_filter's trick), so the
+      quantile cut is integer-exact and the only single-partition window
+      runs over the tiny histogram, never the corpus. The <= n_stages
+      boundary rows are CONTRACT-BOUNDED driver state compiled into a
+      when-chain (zero join, codegen) — the IVF-centroid rule.
+    - within-stage order is global_shuffle's content-addressed pattern:
+      md5(seed:doc_id) key, shard = key mod n_shards, rank per
+      (stage, shard) partition — distributed, no global sort.
+
+    Stage semantics: boundary b_s = the smallest n_tokens value whose
+    cumulative doc count reaches ceil(n*(s+1)/n_stages); a doc belongs
+    to the first stage whose boundary covers it (ties on the boundary
+    value all land in the same stage — no doc-level arbitrariness).
+    Output (doc_id, n_tokens, stage, shard, pos_in_shard): all integers
+    and md5 arithmetic, so the driver gate is a full hash."""
+    from pyspark.sql import Window
+
+    from .text import tokens_col
+
+    spark = docs.sparkSession
+    with_n = docs.select("doc_id",
+                         F.size(tokens_col()).cast("bigint")
+                          .alias("n_tokens"))
+    hist = (with_n.groupBy("n_tokens").agg(F.count(F.lit(1)).alias("c"))
+            .withColumn("cum", F.sum("c").over(
+                Window.orderBy("n_tokens")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow))))
+    rows = hist.select("n_tokens", "cum").collect()   # |distinct counts|
+    n = rows[-1]["cum"] if rows else 0
+    bounds = []
+    for st in range(n_stages):
+        target = -(-n * (st + 1) // n_stages)          # ceil division
+        b = min((r["n_tokens"] for r in rows if r["cum"] >= target),
+                default=None)
+        bounds.append(b)
+    stage = F.lit(n_stages - 1).cast("int")
+    for st in range(n_stages - 2, -1, -1):
+        if bounds[st] is not None:
+            stage = F.when(F.col("n_tokens") <= F.lit(bounds[st]),
+                           F.lit(st).cast("int")).otherwise(stage)
+    key = F.conv(F.substring(
+        F.md5(F.concat(F.lit(seed), F.lit(":"),
+                       F.col("doc_id").cast("string"))), 1, 15),
+        16, 10).cast("long")
+    staged = (with_n.withColumn("stage", stage)
+              .withColumn("_key", key)
+              .withColumn("shard",
+                          F.pmod(F.col("_key"), F.lit(n_shards))
+                          .cast("int")))
+    w = Window.partitionBy("stage", "shard").orderBy("_key", "doc_id")
+    return (staged.withColumn("pos_in_shard",
+                              (F.row_number().over(w) - 1).cast("long"))
+            .select("doc_id", "n_tokens", "stage", "shard",
+                    "pos_in_shard"))
+
+
+def curriculum_order(spark: SparkSession, sf_dir: str,
+                     n_stages: int = 4, seed: str = "c0",
+                     n_shards: int = 16) -> DataFrame:
+    """Driver-gate fixture (full hash; ORACLES['curriculum_order'] embeds
+    the pinned defaults): 4-stage length curriculum over documents."""
+    if (n_stages, seed, n_shards) != (4, "c0", 16):
+        raise ValueError(
+            f"curriculum_order oracle pins (n_stages, seed, n_shards)="
+            f"(4, 'c0', 16); got {(n_stages, seed, n_shards)} — call "
+            f"curriculum_order_df directly for other settings")
+    return curriculum_order_df(load(spark, sf_dir, "documents"),
+                               n_stages, seed, n_shards)
+
+
 # --- normalization -----------------------------------------------------
 
 def normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -547,6 +547,49 @@ def ngram_lm_score(spark: SparkSession, sf_dir: str,
     return ngram_lm_score_df(load(spark, sf_dir, "documents"), min_count)
 
 
+def bpe_encode_vocab_df(docs: DataFrame, n_merges: int = 8) -> DataFrame:
+    """The INFERENCE half of BPE: apply the ``n_merges`` merges
+    ``bpe_train_df`` learns to the full corpus word table (ALL tokens,
+    including the single-character ones training skips — they encode as
+    themselves) and report the resulting symbol vocabulary:
+    (symbol, n_occurrences) where n_occurrences is the corpus-weighted
+    count of each post-merge symbol. This is the table a tokenizer
+    build would persist: train -> encode -> vocabulary.
+
+    Scale: the merge table is CONTRACT-BOUNDED (n_merges rows) driver
+    state; encoding is n_merges chained row-local JVM folds over the
+    vocabulary-bounded word table (never corpus rows — word frequency
+    carries the weight), then one map-side-combined groupBy over the
+    symbol key space. The gate is a FULL HASH: the DuckDB oracle replays
+    the same merges as wrapped-symbol string replaces
+    (oracles._bpe_encode_oracle), LEFT-JOIN-coalesced so a vanished
+    merge round is the identity, matching this loop just not running."""
+    spark = docs.sparkSession
+    merges = [(r["left"], r["right"])
+              for r in bpe_train_df(docs, n_merges).collect()]
+    words = (docs.select(F.explode(tokens_col()).alias("tok"))
+             .groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+             .select(_char_syms(F.col("tok")).alias("syms"), "cnt"))
+    for a, b in merges:
+        words = words.select(_apply_merge(F.col("syms"), a, b)
+                             .alias("syms"), "cnt")
+    return (words.select(F.explode("syms").alias("symbol"), "cnt")
+            .groupBy("symbol")
+            .agg(F.sum("cnt").alias("n_occurrences")))
+
+
+def bpe_encode_vocab(spark: SparkSession, sf_dir: str,
+                     n_merges: int = 8) -> DataFrame:
+    """Driver-gate fixture (full hash; ORACLES['bpe_encode_vocab']
+    replays the pinned 8 merges): post-BPE symbol vocabulary of the
+    documents table."""
+    if n_merges != 8:
+        raise ValueError(
+            f"bpe_encode_vocab oracle pins n_merges=8; got {n_merges} — "
+            f"call bpe_encode_vocab_df directly for other settings")
+    return bpe_encode_vocab_df(load(spark, sf_dir, "documents"), n_merges)
+
+
 def bpe_merge_candidates(spark: SparkSession, sf_dir: str,
                          top_n: int = 50) -> DataFrame:
     """The counting step of one BPE merge round (tokenizer training):

@@ -3239,7 +3239,10 @@ ORACLES["q7_stream_total_capacity"] = ORACLES["q7_total_capacity_available"]
 # corpus). A vanished-pair round leaves b{k} empty, which empties w{k}
 # and every later round — the oracle then emits fewer rows, matching the
 # trainer's break. This upgrades the entry from rows-only to full hash.
-def _bpe_train_oracle(n_merges: int = 8) -> str:
+def _bpe_chain_parts(n_merges: int) -> list:
+    """The shared train-chain CTEs: w0 (wrapped word table, training
+    filter length>=2), then per round k the pair counts p{k}, the
+    argmax b{k}, and the merged table w{k}."""
     parts = [f"""w0 AS (
   SELECT regexp_replace(tok, '(.)', '|\\1|', 'g') AS w, cnt FROM (
     SELECT tok, COUNT(*) AS cnt
@@ -3262,7 +3265,12 @@ w{k} AS (
                  '|' || a || b || '|') AS w, cnt
   FROM w{k - 1}, b{k}
 )""")
-        # w{n_merges} is never read; harmless tail CTE
+        # w{n_merges} is never read by the trainer; the encoder reuses it
+    return parts
+
+
+def _bpe_train_oracle(n_merges: int = 8) -> str:
+    parts = _bpe_chain_parts(n_merges)
     rounds = "\nUNION ALL\n".join(
         f"""SELECT {k} AS round, a AS "left", b AS "right",
        a || b AS merged, CAST(n AS BIGINT) AS n_occurrences FROM b{k}"""
@@ -3271,6 +3279,36 @@ w{k} AS (
 
 
 ORACLES["bpe_train"] = _bpe_train_oracle(8)
+
+
+# bpe_encode_vocab (text.py bpe_encode_vocab_df): replay the learned
+# merges over the UNFILTERED word table (single-char tokens encode as
+# themselves) and aggregate the post-merge symbol vocabulary. LEFT JOIN
+# ON TRUE + COALESCE makes a vanished merge round the identity — the
+# trainer's break means that round's replace just never runs.
+def _bpe_encode_oracle(n_merges: int = 8) -> str:
+    parts = _bpe_chain_parts(n_merges)
+    parts.append(f"""enc0 AS (
+  SELECT regexp_replace(tok, '(.)', '|\\1|', 'g') AS w, cnt FROM (
+    SELECT tok, COUNT(*) AS cnt
+    FROM (SELECT unnest({_TOKENS}) AS tok FROM documents)
+    GROUP BY tok)
+)""")
+    for k in range(1, n_merges + 1):
+        parts.append(f"""enc{k} AS (
+  SELECT COALESCE(replace(e.w, '|' || b.a || '||' || b.b || '|',
+                          '|' || b.a || b.b || '|'), e.w) AS w, e.cnt
+  FROM enc{k - 1} e LEFT JOIN b{k} b ON TRUE
+)""")
+    return ("WITH " + ",\n".join(parts) + f"""
+SELECT sym AS symbol, CAST(SUM(cnt) AS BIGINT) AS n_occurrences
+FROM (SELECT unnest(list_filter(string_split(w, '|'), x -> x <> '')) AS sym,
+             cnt
+      FROM enc{n_merges})
+GROUP BY sym""")
+
+
+ORACLES["bpe_encode_vocab"] = _bpe_encode_oracle(8)
 
 
 # ---------------------------------------------------------------------------
@@ -3351,3 +3389,47 @@ def _mmr_oracle(n_queries: int = 5, k: int = 10, shortlist: int = 40,
 
 
 ORACLES["mmr_rerank"] = _mmr_oracle(5, 10, 40, "0.7")
+
+
+# ---------------------------------------------------------------------------
+# curriculum_order (curation.py curriculum_order_df): integer-exact stage
+# quantiles over the n_tokens value histogram + the md5 shuffle-key
+# arithmetic global_shuffle already pins. ceil is stated in integers
+# ((n*(s+1)+3)//4), never a float ceil.
+ORACLES["curriculum_order"] = f"""
+WITH wn AS (
+  SELECT doc_id, CAST(len({_TOKENS}) AS BIGINT) AS n_tokens FROM documents
+),
+cumt AS (
+  SELECT n_tokens,
+         SUM(c) OVER (ORDER BY n_tokens
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM (SELECT n_tokens, COUNT(*) AS c FROM wn GROUP BY n_tokens)
+),
+tot AS (SELECT COUNT(*) AS n FROM wn),
+bounds AS (
+  SELECT s, MIN(n_tokens) AS b
+  FROM (SELECT unnest(generate_series(0, 3)) AS s), cumt, tot
+  WHERE cum >= (n * (s + 1) + 3) // 4
+  GROUP BY s
+),
+staged AS (
+  SELECT wn.doc_id, wn.n_tokens,
+         COALESCE(CAST(MIN(bounds.s) AS INTEGER), 3) AS stage
+  FROM wn LEFT JOIN bounds ON wn.n_tokens <= bounds.b
+  GROUP BY wn.doc_id, wn.n_tokens
+),
+keyed AS (
+  SELECT doc_id, n_tokens, stage,
+         ('0x' || substring(md5('c0:' || CAST(doc_id AS VARCHAR)),
+                            1, 15))::BIGINT AS k
+  FROM staged
+)
+SELECT doc_id, n_tokens, stage,
+       CAST(k % 16 AS INTEGER) AS shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY stage, k % 16
+                               ORDER BY k, doc_id) - 1 AS BIGINT)
+         AS pos_in_shard
+FROM keyed
+"""

@@ -521,3 +521,47 @@ def test_split_by_content_thresholds_and_nulls(spark):
     assert got[1] == want(None)
     assert got[2] == want("alpha")
     assert got[3] == want("beta")
+
+
+def test_curriculum_order_stages_and_shuffle(spark):
+    """(a) stages partition the corpus and are monotone in difficulty —
+    every doc in stage s has n_tokens <= every doc in stage s+1 (value
+    ties can never straddle a stage); (b) within-(stage, shard)
+    positions are contiguous from 0; (c) the within-stage order is
+    deterministic per seed and changes with the seed while stages do
+    not; (d) the registry wrapper pins the oracle's parameters."""
+    import pytest
+
+    from kafkastreams_tp3_is_spark.operators.curation import (
+        curriculum_order, curriculum_order_df)
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    rows = curriculum_order_df(docs).collect()
+    n = docs.count()
+    assert len(rows) == n
+    by_stage = {}
+    for r in rows:
+        by_stage.setdefault(r["stage"], []).append(r)
+    assert sorted(by_stage) == [0, 1, 2, 3]
+    for s in range(3):
+        assert (max(r["n_tokens"] for r in by_stage[s])
+                <= min(r["n_tokens"] for r in by_stage[s + 1]))
+    from collections import Counter
+    for (s, sh), grp in Counter(
+            (r["stage"], r["shard"]) for r in rows).items():
+        poss = sorted(r["pos_in_shard"] for r in rows
+                      if r["stage"] == s and r["shard"] == sh)
+        assert poss == list(range(grp))
+
+    a = sorted(map(tuple, curriculum_order_df(docs).collect()))
+    assert a == sorted(map(tuple, rows))
+    b = {r["doc_id"]: (r["stage"], r["shard"], r["pos_in_shard"])
+         for r in curriculum_order_df(docs, seed="c1").collect()}
+    keep = {r["doc_id"]: r["stage"] for r in rows}
+    assert all(b[d][0] == keep[d] for d in keep), "stages seed-independent"
+    assert any(b[d][1:] != (r["shard"], r["pos_in_shard"])
+               for d, r in ((r["doc_id"], r) for r in rows)), \
+        "order must change with the seed"
+
+    with pytest.raises(ValueError, match="oracle pins"):
+        curriculum_order(spark, SF_DIR, seed="c9")

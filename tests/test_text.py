@@ -252,3 +252,36 @@ def test_null_text_documents_agree_with_oracle(spark, tmp_path):
         pdf = sdf.toPandas()
         assert not pdf.isna().any().any(), name
     con.close()
+
+
+def test_bpe_encode_vocab_conserves_chars_and_degenerates(spark):
+    """(a) character-mass conservation: every post-merge symbol still
+    carries its characters, so sum(n_occurrences * len(symbol)) equals
+    the corpus's total token characters; (b) with 0 merges the vocab is
+    exactly the corpus character-frequency table; (c) the round-8 vocab
+    contains at least one multi-character (merged) symbol with the
+    trained merge spelled by bpe_train_df."""
+    from collections import Counter
+
+    from kafkastreams_tp3_is_spark.operators.text import (
+        bpe_encode_vocab_df, bpe_train_df)
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    toks = [t for r in docs.select("text").collect()
+            for t in (r["text"] or "").split() if t]
+    char_mass = sum(len(t) for t in toks)
+
+    vocab = {r["symbol"]: r["n_occurrences"]
+             for r in bpe_encode_vocab_df(docs, 8).collect()}
+    assert sum(len(s) * n for s, n in vocab.items()) == char_mass
+
+    merges = [r["merged"] for r in bpe_train_df(docs, 8).collect()]
+    assert any(len(s) > 1 for s in vocab), "8 merges must merge something"
+    # the LAST merge's product survives (nothing can consume it afterwards)
+    assert merges[-1] in vocab
+
+    base = {r["symbol"]: r["n_occurrences"]
+            for r in bpe_encode_vocab_df(docs, 0).collect()}
+    want = Counter(c for t in toks for c in t)
+    assert base == dict(want)
