@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_bucket_stats": _dsir.dsir_bucket_stats_gate,
         "dsir_select": _dsir.dsir_select_gate,
         "dsir_resample_gumbel": _dsir.dsir_resample_gumbel_gate,
+        "dsir_select_increment": _dsir.dsir_select_increment,
         "q5_stream_passengers_per_route": _runner.q5_passengers_per_route_stream,
         "q7_stream_total_capacity": _runner.q7_total_capacity_available_stream,
         # --- r9-dated remainder (26, freshest rows r9) ----------------------

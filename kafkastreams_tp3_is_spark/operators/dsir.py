@@ -120,13 +120,11 @@ def dsir_bucket_stats(spark: SparkSession, sf_dir: str,
                                 target_lang, n_buckets)
 
 
-def _stats_maps(docs: DataFrame, target_lang: str,
-                n_buckets: int) -> tuple[Column, Column, int, int]:
-    """Driver-side densified bucket->count map literals (mt, mr) plus the
-    total gram masses (Nt, Nr). The collect is contract-bounded at
-    n_buckets rows — the IVF-centroid rule — and densifying to ALL
+def _maps_from_rows(rows: list, n_buckets: int
+                    ) -> tuple[Column, Column, int, int]:
+    """Densified bucket->count map literals (mt, mr) plus the total gram
+    masses (Nt, Nr) from collected bucket-stats rows. Densifying to ALL
     bucket ids keeps ANSI ``element_at`` total (no missing-key error)."""
-    rows = dsir_bucket_stats_df(docs, target_lang, n_buckets).collect()
     ct = {r["bucket"]: r["target_count"] for r in rows}
     cr = {r["bucket"]: r["raw_count"] for r in rows}
     keys = list(range(n_buckets))
@@ -139,14 +137,14 @@ def _stats_maps(docs: DataFrame, target_lang: str,
     return mt, mr, sum(ct.values()), sum(cr.values())
 
 
-def _scored_candidates(docs_all: DataFrame,
-                       target_lang: str, n_buckets: int) -> DataFrame:
-    """Candidate (non-target) docs with integer gram aggregates and the
-    internal DSIR log-weight: one F.aggregate fold per doc over its
-    bucket-id array against the broadcast map literals — no join, no
-    shuffle, codegen throughout."""
-    mt, mr, n_t, n_r = _stats_maps(docs_all, target_lang, n_buckets)
-    docs = docs_all.where(F.col("lang") != target_lang)
+def _score_against(docs: DataFrame, stats_rows: list,
+                   n_buckets: int) -> DataFrame:
+    """Score EVERY row of ``docs`` against the given bucket stats: one
+    F.aggregate fold per doc over its bucket-id array against the
+    broadcast map literals — no join, no shuffle, codegen throughout.
+    The stats rows are contract-bounded driver state (<= n_buckets) —
+    the IVF-centroid rule."""
+    mt, mr, n_t, n_r = _maps_from_rows(stats_rows, n_buckets)
     buckets = F.transform(_bigrams(),
                           lambda g: _bucket_of(g, n_buckets))
     # normalizer term of the smoothed multinomial ratio, constant per gram
@@ -176,6 +174,84 @@ def _scored_candidates(docs_all: DataFrame,
                     F.col("_f.w").alias("_logw")))
 
 
+def _scored_candidates(docs_all: DataFrame,
+                       target_lang: str, n_buckets: int) -> DataFrame:
+    """Candidate (non-target) docs of ONE corpus scored against that
+    corpus's own bucket stats — the single-corpus selection path."""
+    rows = dsir_bucket_stats_df(docs_all, target_lang, n_buckets).collect()
+    return _score_against(docs_all.where(F.col("lang") != target_lang),
+                          rows, n_buckets)
+
+
+def _ranked(scored: DataFrame, key: Column, k: int) -> DataFrame:
+    """Top-``k`` by (key desc, doc_id asc) with a 1-based rank column.
+    TakeOrderedAndProject first (per-partition heaps, no global sort);
+    the row_number window then runs over k rows only."""
+    top = scored.withColumn("_key", key) \
+                .orderBy(F.col("_key").desc(), F.col("doc_id").asc()) \
+                .limit(k)
+    w = Window.orderBy(F.col("_key").desc(), F.col("doc_id").asc())
+    return (top.withColumn("rank", F.row_number().over(w))
+            .select("doc_id", "lang", "rank", "n_grams",
+                    "sum_target_count", "sum_raw_count"))
+
+
+def dsir_persist_stats(stats_df: DataFrame, path: str) -> None:
+    """Persist a bucket-stats table as the reusable DSIR scorer state —
+    the production handoff: stats are trained once on a fixed
+    target/raw snapshot, then every future crawl increment is scored
+    against the STORED table without touching the original corpora
+    (the stored-IVF-index pattern applied to DSIR)."""
+    stats_df.write.mode("overwrite").parquet(path)
+
+
+def dsir_score_increment_df(new_docs: DataFrame, stats: DataFrame,
+                            n_buckets: int = N_BUCKETS,
+                            k: int = K_SELECT) -> DataFrame:
+    """Score a NEW document increment against a persisted stats table
+    and keep the top-``k``: every increment row is a candidate (no lang
+    exclusion — the increment was not part of the stats corpora).
+    Per-increment cost is one fold per doc; the stats read is
+    <= n_buckets rows regardless of how big the original corpora were."""
+    rows = stats.collect()
+    return _ranked(_score_against(new_docs, rows, n_buckets),
+                   F.col("_logw"), k)
+
+
+def dsir_select_increment(spark: SparkSession, sf_dir: str,
+                          n_buckets: int = N_BUCKETS,
+                          k: int = 50) -> DataFrame:
+    """Driver-gate fixture (full hash): the incremental production
+    shape end to end — train bucket stats on the EVEN-doc_id half of
+    the corpus (target = its 'en' docs), persist them to a parquet
+    stats store and read them back, then score the ODD half as the
+    arriving increment and keep the top-50. The oracle re-derives the
+    even-half stats and the odd-half scores directly."""
+    import shutil
+    import tempfile
+
+    if (n_buckets, k) != (N_BUCKETS, 50):
+        raise ValueError(
+            f"dsir_select_increment oracle pins (n_buckets, k)="
+            f"({N_BUCKETS}, 50); got {(n_buckets, k)} — use "
+            f"dsir_score_increment_df directly for other settings")
+    docs = load(spark, sf_dir, "documents")
+    base = docs.where(F.col("doc_id") % 2 == 0)
+    inc = docs.where(F.col("doc_id") % 2 == 1)
+    workdir = tempfile.mkdtemp(prefix="dsir_stats_")
+    try:
+        dsir_persist_stats(dsir_bucket_stats_df(base, TARGET_LANG,
+                                                n_buckets),
+                           workdir)
+        stats = spark.read.parquet(workdir)
+        # materialize driver-side before the tempdir vanishes
+        out = dsir_score_increment_df(inc, stats, n_buckets, k)
+        rows = out.collect()
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
+
+
 def dsir_select_df(docs: DataFrame,
                    target_lang: str = TARGET_LANG,
                    n_buckets: int = N_BUCKETS,
@@ -185,13 +261,7 @@ def dsir_select_df(docs: DataFrame,
     hash-stable ones — rank + integer gram aggregates; the float weight
     stays internal (module docstring, float discipline)."""
     scored = _scored_candidates(docs, target_lang, n_buckets)
-    # TakeOrderedAndProject: per-partition k-row heaps, no global sort
-    top = scored.orderBy(F.col("_logw").desc(), F.col("doc_id").asc()) \
-                .limit(k)
-    w = Window.orderBy(F.col("_logw").desc(), F.col("doc_id").asc())
-    return (top.withColumn("rank", F.row_number().over(w))
-            .select("doc_id", "lang", "rank", "n_grams",
-                    "sum_target_count", "sum_raw_count"))
+    return _ranked(scored, F.col("_logw"), k)
 
 
 def dsir_select(spark: SparkSession, sf_dir: str,
@@ -220,14 +290,7 @@ def dsir_resample_gumbel(spark: SparkSession, sf_dir: str,
             F.md5(F.concat_ws("#", F.col("doc_id"), F.lit(seed))), 1, 6),
             16, 10).cast("long").cast("double") + F.lit(0.5))
          / F.lit(float(1 << 24)))
-    noisy = scored.withColumn(
-        "_key", F.col("_logw") - F.log(-F.log(u)))
-    top = noisy.orderBy(F.col("_key").desc(), F.col("doc_id").asc()) \
-               .limit(k)
-    w = Window.orderBy(F.col("_key").desc(), F.col("doc_id").asc())
-    return (top.withColumn("rank", F.row_number().over(w))
-            .select("doc_id", "lang", "rank", "n_grams",
-                    "sum_target_count", "sum_raw_count"))
+    return _ranked(scored, F.col("_logw") - F.log(-F.log(u)), k)
 
 
 # --- pin-guarded registry wrappers (oracles embed the defaults) ---------

@@ -3433,3 +3433,72 @@ SELECT doc_id, n_tokens, stage,
          AS pos_in_shard
 FROM keyed
 """
+
+
+# Incremental DSIR (dsir.py dsir_select_increment): stats from the
+# even-doc_id half (target = its 'en' docs), the odd half scored as the
+# arriving increment — NO lang exclusion on the increment side (it was
+# not part of the stats corpora). Same integer/rank gate discipline.
+ORACLES["dsir_select_increment"] = f"""
+WITH g0 AS (
+  SELECT doc_id, lang,
+         ('0x' || substring(md5(
+             lt[CAST(i AS INTEGER)] || ' ' || lt[CAST(i + 1 AS INTEGER)]
+           ), 1, 8))::BIGINT % 256 AS bucket
+  FROM (SELECT doc_id, lang, lt, unnest(generate_series(1, n - 1)) AS i
+        FROM (SELECT doc_id, lang, {_DSIR_TOKS} AS lt,
+                     len({_DSIR_TOKS}) AS n
+              FROM documents WHERE doc_id % 2 = 0)
+        WHERE n >= 2)
+),
+ct AS (SELECT bucket, COUNT(*) AS target_count FROM g0
+       WHERE lang = 'en' GROUP BY bucket),
+cr AS (SELECT bucket, COUNT(*) AS raw_count FROM g0
+       WHERE lang <> 'en' GROUP BY bucket),
+stats AS (
+  SELECT COALESCE(ct.bucket, cr.bucket) AS bucket,
+         CAST(COALESCE(target_count, 0) AS BIGINT) AS target_count,
+         CAST(COALESCE(raw_count, 0) AS BIGINT) AS raw_count
+  FROM ct FULL OUTER JOIN cr ON ct.bucket = cr.bucket
+),
+tot AS (SELECT CAST(SUM(target_count) AS BIGINT) AS nt,
+               CAST(SUM(raw_count) AS BIGINT) AS nr FROM stats),
+gi AS (
+  SELECT doc_id, lang,
+         ('0x' || substring(md5(
+             lt[CAST(i AS INTEGER)] || ' ' || lt[CAST(i + 1 AS INTEGER)]
+           ), 1, 8))::BIGINT % 256 AS bucket
+  FROM (SELECT doc_id, lang, lt, unnest(generate_series(1, n - 1)) AS i
+        FROM (SELECT doc_id, lang, {_DSIR_TOKS} AS lt,
+                     len({_DSIR_TOKS}) AS n
+              FROM documents WHERE doc_id % 2 = 1)
+        WHERE n >= 2)
+),
+scored AS (
+  SELECT g.doc_id, g.lang,
+         CAST(COUNT(*) AS BIGINT) AS n_grams,
+         CAST(SUM(COALESCE(s.target_count, 0)) AS BIGINT)
+           AS sum_target_count,
+         CAST(SUM(COALESCE(s.raw_count, 0)) AS BIGINT) AS sum_raw_count,
+         SUM(ln(CAST(COALESCE(s.target_count, 0) + 1 AS DOUBLE)
+                / CAST(COALESCE(s.raw_count, 0) + 1 AS DOUBLE))
+             + ln(CAST(nr + 256 AS DOUBLE))
+             - ln(CAST(nt + 256 AS DOUBLE))) AS logw
+  FROM gi g LEFT JOIN stats s ON g.bucket = s.bucket, tot
+  GROUP BY g.doc_id, g.lang
+),
+zero AS (
+  SELECT doc_id, lang,
+         CAST(0 AS BIGINT) AS n_grams,
+         CAST(0 AS BIGINT) AS sum_target_count,
+         CAST(0 AS BIGINT) AS sum_raw_count,
+         0.0 AS logw
+  FROM documents
+  WHERE doc_id % 2 = 1 AND len({_DSIR_TOKS}) < 2
+),
+cand AS (SELECT * FROM scored UNION ALL SELECT * FROM zero)
+SELECT doc_id, lang, rank, n_grams, sum_target_count, sum_raw_count
+FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY logw DESC, doc_id) AS rank
+      FROM cand)
+WHERE rank <= 50
+"""

@@ -38,6 +38,8 @@ from kafkastreams_tp3_is_spark.session import get_spark  # noqa: E402
 SKIP = {
     "q11_window_max_stream",
     "q12_window_min_stream",
+    "q5_stream_passengers_per_route",
+    "q7_stream_total_capacity",
     "trips_route_update_stream_join",
     "trips_route_update_stream_left_join",
     "trips_route_update_stream_outer_join",

@@ -115,3 +115,38 @@ def test_pin_guards(spark):
         dsir.dsir_select_gate(spark, SF_DIR, target_lang="fr")
     with pytest.raises(ValueError, match="oracle pins"):
         dsir.dsir_resample_gumbel_gate(spark, SF_DIR, seed=7)
+
+
+def test_select_increment_scores_against_stored_stats(spark):
+    """The incremental path: (a) only increment (odd doc_id) docs are
+    selected, with NO lang exclusion (the increment was not part of the
+    stats corpora, so its 'en' docs compete too); (b) ranks are
+    contiguous from 1; (c) the gated integer aggregates are
+    reproducible from independently recomputed even-half stats."""
+    import hashlib
+
+    from kafkastreams_tp3_is_spark.operators.dsir import (
+        dsir_bucket_stats_df, dsir_select_increment)
+
+    sel = dsir_select_increment(spark, SF_DIR).collect()
+    assert [r["rank"] for r in sel] == list(range(1, len(sel) + 1))
+    assert all(r["doc_id"] % 2 == 1 for r in sel)
+    assert any(r["lang"] == "en" for r in sel), \
+        "increment 'en' docs must compete (they ARE target-like)"
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    stats = {r["bucket"]: (r["target_count"], r["raw_count"])
+             for r in dsir_bucket_stats_df(
+                 docs.where("doc_id % 2 = 0")).collect()}
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % dsir.N_BUCKETS
+
+    for r in sel[:10]:
+        toks = [t for t in texts[r["doc_id"]].split() if t]
+        grams = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        st = sum(stats.get(bucket(g), (0, 0))[0] for g in grams)
+        sr = sum(stats.get(bucket(g), (0, 0))[1] for g in grams)
+        assert (r["n_grams"], r["sum_target_count"],
+                r["sum_raw_count"]) == (len(grams), st, sr)
