@@ -39,12 +39,15 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from kafkastreams_tp3_is_spark.session import get_spark  # noqa: E402
 from scripts.scale_smoke import (  # noqa: E402
-    _bloom_decontaminate, _fuzzy_planted, _winnow_pairs_planted,
-    scaled_docs)
+    _bloom_decontaminate, _dsir_planted, _fuzzy_planted,
+    _winnow_pairs_planted, scaled_docs)
 
 OPS = [("winnow_pairs", _winnow_pairs_planted),
        ("bloom_decontaminate", _bloom_decontaminate),
-       ("fuzzy_edit_pairs", _fuzzy_planted)]
+       ("fuzzy_edit_pairs", _fuzzy_planted),
+       # DSIR: bucket stats bounded at 256 rows at any scale, scoring is
+       # a per-doc fold — operator-only marginal growth should sit ~1.0
+       ("dsir_select", _dsir_planted)]
 
 COPIES = (1, 10, 30)
 
