@@ -48,80 +48,41 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # --- ROTATION BLOCK (round 12) ------------------------------------
+        # --- ROTATION BLOCK (round 13) ------------------------------------
         # The driver's correctness run caps near 50 entries in registration
-        # order. Front: the round-12 newcomers (the three DSIR importance-
-        # resampling entries and the native-streaming Q5/Q7 demo twins),
-        # then the ENTIRE r9-dated remainder (media_dhash_pairs ..
-        # ann_cosine_topk, 26 entries whose freshest driver rows are 3
-        # rounds stale), then the oldest r10-dated entries up to the cap —
-        # reference queries Q9-Q13 + the envelope/latest-capacity sinks and
-        # the q11/q12 native-stream demos first, then the recall reports,
-        # winnow fast twins and fuzzy PassJoin pair/cluster entries, and
-        # finally bpe_train and mmr_rerank, whose gates upgraded
-        # rows-only -> full hash this round (unrolled-CTE oracles).
-        # Everything below the cap holds a green r10/r11 driver row under
+        # order. Front: the five entries that missed the r12 cap (bpe_train
+        # and mmr_rerank carry full-hash gates upgraded in r12 with no
+        # driver row yet; bpe_encode_vocab and curriculum_order are r12
+        # newcomers the judge verified but the driver never rowed), the two
+        # NEW r13 entries (bpe_encode_docs + pack_bpe_sequences — the
+        # train -> encode -> pack loop closed), ann_cosine_topk_ivf (gate
+        # upgraded rows-only -> full hash this round), then the stalest
+        # driver rows oldest-first: the r8-dated block (corpus_stats ..
+        # pack_token_sequences), the two r9-dated pipeline entries, the
+        # entire r10-dated text/curation/events/retrieval remainder, and
+        # five r11-dated fuzzy/bug-compat entries to fill the cap.
+        # Everything below the cap holds a green r11/r12 driver row under
         # code re-proven every run by the sf0.001 pytest oracle and the
         # sf0.1 parity sweep.
-        "dsir_bucket_stats": _dsir.dsir_bucket_stats_gate,
-        "dsir_select": _dsir.dsir_select_gate,
-        "dsir_resample_gumbel": _dsir.dsir_resample_gumbel_gate,
-        "dsir_select_increment": _dsir.dsir_select_increment,
-        "q5_stream_passengers_per_route": _runner.q5_passengers_per_route_stream,
-        "q7_stream_total_capacity": _runner.q7_total_capacity_available_stream,
-        # --- r9-dated remainder (26, freshest rows r9) ----------------------
-        "media_dhash_pairs": _mm.media_dhash_pairs,
-        "ann_cosine_topk_stored": _ivf.ann_cosine_topk_stored,    # rows-only
-        "materialize_mixture": _cur.materialize_mixture,
-        "events_value_quantiles_exact": _olap.events_value_quantiles_exact,
-        "ann_cosine_topk_sq8": _sim.cosine_topk_sq8,
-        "paragraph_dedup": _dedup.paragraph_dedup,
-        "pack_efficiency": _cur.pack_efficiency,
-        "bloom_decontaminate": _sketch.bloom_decontaminate,
-        "pipeline_standard_clean": _pipe.pipeline_standard_clean,
-        "pipeline_full_clean": _pipe.pipeline_full_clean,
-        "dedup_simhash": _dedup.dedup_simhash,
-        "latest_route_capacity_stateful": _stateful.latest_route_capacity_stateful,
-        "key_skew_profile": _skew.key_skew_profile,
-        "ann_cosine_topk_sq8_rescored": _sim.cosine_topk_sq8_rescored,
-        "source_overlap_matrix": _cur.source_overlap_matrix,
-        "decontaminate_spans": _dedup.decontaminate_spans,
-        "dedup_exact": _dedup.dedup_exact,
-        "dedup_minhash_lsh": _dedup.dedup_minhash_lsh,
-        "dedup_against": _dedup.dedup_against,
-        "ngram_jaccard_pairs": _dedup.ngram_jaccard_pairs,
-        "duplicate_clusters": _graph.duplicate_clusters,
-        "duplicate_clusters_lsh": _graph.duplicate_clusters_lsh,
-        "decontaminate": _cur.decontaminate,
-        "embedding_near_dup": _ivf.embedding_near_dup_ivf,      # rows-only
-        "embedding_near_dup_exact": _sim.embedding_near_dup_exact,
-        "ann_cosine_topk": _sim.cosine_topk_bruteforce,
-        # --- oldest r10-dated entries (fill the cap to 50) -------------------
-        "q9_total_passengers": _q.q9_total_passengers,
-        "q10_transport_type_max_passengers": _q.q10_transport_type_max_passengers,
-        "q11_transport_type_max_passengers_window": _q.q11_transport_type_max_passengers_window,
-        "q12_least_occupied_transport_type_window": _q.q12_least_occupied_transport_type_window,
-        "q13_most_occupied_operator": _q.q13_most_occupied_operator,
-        "envelope_passengers_per_route": _env.envelope_passengers_per_route,
-        "latest_route_capacity": _views.latest_route_capacity,
-        "q11_window_max_stream": _runner.q11_transport_type_max_passengers_window_stream,
-        "q12_window_min_stream": _runner.q12_least_occupied_transport_type_window_stream,
-        "ann_recall_lsh": _sim.ann_recall_lsh,
-        "ann_recall_ivf": _sim.ann_recall_ivf,
-        "ann_recall_ivf_trained": _sim.ann_recall_ivf_trained,  # rows-only
-        "ann_recall_stored": _sim.ann_recall_stored,            # rows-only
-        "winnow_fingerprints_fast": _dedup.winnow_fingerprints_fast,
-        "winnow_pairs_fast": _dedup.winnow_pairs_fast,
-        "fuzzy_edit_pairs": _fuzzy.fuzzy_edit_pairs,
-        "fuzzy_dup_clusters": _fuzzy.fuzzy_dup_clusters,
-        "ann_cosine_topk_ivf": _ivf.cosine_topk_ivf,            # rows-only
-        "events_sessionize": _events.sessionize,
-        "bpe_train": _text.bpe_train,   # gate upgraded rows-only -> full hash in r12
+        "bpe_train": _text.bpe_train,  # gate upgraded rows-only -> full hash in r12
         "mmr_rerank": _sim.mmr_rerank,  # gate upgraded rows-only -> full hash in r12
         "bpe_encode_vocab": _text.bpe_encode_vocab,  # NEW r12: BPE inference half
-        "curriculum_order": _cur.curriculum_order,   # NEW r12: staged training order
-        # === BELOW THE DRIVER CAP ==========================================
-        # --- remaining r10-green entries (CORRECTNESS_r10.json) --------------
+        "curriculum_order": _cur.curriculum_order,  # NEW r12: staged training order
+        "events_sessionize": _events.sessionize,
+        "bpe_encode_docs": _text.bpe_encode_docs,  # NEW r13: per-doc BPE token-id sequences
+        "pack_bpe_sequences": _ret.pack_bpe_sequences,  # NEW r13: pack over learned BPE ids
+        "ann_cosine_topk_ivf": _sim.ann_cosine_topk_ivf,
+        # ^ gate upgraded rows-only -> full hash in r13 (flat-centroid
+        #   probe ranking; trained kmeans stays rows-only via
+        #   ann_recall_ivf_trained / ann_recall_stored)
+        "corpus_stats": _text.corpus_stats,
+        "doc_commonness": _text.doc_commonness,
+        "heavy_hitters": _sketch.heavy_hitters,
+        "lang_confusion": _text.lang_confusion,
+        # --- r11-green entries (CORRECTNESS_r11.json) -------------------------
+        "pack_token_sequences": _ret.pack_token_sequences,
+        "corpus_clean": _pipe.corpus_clean,
+        "decontaminate_spans_bloom": _dedup.decontaminate_spans_bloom,
         "text_token_count": _text.token_count,
         "text_quality_score": _text.quality_score,
         "text_lang_id": _text.lang_id,
@@ -153,17 +114,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cohort_retention": _events.cohort_retention,
         "trips_asof_route_version": _temporal.trips_asof_route_version,
         "tokenize_ids": _ret.tokenize_ids,
-        "pack_token_sequences": _ret.pack_token_sequences,
-        "heavy_hitters": _sketch.heavy_hitters,
-        "corpus_stats": _text.corpus_stats,
-        "doc_commonness": _text.doc_commonness,
-        "lang_confusion": _text.lang_confusion,
-        # --- r11-green entries (CORRECTNESS_r11.json) -------------------------
         "fuzzy_edit_pairs_all": _fuzzy.fuzzy_edit_pairs_all,
         "fuzzy_dup_clusters_all": _fuzzy.fuzzy_dup_clusters_all,
         "fuzzy_dedup_against": _fuzzy.fuzzy_dedup_against,
         "q12_bug_compat": _q.q12_bug_compat,
         "q13_bug_compat": _q.q13_bug_compat,
+        # === BELOW THE DRIVER CAP ==========================================
+        # --- remaining r11-green entries (CORRECTNESS_r11.json) -------------
         "ann_cosine_topk_lsh": _sim.ann_cosine_topk_lsh,  # pin-guarded wrapper
         "contrastive_triplets": _sim.contrastive_triplets,
         "containment_pairs": _dedup.containment_pairs,
@@ -180,9 +137,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_overlap": _cur.contamination_overlap,
         "contamination_attribution": _cur.contamination_attribution,
         "embedding_kmeans_assign": _ivf.embedding_kmeans_assign,  # rows-only
-        "mix_by_cluster": _ivf.mix_by_cluster,                    # rows-only
+        "mix_by_cluster": _ivf.mix_by_cluster,  # rows-only
         "repeated_spans": _dedup.repeated_spans,
-        "semantic_dup_clusters": _graph.semantic_dup_clusters,    # rows-only
+        "semantic_dup_clusters": _graph.semantic_dup_clusters,  # rows-only
         "semantic_dup_clusters_exact": _graph.semantic_dup_clusters_exact,
         "multimodal_features": _mm.media_features,
         "multimodal_resize": _mm.media_resize,
@@ -207,8 +164,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trips_route_update_stream_join": _ssjoin.trips_route_update_stream_join,
         "tfidf_topk": _ret.tfidf_topk,
         "embedding_matryoshka_recall": _sim.embedding_matryoshka_recall,
-        "corpus_clean": _pipe.corpus_clean,
-        "decontaminate_spans_bloom": _dedup.decontaminate_spans_bloom,
+        # --- r12-green entries (CORRECTNESS_r12.json) -----------------------
+        "dsir_bucket_stats": _dsir.dsir_bucket_stats_gate,
+        "dsir_select": _dsir.dsir_select_gate,
+        "dsir_resample_gumbel": _dsir.dsir_resample_gumbel_gate,
+        "dsir_select_increment": _dsir.dsir_select_increment,
+        "q5_stream_passengers_per_route": _runner.q5_passengers_per_route_stream,
+        "q7_stream_total_capacity": _runner.q7_total_capacity_available_stream,
+        # --- r9-dated remainder (26, freshest rows r9) ----------------------
+        "media_dhash_pairs": _mm.media_dhash_pairs,
+        "ann_cosine_topk_stored": _ivf.ann_cosine_topk_stored,  # rows-only
+        "materialize_mixture": _cur.materialize_mixture,
+        "events_value_quantiles_exact": _olap.events_value_quantiles_exact,
+        "ann_cosine_topk_sq8": _sim.cosine_topk_sq8,
+        "paragraph_dedup": _dedup.paragraph_dedup,
+        "pack_efficiency": _cur.pack_efficiency,
+        "bloom_decontaminate": _sketch.bloom_decontaminate,
+        "pipeline_standard_clean": _pipe.pipeline_standard_clean,
+        "pipeline_full_clean": _pipe.pipeline_full_clean,
+        "dedup_simhash": _dedup.dedup_simhash,
+        "latest_route_capacity_stateful": _stateful.latest_route_capacity_stateful,
+        "key_skew_profile": _skew.key_skew_profile,
+        "ann_cosine_topk_sq8_rescored": _sim.cosine_topk_sq8_rescored,
+        "source_overlap_matrix": _cur.source_overlap_matrix,
+        "decontaminate_spans": _dedup.decontaminate_spans,
+        "dedup_exact": _dedup.dedup_exact,
+        "dedup_minhash_lsh": _dedup.dedup_minhash_lsh,
+        "dedup_against": _dedup.dedup_against,
+        "ngram_jaccard_pairs": _dedup.ngram_jaccard_pairs,
+        "duplicate_clusters": _graph.duplicate_clusters,
+        "duplicate_clusters_lsh": _graph.duplicate_clusters_lsh,
+        "decontaminate": _cur.decontaminate,
+        "embedding_near_dup": _ivf.embedding_near_dup_ivf,  # rows-only
+        "embedding_near_dup_exact": _sim.embedding_near_dup_exact,
+        "ann_cosine_topk": _sim.cosine_topk_bruteforce,
+        # --- oldest r10-dated entries (fill the cap to 50) -------------------
+        "q9_total_passengers": _q.q9_total_passengers,
+        "q10_transport_type_max_passengers": _q.q10_transport_type_max_passengers,
+        "q11_transport_type_max_passengers_window": _q.q11_transport_type_max_passengers_window,
+        "q12_least_occupied_transport_type_window": _q.q12_least_occupied_transport_type_window,
+        "q13_most_occupied_operator": _q.q13_most_occupied_operator,
+        "envelope_passengers_per_route": _env.envelope_passengers_per_route,
+        "latest_route_capacity": _views.latest_route_capacity,
+        "q11_window_max_stream": _runner.q11_transport_type_max_passengers_window_stream,
+        "q12_window_min_stream": _runner.q12_least_occupied_transport_type_window_stream,
+        "ann_recall_lsh": _sim.ann_recall_lsh,
+        "ann_recall_ivf": _sim.ann_recall_ivf,
+        "ann_recall_ivf_trained": _sim.ann_recall_ivf_trained,  # rows-only
+        "ann_recall_stored": _sim.ann_recall_stored,  # rows-only
+        "winnow_fingerprints_fast": _dedup.winnow_fingerprints_fast,
+        "winnow_pairs_fast": _dedup.winnow_pairs_fast,
+        "fuzzy_edit_pairs": _fuzzy.fuzzy_edit_pairs,
+        "fuzzy_dup_clusters": _fuzzy.fuzzy_dup_clusters,
     }
 
 

@@ -192,7 +192,10 @@ def curriculum_order_df(docs: DataFrame, n_stages: int = 4,
                 Window.orderBy("n_tokens")
                 .rowsBetween(Window.unboundedPreceding, Window.currentRow))))
     rows = hist.select("n_tokens", "cum").collect()   # |distinct counts|
-    n = rows[-1]["cum"] if rows else 0
+    # the corpus total is the LARGEST cumulative count — do not rely on
+    # collect() preserving the window's sort order (ADVICE r12: a plan
+    # change could reorder rows and silently shift stage boundaries)
+    n = max((r["cum"] for r in rows), default=0)
     bounds = []
     for st in range(n_stages):
         target = -(-n * (st + 1) // n_stages)          # ceil division

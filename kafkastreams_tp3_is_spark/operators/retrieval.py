@@ -238,3 +238,20 @@ def pack_token_sequences(spark: SparkSession, sf_dir: str,
     toks = tokenize_ids_df(load(spark, sf_dir, "documents"))
     return pack_token_sequences_df(toks, seq_len=seq_len,
                                    n_shards=n_shards)
+
+
+def pack_bpe_sequences(spark: SparkSession, sf_dir: str,
+                       seq_len: int = 128,
+                       n_shards: int = 16) -> DataFrame:
+    """Driver-gate fixture (full hash): the REAL tokenizer loop end to
+    end — BPE train -> per-document token-id sequences
+    (text.bpe_encode_docs_df) -> fixed-length training-sequence packing.
+    This is the learned-vocabulary twin of pack_token_sequences (which
+    packs hash-vocab ids); same packer, same content-addressed shard
+    layout, so a trainer can swap vocabularies without touching the
+    packing contract."""
+    from .text import bpe_encode_docs_df
+
+    rows = bpe_encode_docs_df(load(spark, sf_dir, "documents"))
+    return pack_token_sequences_df(rows.select("doc_id", "pos", "token_id"),
+                                   seq_len=seq_len, n_shards=n_shards)

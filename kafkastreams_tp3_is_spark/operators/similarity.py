@@ -165,7 +165,17 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-gate fixture (FULL HASH since r12; ORACLES['mmr_rerank']
     unrolls the 10 greedy stages over the same bit-stable arithmetic —
     see mmr_rerank_df): MMR-diversified top-10 over the embeddings
-    table, defaults pinned by the oracle's literals."""
+    table, defaults pinned by the oracle's literals.
+
+    Gate-stability note (ADVICE r12): the hash gate leans on DuckDB's
+    list_dot_product being a sequential non-FMA in-dimension-order fold
+    and numpy's elementwise += matching it bit-for-bit — implementation
+    details an engine/BLAS version bump could flip in the last ulp. The
+    PRIMARY exactness pin is the pure-numpy reference in
+    tests/test_retrieval.py (same machine, same float semantics); if a
+    future DuckDB/numpy upgrade ever flips low bits, demote this gate to
+    rows-only (drop the oracle entry) and keep the pytest as the proof,
+    per the similar float-state precedent of the trained-IVF entries."""
     return mmr_rerank_df(load(spark, sf_dir, "embeddings"))
 
 
@@ -813,6 +823,28 @@ def _ivf_flat_ranked(emb: DataFrame, n_queries: int = 5, k: int = 10,
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "rank"))
+
+
+def ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str,
+                        n_queries: int = 5, k: int = 10) -> DataFrame:
+    """Driver-gate fixture (full hash since r13): the deterministic
+    flat-centroid IVF top-k RANKING itself (``_ivf_flat_ranked`` — the
+    first-32-vectors centroid grid, top-2 cell assignment, nprobe-12
+    candidate join, exact rescoring). The same property that made
+    ``ann_recall_ivf`` hash-gateable in r10 applies to the ranking: every
+    step is a pure function of pinned constants, so the DuckDB oracle
+    (ORACLES['ann_cosine_topk_ivf']) restates the whole probe and the
+    result list verifies value-by-value. The kmeans-TRAINED ranking stays
+    the separate rows-only ``ann_recall_ivf_trained``/stored entries with
+    pytest recall floors (float training state, not SQL-restatable)."""
+    if (n_queries, k) != (5, 10):
+        # the oracle pins these as literals (LIMIT 5, rank <= 10)
+        raise ValueError(
+            f"ann_cosine_topk_ivf oracle pins n_queries=5, k=10; "
+            f"got ({n_queries}, {k}) — use _ivf_flat_ranked directly "
+            f"for other settings")
+    return _ivf_flat_ranked(load(spark, sf_dir, "embeddings"),
+                            n_queries, k)
 
 
 def ann_recall_ivf(spark: SparkSession, sf_dir: str,

@@ -556,24 +556,23 @@ def bpe_encode_vocab_df(docs: DataFrame, n_merges: int = 8) -> DataFrame:
     count of each post-merge symbol. This is the table a tokenizer
     build would persist: train -> encode -> vocabulary.
 
-    Scale: the merge table is CONTRACT-BOUNDED (n_merges rows) driver
-    state; encoding is n_merges chained row-local JVM folds over the
-    vocabulary-bounded word table (never corpus rows — word frequency
-    carries the weight), then one map-side-combined groupBy over the
-    symbol key space. The gate is a FULL HASH: the DuckDB oracle replays
-    the same merges as wrapped-symbol string replaces
-    (oracles._bpe_encode_oracle), LEFT-JOIN-coalesced so a vanished
-    merge round is the identity, matching this loop just not running."""
-    spark = docs.sparkSession
-    merges = [(r["left"], r["right"])
-              for r in bpe_train_df(docs, n_merges).collect()]
-    words = (docs.select(F.explode(tokens_col()).alias("tok"))
-             .groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
-             .select(_char_syms(F.col("tok")).alias("syms"), "cnt"))
-    for a, b in merges:
-        words = words.select(_apply_merge(F.col("syms"), a, b)
-                             .alias("syms"), "cnt")
-    return (words.select(F.explode("syms").alias("symbol"), "cnt")
+    Scale: training already leaves the length>=2 word table fully
+    encoded (the trainer's per-round merge application IS the encode),
+    so this reuses that table directly instead of re-applying the merge
+    chain — single-character tokens, which training drops because they
+    can never pair, are unioned back as self-encoding one-symbol rows.
+    No re-fold, no nested plan (r12's version chained 8 un-checkpointed
+    folds and was the slowest bench entry); the only corpus-sized work
+    is the one word-count scan training does anyway, then one
+    map-side-combined groupBy over the symbol key space. The gate is a
+    FULL HASH: the DuckDB oracle replays the merges as wrapped-symbol
+    string replaces (oracles._bpe_encode_oracle), LEFT-JOIN-coalesced
+    so a vanished merge round is the identity."""
+    _, words, wc = _bpe_train_core(docs, n_merges)
+    singles = (wc.where(F.length("tok") == 1)
+               .select(F.array(F.col("tok")).alias("syms"), "cnt"))
+    enc = words.select("syms", "cnt").unionByName(singles)
+    return (enc.select(F.explode("syms").alias("symbol"), "cnt")
             .groupBy("symbol")
             .agg(F.sum("cnt").alias("n_occurrences")))
 
@@ -654,6 +653,69 @@ def _apply_merge(syms: F.Column, a: str, b: str) -> F.Column:
         ).otherwise(F.concat(acc, F.array(s))))
 
 
+def _word_counts(docs: DataFrame) -> DataFrame:
+    """Distinct whitespace-token table (tok, cnt) — the ONE corpus-sized
+    scan every BPE operation shares — localCheckpointed so training,
+    vocabulary encode and document encode all reuse it.
+
+    Data contract (ADVICE r12, oracles.py): the DuckDB oracles replay
+    merges over a WRAPPED symbol encoding ('abc' -> '|a||b||c|'), which
+    is only faithful while no token contains '|'. The check runs on the
+    vocabulary-bounded table (not corpus rows) and fails loudly with the
+    offending token so a future corpus change is diagnosable instead of
+    surfacing as a confusing hash mismatch."""
+    wc = (docs.select(F.explode(tokens_col()).alias("tok"))
+          .groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+          .localCheckpoint())
+    bad = wc.where(F.col("tok").contains("|")).limit(1).collect()
+    if bad:
+        raise ValueError(
+            f"BPE data contract violated: token {bad[0]['tok']!r} "
+            f"contains '|', the symbol delimiter of the wrapped-symbol "
+            f"DuckDB oracle (oracles._bpe_chain_parts) — the hash gate "
+            f"would desynchronize on this corpus")
+    return wc
+
+
+def _bpe_train_core(docs: DataFrame, n_merges: int
+                    ) -> tuple[list, DataFrame, DataFrame]:
+    """Shared trainer core: returns (merge rows, the post-merge word
+    table with the ORIGINAL token kept — i.e. the trained tok->symbols
+    encode dictionary — and the raw word-count table). Training iterates
+    the vocabulary-bounded word table, never corpus rows; each round is
+    one map-side-combined pair count, a LIMIT-1 argmax collect (the only
+    driver traffic), and a row-local JVM merge fold, localCheckpointed
+    so the plan never nests folds."""
+    wc = _word_counts(docs)
+    # single-char tokens never form a pair and merges only grow
+    # symbols, so they can be dropped once, permanently
+    words = (wc.where(F.length("tok") >= 2)
+             .select("tok", _char_syms(F.col("tok")).alias("syms"), "cnt"))
+    merges: list[tuple] = []
+    for rnd in range(1, n_merges + 1):
+        pair_rows = (
+            words.where(F.size("syms") >= 2)
+            .select("cnt",
+                    F.explode(F.transform(
+                        F.sequence(F.lit(1), F.size("syms") - 1),
+                        lambda i: F.struct(
+                            F.element_at(F.col("syms"), i).alias("a"),
+                            F.element_at(F.col("syms"), i + 1).alias("b"))))
+                    .alias("p"))
+            .groupBy("p.a", "p.b").agg(F.sum("cnt").alias("n"))
+            .orderBy(F.col("n").desc(), F.col("a").asc(), F.col("b").asc())
+            .limit(1).collect())
+        if not pair_rows:
+            break
+        a, b, n = pair_rows[0]["a"], pair_rows[0]["b"], pair_rows[0]["n"]
+        merges.append((rnd, a, b, a + b, int(n)))
+        words = (words.select("tok",
+                              _apply_merge(F.col("syms"), a, b)
+                              .alias("syms"), "cnt")
+                 .localCheckpoint())
+    return merges, words, wc
+
+
 def bpe_train_df(docs: DataFrame, n_merges: int = 8) -> DataFrame:
     """Train ``n_merges`` BPE merge rounds over the corpus and return the
     learned merge table: (round 1.., left, right, merged,
@@ -683,37 +745,8 @@ def bpe_train_df(docs: DataFrame, n_merges: int = 8) -> DataFrame:
     — '|a||b|' -> '|ab|' resolves left-to-right exactly like this fold.
     Exactness is additionally pinned by a pytest running a pure-Python
     reference BPE with identical tie-break and apply semantics."""
-    spark = docs.sparkSession
-    words = (docs.select(F.explode(tokens_col()).alias("tok"))
-             .groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
-             # single-char tokens never form a pair and merges only grow
-             # symbols, so they can be dropped once, permanently
-             .where(F.length("tok") >= 2)
-             .select(_char_syms(F.col("tok")).alias("syms"), "cnt")
-             .localCheckpoint())
-
-    merges: list[tuple] = []
-    for rnd in range(1, n_merges + 1):
-        pair_rows = (
-            words.where(F.size("syms") >= 2)
-            .select("cnt",
-                    F.explode(F.transform(
-                        F.sequence(F.lit(1), F.size("syms") - 1),
-                        lambda i: F.struct(
-                            F.element_at(F.col("syms"), i).alias("a"),
-                            F.element_at(F.col("syms"), i + 1).alias("b"))))
-                    .alias("p"))
-            .groupBy("p.a", "p.b").agg(F.sum("cnt").alias("n"))
-            .orderBy(F.col("n").desc(), F.col("a").asc(), F.col("b").asc())
-            .limit(1).collect())
-        if not pair_rows:
-            break
-        a, b, n = pair_rows[0]["a"], pair_rows[0]["b"], pair_rows[0]["n"]
-        merges.append((rnd, a, b, a + b, int(n)))
-        words = (words.select(_apply_merge(F.col("syms"), a, b)
-                              .alias("syms"), "cnt")
-                 .localCheckpoint())
-    return spark.createDataFrame(
+    merges, _, _ = _bpe_train_core(docs, n_merges)
+    return docs.sparkSession.createDataFrame(
         merges, schema="round int, left string, right string, "
                        "merged string, n_occurrences bigint")
 
@@ -729,3 +762,58 @@ def bpe_train(spark: SparkSession, sf_dir: str,
             f"bpe_train oracle pins n_merges=8; got {n_merges} — call "
             f"bpe_train_df directly for other settings")
     return bpe_train_df(load(spark, sf_dir, "documents"), n_merges)
+
+
+def bpe_encode_docs_df(docs: DataFrame, n_merges: int = 8) -> DataFrame:
+    """Encode every DOCUMENT under the learned BPE merges: ordered
+    (doc_id, pos, symbol, token_id) rows — the per-document token-id
+    sequence a training run consumes, closing the train -> encode ->
+    pack loop (pack_token_sequences_df takes exactly this row layout).
+    token_id is the 0-based rank of the symbol in the post-merge
+    vocabulary ordered lexicographically — a pure deterministic function
+    of the corpus, so the gate is a full hash.
+
+    Scale (dictionary-encode, never per-occurrence folds): each DISTINCT
+    token is encoded ONCE by training's own merge application (the
+    trained word table IS the tok -> symbols dictionary); documents then
+    broadcast-join that vocabulary-bounded dictionary on the token.
+    Single-char tokens self-encode via coalesce. The id table is a
+    row_number over the post-merge symbol vocabulary (<= |alphabet| +
+    n_merges rows — every merge mints exactly one new symbol), so its
+    single-partition window is contract-bounded. The only per-corpus
+    shuffle is the per-doc position window (partitionBy doc_id — one
+    hash exchange, per-doc sorts)."""
+    _, words, wc = _bpe_train_core(docs, n_merges)
+    word_map = words.select("tok", "syms")
+    vocab = (words.select(F.explode("syms").alias("symbol"))
+             .unionByName(wc.where(F.length("tok") == 1)
+                          .select(F.col("tok").alias("symbol")))
+             .distinct())
+    ids = vocab.withColumn(
+        "token_id",
+        (F.row_number().over(Window.orderBy("symbol")) - 1).cast("bigint"))
+    toks = docs.select("doc_id",
+                       F.posexplode(tokens_col()).alias("tpos", "tok"))
+    enc = (toks.join(F.broadcast(word_map), "tok", "left")
+           .select("doc_id", "tpos",
+                   F.coalesce("syms", F.array(F.col("tok"))).alias("syms")))
+    sym_rows = enc.select("doc_id", "tpos",
+                          F.posexplode("syms").alias("spos", "symbol"))
+    w = Window.partitionBy("doc_id").orderBy("tpos", "spos")
+    return (sym_rows
+            .join(F.broadcast(ids), "symbol")
+            .withColumn("pos",
+                        (F.row_number().over(w) - 1).cast("int"))
+            .select("doc_id", "pos", "symbol", "token_id"))
+
+
+def bpe_encode_docs(spark: SparkSession, sf_dir: str,
+                    n_merges: int = 8) -> DataFrame:
+    """Driver-gate fixture (full hash; ORACLES['bpe_encode_docs'] replays
+    the 8 pinned merges per distinct token and re-derives the same
+    lexicographic id table): per-document BPE token-id sequences."""
+    if n_merges != 8:
+        raise ValueError(
+            f"bpe_encode_docs oracle pins n_merges=8; got {n_merges} — "
+            f"call bpe_encode_docs_df directly for other settings")
+    return bpe_encode_docs_df(load(spark, sf_dir, "documents"), n_merges)

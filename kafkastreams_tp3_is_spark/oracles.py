@@ -2835,6 +2835,16 @@ _IVF_FLAT_AP = """
 
 ORACLES["ann_recall_ivf"] = _recall_oracle(_IVF_FLAT_AP)
 
+# The flat-centroid IVF top-k RANKING itself as a full-hash gate (r13;
+# same upgrade the LSH ranking got in r11): _IVF_FLAT_AP already derives
+# the ranked list — emit the rank instead of projecting it away. Flips
+# ann_cosine_topk_ivf from rows-only to a value-verified ANN result.
+ORACLES["ann_cosine_topk_ivf"] = f"""
+WITH ap AS ({_IVF_FLAT_AP.replace("SELECT query_id, neighbor_id FROM (",
+                                  "SELECT query_id, neighbor_id, rank FROM (", 1)})
+SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank FROM ap
+"""
+
 
 # Native-streaming Q11/Q12 demos: prefix consistency means the final
 # upserted state equals the batch answer, so the STREAM fixtures are
@@ -3162,21 +3172,38 @@ FROM stats
 
 # Per-candidate-doc DSIR aggregates: every gram LEFT-joins the bucket
 # stats (missing buckets smooth to 0 counts), integer sums are exact,
-# and the log-weight orders the top-k only (never emitted).
+# and the log-weight orders the top-k only (never emitted). logw is
+# folded over the doc's (bucket, count) groups in BUCKET ORDER via
+# list_aggregate — a deterministic pure function of the doc's bucket
+# multiset, so two docs with identical text get IDENTICAL logw here
+# (as they do bit-for-bit under Spark's sequential fold) and fall
+# through to the doc_id tiebreak in both engines. A bare SUM() would
+# add in arbitrary order and could split such a tie by one ulp
+# (ADVICE r12, dsir.py:200).
 _DSIR_SCORED = f"""
-scored AS (
-  SELECT g.doc_id, g.lang,
-         CAST(COUNT(*) AS BIGINT) AS n_grams,
-         CAST(SUM(COALESCE(s.target_count, 0)) AS BIGINT)
-           AS sum_target_count,
-         CAST(SUM(COALESCE(s.raw_count, 0)) AS BIGINT) AS sum_raw_count,
-         SUM(ln(CAST(COALESCE(s.target_count, 0) + 1 AS DOUBLE)
-                / CAST(COALESCE(s.raw_count, 0) + 1 AS DOUBLE))
-             + ln(CAST(nr + 256 AS DOUBLE))
-             - ln(CAST(nt + 256 AS DOUBLE))) AS logw
+perb AS (
+  SELECT g.doc_id, g.lang, g.bucket,
+         CAST(COUNT(*) AS BIGINT) AS c,
+         CAST(COALESCE(s.target_count, 0) AS BIGINT) AS tc,
+         CAST(COALESCE(s.raw_count, 0) AS BIGINT) AS rc,
+         ln(CAST(COALESCE(s.target_count, 0) + 1 AS DOUBLE)
+            / CAST(COALESCE(s.raw_count, 0) + 1 AS DOUBLE))
+           + ln(CAST(nr + 256 AS DOUBLE))
+           - ln(CAST(nt + 256 AS DOUBLE)) AS lr
   FROM grams g LEFT JOIN stats s ON g.bucket = s.bucket, tot
   WHERE g.lang <> 'en'
-  GROUP BY g.doc_id, g.lang
+  GROUP BY g.doc_id, g.lang, g.bucket, s.target_count, s.raw_count,
+           nt, nr
+),
+scored AS (
+  SELECT doc_id, lang,
+         CAST(SUM(c) AS BIGINT) AS n_grams,
+         CAST(SUM(c * tc) AS BIGINT) AS sum_target_count,
+         CAST(SUM(c * rc) AS BIGINT) AS sum_raw_count,
+         list_aggregate(list(CAST(c AS DOUBLE) * lr ORDER BY bucket),
+                        'sum') AS logw
+  FROM perb
+  GROUP BY doc_id, lang
 ),
 zero AS (
   SELECT doc_id, lang,
@@ -3309,6 +3336,94 @@ GROUP BY sym""")
 
 
 ORACLES["bpe_encode_vocab"] = _bpe_encode_oracle(8)
+
+
+# bpe_encode_docs (text.py bpe_encode_docs_df): replay the merges over
+# each DISTINCT token (the dictionary-encode the Spark side performs via
+# its trained word table), re-derive the lexicographic symbol-id table,
+# then lay the per-token symbol runs out per document ordered by (token
+# position, symbol position). Shared with the pack_bpe_sequences oracle.
+def _bpe_encode_docs_parts(n_merges: int = 8) -> list:
+    parts = _bpe_chain_parts(n_merges)
+    parts.append(f"""encw0 AS (
+  SELECT tok, regexp_replace(tok, '(.)', '|\\1|', 'g') AS w
+  FROM (SELECT DISTINCT tok
+        FROM (SELECT unnest({_TOKENS}) AS tok FROM documents))
+)""")
+    for k in range(1, n_merges + 1):
+        parts.append(f"""encw{k} AS (
+  SELECT e.tok,
+         COALESCE(replace(e.w, '|' || b.a || '||' || b.b || '|',
+                          '|' || b.a || b.b || '|'), e.w) AS w
+  FROM encw{k - 1} e LEFT JOIN b{k} b ON TRUE
+)""")
+    parts.append(f"""encsyms AS (
+  SELECT tok, list_filter(string_split(w, '|'), x -> x <> '') AS s
+  FROM encw{n_merges}
+),
+ids AS (
+  SELECT symbol,
+         CAST(ROW_NUMBER() OVER (ORDER BY symbol) - 1 AS BIGINT)
+           AS token_id
+  FROM (SELECT DISTINCT unnest(s) AS symbol FROM encsyms)
+),
+dt AS (
+  SELECT doc_id, CAST(i - 1 AS INTEGER) AS tpos, t AS tok
+  FROM (SELECT doc_id,
+               unnest(generate_series(1, len(tk))) AS i,
+               unnest(tk) AS t
+        FROM (SELECT doc_id, {_TOKENS} AS tk FROM documents))
+),
+ds AS (
+  SELECT doc_id, tpos, CAST(j - 1 AS INTEGER) AS spos, sy AS symbol
+  FROM (SELECT d.doc_id, d.tpos,
+               unnest(generate_series(1, len(e.s))) AS j,
+               unnest(e.s) AS sy
+        FROM dt d JOIN encsyms e ON d.tok = e.tok)
+),
+posed AS (
+  SELECT doc_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                                 ORDER BY tpos, spos) - 1 AS INTEGER)
+           AS pos,
+         symbol
+  FROM ds
+)""")
+    return parts
+
+
+ORACLES["bpe_encode_docs"] = (
+    "WITH " + ",\n".join(_bpe_encode_docs_parts(8)) + """
+SELECT p.doc_id, p.pos, p.symbol, i.token_id
+FROM posed p JOIN ids i ON p.symbol = i.symbol
+""")
+
+
+# pack_bpe_sequences (retrieval.py): the bpe_encode_docs rows pushed
+# through the exact pack_token_sequences shard/cut arithmetic.
+ORACLES["pack_bpe_sequences"] = (
+    "WITH " + ",\n".join(_bpe_encode_docs_parts(8)) + """,
+btoks AS (
+  SELECT p.doc_id, p.pos, i.token_id
+  FROM posed p JOIN ids i ON p.symbol = i.symbol
+),
+keyed AS (
+  SELECT doc_id, pos, token_id,
+         md5(CAST(doc_id AS VARCHAR)) AS sort_key,
+         ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 16
+           AS shard
+  FROM btoks
+),
+numbered AS (
+  SELECT shard, doc_id, token_id,
+         ROW_NUMBER() OVER (PARTITION BY shard
+                            ORDER BY sort_key, doc_id, pos) - 1 AS rn
+  FROM keyed
+)
+SELECT shard, CAST(rn // 128 AS BIGINT) AS seq_index,
+       CAST(rn % 128 AS BIGINT) AS pos_in_seq, doc_id, token_id
+FROM numbered
+""")
 
 
 # ---------------------------------------------------------------------------
@@ -3474,18 +3589,30 @@ gi AS (
               FROM documents WHERE doc_id % 2 = 1)
         WHERE n >= 2)
 ),
-scored AS (
-  SELECT g.doc_id, g.lang,
-         CAST(COUNT(*) AS BIGINT) AS n_grams,
-         CAST(SUM(COALESCE(s.target_count, 0)) AS BIGINT)
-           AS sum_target_count,
-         CAST(SUM(COALESCE(s.raw_count, 0)) AS BIGINT) AS sum_raw_count,
-         SUM(ln(CAST(COALESCE(s.target_count, 0) + 1 AS DOUBLE)
-                / CAST(COALESCE(s.raw_count, 0) + 1 AS DOUBLE))
-             + ln(CAST(nr + 256 AS DOUBLE))
-             - ln(CAST(nt + 256 AS DOUBLE))) AS logw
+perb AS (
+  SELECT g.doc_id, g.lang, g.bucket,
+         CAST(COUNT(*) AS BIGINT) AS c,
+         CAST(COALESCE(s.target_count, 0) AS BIGINT) AS tc,
+         CAST(COALESCE(s.raw_count, 0) AS BIGINT) AS rc,
+         ln(CAST(COALESCE(s.target_count, 0) + 1 AS DOUBLE)
+            / CAST(COALESCE(s.raw_count, 0) + 1 AS DOUBLE))
+           + ln(CAST(nr + 256 AS DOUBLE))
+           - ln(CAST(nt + 256 AS DOUBLE)) AS lr
   FROM gi g LEFT JOIN stats s ON g.bucket = s.bucket, tot
-  GROUP BY g.doc_id, g.lang
+  GROUP BY g.doc_id, g.lang, g.bucket, s.target_count, s.raw_count,
+           nt, nr
+),
+scored AS (
+  -- bucket-ordered deterministic fold: identical-text docs tie exactly
+  -- and break on doc_id, matching Spark (see _DSIR_SCORED note)
+  SELECT doc_id, lang,
+         CAST(SUM(c) AS BIGINT) AS n_grams,
+         CAST(SUM(c * tc) AS BIGINT) AS sum_target_count,
+         CAST(SUM(c * rc) AS BIGINT) AS sum_raw_count,
+         list_aggregate(list(CAST(c AS DOUBLE) * lr ORDER BY bucket),
+                        'sum') AS logw
+  FROM perb
+  GROUP BY doc_id, lang
 ),
 zero AS (
   SELECT doc_id, lang,

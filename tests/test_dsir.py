@@ -150,3 +150,46 @@ def test_select_increment_scores_against_stored_stats(spark):
         sr = sum(stats.get(bucket(g), (0, 0))[1] for g in grams)
         assert (r["n_grams"], r["sum_target_count"],
                 r["sum_raw_count"]) == (len(grams), st, sr)
+
+
+def test_duplicate_text_docs_tie_break_matches_oracle(spark, tmp_path):
+    """ADVICE r12 regression: two candidate docs with IDENTICAL text
+    must get identical logw in BOTH engines and tie-break on doc_id.
+    Spark's sequential per-gram fold is bit-deterministic per text; the
+    oracle now folds per-bucket contributions in bucket order
+    (list_aggregate over an ORDER BY bucket list), so the tie is exact
+    there too instead of splitting by an ulp of SUM() reordering.
+    Corpus: interleaved exact-duplicate candidate pairs so every rank
+    position is exercised."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from tests.conftest import assert_frames_match
+
+    rows = []
+    for i in range(10):
+        rows.append((i, f"alpha beta gamma delta epsilon word{i}",
+                     "en", "web", 30))
+    texts = [f"alpha beta zeta theta kappa word{j}" for j in range(15)]
+    did = 100
+    for j, t in enumerate(texts):
+        rows.append((did, t, "de", "web", len(t)))
+        did += 1
+        if j < 10:   # exact text duplicate under a different doc_id
+            rows.append((did, t, "fr", "web", len(t)))
+            did += 1
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    sf_dir = str(tmp_path / "dupdocs_sf")
+    docs.coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/documents.parquet/*.parquet')")
+    Q, O = entrymod.queries(), entrymod.oracle_sql()
+    try:
+        for name in ("dsir_select", "dsir_resample_gumbel"):
+            assert_frames_match(Q[name](spark, sf_dir),
+                                con.execute(O[name]).fetchdf())
+    finally:
+        con.close()

@@ -337,3 +337,37 @@ def test_mix_by_cluster_quota_and_determinism(spark):
     assert sorted(rows) == sorted(
         (r["vec_id"], r["cluster"], r["rank_in_cluster"])
         for r in b.collect())
+
+
+def test_pack_bpe_sequences_packs_encode_docs(spark):
+    """The pack-over-BPE loop: pack_bpe_sequences lays out EXACTLY the
+    bpe_encode_docs rows — same row count, same per-doc token multiset —
+    and shard 0's stream reproduces the (md5(doc_id), doc_id, pos)
+    order cut every 128, independently recomputed in Python."""
+    import hashlib
+    from collections import Counter
+
+    from kafkastreams_tp3_is_spark.operators.retrieval import (
+        pack_bpe_sequences)
+    from kafkastreams_tp3_is_spark.operators.text import bpe_encode_docs
+    from tests.conftest import SF_DIR
+
+    packed = pack_bpe_sequences(spark, SF_DIR).collect()
+    enc = bpe_encode_docs(spark, SF_DIR).collect()
+    assert len(packed) == len(enc) > 0
+    assert (Counter((r["doc_id"], r["token_id"]) for r in packed)
+            == Counter((r["doc_id"], r["token_id"]) for r in enc))
+    by_doc: dict[int, list] = {}
+    for r in enc:
+        by_doc.setdefault(r["doc_id"], []).append((r["pos"], r["token_id"]))
+
+    def h(d):
+        return hashlib.md5(str(d).encode()).hexdigest()
+
+    docs0 = [d for d in by_doc if int(h(d)[:4], 16) % 16 == 0]
+    stream = [t for d in sorted(docs0, key=lambda d: (h(d), d))
+              for _, t in sorted(by_doc[d])]
+    got0 = sorted((r["seq_index"], r["pos_in_seq"], r["token_id"])
+                  for r in packed if r["shard"] == 0)
+    want0 = sorted((i // 128, i % 128, t) for i, t in enumerate(stream))
+    assert got0 == want0

@@ -285,3 +285,64 @@ def test_bpe_encode_vocab_conserves_chars_and_degenerates(spark):
             for r in bpe_encode_vocab_df(docs, 0).collect()}
     want = Counter(c for t in toks for c in t)
     assert base == dict(want)
+
+
+def _ref_bpe_apply(tok: str, merges) -> list[str]:
+    """Reference encode: apply learned merges in round order, each a
+    greedy left-to-right non-overlapping pass (same semantics as
+    _apply_merge's JVM fold)."""
+    syms = list(tok)
+    for _, a, b, _, _ in merges:
+        out: list[str] = []
+        for s in syms:
+            if out and out[-1] == a and s == b:
+                out[-1] = a + b
+            else:
+                out.append(s)
+        syms = out
+    return syms
+
+
+def test_bpe_encode_docs_matches_reference(spark):
+    """Per-document BPE encoding reproduces the pure-Python reference:
+    every doc's symbol sequence is its tokens' greedy merge application
+    laid out in token order, positions are dense 0.., and token_id is
+    the lexicographic rank of the symbol in the post-merge vocabulary."""
+    from collections import Counter
+
+    from kafkastreams_tp3_is_spark.operators.text import bpe_encode_docs_df
+
+    texts = ["aaa banana banana bandana", "low lower lowest low low",
+             "aaa aaa banana b", "newer newest new new new", "x"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    tokens = Counter(w for t in texts for w in t.split())
+    merges = _ref_bpe(dict(tokens), 8)
+    want_seqs = {i: [s for w in t.split() for s in _ref_bpe_apply(w, merges)]
+                 for i, t in enumerate(texts)}
+    vocab = sorted({s for seq in want_seqs.values() for s in seq})
+    ids = {s: n for n, s in enumerate(vocab)}
+    got: dict[int, list] = {}
+    for r in bpe_encode_docs_df(docs, 8).orderBy("doc_id", "pos").collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["pos"], r["symbol"], r["token_id"]))
+    assert set(got) == set(want_seqs)
+    for i, seq in want_seqs.items():
+        g = got[i]
+        assert [s for _, s, _ in g] == seq, i
+        assert [p for p, _, _ in g] == list(range(len(seq))), i
+        assert [t for _, _, t in g] == [ids[s] for s in seq], i
+
+
+def test_bpe_pipe_token_contract(spark):
+    """ADVICE r12: a token containing '|' must fail LOUDLY (the
+    wrapped-symbol DuckDB oracle uses '|' as the symbol delimiter)
+    instead of silently desynchronizing the hash gates."""
+    import pytest
+
+    from kafkastreams_tp3_is_spark.operators.text import bpe_train_df
+
+    docs = spark.createDataFrame([(1, "ok a|b ok")],
+                                 "doc_id long, text string")
+    with pytest.raises(ValueError, match="data contract"):
+        bpe_train_df(docs, 2)
