@@ -817,3 +817,49 @@ def bpe_encode_docs(spark: SparkSession, sf_dir: str,
             f"bpe_encode_docs oracle pins n_merges=8; got {n_merges} — "
             f"call bpe_encode_docs_df directly for other settings")
     return bpe_encode_docs_df(load(spark, sf_dir, "documents"), n_merges)
+
+
+def bpe_compression_stats_df(docs: DataFrame,
+                             n_merges: int = 8) -> DataFrame:
+    """Tokenizer-quality report for the learned BPE vocabulary: per
+    document ``source``, how many symbols the corpus encodes into and
+    the resulting characters-per-token ratio — the standard compression
+    metric a tokenizer build is judged on (byte-pair encoding IS a
+    compression scheme, Gage 1994; higher chars/token = fewer tokens
+    for the same text = cheaper training/inference). Zero-token docs
+    still count toward n_docs (left join + zero coalesce).
+
+    Output (source, n_docs, n_tokens, n_chars, chars_per_token): all
+    exact integer aggregates plus ONE guarded division, so the gate is
+    a full hash. Scale: rides bpe_encode_docs' dictionary-encode; the
+    report itself is one map-side-combined groupBy over the source key
+    space."""
+    enc = bpe_encode_docs_df(docs, n_merges)
+    per_doc = (enc.groupBy("doc_id")
+               .agg(F.count(F.lit(1)).alias("nt"),
+                    F.sum(F.length("symbol")).alias("nc")))
+    nt = F.coalesce(F.col("nt"), F.lit(0)).cast("bigint")
+    nc = F.coalesce(F.col("nc"), F.lit(0)).cast("bigint")
+    joined = (docs.select("doc_id", "source")
+              .join(per_doc, "doc_id", "left")
+              .select("source", nt.alias("nt"), nc.alias("nc")))
+    t = F.sum("nt").cast("bigint")
+    c = F.sum("nc").cast("bigint")
+    return (joined.groupBy("source")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 t.alias("n_tokens"),
+                 c.alias("n_chars"),
+                 F.when(t > 0, c.cast("double") / t.cast("double"))
+                 .otherwise(F.lit(0.0)).alias("chars_per_token")))
+
+
+def bpe_compression_stats(spark: SparkSession, sf_dir: str,
+                          n_merges: int = 8) -> DataFrame:
+    """Driver-gate fixture (full hash): per-source BPE compression
+    report over the documents table."""
+    if n_merges != 8:
+        raise ValueError(
+            f"bpe_compression_stats oracle pins n_merges=8; got "
+            f"{n_merges} — call bpe_compression_stats_df directly")
+    return bpe_compression_stats_df(load(spark, sf_dir, "documents"),
+                                    n_merges)

@@ -3399,6 +3399,29 @@ FROM posed p JOIN ids i ON p.symbol = i.symbol
 """)
 
 
+# bpe_compression_stats (text.py): per-source chars-per-token under the
+# learned vocabulary — exact integer sums off the encode-docs layout,
+# one guarded division; zero-token docs kept via LEFT JOIN + COALESCE.
+ORACLES["bpe_compression_stats"] = (
+    "WITH " + ",\n".join(_bpe_encode_docs_parts(8)) + """,
+perdoc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nt,
+         CAST(SUM(length(symbol)) AS BIGINT) AS nc
+  FROM posed GROUP BY doc_id
+)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(COALESCE(p.nt, 0)) AS BIGINT) AS n_tokens,
+       CAST(SUM(COALESCE(p.nc, 0)) AS BIGINT) AS n_chars,
+       CASE WHEN SUM(COALESCE(p.nt, 0)) > 0
+            THEN CAST(SUM(COALESCE(p.nc, 0)) AS DOUBLE)
+                 / CAST(SUM(COALESCE(p.nt, 0)) AS DOUBLE)
+            ELSE 0.0 END AS chars_per_token
+FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
+GROUP BY d.source
+""")
+
+
 # pack_bpe_sequences (retrieval.py): the bpe_encode_docs rows pushed
 # through the exact pack_token_sequences shard/cut arithmetic.
 ORACLES["pack_bpe_sequences"] = (

@@ -59,8 +59,19 @@ def create_table_ddl(schema: T.StructType, table: str,
     return f"CREATE TABLE IF NOT EXISTS {table} ({cols}{pk})"
 
 
-def upsert_sql(columns: list[str], table: str, key_cols: list[str]) -> str:
-    placeholders = ", ".join("?" for _ in columns)
+# DBAPI drivers disagree on the bind-parameter marker: sqlite3/duckdb use
+# qmark ('?'), psycopg2/psycopg (the real-Postgres drivers the reference's
+# Connect sink ultimately writes through) use format ('%s'). Sinks/sources
+# take a ``paramstyle`` and render the right marker so the SAME upsert
+# logic runs against the in-container stand-ins and a live Postgres
+# (integration/docker-compose.yml + tests/test_postgres_e2e.py).
+_PLACEHOLDER = {"qmark": "?", "format": "%s"}
+
+
+def upsert_sql(columns: list[str], table: str, key_cols: list[str],
+               paramstyle: str = "qmark") -> str:
+    ph = _PLACEHOLDER[paramstyle]
+    placeholders = ", ".join(ph for _ in columns)
     collist = ", ".join(columns)
     if not key_cols:
         return f"INSERT INTO {table} ({collist}) VALUES ({placeholders})"
@@ -80,11 +91,16 @@ class DbUpsertSink:
     """
 
     def __init__(self, table: str, key_cols: list[str],
-                 connect_fn: Callable, max_writers: int | None = None):
+                 connect_fn: Callable, max_writers: int | None = None,
+                 paramstyle: str = "qmark"):
+        if paramstyle not in _PLACEHOLDER:
+            raise ValueError(f"unsupported paramstyle {paramstyle!r}; "
+                             f"one of {sorted(_PLACEHOLDER)}")
         self.table = table
         self.key_cols = key_cols
         self.connect_fn = connect_fn
         self.max_writers = max_writers
+        self.paramstyle = paramstyle
         self._created = False
 
     def _ensure_table(self, schema: T.StructType) -> None:
@@ -98,17 +114,21 @@ class DbUpsertSink:
         arrive on ANY batch, not just the first."""
         con = self.connect_fn()
         try:
+            # cursor-level execution is the DBAPI-portable path:
+            # connection.execute is a sqlite3/duckdb convenience that
+            # psycopg2 (real Postgres) does not provide
+            cur = con.cursor()
             if not self._created:
-                con.execute(
+                cur.execute(
                     create_table_ddl(schema, self.table, self.key_cols))
                 con.commit()
                 self._created = True
-            cur = con.execute(f"SELECT * FROM {self.table} LIMIT 0")
+            cur.execute(f"SELECT * FROM {self.table} LIMIT 0")
             existing = {d[0].lower() for d in cur.description}
             added = False
             for f in schema.fields:
                 if f.name.lower() not in existing:
-                    con.execute(f"ALTER TABLE {self.table} ADD COLUMN "
+                    cur.execute(f"ALTER TABLE {self.table} ADD COLUMN "
                                 f"{f.name} {_sql_type(f.dataType)}")
                     added = True
             if added:
@@ -121,7 +141,7 @@ class DbUpsertSink:
         table, key_cols = self.table, self.key_cols
         columns = list(batch_df.columns)
         connect_fn = self.connect_fn
-        sql = upsert_sql(columns, table, key_cols)
+        sql = upsert_sql(columns, table, key_cols, self.paramstyle)
 
         def write_partition(rows: Iterator) -> None:
             first = next(rows, None)
@@ -150,19 +170,26 @@ class IncrementalSource:
     partitionColumn for fact-sized sources)."""
 
     def __init__(self, spark: SparkSession, connect_fn: Callable,
-                 table: str, id_col: str = "id"):
+                 table: str, id_col: str = "id",
+                 paramstyle: str = "qmark"):
+        if paramstyle not in _PLACEHOLDER:
+            raise ValueError(f"unsupported paramstyle {paramstyle!r}; "
+                             f"one of {sorted(_PLACEHOLDER)}")
         self.spark = spark
         self.connect_fn = connect_fn
         self.table = table
         self.id_col = id_col
+        self.paramstyle = paramstyle
         self.last_max: int = -1
         self._schema: T.StructType | None = None
 
     def poll(self) -> DataFrame:
         con = self.connect_fn()
         try:
-            cur = con.execute(
-                f"SELECT * FROM {self.table} WHERE {self.id_col} > ? "
+            cur = con.cursor()
+            cur.execute(
+                f"SELECT * FROM {self.table} WHERE {self.id_col} > "
+                f"{_PLACEHOLDER[self.paramstyle]} "
                 f"ORDER BY {self.id_col}", (self.last_max,))
             names = [d[0] for d in cur.description]
             rows = cur.fetchall()

@@ -72,4 +72,5 @@ def run_topology(spark: SparkSession, routes_stream: DataFrame,
         stats["trigger_secs"] = h.trigger_secs
         stats["fact_rows_per_trigger"] = h.fact_rows_per_trigger
         stats["agg_rows_read_per_trigger"] = h.agg_rows_read_per_trigger
+        stats["phase_secs"] = h.phase_secs
     return sinks

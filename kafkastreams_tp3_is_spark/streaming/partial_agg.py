@@ -35,12 +35,16 @@ input, which holds for the engine's derived routes view.
 
 Scale: stores are parquet, partitioned by Spark's shuffle; all merges are
 distributed keyed aggregations (driver only coordinates version swaps).
-Each trigger rewrites the store — O(|aggregate|) I/O; a production
-refinement for billion-key stores is hash-bucketing the store and
-rewriting only buckets containing changed keys, which changes none of the
-semantics here. Windowed Q11/Q12 use the native update-mode path +
-WindowedExtremumSink (runner.py) instead — their state is watermark-
-bounded by the engine itself.
+KeyedAggStore rewrites the whole store per trigger — O(|aggregate|) I/O,
+right up to stores of millions of keys; ``BucketedAggStore`` is the
+billion-key layout: state hash-bucketed on the key, per trigger only the
+buckets containing changed keys read+merged+rewritten (manifest-committed,
+same replay idempotency), O(|changed buckets|) I/O — select it with
+``IncrementalAggHarness(bucketed=True)``. Semantics are identical
+(pytest-pinned: same final state, plus accounting assertions that only
+touched buckets rewrite). Windowed Q11/Q12 use the native update-mode
+path + WindowedExtremumSink (runner.py) instead — their state is
+watermark-bounded by the engine itself.
 """
 
 from __future__ import annotations
@@ -173,7 +177,193 @@ class KeyedAggStore:
                 part.unpersist()
 
 
-def route_agg_store(spark: SparkSession, path: str) -> KeyedAggStore:
+class BucketedAggStore:
+    """Hash-BUCKETED variant of KeyedAggStore — the billion-key store
+    shape the plain store's docstring promises: state is hash-partitioned
+    on the key into ``n_buckets`` buckets, and a trigger reads, merges
+    and REWRITES ONLY the buckets containing keys the batch touched.
+    Per-trigger store I/O drops from O(|aggregate|) to O(|changed
+    buckets|) — at a 100 TB store with key-local batches that is the
+    difference between rewriting terabytes per trigger and rewriting a
+    few store shards, with ``n_buckets`` the granularity dial (set it
+    near the executor count so a full-touch trigger still parallelizes).
+
+    Same exactness contract as KeyedAggStore (merge = the aggregate's
+    own combiner, one row per key) and the same replay idempotency, now
+    per-manifest: a version's MANIFEST (bucket -> version dir that holds
+    its current rows, atomic tmp+rename) is the commit record; a
+    replayed batch id at or below the manifest version is a no-op.
+    Resume adopts the newest manifest whose referenced version dirs all
+    committed (_SUCCESS), then sweeps unreferenced dirs — crash debris
+    from a mid-write kill is ignored and removed exactly like the plain
+    store's partial version dirs.
+
+    ``rows_read_last_merge`` counts only the CHANGED buckets' stored
+    rows (the manifest tracks per-bucket row counts from each write's
+    own aggregation — no extra count job over unchanged state), and
+    ``buckets_rewritten_last`` records the rewrite fan-out, so tests
+    assert the bucketed cost model instead of trusting it."""
+
+    def __init__(self, spark: SparkSession, path: str, key_cols: list[str],
+                 partial_fn, merge_exprs, n_buckets: int = 32):
+        import json
+
+        self.spark = spark
+        self.path = path
+        self.key_cols = key_cols
+        self.partial_fn = partial_fn
+        self.merge_exprs = merge_exprs
+        self.n_buckets = n_buckets
+        self._template: DataFrame | None = None
+        self.version = -1
+        #: bucket -> {"v": version dir holding its rows, "rows": count}
+        self.buckets: dict[int, dict] = {}
+        self.rows_read_last_merge = 0
+        self.buckets_rewritten_last = 0
+        os.makedirs(path, exist_ok=True)
+        manifests = sorted(
+            int(f[len("manifest_b"):-len(".json")])
+            for f in os.listdir(path)
+            if f.startswith("manifest_b") and f.endswith(".json")
+            and f[len("manifest_b"):-len(".json")].isdigit())
+        for v in reversed(manifests):
+            try:
+                with open(self._mpath(v)) as fh:
+                    m = json.load(fh)
+            except (OSError, ValueError):
+                continue
+            entries = {int(b): e for b, e in m["buckets"].items()}
+            if all(os.path.exists(os.path.join(self._vdir(e["v"]),
+                                               "_SUCCESS"))
+                   for e in entries.values()):
+                self.version = v
+                self.buckets = entries
+                break
+        referenced = {e["v"] for e in self.buckets.values()}
+        for d in os.listdir(path):
+            full = os.path.join(path, d)
+            if (d.startswith("b") and d[1:].isdigit()
+                    and int(d[1:]) not in referenced):
+                shutil.rmtree(full, ignore_errors=True)
+            elif (d.startswith("manifest_b")
+                    and d != f"manifest_b{self.version}.json"):
+                try:
+                    os.remove(full)
+                except OSError:
+                    pass
+
+    def _vdir(self, v: int) -> str:
+        return os.path.join(self.path, f"b{v}")
+
+    def _mpath(self, v: int) -> str:
+        return os.path.join(self.path, f"manifest_b{v}.json")
+
+    def _bucket_col(self):
+        return F.pmod(
+            F.xxhash64(*[F.col(c) for c in self.key_cols]),
+            F.lit(self.n_buckets)).cast("int")
+
+    def _read_buckets(self, wanted: list[int]) -> DataFrame | None:
+        """Union the CURRENT rows of the wanted buckets, grouped by the
+        version dir that holds each (basePath keeps the _bucket
+        partition column alive). Partition pruning at the path level:
+        only the wanted bucket directories are ever opened."""
+        by_version: dict[int, list[int]] = {}
+        for b in wanted:
+            if b in self.buckets:
+                by_version.setdefault(self.buckets[b]["v"], []).append(b)
+        frames = [
+            self.spark.read.option("basePath", self._vdir(v))
+            .parquet(*[os.path.join(self._vdir(v), f"_bucket={b}")
+                       for b in bs])
+            for v, bs in sorted(by_version.items())]
+        if not frames:
+            return None
+        cur = frames[0]
+        for f in frames[1:]:
+            cur = cur.unionByName(f)
+        return cur
+
+    def frame(self) -> DataFrame:
+        if self.version < 0:
+            if self._template is None:
+                raise RuntimeError("store has no data and no schema "
+                                   "template yet — call update() first")
+            return self._template
+        cur = self._read_buckets(sorted(self.buckets))
+        assert cur is not None
+        return cur.drop("_bucket")
+
+    def current(self) -> DataFrame | None:
+        return None if self.version < 0 else self.frame()
+
+    def update(self, batch_df: DataFrame, batch_id: int,
+               n_source_rows: int | None = None) -> None:
+        import json
+
+        part = self.partial_fn(batch_df)
+        if self._template is None:
+            self._template = part.limit(0)
+        self.rows_read_last_merge = 0
+        self.buckets_rewritten_last = 0
+        if batch_id <= self.version:
+            return  # replayed batch: manifest already committed
+        if n_source_rows == 0:
+            return
+        part = part.withColumn("_bucket", self._bucket_col()).persist()
+        try:
+            changed = sorted(
+                r["_bucket"] for r in
+                part.select("_bucket").distinct().collect())
+            if not changed:
+                return  # empty batch (probed)
+            self.rows_read_last_merge = sum(
+                self.buckets[b]["rows"] for b in changed
+                if b in self.buckets)
+            cur = self._read_buckets(changed)
+            if cur is None:
+                merged = part
+            else:
+                merged = (cur.unionByName(part)
+                          .groupBy("_bucket", *self.key_cols)
+                          .agg(*self.merge_exprs()))
+            merged = merged.persist()
+            # aggregate-sized (changed buckets only): per-bucket counts
+            # ride a <= n_buckets-row collect off the cached merge
+            counts = {r["_bucket"]: r["n"] for r in
+                      merged.groupBy("_bucket")
+                      .agg(F.count(F.lit(1)).alias("n")).collect()}
+            (merged.write.partitionBy("_bucket")
+             .mode("overwrite").parquet(self._vdir(batch_id)))
+            merged.unpersist()
+            for b in changed:
+                self.buckets[b] = {"v": batch_id,
+                                   "rows": int(counts.get(b, 0))}
+            self.buckets_rewritten_last = len(changed)
+            tmp = self._mpath(batch_id) + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump({"buckets": {str(b): e for b, e
+                                       in self.buckets.items()}}, fh)
+            os.replace(tmp, self._mpath(batch_id))
+            old_manifest = self._mpath(self.version)
+            self.version = batch_id
+            referenced = {e["v"] for e in self.buckets.values()}
+            for d in os.listdir(self.path):
+                if (d.startswith("b") and d[1:].isdigit()
+                        and int(d[1:]) not in referenced):
+                    shutil.rmtree(os.path.join(self.path, d),
+                                  ignore_errors=True)
+            if os.path.exists(old_manifest):
+                try:
+                    os.remove(old_manifest)
+                except OSError:
+                    pass
+        finally:
+            part.unpersist()
+
+
+def route_agg_store(spark: SparkSession, path: str,
+                    cls=KeyedAggStore, **store_kw):
     """Per-route dimension aggregate: summed capacity (duplicate records
     accumulate, fidelity note 7.6) + latest operator/transport_type by
     event time (the KTable latest-per-key dimension, A9)."""
@@ -192,10 +382,11 @@ def route_agg_store(spark: SparkSession, path: str) -> KeyedAggStore:
                  .alias("transport_type"),
                 F.max("latest_ts").alias("latest_ts")]
 
-    return KeyedAggStore(spark, path, ["route_id"], partial, merge)
+    return cls(spark, path, ["route_id"], partial, merge, **store_kw)
 
 
-def trip_route_type_store(spark: SparkSession, path: str) -> KeyedAggStore:
+def trip_route_type_store(spark: SparkSession, path: str,
+                          cls=KeyedAggStore, **store_kw):
     """Trip counts per (route_id, transport_type) — one store serves the
     per-route counts (sum over types), the per-type counts (sum over
     routes), AND the per-type distinct-route counts (key count), so Q2's
@@ -207,11 +398,12 @@ def trip_route_type_store(spark: SparkSession, path: str) -> KeyedAggStore:
     def merge():
         return [F.sum("n").alias("n")]
 
-    return KeyedAggStore(spark, path, ["route_id", "transport_type"],
-                         partial, merge)
+    return cls(spark, path, ["route_id", "transport_type"],
+               partial, merge, **store_kw)
 
 
-def trip_passenger_store(spark: SparkSession, path: str) -> KeyedAggStore:
+def trip_passenger_store(spark: SparkSession, path: str,
+                         cls=KeyedAggStore, **store_kw):
     """Trip counts per passenger_name (Q3's aggregate)."""
     def partial(trips_df: DataFrame) -> DataFrame:
         return (trips_df.groupBy("passenger_name")
@@ -220,10 +412,12 @@ def trip_passenger_store(spark: SparkSession, path: str) -> KeyedAggStore:
     def merge():
         return [F.sum("n").alias("n")]
 
-    return KeyedAggStore(spark, path, ["passenger_name"], partial, merge)
+    return cls(spark, path, ["passenger_name"], partial, merge,
+               **store_kw)
 
 
-def trip_window_type_store(spark: SparkSession, path: str) -> KeyedAggStore:
+def trip_window_type_store(spark: SparkSession, path: str,
+                           cls=KeyedAggStore, **store_kw):
     """Trip counts per (1-hour tumbling window, transport_type) — the
     Q11/Q12 stage-1 aggregate. Counts merge across triggers, so a window
     split over micro-batches still sums exactly; the store grows with
@@ -238,8 +432,8 @@ def trip_window_type_store(spark: SparkSession, path: str) -> KeyedAggStore:
     def merge():
         return [F.sum("n").alias("n")]
 
-    return KeyedAggStore(spark, path, ["window_start", "transport_type"],
-                         partial, merge)
+    return cls(spark, path, ["window_start", "transport_type"],
+               partial, merge, **store_kw)
 
 
 # --- finalize: aggregate-sized stage 2, bit-identical to *_logic -------
@@ -445,18 +639,26 @@ class IncrementalAggHarness:
     aggregate rows read into merges) so tests can ASSERT the incremental
     cost model rather than trust it."""
 
-    def __init__(self, spark: SparkSession, workdir: str):
+    def __init__(self, spark: SparkSession, workdir: str,
+                 bucketed: bool = False, n_buckets: int = 32):
+        # bucketed=True swaps every store for BucketedAggStore: per
+        # trigger only buckets holding changed keys are read/rewritten —
+        # the billion-key production layout. Identical final state
+        # (pytest-pinned); the dial is n_buckets (set near executor
+        # count so a full-touch trigger still parallelizes).
+        kw = ({"cls": BucketedAggStore, "n_buckets": n_buckets}
+              if bucketed else {})
         self.spark = spark
         self.workdir = workdir
-        self.stores: dict[str, KeyedAggStore] = {
+        self.stores: dict[str, object] = {
             "route": route_agg_store(
-                spark, os.path.join(workdir, "store_route")),
+                spark, os.path.join(workdir, "store_route"), **kw),
             "trip_rt": trip_route_type_store(
-                spark, os.path.join(workdir, "store_trip_rt")),
+                spark, os.path.join(workdir, "store_trip_rt"), **kw),
             "trip_pax": trip_passenger_store(
-                spark, os.path.join(workdir, "store_trip_pax")),
+                spark, os.path.join(workdir, "store_trip_pax"), **kw),
             "trip_wt": trip_window_type_store(
-                spark, os.path.join(workdir, "store_trip_wt")),
+                spark, os.path.join(workdir, "store_trip_wt"), **kw),
         }
         self.fact_rows_per_trigger: list[int] = []
         self.agg_rows_read_per_trigger: list[int] = []
@@ -464,6 +666,10 @@ class IncrementalAggHarness:
         # — the number a MainStreamApp analogue is judged on; consumed by
         # bench.py's topology_13q section
         self.trigger_secs: list[float] = []
+        # per-trigger phase walls (parse+count, store merges, finalize
+        # fan-out) — the floor analysis for the trigger latency: shows
+        # which tier bounds a further speedup
+        self.phase_secs: list[dict] = []
         self._schemas = {}
 
     def run(self, routes_stream: DataFrame, trips_stream: DataFrame,
@@ -549,6 +755,7 @@ class IncrementalAggHarness:
                             .agg(F.count(F.lit(1)).alias("n")).collect()}
                 self.fact_rows_per_trigger.append(
                     sum(n_by_tag.values()))
+                t1 = _time.perf_counter()
                 source_of = {"route": "routes", "trip_rt": "trips",
                              "trip_pax": "trips", "trip_wt": "trips"}
                 to_update = [n for n in source_of if n in needed]
@@ -563,6 +770,7 @@ class IncrementalAggHarness:
                         f.result()   # propagate the first failure
                 self.agg_rows_read_per_trigger.append(sum(
                     self.stores[n].rows_read_last_merge for n in needed))
+                t2 = _time.perf_counter()
                 # persist once per trigger: 13 finalizes otherwise each
                 # re-read the store parquet in their own job
                 aggs = {n: self.stores[n].frame().persist()
@@ -590,6 +798,10 @@ class IncrementalAggHarness:
                             for finalize, sink in jobs.values()]
                     for f in futs:
                         f.result()
+                self.phase_secs.append({
+                    "parse_count": round(t1 - t0, 4),
+                    "store_merge": round(t2 - t1, 4),
+                    "finalize": round(_time.perf_counter() - t2, 4)})
             finally:
                 for s in slices.values():
                     s.unpersist()
@@ -611,8 +823,8 @@ class IncrementalAggHarness:
 
 # --- corpus-domain store: incrementally-maintained corpus report -------
 
-def doc_length_histogram_store(spark: SparkSession,
-                               path: str) -> KeyedAggStore:
+def doc_length_histogram_store(spark: SparkSession, path: str,
+                               cls=KeyedAggStore, **store_kw):
     """Document-length histogram per (source, lang): counts keyed on the
     exact (n_chars, n_tokens) pair. The compressed sufficient statistic
     for the WHOLE corpus_stats report — counts, sums, extrema, and the
@@ -637,8 +849,8 @@ def doc_length_histogram_store(spark: SparkSession,
     def merge():
         return [F.sum("cnt").alias("cnt")]
 
-    return KeyedAggStore(spark, path, ["source", "lang", "nc", "nt"],
-                         partial, merge)
+    return cls(spark, path, ["source", "lang", "nc", "nt"],
+               partial, merge, **store_kw)
 
 
 def corpus_stats_from_histogram(hist: DataFrame) -> DataFrame:

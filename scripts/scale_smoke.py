@@ -29,7 +29,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 from kafkastreams_tp3_is_spark.operators.curation import (  # noqa: E402
-    decontaminate_df, select_token_budget_df)
+    curriculum_order_df, decontaminate_df, select_token_budget_df)
 from kafkastreams_tp3_is_spark.operators.dedup import (  # noqa: E402
     bloom_decontaminate_spans_df, containment_pairs_df, dedup_minhash_lsh_df,
     dedup_simhash_df, paragraph_dedup_df, repeated_spans_df,
@@ -39,7 +39,7 @@ from kafkastreams_tp3_is_spark.operators.dsir import (  # noqa: E402
 from kafkastreams_tp3_is_spark.operators.fuzzy import (  # noqa: E402
     edit_distance_pairs_df)
 from kafkastreams_tp3_is_spark.operators.text import (  # noqa: E402
-    ngram_lm_score_df)
+    bpe_encode_docs_df, ngram_lm_score_df)
 from kafkastreams_tp3_is_spark.operators.multimodal import (  # noqa: E402
     image_dhash_pairs_df)
 from kafkastreams_tp3_is_spark.operators.embstats import (  # noqa: E402
@@ -282,7 +282,18 @@ def main() -> None:
            # shuffle) + TakeOrdered top-k — ratio should track the scan.
            # k scales with rows only to keep output comparable; the
            # selection itself is corpus-size-independent
-           ("dsir_select", _dsir_planted)]
+           ("dsir_select", _dsir_planted),
+           # BPE train+encode end to end (r13): ONE corpus-sized word
+           # count, then 8 vocabulary-bounded training rounds (constant
+           # in corpus size) and a broadcast dictionary join linear in
+           # token occurrences — the ratio should track the scan.
+           # NOTE the cipher-cycle fixture repeats tokens across copies,
+           # so the vocabulary (and training cost) stays near-constant
+           # at 10x — which is the production shape too
+           ("bpe_encode_docs", bpe_encode_docs_df),
+           # histogram cut (one row per distinct n_tokens) + md5 shard
+           # shuffle: linear scan, aggregate-sized single-partition work
+           ("curriculum_order", curriculum_order_df)]
     for name, fn in ops:
         d1 = scaled_docs(spark, sf_dir, 1)
         timed(fn, d1)                       # untimed warmup: codegen/JIT

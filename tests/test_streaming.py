@@ -1620,3 +1620,92 @@ def test_sink_arrow_fallback_only_for_conversion_errors(spark, monkeypatch):
     monkeypatch.setattr(cls, "toArrow", _raise_job_error)
     with pytest.raises(RuntimeError, match="job aborted"):
         MemoryUpsertSink(["k"]).process(batch, 1)
+
+
+def test_bucketed_store_matches_plain_and_rewrites_only_changed_buckets(
+        spark, tmp_path):
+    """BucketedAggStore is the billion-key layout of KeyedAggStore: the
+    SAME batches yield the SAME merged aggregate (exactness), but a
+    trigger touching one key reads and rewrites only that key's bucket
+    — asserted via the store's own accounting (buckets_rewritten_last,
+    rows_read_last_merge), not trusted. Also covers replay idempotency
+    (manifest version check) and resume-from-disk manifest adoption."""
+    from kafkastreams_tp3_is_spark.streaming.partial_agg import (
+        BucketedAggStore, trip_route_type_store)
+
+    cols = "route_id string, transport_type string"
+    big = spark.createDataFrame(
+        [(f"R{i}", f"T{i % 3}") for i in range(200)], cols)
+    tiny = spark.createDataFrame([("R7", "T1")] * 3, cols)
+
+    plain = trip_route_type_store(spark, str(tmp_path / "plain"))
+    buck = trip_route_type_store(spark, str(tmp_path / "buck"),
+                                 cls=BucketedAggStore, n_buckets=16)
+    for store in (plain, buck):
+        store.update(big, 0)
+        store.update(tiny, 1)
+
+    def snap(store):
+        return sorted((r["route_id"], r["transport_type"], r["n"])
+                      for r in store.frame().collect())
+
+    assert snap(buck) == snap(plain)
+
+    # the tiny batch touched exactly one key -> one bucket rewritten,
+    # and the merge read only that bucket's stored rows (far below the
+    # ~200-key aggregate the plain store re-reads wholesale)
+    assert buck.buckets_rewritten_last == 1
+    assert 0 < buck.rows_read_last_merge < 200
+    assert plain.rows_read_last_merge >= 200
+
+    # replay of an already-committed batch id: no-op, nothing rewritten
+    before = snap(buck)
+    buck.update(tiny, 1)
+    assert buck.buckets_rewritten_last == 0
+    assert snap(buck) == before
+
+    # resume: a fresh store object adopts the manifest and serves the
+    # identical aggregate, then keeps merging incrementally
+    resumed = trip_route_type_store(spark, str(tmp_path / "buck"),
+                                    cls=BucketedAggStore, n_buckets=16)
+    assert resumed.version == buck.version
+    assert snap(resumed) == before
+    resumed.update(spark.createDataFrame([("R7", "T1")], cols), 2)
+    assert resumed.buckets_rewritten_last == 1
+    want = [t if t[0:2] != ("R7", "T1") else ("R7", "T1", t[2] + 1)
+            for t in before]
+    assert snap(resumed) == sorted(want)
+
+
+def test_topology_bucketed_harness_final_state_matches_plain(
+        spark, tmp_path):
+    """IncrementalAggHarness(bucketed=True) drives the full 13-query
+    topology to the same final upserted state as the plain store path
+    (and therefore, transitively via the existing stream==batch pins,
+    the batch answers)."""
+    from kafkastreams_tp3_is_spark.sources.files import (
+        route_file_stream, trip_file_stream)
+    from kafkastreams_tp3_is_spark.streaming.partial_agg import (
+        FINALIZE, IncrementalAggHarness)
+    from kafkastreams_tp3_is_spark.streaming.runner import MemoryUpsertSink
+    from kafkastreams_tp3_is_spark.streaming.app import TOPOLOGY
+    from tests.conftest import SF_DIR
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").limit(300)
+    lineitem = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").limit(900)
+    results = {}
+    for mode, bucketed in (("plain", False), ("bucketed", True)):
+        work = str(tmp_path / mode)
+        for tag, df in (("orders", orders), ("lineitem", lineitem)):
+            df.repartition(2).write.mode("overwrite").parquet(
+                f"{work}/in_{tag}")
+        sinks = {name: MemoryUpsertSink(keys)
+                 for name, keys in TOPOLOGY.items()}
+        h = IncrementalAggHarness(spark, work, bucketed=bucketed,
+                                  n_buckets=8)
+        h.run_many(route_file_stream(spark, f"{work}/in_orders"),
+                   trip_file_stream(spark, f"{work}/in_lineitem"),
+                   {n: (FINALIZE[n], sinks[n]) for n in TOPOLOGY})
+        results[mode] = {
+            n: sorted(map(repr, sinks[n].rows())) for n in TOPOLOGY}
+    assert results["bucketed"] == results["plain"]

@@ -346,3 +346,35 @@ def test_bpe_pipe_token_contract(spark):
                                  "doc_id long, text string")
     with pytest.raises(ValueError, match="data contract"):
         bpe_train_df(docs, 2)
+
+
+def test_bpe_compression_stats_hand_computed(spark):
+    """chars/token on a corpus small enough to verify by hand: symbol
+    counts come from the reference encode, character mass equals the
+    whitespace-token character mass, zero-token docs count toward
+    n_docs with zero sums."""
+    from collections import Counter
+
+    from kafkastreams_tp3_is_spark.operators.text import (
+        bpe_compression_stats_df)
+
+    rows = [(0, "aa aa aa bb", "web"), (1, "aa bb", "web"),
+            (2, "", "book"), (3, "cc", "book")]
+    docs = spark.createDataFrame(rows,
+                                 "doc_id long, text string, source string")
+    tokens = Counter(w for _, t, _ in rows for w in t.split())
+    merges = _ref_bpe(dict(tokens), 8)
+    enc = {i: [s for w in t.split() for s in _ref_bpe_apply(w, merges)]
+           for i, t, _ in rows}
+    want = {}
+    for i, t, src in rows:
+        nd, nt, nc = want.get(src, (0, 0, 0))
+        want[src] = (nd + 1, nt + len(enc[i]),
+                     nc + sum(len(s) for s in enc[i]))
+    got = {r["source"]: (r["n_docs"], r["n_tokens"], r["n_chars"],
+                         r["chars_per_token"])
+           for r in bpe_compression_stats_df(docs, 8).collect()}
+    assert set(got) == set(want)
+    for src, (nd, nt, nc) in want.items():
+        ratio = nc / nt if nt else 0.0
+        assert got[src] == (nd, nt, nc, ratio), src
