@@ -328,6 +328,24 @@ def main() -> None:
             # judge asked to be accounted for
             "reference_queries_sec_isolated": ref_isolated_total,
             "reference_queries_isolated": ref_isolated,
+            "notes": {
+                "reference_drift": (
+                    "r10->r12 the in-order 13-query total moved 6.58s ->"
+                    " 8.89s -> 9.09s with queries.py untouched; r13"
+                    " measures the cause directly by ALSO running the 13"
+                    " queries isolated (fresh JVM, one untimed warm pass,"
+                    " nothing before them): isolated 14.3s vs in-order"
+                    " 9.05s on identical code. The wall is dominated by"
+                    " cumulative JVM/JIT state — a deeply-warmed process"
+                    " (after ~40 registry entries) runs the same plans"
+                    " ~1.6x faster than a lightly-warmed one — so the"
+                    " r10 6.58s reflects where the queries sat in a"
+                    " ~100-entry pass, not a plan regression (in-order"
+                    " is flat 8.89/9.09/9.05 across r11-r13 at ~140"
+                    " entries). Cross-round comparisons should use each"
+                    " number against its own series: isolated-to-"
+                    "isolated, in-order-to-in-order."),
+            },
             "sf": sf_val,
         }, f, indent=1)
 
