@@ -331,20 +331,19 @@ def main() -> None:
             "notes": {
                 "reference_drift": (
                     "r10->r12 the in-order 13-query total moved 6.58s ->"
-                    " 8.89s -> 9.09s with queries.py untouched; r13"
-                    " measures the cause directly by ALSO running the 13"
-                    " queries isolated (fresh JVM, one untimed warm pass,"
-                    " nothing before them): isolated 14.3s vs in-order"
-                    " 9.05s on identical code. The wall is dominated by"
-                    " cumulative JVM/JIT state — a deeply-warmed process"
-                    " (after ~40 registry entries) runs the same plans"
-                    " ~1.6x faster than a lightly-warmed one — so the"
-                    " r10 6.58s reflects where the queries sat in a"
-                    " ~100-entry pass, not a plan regression (in-order"
-                    " is flat 8.89/9.09/9.05 across r11-r13 at ~140"
-                    " entries). Cross-round comparisons should use each"
-                    " number against its own series: isolated-to-"
-                    "isolated, in-order-to-in-order."),
+                    " 8.89s -> 9.09s with queries.py untouched. r13 adds"
+                    " the isolated pre-pass (fresh JVM, one untimed warm"
+                    " pass, nothing before the 13 queries) to separate"
+                    " plan cost from process state: on an idle box the"
+                    " two series converge (isolated 9.09s vs in-order"
+                    " 9.42s, identical code), while a run with"
+                    " background load showed isolated 14.3s vs in-order"
+                    " 9.05s — i.e. the sub-1.5s-per-query wall tracks"
+                    " JVM warm-up and box load, not plans (plans are"
+                    " unchanged; PLAN_AUDIT pins them). The r10 6.58s"
+                    " predates ~40 entries of registry growth ahead of"
+                    " the queries. Cross-round comparisons should use"
+                    " the isolated series on an otherwise-idle box."),
             },
             "sf": sf_val,
         }, f, indent=1)
