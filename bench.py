@@ -75,7 +75,8 @@ COMPOSED_QUERIES = {"pipeline_full_clean"}
 from kafkastreams_tp3_is_spark.oracles import Q_NAMES as _REFERENCE_QUERIES  # noqa: E402
 
 
-def bench_topology(spark, sf_dir: str, changelog: bool = True) -> dict:
+def bench_topology(spark, sf_dir: str, changelog: bool = True,
+                   bucketed: bool = False) -> dict:
     """End-to-end 13-query streaming topology (the MainStreamApp
     analogue, streaming/app.py run_topology): all 13 reference queries
     share ONE foreachBatch runtime over the tag-unioned Routes/Trips
@@ -111,13 +112,14 @@ def bench_topology(spark, sf_dir: str, changelog: bool = True) -> dict:
         t0 = time.perf_counter()
         sinks = run_topology(spark, routes_s, trips_s,
                              os.path.join(workdir, "topo"), stats=stats,
-                             changelog=changelog)
+                             changelog=changelog, bucketed=bucketed)
         wall = round(time.perf_counter() - t0, 4)
         n_rows = sum(stats["fact_rows_per_trigger"])
         ts = stats["trigger_secs"]
         return {
             "wall_sec": wall,
             "changelog_emission": changelog,
+            "bucketed_stores": bucketed,
             "n_queries": len(sinks),
             "n_triggers": stats["n_triggers"],
             "input_rows": n_rows,
@@ -294,6 +296,13 @@ def main() -> None:
     topology_13q = bench_topology(spark, sf_dir, changelog=True)
     topology_13q_full_emission = bench_topology(spark, sf_dir,
                                                 changelog=False)
+    # bucketed-store layout at gate scale: every trigger touches most
+    # buckets here (random 187k-row batches), so this measures the
+    # layout's OVERHEAD honestly — its win (O(changed buckets) I/O)
+    # appears only with key-local batches, which the pytest accounting
+    # asserts instead
+    topology_13q_bucketed = bench_topology(spark, sf_dir,
+                                           changelog=True, bucketed=True)
     total = round(sum(timings.values()), 4)
     ref_total = round(sum(timings[k] for k in _REFERENCE_QUERIES
                           if k in timings), 4)
@@ -321,6 +330,7 @@ def main() -> None:
             "composed": composed,
             "topology_13q": topology_13q,
             "topology_13q_full_emission": topology_13q_full_emission,
+            "topology_13q_bucketed": topology_13q_bucketed,
             "reference_queries_sec": ref_total,
             # fresh-JVM pre-pass medians: the cross-round comparable 13-q
             # number; (reference_queries_sec - reference_queries_sec_

@@ -53,7 +53,9 @@ def run_topology(spark: SparkSession, routes_stream: DataFrame,
                  trips_stream: DataFrame, workdir: str,
                  sinks: dict[str, object] | None = None,
                  stats: dict | None = None,
-                 changelog: bool = True) -> dict[str, object]:
+                 changelog: bool = True,
+                 bucketed: bool = False,
+                 n_buckets: int = 32) -> dict[str, object]:
     """Attach all 13 queries to the shared input streams and run to
     completion of available data. Returns the per-query sinks (defaults
     to in-memory upsert sinks keyed per TOPOLOGY; pass DbUpsertSink
@@ -65,7 +67,10 @@ def run_topology(spark: SparkSession, routes_stream: DataFrame,
         sinks = {name: MemoryUpsertSink(keys)
                  for name, keys in TOPOLOGY.items()}
     jobs = {name: (FINALIZE[name], sinks[name]) for name in TOPOLOGY}
-    h = IncrementalAggHarness(spark, workdir)
+    # bucketed=True selects the hash-bucketed store layout (changed-key
+    # buckets only are rewritten per trigger — the billion-key shape)
+    h = IncrementalAggHarness(spark, workdir, bucketed=bucketed,
+                              n_buckets=n_buckets)
     h.run_many(routes_stream, trips_stream, jobs, changelog=changelog)
     if stats is not None:
         stats["n_triggers"] = len(h.trigger_secs)

@@ -202,7 +202,16 @@ class BucketedAggStore:
     rows (the manifest tracks per-bucket row counts from each write's
     own aggregation — no extra count job over unchanged state), and
     ``buckets_rewritten_last`` records the rewrite fan-out, so tests
-    assert the bucketed cost model instead of trusting it."""
+    assert the bucketed cost model instead of trusting it.
+
+    Cost at the DEGENERATE regime (every batch touches every bucket —
+    the sf0.1 random-batch bench): ~2.4x the plain store's trigger wall
+    (BENCH_DETAIL topology_13q_bucketed vs topology_13q) — the price of
+    the changed-bucket collect, the per-bucket counts and the
+    bucket-key repartition before the partitioned write. The layout
+    pays for itself exactly when batches are key-local relative to the
+    store (the 100 TB shape: a trigger's keys touch a sliver of a huge
+    aggregate), which the accounting pytest asserts directly."""
 
     def __init__(self, spark: SparkSession, path: str, key_cols: list[str],
                  partial_fn, merge_exprs, n_buckets: int = 32):
@@ -251,6 +260,31 @@ class BucketedAggStore:
                     os.remove(full)
                 except OSError:
                     pass
+        # restore the physical invariant (a crash can land between the
+        # manifest commit and the superseded-subdir sweep): each
+        # referenced version dir must hold EXACTLY the buckets the
+        # manifest assigns it — a stale _bucket subdir would double rows
+        # under the whole-version fast-path read
+        self._sweep_superseded()
+
+    def _sweep_superseded(self) -> None:
+        """Delete _bucket=N subdirs whose bucket the manifest assigns to
+        a DIFFERENT version dir, so every referenced version dir
+        physically contains exactly its assigned buckets."""
+        for v in {e["v"] for e in self.buckets.values()}:
+            vdir = self._vdir(v)
+            if not os.path.isdir(vdir):
+                continue
+            mine = {b for b, e in self.buckets.items() if e["v"] == v}
+            for d in os.listdir(vdir):
+                if d.startswith("_bucket="):
+                    try:
+                        b = int(d.split("=", 1)[1])
+                    except ValueError:
+                        continue
+                    if b not in mine:
+                        shutil.rmtree(os.path.join(vdir, d),
+                                      ignore_errors=True)
 
     def _vdir(self, v: int) -> str:
         return os.path.join(self.path, f"b{v}")
@@ -272,11 +306,23 @@ class BucketedAggStore:
         for b in wanted:
             if b in self.buckets:
                 by_version.setdefault(self.buckets[b]["v"], []).append(b)
-        frames = [
-            self.spark.read.option("basePath", self._vdir(v))
-            .parquet(*[os.path.join(self._vdir(v), f"_bucket={b}")
-                       for b in bs])
-            for v, bs in sorted(by_version.items())]
+        frames = []
+        for v, bs in sorted(by_version.items()):
+            all_in_v = [b for b, e in self.buckets.items()
+                        if e["v"] == v]
+            if set(bs) == set(all_in_v):
+                # every bucket this version holds is wanted: one root
+                # read (partition discovery supplies _bucket) beats
+                # listing each bucket dir explicitly — this is the
+                # full-touch fast path, so degenerate all-keys batches
+                # cost close to the plain store
+                frames.append(self.spark.read.parquet(self._vdir(v)))
+            else:
+                frames.append(
+                    self.spark.read.option("basePath", self._vdir(v))
+                    .parquet(*[os.path.join(self._vdir(v),
+                                            f"_bucket={b}")
+                               for b in bs]))
         if not frames:
             return None
         cur = frames[0]
@@ -327,7 +373,12 @@ class BucketedAggStore:
                 merged = (cur.unionByName(part)
                           .groupBy("_bucket", *self.key_cols)
                           .agg(*self.merge_exprs()))
-            merged = merged.persist()
+            # repartition ON THE BUCKET KEY before the partitioned
+            # write: without it every shuffle task writes a file into
+            # every bucket directory (tasks x buckets tiny files — a
+            # measured 7x trigger blowup at 32x32); with it each bucket
+            # is one task writing one file
+            merged = merged.repartition("_bucket").persist()
             # aggregate-sized (changed buckets only): per-bucket counts
             # ride a <= n_buckets-row collect off the cached merge
             counts = {r["_bucket"]: r["n"] for r in
@@ -353,6 +404,12 @@ class BucketedAggStore:
                         and int(d[1:]) not in referenced):
                     shutil.rmtree(os.path.join(self.path, d),
                                   ignore_errors=True)
+            # surgically drop the superseded copies of the changed
+            # buckets from still-referenced older version dirs: keeps
+            # disk at one live copy per bucket and keeps the
+            # whole-version fast-path read exact (__init__ re-runs this
+            # sweep on adoption for crash-safety)
+            self._sweep_superseded()
             if os.path.exists(old_manifest):
                 try:
                     os.remove(old_manifest)

@@ -160,3 +160,25 @@ def test_partitioned_options_alias_handles_schema_qualified_tables(spark):
     alias = opts["dbtable"].rsplit(" AS ", 1)[1]
     assert "." not in alias, f"dotted subquery alias is invalid SQL: {alias}"
     assert "FROM public.route_suppliers" in opts["dbtable"]
+
+
+def test_upsert_sql_paramstyles():
+    """The same upsert logic must render qmark markers for
+    sqlite3/duckdb and format markers for psycopg2 (the real-Postgres
+    driver) — the marker difference a SQLite-only test never surfaces."""
+    import pytest
+
+    from kafkastreams_tp3_is_spark.sources.jdbc import (
+        DbUpsertSink, upsert_sql)
+
+    q = upsert_sql(["k", "v"], "t", ["k"])
+    assert q == ("INSERT INTO t (k, v) VALUES (?, ?) "
+                 "ON CONFLICT (k) DO UPDATE SET v = excluded.v")
+    f = upsert_sql(["k", "v"], "t", ["k"], paramstyle="format")
+    assert f == ("INSERT INTO t (k, v) VALUES (%s, %s) "
+                 "ON CONFLICT (k) DO UPDATE SET v = excluded.v")
+    # keyless append form
+    assert upsert_sql(["a"], "t", [], "format") == \
+        "INSERT INTO t (a) VALUES (%s)"
+    with pytest.raises(ValueError, match="paramstyle"):
+        DbUpsertSink("t", ["k"], lambda: None, paramstyle="numeric")

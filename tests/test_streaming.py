@@ -1709,3 +1709,38 @@ def test_topology_bucketed_harness_final_state_matches_plain(
         results[mode] = {
             n: sorted(map(repr, sinks[n].rows())) for n in TOPOLOGY}
     assert results["bucketed"] == results["plain"]
+
+
+def test_bucketed_store_adoption_sweeps_stale_subdir(spark, tmp_path):
+    """Crash window: manifest committed but the superseded-subdir sweep
+    did not run. A stale _bucket subdir left in an older (still
+    referenced) version dir must be swept on adoption — otherwise the
+    whole-version fast-path read would double that bucket's rows."""
+    import os
+    import shutil
+
+    from kafkastreams_tp3_is_spark.streaming.partial_agg import (
+        BucketedAggStore, trip_route_type_store)
+
+    cols = "route_id string, transport_type string"
+    store = trip_route_type_store(spark, str(tmp_path / "s"),
+                                  cls=BucketedAggStore, n_buckets=4)
+    store.update(spark.createDataFrame(
+        [(f"R{i}", "T0") for i in range(40)], cols), 0)
+    store.update(spark.createDataFrame([("R1", "T0")], cols), 1)
+    want = sorted((r["route_id"], r["n"])
+                  for r in store.frame().collect())
+
+    # simulate the crash debris: re-plant R1's bucket dir (now living
+    # in b1) back into b0
+    b1_bucket = next(d for d in os.listdir(store._vdir(1))
+                     if d.startswith("_bucket="))
+    stale = os.path.join(store._vdir(0), b1_bucket)
+    shutil.copytree(os.path.join(store._vdir(1), b1_bucket), stale)
+
+    resumed = trip_route_type_store(spark, str(tmp_path / "s"),
+                                    cls=BucketedAggStore, n_buckets=4)
+    assert not os.path.exists(stale)          # adoption swept it
+    got = sorted((r["route_id"], r["n"])
+                 for r in resumed.frame().collect())
+    assert got == want                        # no doubled rows
