@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode_docs": _text.bpe_encode_docs,  # NEW r13: per-doc BPE token-id sequences
         "pack_bpe_sequences": _ret.pack_bpe_sequences,  # NEW r13: pack over learned BPE ids
         "bpe_compression_stats": _text.bpe_compression_stats,  # NEW r13: tokenizer compression report
+        "bpe_encode_increment": _text.bpe_encode_increment,  # NEW r13: stored-tokenizer increment encode
         "ann_cosine_topk_ivf": _sim.ann_cosine_topk_ivf,
         # ^ gate upgraded rows-only -> full hash in r13 (flat-centroid
         #   probe ranking; trained kmeans stays rows-only via

@@ -10,6 +10,8 @@ map — no shuffle — so it scales linearly with input splits.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -785,13 +787,7 @@ def bpe_encode_docs_df(docs: DataFrame, n_merges: int = 8) -> DataFrame:
     hash exchange, per-doc sorts)."""
     _, words, wc = _bpe_train_core(docs, n_merges)
     word_map = words.select("tok", "syms")
-    vocab = (words.select(F.explode("syms").alias("symbol"))
-             .unionByName(wc.where(F.length("tok") == 1)
-                          .select(F.col("tok").alias("symbol")))
-             .distinct())
-    ids = vocab.withColumn(
-        "token_id",
-        (F.row_number().over(Window.orderBy("symbol")) - 1).cast("bigint"))
+    ids = _bpe_vocab_ids(words, wc)
     toks = docs.select("doc_id",
                        F.posexplode(tokens_col()).alias("tpos", "tok"))
     enc = (toks.join(F.broadcast(word_map), "tok", "left")
@@ -817,6 +813,119 @@ def bpe_encode_docs(spark: SparkSession, sf_dir: str,
             f"bpe_encode_docs oracle pins n_merges=8; got {n_merges} — "
             f"call bpe_encode_docs_df directly for other settings")
     return bpe_encode_docs_df(load(spark, sf_dir, "documents"), n_merges)
+
+
+def _bpe_vocab_ids(words: DataFrame, wc: DataFrame) -> DataFrame:
+    """The deterministic (symbol, token_id) table of a trained
+    tokenizer: post-merge symbols of the length>=2 word table plus the
+    self-encoding single-char tokens, ids by lexicographic rank. The
+    table is <= |alphabet| + n_merges rows (every merge mints exactly
+    one symbol), so its single-partition window is contract-bounded."""
+    vocab = (words.select(F.explode("syms").alias("symbol"))
+             .unionByName(wc.where(F.length("tok") == 1)
+                          .select(F.col("tok").alias("symbol")))
+             .distinct())
+    return vocab.withColumn(
+        "token_id",
+        (F.row_number().over(Window.orderBy("symbol")) - 1).cast("bigint"))
+
+
+def bpe_persist_tokenizer(docs: DataFrame, path: str,
+                          n_merges: int = 8) -> None:
+    """Train a BPE tokenizer on ``docs`` and persist it as the reusable
+    artifact a production pipeline hands around: ``<path>/merges``
+    (round, left, right, merged, n_occurrences) and ``<path>/vocab``
+    (symbol, token_id). Train once on a fixed corpus snapshot, then
+    every future crawl increment encodes against the STORED tokenizer
+    without re-reading the training corpus — the dsir_persist_stats
+    pattern applied to tokenization."""
+    merges, words, wc = _bpe_train_core(docs, n_merges)
+    spark = docs.sparkSession
+    (spark.createDataFrame(
+        merges, schema="round int, left string, right string, "
+                       "merged string, n_occurrences bigint")
+     .write.mode("overwrite").parquet(os.path.join(path, "merges")))
+    (_bpe_vocab_ids(words, wc)
+     .write.mode("overwrite").parquet(os.path.join(path, "vocab")))
+
+
+def bpe_encode_with_tokenizer(new_docs: DataFrame, merges_df: DataFrame,
+                              vocab_df: DataFrame) -> DataFrame:
+    """Encode a NEW document increment under a STORED tokenizer:
+    apply the stored merges (contract-bounded driver state, read
+    ordered by round) to the increment's own distinct-token table —
+    new tokens were never in the training word table, so the dictionary
+    is rebuilt increment-side, still vocabulary-bounded — then map
+    symbols through the stored id table. Symbols outside the trained
+    vocabulary (characters unseen in training) get token_id -1, the
+    UNK sentinel a trainer's embedding lookup reserves.
+
+    Same output contract as bpe_encode_docs: (doc_id, pos, symbol,
+    token_id), positions dense per doc in (token, symbol) order."""
+    merges = [(r["left"], r["right"])
+              for r in merges_df.orderBy("round").collect()]
+    wc = _word_counts(new_docs)
+    words = (wc.where(F.length("tok") >= 2)
+             .select("tok", _char_syms(F.col("tok")).alias("syms")))
+    for a, b in merges:
+        words = (words.select("tok",
+                              _apply_merge(F.col("syms"), a, b)
+                              .alias("syms"))
+                 .localCheckpoint())
+    toks = new_docs.select("doc_id",
+                           F.posexplode(tokens_col()).alias("tpos", "tok"))
+    enc = (toks.join(F.broadcast(words), "tok", "left")
+           .select("doc_id", "tpos",
+                   F.coalesce("syms", F.array(F.col("tok"))).alias("syms")))
+    sym_rows = enc.select("doc_id", "tpos",
+                          F.posexplode("syms").alias("spos", "symbol"))
+    w = Window.partitionBy("doc_id").orderBy("tpos", "spos")
+    return (sym_rows
+            .join(F.broadcast(vocab_df), "symbol", "left")
+            .withColumn("pos", (F.row_number().over(w) - 1).cast("int"))
+            .select("doc_id", "pos", "symbol",
+                    F.coalesce("token_id", F.lit(-1).cast("bigint"))
+                    .alias("token_id")))
+
+
+_TOKENIZER_DIRS: list[str] = []
+_TOKENIZER_ATEXIT = False
+
+
+def bpe_encode_increment(spark: SparkSession, sf_dir: str,
+                         n_merges: int = 8) -> DataFrame:
+    """Driver-gate fixture (full hash): the incremental tokenizer loop
+    end to end — train on the EVEN-doc_id half of the corpus, persist
+    the tokenizer to a parquet store and read it back, then encode the
+    ODD half as the arriving increment (stored merges + stored vocab
+    ids, OOV -> -1). The oracle re-derives the even-half training chain
+    and the odd-half layout directly. Scratch tokenizer dirs live until
+    process exit (the stored-IVF-index pattern) so the returned frame
+    stays valid lazily."""
+    import atexit
+    import shutil
+    import tempfile
+
+    global _TOKENIZER_ATEXIT
+    if n_merges != 8:
+        raise ValueError(
+            f"bpe_encode_increment oracle pins n_merges=8; got "
+            f"{n_merges} — use bpe_persist_tokenizer/"
+            f"bpe_encode_with_tokenizer directly for other settings")
+    docs = load(spark, sf_dir, "documents")
+    base = docs.where(F.col("doc_id") % 2 == 0)
+    inc = docs.where(F.col("doc_id") % 2 == 1)
+    workdir = tempfile.mkdtemp(prefix="bpe_tokenizer_")
+    _TOKENIZER_DIRS.append(workdir)
+    if not _TOKENIZER_ATEXIT:
+        atexit.register(
+            lambda: [shutil.rmtree(d, ignore_errors=True)
+                     for d in _TOKENIZER_DIRS])
+        _TOKENIZER_ATEXIT = True
+    bpe_persist_tokenizer(base, workdir, n_merges)
+    merges_df = spark.read.parquet(os.path.join(workdir, "merges"))
+    vocab_df = spark.read.parquet(os.path.join(workdir, "vocab"))
+    return bpe_encode_with_tokenizer(inc, merges_df, vocab_df)
 
 
 def bpe_compression_stats_df(docs: DataFrame,

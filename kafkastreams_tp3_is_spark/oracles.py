@@ -3266,14 +3266,16 @@ ORACLES["q7_stream_total_capacity"] = ORACLES["q7_total_capacity_available"]
 # corpus). A vanished-pair round leaves b{k} empty, which empties w{k}
 # and every later round — the oracle then emits fewer rows, matching the
 # trainer's break. This upgrades the entry from rows-only to full hash.
-def _bpe_chain_parts(n_merges: int) -> list:
+def _bpe_chain_parts(n_merges: int, where: str = "") -> list:
     """The shared train-chain CTEs: w0 (wrapped word table, training
     filter length>=2), then per round k the pair counts p{k}, the
-    argmax b{k}, and the merged table w{k}."""
+    argmax b{k}, and the merged table w{k}. ``where`` filters the
+    TRAINING corpus (e.g. 'WHERE doc_id % 2 = 0' for the incremental
+    gate's base half)."""
     parts = [f"""w0 AS (
   SELECT regexp_replace(tok, '(.)', '|\\1|', 'g') AS w, cnt FROM (
     SELECT tok, COUNT(*) AS cnt
-    FROM (SELECT unnest({_TOKENS}) AS tok FROM documents)
+    FROM (SELECT unnest({_TOKENS}) AS tok FROM documents {where})
     WHERE length(tok) >= 2 GROUP BY tok)
 )"""]
     for k in range(1, n_merges + 1):
@@ -3397,6 +3399,84 @@ ORACLES["bpe_encode_docs"] = (
 SELECT p.doc_id, p.pos, p.symbol, i.token_id
 FROM posed p JOIN ids i ON p.symbol = i.symbol
 """)
+
+
+# bpe_encode_increment (text.py): train on the even-doc_id half, derive
+# the stored tokenizer's vocab ids from the base corpus, then encode the
+# odd half as the arriving increment — stored merges replayed over the
+# INCREMENT's distinct tokens, stored ids LEFT-joined, OOV symbols -> -1
+# (the UNK sentinel).
+def _bpe_encode_increment_oracle(n_merges: int = 8) -> str:
+    parts = _bpe_chain_parts(n_merges, "WHERE doc_id % 2 = 0")
+    parts.append(f"""encb0 AS (
+  SELECT tok, regexp_replace(tok, '(.)', '|\\1|', 'g') AS w
+  FROM (SELECT DISTINCT tok
+        FROM (SELECT unnest({_TOKENS}) AS tok FROM documents
+              WHERE doc_id % 2 = 0))
+)""")
+    for k in range(1, n_merges + 1):
+        parts.append(f"""encb{k} AS (
+  SELECT e.tok,
+         COALESCE(replace(e.w, '|' || b.a || '||' || b.b || '|',
+                          '|' || b.a || b.b || '|'), e.w) AS w
+  FROM encb{k - 1} e LEFT JOIN b{k} b ON TRUE
+)""")
+    parts.append(f"""ids AS (
+  SELECT symbol,
+         CAST(ROW_NUMBER() OVER (ORDER BY symbol) - 1 AS BIGINT)
+           AS token_id
+  FROM (SELECT DISTINCT unnest(
+            list_filter(string_split(w, '|'), x -> x <> '')) AS symbol
+        FROM encb{n_merges})
+),
+enci0 AS (
+  SELECT tok, regexp_replace(tok, '(.)', '|\\1|', 'g') AS w
+  FROM (SELECT DISTINCT tok
+        FROM (SELECT unnest({_TOKENS}) AS tok FROM documents
+              WHERE doc_id % 2 = 1))
+)""")
+    for k in range(1, n_merges + 1):
+        parts.append(f"""enci{k} AS (
+  SELECT e.tok,
+         COALESCE(replace(e.w, '|' || b.a || '||' || b.b || '|',
+                          '|' || b.a || b.b || '|'), e.w) AS w
+  FROM enci{k - 1} e LEFT JOIN b{k} b ON TRUE
+)""")
+    parts.append(f"""incsyms AS (
+  SELECT tok, list_filter(string_split(w, '|'), x -> x <> '') AS s
+  FROM enci{n_merges}
+),
+dt AS (
+  SELECT doc_id, CAST(i - 1 AS INTEGER) AS tpos, t AS tok
+  FROM (SELECT doc_id,
+               unnest(generate_series(1, len(tk))) AS i,
+               unnest(tk) AS t
+        FROM (SELECT doc_id, {_TOKENS} AS tk FROM documents
+              WHERE doc_id % 2 = 1))
+),
+ds AS (
+  SELECT doc_id, tpos, CAST(j - 1 AS INTEGER) AS spos, sy AS symbol
+  FROM (SELECT d.doc_id, d.tpos,
+               unnest(generate_series(1, len(e.s))) AS j,
+               unnest(e.s) AS sy
+        FROM dt d JOIN incsyms e ON d.tok = e.tok)
+),
+posed AS (
+  SELECT doc_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                                 ORDER BY tpos, spos) - 1 AS INTEGER)
+           AS pos,
+         symbol
+  FROM ds
+)""")
+    return ("WITH " + ",\n".join(parts) + """
+SELECT p.doc_id, p.pos, p.symbol,
+       CAST(COALESCE(i.token_id, -1) AS BIGINT) AS token_id
+FROM posed p LEFT JOIN ids i ON p.symbol = i.symbol
+""")
+
+
+ORACLES["bpe_encode_increment"] = _bpe_encode_increment_oracle(8)
 
 
 # bpe_compression_stats (text.py): per-source chars-per-token under the

@@ -378,3 +378,43 @@ def test_bpe_compression_stats_hand_computed(spark):
     for src, (nd, nt, nc) in want.items():
         ratio = nc / nt if nt else 0.0
         assert got[src] == (nd, nt, nc, ratio), src
+
+
+def test_bpe_stored_tokenizer_roundtrip_and_oov(spark, tmp_path):
+    """The persisted tokenizer reproduces the in-process encode exactly
+    (same corpus -> same merges, vocab ids, per-doc layout), and an
+    increment symbol outside the trained vocabulary encodes as the -1
+    UNK sentinel."""
+    from kafkastreams_tp3_is_spark.operators.text import (
+        bpe_encode_docs_df, bpe_encode_with_tokenizer,
+        bpe_persist_tokenizer)
+
+    base = spark.createDataFrame(
+        [(0, "aaa banana banana bandana"), (2, "low lower lowest low")],
+        "doc_id long, text string")
+    path = str(tmp_path / "tok")
+    bpe_persist_tokenizer(base, path, n_merges=8)
+    merges = spark.read.parquet(f"{path}/merges")
+    vocab = spark.read.parquet(f"{path}/vocab")
+
+    def rows(df):
+        return sorted((r["doc_id"], r["pos"], r["symbol"], r["token_id"])
+                      for r in df.collect())
+
+    # round-trip: encoding the training corpus through the STORED
+    # tokenizer equals the train-and-encode-in-one-pass result
+    assert rows(bpe_encode_with_tokenizer(base, merges, vocab)) == \
+        rows(bpe_encode_docs_df(base, 8))
+
+    # increment with unseen characters ('zq!' never occur in base):
+    # every unseen single-char symbol must come back as UNK -1, known
+    # symbols keep their stored ids
+    inc = spark.createDataFrame([(1, "aaa zq!")], "doc_id long, text string")
+    got = rows(bpe_encode_with_tokenizer(inc, merges, vocab))
+    by_symbol = {s: t for _, _, s, t in got}
+    assert by_symbol["z"] == -1 and by_symbol["q"] == -1 \
+        and by_symbol["!"] == -1
+    known = {r["symbol"]: r["token_id"] for r in vocab.collect()}
+    for _, _, s, t in got:
+        if s not in ("z", "q", "!"):
+            assert t == known[s], s
