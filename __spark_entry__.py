@@ -33,6 +33,7 @@ from kafkastreams_tp3_is_spark.operators import sketch as _sketch
 from kafkastreams_tp3_is_spark.operators import temporal as _temporal
 from kafkastreams_tp3_is_spark.operators import text as _text
 from kafkastreams_tp3_is_spark.streaming import envelope as _env
+from kafkastreams_tp3_is_spark.streaming import incremental as _inc
 from kafkastreams_tp3_is_spark.streaming import join as _ssjoin
 from kafkastreams_tp3_is_spark.streaming import runner as _runner
 from kafkastreams_tp3_is_spark.streaming import stateful as _stateful
@@ -48,84 +49,29 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # --- ROTATION BLOCK (round 13) ------------------------------------
+        # --- ROTATION BLOCK (round 14) ------------------------------------
         # The driver's correctness run caps near 50 entries in registration
-        # order. Front: the five entries that missed the r12 cap (bpe_train
-        # and mmr_rerank carry full-hash gates upgraded in r12 with no
-        # driver row yet; bpe_encode_vocab and curriculum_order are r12
-        # newcomers the judge verified but the driver never rowed), the two
-        # NEW r13 entries (bpe_encode_docs + pack_bpe_sequences — the
-        # train -> encode -> pack loop closed), ann_cosine_topk_ivf (gate
-        # upgraded rows-only -> full hash this round), then the stalest
-        # driver rows oldest-first: the r8-dated block (corpus_stats ..
-        # pack_token_sequences), the two r9-dated pipeline entries, the
-        # entire r10-dated text/curation/events/retrieval remainder, and
-        # five r11-dated fuzzy/bug-compat entries to fill the cap.
-        # Everything below the cap holds a green r11/r12 driver row under
-        # code re-proven every run by the sf0.001 pytest oracle and the
-        # sf0.1 parity sweep.
-        "bpe_train": _text.bpe_train,  # gate upgraded rows-only -> full hash in r12
-        "mmr_rerank": _sim.mmr_rerank,  # gate upgraded rows-only -> full hash in r12
-        "bpe_encode_vocab": _text.bpe_encode_vocab,  # NEW r12: BPE inference half
-        "curriculum_order": _cur.curriculum_order,  # NEW r12: staged training order
-        "events_sessionize": _events.sessionize,
-        "bpe_encode_docs": _text.bpe_encode_docs,  # NEW r13: per-doc BPE token-id sequences
-        "pack_bpe_sequences": _ret.pack_bpe_sequences,  # NEW r13: pack over learned BPE ids
-        "bpe_compression_stats": _text.bpe_compression_stats,  # NEW r13: tokenizer compression report
-        "bpe_encode_increment": _text.bpe_encode_increment,  # NEW r13: stored-tokenizer increment encode
-        "ann_cosine_topk_ivf": _sim.ann_cosine_topk_ivf,
-        # ^ gate upgraded rows-only -> full hash in r13 (flat-centroid
-        #   probe ranking; trained kmeans stays rows-only via
-        #   ann_recall_ivf_trained / ann_recall_stored)
-        "corpus_stats": _text.corpus_stats,
-        "doc_commonness": _text.doc_commonness,
-        "heavy_hitters": _sketch.heavy_hitters,
-        "lang_confusion": _text.lang_confusion,
-        # --- r11-green entries (CORRECTNESS_r11.json) -------------------------
-        "pack_token_sequences": _ret.pack_token_sequences,
-        "corpus_clean": _pipe.corpus_clean,
-        "decontaminate_spans_bloom": _dedup.decontaminate_spans_bloom,
-        "text_token_count": _text.token_count,
-        "text_quality_score": _text.quality_score,
-        "text_lang_id": _text.lang_id,
-        "text_fingerprint": _text.fingerprint,
-        "text_vocab_topk": _text.vocab_top_tokens,
-        "repetition_signals": _text.repetition_signals,
-        "quality_filter": _text.quality_filter,
-        "sample_deterministic": _cur.sample_deterministic,
-        "train_val_test_split": _cur.train_val_test_split,
-        "normalize_text": _cur.normalize_text,
-        "pii_scrub": _cur.pii_scrub,
-        "pack_sequences": lambda spark, sf_dir: _cur.pack_sequences(
-            spark, sf_dir, n_shards=16),
-        "error_incident_events": _temporal.error_incident_events,
-        "trip_time_rollup": _olap.trip_time_rollup,
-        "events_value_quantiles": _olap.events_value_quantiles,  # rows-only
-        "bm25_search": _ret.bm25_search,
-        "corpus_diff": _cur.corpus_diff,
-        "events_funnel": _events.funnel,
-        "events_attribution": _temporal.events_attribution,
-        "vocab_drift": _text.vocab_drift,
-        "mix_temperature": _cur.mix_temperature,
-        "ann_cosine_topk_stored_probe": _ivf.ann_cosine_topk_stored_probe,  # rows-only
-        "dedup_suffix_prefix": _dedup.dedup_suffix_prefix,
-        "events_sliding_counts": _events.sliding_counts,
-        "events_json_props_stats": _events.json_props_stats,
-        "events_topk_users": _events.topk_users,
-        "events_user_anomaly": _events.user_anomaly,
-        "events_cohort_retention": _events.cohort_retention,
-        "trips_asof_route_version": _temporal.trips_asof_route_version,
-        "tokenize_ids": _ret.tokenize_ids,
-        "fuzzy_edit_pairs_all": _fuzzy.fuzzy_edit_pairs_all,
-        "fuzzy_dup_clusters_all": _fuzzy.fuzzy_dup_clusters_all,
-        "fuzzy_dedup_against": _fuzzy.fuzzy_dedup_against,
+        # order. Front: containment_pairs (semantics CHANGED this round —
+        # df<=64 hot-shingle cap on the prefix join, the r13 scale fix —
+        # so its row must be re-proven), its NEW r14 companions
+        # (containment_hot_audit = the cap's no-silent-drops accounting,
+        # bpe_encode_increment_stream = the stored-tokenizer encode wired
+        # into a foreachBatch stream, r13 ask #6), the exact quantiles
+        # twin promoted to the driver-facing entry (r13 ask #7 — the GK
+        # sketch keeps its pytest rank-error floor below the cap), then
+        # ALL 44 remaining entries whose freshest driver row is r11 (the
+        # r13 verdict's staleness tail), and two r12 entries to fill the
+        # cap. Everything below the cap holds a green r12/r13 driver row
+        # under code re-proven every run by the sf0.001 pytest oracle and
+        # the per-round sf0.1 parity sweep.
+        "containment_pairs": _dedup.containment_pairs,
+        "containment_hot_audit": _dedup.containment_hot_audit,  # NEW r14: df-cap accounting twin
+        "bpe_encode_increment_stream": _inc.bpe_encode_increment_stream,  # NEW r14: per-trigger stored-tokenizer encode
+        "events_value_quantiles_exact": _olap.events_value_quantiles_exact,
         "q12_bug_compat": _q.q12_bug_compat,
         "q13_bug_compat": _q.q13_bug_compat,
-        # === BELOW THE DRIVER CAP ==========================================
-        # --- remaining r11-green entries (CORRECTNESS_r11.json) -------------
         "ann_cosine_topk_lsh": _sim.ann_cosine_topk_lsh,  # pin-guarded wrapper
         "contrastive_triplets": _sim.contrastive_triplets,
-        "containment_pairs": _dedup.containment_pairs,
         "bpe_merge_candidates": _text.bpe_merge_candidates,
         "embedding_gram_sq8": _embstats.embedding_gram_sq8,
         "split_by_content": _cur.split_by_content,
@@ -166,18 +112,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trips_route_update_stream_join": _ssjoin.trips_route_update_stream_join,
         "tfidf_topk": _ret.tfidf_topk,
         "embedding_matryoshka_recall": _sim.embedding_matryoshka_recall,
-        # --- r12-green entries (CORRECTNESS_r12.json) -----------------------
         "dsir_bucket_stats": _dsir.dsir_bucket_stats_gate,
         "dsir_select": _dsir.dsir_select_gate,
+        # === BELOW THE DRIVER CAP ==========================================
+        # --- entries with green r12/r13 driver rows ------------------------
+        "bpe_train": _text.bpe_train,  # gate upgraded rows-only -> full hash in r12
+        "mmr_rerank": _sim.mmr_rerank,  # gate upgraded rows-only -> full hash in r12
+        "bpe_encode_vocab": _text.bpe_encode_vocab,  # NEW r12: BPE inference half
+        "curriculum_order": _cur.curriculum_order,  # NEW r12: staged training order
+        "events_sessionize": _events.sessionize,
+        "bpe_encode_docs": _text.bpe_encode_docs,  # NEW r13: per-doc BPE token-id sequences
+        "pack_bpe_sequences": _ret.pack_bpe_sequences,  # NEW r13: pack over learned BPE ids
+        "bpe_compression_stats": _text.bpe_compression_stats,  # NEW r13: tokenizer compression report
+        "bpe_encode_increment": _text.bpe_encode_increment,  # NEW r13: stored-tokenizer increment encode
+        "ann_cosine_topk_ivf": _sim.ann_cosine_topk_ivf,
+        "corpus_stats": _text.corpus_stats,
+        "doc_commonness": _text.doc_commonness,
+        "heavy_hitters": _sketch.heavy_hitters,
+        "lang_confusion": _text.lang_confusion,
+        "pack_token_sequences": _ret.pack_token_sequences,
+        "corpus_clean": _pipe.corpus_clean,
+        "decontaminate_spans_bloom": _dedup.decontaminate_spans_bloom,
+        "text_token_count": _text.token_count,
+        "text_quality_score": _text.quality_score,
+        "text_lang_id": _text.lang_id,
+        "text_fingerprint": _text.fingerprint,
+        "text_vocab_topk": _text.vocab_top_tokens,
+        "repetition_signals": _text.repetition_signals,
+        "quality_filter": _text.quality_filter,
+        "sample_deterministic": _cur.sample_deterministic,
+        "train_val_test_split": _cur.train_val_test_split,
+        "normalize_text": _cur.normalize_text,
+        "pii_scrub": _cur.pii_scrub,
+        "pack_sequences": lambda spark, sf_dir: _cur.pack_sequences(
+            spark, sf_dir, n_shards=16),
+        "error_incident_events": _temporal.error_incident_events,
+        "trip_time_rollup": _olap.trip_time_rollup,
+        "events_value_quantiles": _olap.events_value_quantiles,  # rows-only
+        "bm25_search": _ret.bm25_search,
+        "corpus_diff": _cur.corpus_diff,
+        "events_funnel": _events.funnel,
+        "events_attribution": _temporal.events_attribution,
+        "vocab_drift": _text.vocab_drift,
+        "mix_temperature": _cur.mix_temperature,
+        "ann_cosine_topk_stored_probe": _ivf.ann_cosine_topk_stored_probe,  # rows-only
+        "dedup_suffix_prefix": _dedup.dedup_suffix_prefix,
+        "events_sliding_counts": _events.sliding_counts,
+        "events_json_props_stats": _events.json_props_stats,
+        "events_topk_users": _events.topk_users,
+        "events_user_anomaly": _events.user_anomaly,
+        "events_cohort_retention": _events.cohort_retention,
+        "trips_asof_route_version": _temporal.trips_asof_route_version,
+        "tokenize_ids": _ret.tokenize_ids,
+        "fuzzy_edit_pairs_all": _fuzzy.fuzzy_edit_pairs_all,
+        "fuzzy_dup_clusters_all": _fuzzy.fuzzy_dup_clusters_all,
+        "fuzzy_dedup_against": _fuzzy.fuzzy_dedup_against,
         "dsir_resample_gumbel": _dsir.dsir_resample_gumbel_gate,
         "dsir_select_increment": _dsir.dsir_select_increment,
         "q5_stream_passengers_per_route": _runner.q5_passengers_per_route_stream,
         "q7_stream_total_capacity": _runner.q7_total_capacity_available_stream,
-        # --- r9-dated remainder (26, freshest rows r9) ----------------------
         "media_dhash_pairs": _mm.media_dhash_pairs,
         "ann_cosine_topk_stored": _ivf.ann_cosine_topk_stored,  # rows-only
         "materialize_mixture": _cur.materialize_mixture,
-        "events_value_quantiles_exact": _olap.events_value_quantiles_exact,
         "ann_cosine_topk_sq8": _sim.cosine_topk_sq8,
         "paragraph_dedup": _dedup.paragraph_dedup,
         "pack_efficiency": _cur.pack_efficiency,
@@ -200,7 +196,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": _ivf.embedding_near_dup_ivf,  # rows-only
         "embedding_near_dup_exact": _sim.embedding_near_dup_exact,
         "ann_cosine_topk": _sim.cosine_topk_bruteforce,
-        # --- oldest r10-dated entries (fill the cap to 50) -------------------
         "q9_total_passengers": _q.q9_total_passengers,
         "q10_transport_type_max_passengers": _q.q10_transport_type_max_passengers,
         "q11_transport_type_max_passengers_window": _q.q11_transport_type_max_passengers_window,

@@ -1009,8 +1009,9 @@ def dedup_suffix_prefix(spark: SparkSession, sf_dir: str,
 # --- asymmetric containment dedup --------------------------------------
 
 def containment_pairs_df(docs: DataFrame, k: int = 9,
-                         threshold: float = 0.9) -> DataFrame:
-    """EXACT asymmetric shingle-containment pairs: emit (container a,
+                         threshold: float = 0.9,
+                         max_prefix_df: int = 64) -> DataFrame:
+    """Asymmetric shingle-containment pairs: emit (container a,
     contained b, containment = |A∩B| / |B|) for every ordered pair with
     containment >= threshold. The dedup case Jaccard structurally
     misses: a short document embedded verbatim inside a much longer one
@@ -1018,21 +1019,41 @@ def containment_pairs_df(docs: DataFrame, k: int = 9,
     — arbitrarily small — while containment is ~1.
 
     Scale (the SSJoin prefix filter, adapted to the asymmetric bound):
-    containment >= t forces |A∩B| >= ceil(t*|B|), so B must share at
-    least one of its first |B| - ceil(t*|B|) + 1 rarest shingles
-    (global (df, value) order) with A — the CONTAINED side alone is
-    prefix-pruned and joins against the full inverted index; no length
+    containment >= t forces |A∩B| >= ceil(t*|B|), so A must share at
+    least one of ANY p = |B| - ceil(t*|B|) + 1 shingles of B — the
+    CONTAINED side alone is prefix-pruned (rarest-p by global (df,
+    hash) order) and joins against the full inverted index; no length
     filter applies (that is the point: |A| is unbounded). Candidates
     then verify exactly on the hashed sets — one array_intersect and
-    ONE integer division, bit-identical to the all-pairs SQL oracle.
-    Candidate volume is sum over B-prefix shingles of df(s) — rare-
-    shingle bounded, never all-pairs.
+    ONE integer division.
+
+    Hot-shingle cap (``max_prefix_df``): shingles with df >
+    max_prefix_df ("hot": corpus boilerplate — at 100 TB a hot shingle
+    is guaranteed) are excluded from prefix candidacy, bounding the
+    per-shingle join fan-out at max_prefix_df so candidate volume is
+    <= sum_B p_B * max_prefix_df — LINEAR in corpus size. Without it
+    df of common shingles grows with the corpus and candidates grow
+    ~quadratically (the one super-linear r13 scale-smoke entry).
+    Because cold (df <= cap) shingles sort strictly before hot ones in
+    the (df, hash) prefix order, the capped prefix is exactly the
+    rarest min(p_B, |cold_B|) COLD shingles, and the emitted set has a
+    tiebreak-free closed form the SQL oracle restates without ever
+    computing xxhash64:
+
+      a true pair (A, B) is emitted  iff  |cold_B| >= p_B
+                                          (the any-p-subset guarantee
+                                          holds entirely within cold)
+                                     or   A ∩ cold_B != ∅.
+
+    Dropped hot inverted-index rows are counted in an observe metric
+    (``containment_df_cap.hot_shingle_rows_dropped``, riding the
+    consumer's action — the no-silent-caps rule), and
+    ``containment_hot_audit`` is the queryable gate twin.
 
     NULL text shingles as '' (the dedup_exact convention): without the
     coalesce the engine hashes NULL to the xxhash64 seed — pairing any
     two NULL-text docs — while the oracle's raw-substring join never
     matches NULL, a latent parity break on corpora with NULL texts."""
-    from pyspark.sql import Window
     from pyspark import StorageLevel
 
     n_part = docs.sparkSession.sparkContext.defaultParallelism
@@ -1043,27 +1064,76 @@ def containment_pairs_df(docs: DataFrame, k: int = 9,
     ex = sets_df.select("doc_id", F.size("shingles").alias("n_sh"),
                         F.explode("shingles").alias("s"))
     df_counts = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-    w = Window.partitionBy("doc_id").orderBy("df", "s")
-    bpref = (ex.join(df_counts, "s")
-             .withColumn("rn", F.row_number().over(w))
-             .where(F.col("rn") <= F.col("n_sh")
-                    - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1)
-             .select(F.col("doc_id").alias("b_id"), "s"))
-    cands = (bpref.join(ex.select(F.col("doc_id").alias("a_id"), "s"), "s")
-             .where(F.col("a_id") != F.col("b_id"))
-             .select("a_id", "b_id")
-             .distinct())
+    with_df = ex.join(df_counts, "s").observe(
+        "containment_df_cap",
+        F.coalesce(F.sum((F.col("df") > max_prefix_df).cast("long")),
+                   F.lit(0)).alias("hot_shingle_rows_dropped"))
+    # EXTENDED prefix (PPJoin-style count filter, exactness-preserving):
+    # index the 2p rarest cold shingles of B instead of the minimal p.
+    # A true pair misses at most p-1 of B's shingles TOTAL, so within
+    # the P = min(|cold_B|, 2p) indexed rows it must share
+    # c >= thr = P - p + 1 — a groupBy-count filter that kills the
+    # ~1000:1 false candidates BEFORE the array-carrying verify join,
+    # while the emitted-set closed form (docstring above) is untouched:
+    # when |cold_B| <= p, thr <= 1, degenerating to "A ∩ cold_B != ∅".
+    # The rarest-2p selection is ONE groupBy + row-local array_sort /
+    # slice (per-doc cold counts are shingle-count-bounded), not a
+    # row_number window — the window spelling costs two WindowExec
+    # sort passes over every cold inverted-index row.
+    p = (F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1)
+    bpref = (with_df
+             .where(F.col("df") <= max_prefix_df)
+             .groupBy("doc_id", "n_sh")
+             .agg(F.collect_list(F.struct("df", "s")).alias("cold"))
+             .select(F.col("doc_id").alias("b_id"),
+                     F.col("n_sh").alias("n_b"),
+                     (F.least(F.size("cold"), 2 * p) - p + 1)
+                     .alias("thr"),
+                     F.explode(
+                         F.slice(F.array_sort("cold"), 1,
+                                 (2 * p).cast("int"))).alias("ps"))
+             .select("b_id", "n_b", "thr", F.col("ps.s").alias("s")))
+    # length filter: containment >= t needs |A∩B| >= ceil(t*n_b) and
+    # |A∩B| <= n_a, so n_a >= ceil(t*n_b) — also IMPLIED by the output
+    # predicate (no semantic change, oracle untouched)
+    cands = (bpref.join(ex.select(F.col("doc_id").alias("a_id"),
+                                  F.col("n_sh").alias("n_a"), "s"), "s")
+             .where((F.col("a_id") != F.col("b_id"))
+                    & (F.col("n_a")
+                       >= F.ceil(F.lit(threshold) * F.col("n_b"))))
+             .groupBy("a_id", "b_id")
+             .agg(F.count(F.lit(1)).alias("c"),
+                  F.first("thr").alias("thr"))
+             .where(F.col("c") >= F.col("thr"))
+             .select("a_id", "b_id"))
     a_sets = sets_df.select(F.col("doc_id").alias("a_id"),
                             F.col("shingles").alias("a_sh"))
     b_sets = sets_df.select(F.col("doc_id").alias("b_id"),
                             F.col("shingles").alias("b_sh"))
     inter = F.size(F.array_intersect("a_sh", "b_sh"))
-    out = (cands.join(a_sets, "a_id").join(b_sets, "b_id")
+    # shuffle-hash hints: the probe side carries a shingle array per
+    # candidate row — a sort-merge join SORTS that payload (measured
+    # 10x: 290 s SMJ vs 28 s SHJ); the build sides are the bare doc
+    # tables, which always fit a per-partition hash map. b_sets joins
+    # FIRST so the second shuffle carries the CONTAINED-side array —
+    # excerpts are short, so those bytes are the smaller payload
+    out = (cands.join(b_sets.hint("shuffle_hash"), "b_id")
+           .join(a_sets.hint("shuffle_hash"), "a_id")
            .select("a_id", "b_id",
                    (inter.cast("double")
                     / F.size("b_sh").cast("double")).alias("containment"))
            .where(F.col("containment") >= threshold))
     return owned(out, sets_df)
+
+
+def _containment_gate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    excerpts = (docs.where((F.col("doc_id") % 25 == 0)
+                           & (F.length("text") >= 80))
+                .select((F.col("doc_id") + F.lit(2_000_000))
+                        .alias("doc_id"),
+                        F.expr("substring(text, 11, 60)").alias("text")))
+    return docs.unionByName(excerpts)
 
 
 def containment_pairs(spark: SparkSession, sf_dir: str, k: int = 9,
@@ -1075,14 +1145,54 @@ def containment_pairs(spark: SparkSession, sf_dir: str, k: int = 9,
     (a contiguous substring's k-grams are all parent k-grams). The
     operator must recover every planted (parent, excerpt) pair at
     containment 1.0; accidental cross-document containments are
-    computed identically by the all-pairs oracle."""
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    excerpts = (docs.where((F.col("doc_id") % 25 == 0)
-                           & (F.length("text") >= 80))
-                .select((F.col("doc_id") + F.lit(2_000_000))
-                        .alias("doc_id"),
-                        F.expr("substring(text, 11, 60)").alias("text")))
-    return containment_pairs_df(docs.unionByName(excerpts), k, threshold)
+    computed identically by the oracle, which restates the df<=64
+    hot-shingle cap via the tiebreak-free closed form in
+    ``containment_pairs_df``'s docstring."""
+    return containment_pairs_df(_containment_gate_docs(spark, sf_dir),
+                                k, threshold)
+
+
+def containment_hot_audit_df(docs: DataFrame, k: int = 9,
+                             threshold: float = 0.9,
+                             max_prefix_df: int = 64) -> DataFrame:
+    """The no-silent-caps companion to ``containment_pairs_df``: one
+    row quantifying exactly what the df cap removed from candidacy —
+    n_hot_shingles (distinct shingles with df > cap), n_hot_rows (hot
+    inverted-index rows excluded from the prefix join, the same number
+    the observe metric reports), n_unjoinable_docs (docs with ZERO cold
+    shingles — can never be found as the contained side), and
+    n_unguaranteed_docs (docs with 0 < |cold| < p whose recall now
+    depends on sharing a cold shingle rather than the any-p-subset
+    guarantee). All exact integers: full hash gate."""
+    docs = docs.withColumn("text", F.coalesce(F.col("text"), F.lit("")))
+    ex = (hashed_shingle_sets_df(docs, k)
+          .select("doc_id", F.size("shingles").alias("n_sh"),
+                  F.explode("shingles").alias("s")))
+    with_df = ex.join(
+        ex.groupBy("s").agg(F.count(F.lit(1)).alias("df")), "s")
+    per_doc = (with_df.groupBy("doc_id", "n_sh")
+               .agg(F.sum((F.col("df") <= max_prefix_df).cast("long"))
+                    .alias("n_cold")))
+    p = (F.col("n_sh")
+         - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1)
+    hot = with_df.where(F.col("df") > max_prefix_df)
+    return (hot.agg(
+                F.count_distinct("s").alias("n_hot_shingles"),
+                F.count(F.lit(1)).cast("bigint").alias("n_hot_rows"))
+            .crossJoin(per_doc.agg(
+                F.coalesce(F.sum((F.col("n_cold") == 0).cast("long")),
+                           F.lit(0)).alias("n_unjoinable_docs"),
+                F.coalesce(F.sum(((F.col("n_cold") > 0)
+                                  & (F.col("n_cold") < p)).cast("long")),
+                           F.lit(0)).alias("n_unguaranteed_docs"))))
+
+
+def containment_hot_audit(spark: SparkSession, sf_dir: str, k: int = 9,
+                          threshold: float = 0.9) -> DataFrame:
+    """Driver-gate fixture (full hash oracle): the cap audit over the
+    same planted parent/excerpt corpus ``containment_pairs`` scans."""
+    return containment_hot_audit_df(_containment_gate_docs(spark, sf_dir),
+                                    k, threshold)
 
 
 # --- winnowing fingerprints (MOSS) --------------------------------------

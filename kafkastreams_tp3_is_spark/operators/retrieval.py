@@ -252,6 +252,11 @@ def pack_bpe_sequences(spark: SparkSession, sf_dir: str,
     packing contract."""
     from .text import bpe_encode_docs_df
 
+    if (seq_len, n_shards) != (128, 16):
+        raise ValueError(
+            f"pack_bpe_sequences oracle pins seq_len=128, n_shards=16; "
+            f"got ({seq_len}, {n_shards}) — use pack_token_sequences_df "
+            f"over bpe_encode_docs_df directly for other settings")
     rows = bpe_encode_docs_df(load(spark, sf_dir, "documents"))
     return pack_token_sequences_df(rows.select("doc_id", "pos", "token_id"),
                                    seq_len=seq_len, n_shards=n_shards)

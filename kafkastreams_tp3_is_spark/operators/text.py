@@ -864,9 +864,26 @@ def bpe_encode_with_tokenizer(new_docs: DataFrame, merges_df: DataFrame,
     token_id), positions dense per doc in (token, symbol) order."""
     merges = [(r["left"], r["right"])
               for r in merges_df.orderBy("round").collect()]
+    return bpe_encode_with_merges(new_docs, merges, vocab_df)
+
+
+def bpe_encode_with_merges(new_docs: DataFrame,
+                           merges: list[tuple[str, str]],
+                           vocab_df: DataFrame) -> DataFrame:
+    """``bpe_encode_with_tokenizer`` with the merge list already on the
+    driver — the shape a long-lived consumer (the streaming encoder)
+    wants: collect the contract-bounded merges ONCE at startup, not
+    once per micro-batch."""
     wc = _word_counts(new_docs)
+    # the word table is vocabulary-bounded (distinct tokens of the
+    # increment), but it inherits the session's full shuffle-partition
+    # count from the groupBy — under a stock 200-partition session the
+    # per-merge localCheckpoint barrier then costs 200 near-empty tasks
+    # PER ROUND, which dominates a per-trigger streaming encode;
+    # coalesce to a handful of partitions before the fold
     words = (wc.where(F.length("tok") >= 2)
-             .select("tok", _char_syms(F.col("tok")).alias("syms")))
+             .select("tok", _char_syms(F.col("tok")).alias("syms"))
+             .coalesce(8))
     for a, b in merges:
         words = (words.select("tok",
                               _apply_merge(F.col("syms"), a, b)

@@ -2343,9 +2343,14 @@ FROM (
 """
 
 # Asymmetric containment pairs over the planted parent/excerpt corpus:
-# naive all-pairs restatement (containment = |A∩B| / |B|, ordered
-# pairs, one integer division) — the prefix-filtered engine must equal
-# it exactly.
+# all-pairs restatement (containment = |A∩B| / |B|, ordered pairs, one
+# integer division) INTERSECTED with the df<=64 hot-shingle cap's
+# tiebreak-free closed form (operators/dedup.py containment_pairs_df):
+# cold (df<=cap) shingles sort strictly before hot ones in the engine's
+# (df, hash) prefix order, so a true pair (A, B) survives the capped
+# prefix join iff |cold_B| >= p_B = n_B - ceil(0.9*n_B) + 1 (the
+# any-p-subset guarantee holds entirely within cold) or A shares a
+# cold shingle of B — no xxhash64 tiebreak ever needed.
 ORACLES["containment_pairs"] = """
 WITH base AS (
   SELECT doc_id, COALESCE(text, '') AS text FROM documents
@@ -2360,15 +2365,61 @@ sh AS (
         FROM base)
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+dfs AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY s),
+cold AS (SELECT sh.doc_id, sh.s FROM sh JOIN dfs USING (s) WHERE df <= 64),
+ncold AS (SELECT doc_id, COUNT(*) AS nc FROM cold GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS i
   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
   GROUP BY 1, 2
+),
+coldshare AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM sh a JOIN cold b ON a.s = b.s AND a.doc_id <> b.doc_id
 )
-SELECT a_id, b_id,
-       CAST(i AS DOUBLE) / CAST(sb.n AS DOUBLE) AS containment
-FROM inter JOIN sizes sb ON sb.doc_id = b_id
-WHERE CAST(i AS DOUBLE) / CAST(sb.n AS DOUBLE) >= 0.9
+SELECT i.a_id, i.b_id,
+       CAST(i.i AS DOUBLE) / CAST(sb.n AS DOUBLE) AS containment
+FROM inter i
+JOIN sizes sb ON sb.doc_id = i.b_id
+LEFT JOIN ncold nb ON nb.doc_id = i.b_id
+LEFT JOIN coldshare cs ON cs.a_id = i.a_id AND cs.b_id = i.b_id
+WHERE CAST(i.i AS DOUBLE) / CAST(sb.n AS DOUBLE) >= 0.9
+  AND (COALESCE(nb.nc, 0) >= sb.n - CEIL(0.9 * sb.n) + 1
+       OR cs.a_id IS NOT NULL)
+"""
+
+# The cap's no-silent-drops audit twin: exact integer accounting of
+# what the df<=64 cut removed from containment candidacy.
+ORACLES["containment_hot_audit"] = """
+WITH base AS (
+  SELECT doc_id, COALESCE(text, '') AS text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000, substr(text, 11, 60)
+  FROM documents WHERE doc_id % 25 = 0 AND length(text) >= 80
+),
+sh AS (
+  SELECT DISTINCT doc_id, substring(text, CAST(g AS INTEGER), 9) AS s
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(1, greatest(length(text) - 8, 1))) AS g
+        FROM base)
+),
+dfs AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY s),
+hot AS (SELECT sh.doc_id, sh.s FROM sh JOIN dfs USING (s) WHERE df > 64),
+percold AS (
+  SELECT sh.doc_id, COUNT(*) AS n,
+         SUM(CASE WHEN dfs.df <= 64 THEN 1 ELSE 0 END) AS nc
+  FROM sh JOIN dfs USING (s)
+  GROUP BY 1
+)
+SELECT (SELECT CAST(COUNT(DISTINCT s) AS BIGINT) FROM hot)
+         AS n_hot_shingles,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM hot) AS n_hot_rows,
+       (SELECT CAST(COALESCE(SUM(CASE WHEN nc = 0 THEN 1 ELSE 0 END), 0)
+                    AS BIGINT) FROM percold) AS n_unjoinable_docs,
+       (SELECT CAST(COALESCE(SUM(CASE WHEN nc > 0
+                                  AND nc < n - CEIL(0.9 * n) + 1
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT)
+        FROM percold) AS n_unguaranteed_docs
 """
 
 # One BPE merge round's pair counts: adjacent char 2-grams inside
@@ -3477,6 +3528,12 @@ FROM posed p LEFT JOIN ids i ON p.symbol = i.symbol
 
 
 ORACLES["bpe_encode_increment"] = _bpe_encode_increment_oracle(8)
+
+# The streaming twin encodes the same odd-half increment against the
+# same stored even-half tokenizer, one micro-batch at a time; documents
+# are encoded independently, so the token store must equal the one-shot
+# batch encode — the SAME oracle gates both.
+ORACLES["bpe_encode_increment_stream"] = _bpe_encode_increment_oracle(8)
 
 
 # bpe_compression_stats (text.py): per-source chars-per-token under the

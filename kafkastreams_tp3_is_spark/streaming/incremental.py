@@ -317,3 +317,148 @@ class StreamingCorpusDedup:
             for d in fold:
                 if d != f"batch={max_id}c":
                     shutil.rmtree(os.path.join(root, d))
+
+
+class StreamingBpeEncoder:
+    """foreachBatch sink: tokenize arriving documents per-trigger
+    against a PERSISTED BPE tokenizer (``bpe_persist_tokenizer``'s
+    merges + vocab parquet store) and append the (doc_id, pos, symbol,
+    token_id) rows to a token store — the VERDICT-r13 ask #6 loop:
+    train once on a corpus snapshot, then every crawl increment is
+    tokenized as it lands, never re-reading the training corpus.
+
+    Per-trigger cost is the batch's OWN dictionary rebuild (merge
+    replay over the batch's distinct tokens — vocabulary-bounded) plus
+    two broadcast joins linear in the batch's token occurrences; the
+    merge list is collected ONCE at construction (contract-bounded:
+    one row per trained merge). Writes use the batch=<id> overwrite
+    discipline shared with StreamingCorpusDedup, so a foreachBatch
+    retry replaces its own partial output instead of duplicating
+    token rows, and a checkpoint marker guards the store against a
+    foreign checkpoint's restarting batch ids."""
+
+    def __init__(self, spark: SparkSession, tokenizer_dir: str,
+                 out_dir: str):
+        from ..operators.text import bpe_encode_with_merges  # noqa: F401
+
+        self.spark = spark
+        self.out_dir = out_dir
+        merges_df = spark.read.parquet(
+            os.path.join(tokenizer_dir, "merges"))
+        self._merges = [(r["left"], r["right"])
+                        for r in merges_df.orderBy("round").collect()]
+        self._vocab = spark.read.parquet(
+            os.path.join(tokenizer_dir, "vocab"))
+
+    def process(self, batch_df: DataFrame, batch_id: int) -> None:
+        from ..operators.text import bpe_encode_with_merges
+
+        batch = batch_df.select("doc_id", "text")
+        if batch.isEmpty():
+            return
+        enc = bpe_encode_with_merges(batch, self._merges, self._vocab)
+        enc.write.mode("overwrite").parquet(
+            os.path.join(self.out_dir, f"batch={batch_id}"))
+
+    def _guard_checkpoint(self, checkpoint_dir: str) -> None:
+        """The overwrite-per-batch_id idempotence is only safe under
+        ONE checkpoint's batch-id sequence (see StreamingCorpusDedup's
+        guard for the full rationale); same marker discipline, one
+        store."""
+        ckpt = os.path.abspath(checkpoint_dir)
+        marker = os.path.join(self.out_dir, "_checkpoint_marker.json")
+        has_batches = (os.path.isdir(self.out_dir)
+                       and any(d.startswith("batch=")
+                               for d in os.listdir(self.out_dir)))
+        if os.path.isfile(marker):
+            with open(marker) as f:
+                recorded = json.load(f).get("checkpoint_dir")
+            if recorded == ckpt:
+                return
+            if has_batches:
+                raise RuntimeError(
+                    f"token store {self.out_dir!r} was built by the "
+                    f"stream checkpointed at {recorded!r}; running it "
+                    f"with checkpoint {ckpt!r} would restart batch ids "
+                    "at 0 and overwrite earlier batches.")
+        elif has_batches:
+            raise RuntimeError(
+                f"token store {self.out_dir!r} contains batch "
+                "subdirectories but no checkpoint marker — refusing to "
+                "run a stream over it (batch-id collisions would "
+                "silently overwrite data).")
+        os.makedirs(self.out_dir, exist_ok=True)
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"checkpoint_dir": ckpt}, f)
+        os.replace(tmp, marker)
+
+    def run(self, doc_stream: DataFrame, checkpoint_dir: str) -> None:
+        self._guard_checkpoint(checkpoint_dir)
+        q = (doc_stream.writeStream
+             .foreachBatch(self.process)
+             .outputMode("append")
+             .option("checkpointLocation", checkpoint_dir)
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
+
+    def tokens(self) -> DataFrame:
+        root = self.out_dir
+        subdirs = ([d for d in os.listdir(root) if d.startswith("batch=")]
+                   if os.path.isdir(root) else [])
+        if not subdirs:
+            raise FileNotFoundError(f"no token batches at {root}")
+        return (self.spark.read.option("basePath", root)
+                .parquet(*[os.path.join(root, d) for d in subdirs])
+                .drop("batch")
+                .select("doc_id", "pos", "symbol", "token_id"))
+
+
+_BPE_STREAM_DIRS: list[str] = []
+_BPE_STREAM_ATEXIT = False
+
+
+def bpe_encode_increment_stream(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Driver-gate DEMO fixture (full hash against the SAME oracle as
+    batch ``bpe_encode_increment``): the incremental tokenizer loop in
+    native streaming form. Train on the EVEN-doc_id half and persist
+    the tokenizer; replay the ODD half as a 4-file parquet stream
+    (maxFilesPerTrigger=1 -> 4 triggers); each trigger encodes its
+    arriving documents against the STORED tokenizer via
+    StreamingBpeEncoder. Documents are encoded independently, so the
+    final token store must equal the one-shot batch encode exactly —
+    bit-identical row set, whatever the file-to-trigger assignment.
+    Scratch dirs live until process exit (the stored-IVF-index
+    pattern) so the returned frame stays valid lazily."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..operators.text import bpe_persist_tokenizer
+    from ..views import load
+
+    global _BPE_STREAM_ATEXIT
+    workdir = tempfile.mkdtemp(prefix="bpe_stream_")
+    _BPE_STREAM_DIRS.append(workdir)
+    if not _BPE_STREAM_ATEXIT:
+        atexit.register(
+            lambda: [shutil.rmtree(d, ignore_errors=True)
+                     for d in _BPE_STREAM_DIRS])
+        _BPE_STREAM_ATEXIT = True
+
+    docs = load(spark, sf_dir, "documents")
+    base = docs.where(F.col("doc_id") % 2 == 0)
+    inc = docs.select("doc_id", "text").where(F.col("doc_id") % 2 == 1)
+    tok_dir = os.path.join(workdir, "tokenizer")
+    bpe_persist_tokenizer(base, tok_dir, n_merges=8)
+
+    src = os.path.join(workdir, "incoming")
+    inc.repartition(4).write.parquet(src)
+    stream = (spark.readStream.schema(inc.schema)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    sink = StreamingBpeEncoder(spark, tok_dir,
+                               os.path.join(workdir, "tokens"))
+    sink.run(stream, os.path.join(workdir, "ckpt"))
+    return sink.tokens()

@@ -73,6 +73,12 @@ def main() -> None:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                     f"read_parquet('{sf_dir}/{t}.parquet')")
     queries, oracles = entrymod.queries(), entrymod.oracle_sql()
+    # optional argv entry filter for targeted post-change checks;
+    # filtered runs print verdicts but NEVER overwrite the committed
+    # full-registry artifact
+    only = set(sys.argv[1:])
+    if only:
+        queries = {k: v for k, v in queries.items() if k in only}
     fails = 0
     results: dict[str, dict] = {}
     t_start = time.time()
@@ -114,6 +120,8 @@ def main() -> None:
             results[name] = {"status": "err", "error": repr(ex)[:200],
                              "sec": round(time.time() - t0, 1)}
     print("TOTAL", len(queries), "FAILS", fails, flush=True)
+    if only:
+        sys.exit(1 if fails else 0)
     with open(os.path.join(REPO, "PARITY_SWEEP.json"), "w") as f:
         json.dump({
             "sf_dir": sf_dir,

@@ -295,6 +295,11 @@ def main() -> None:
            # histogram cut (one row per distinct n_tokens) + md5 shard
            # shuffle: linear scan, aggregate-sized single-partition work
            ("curriculum_order", curriculum_order_df)]
+    # optional argv entry filter for targeted post-change checks;
+    # filtered runs print ratios but never overwrite the artifact
+    only = set(sys.argv[1:])
+    if only:
+        ops = [(n, f) for n, f in ops if n in only]
     for name, fn in ops:
         d1 = scaled_docs(spark, sf_dir, 1)
         timed(fn, d1)                       # untimed warmup: codegen/JIT
@@ -313,6 +318,8 @@ def main() -> None:
     # corpus rows — the ratio should track the scan alone
     emb_ops = [("ann_cosine_topk_sq8", cosine_topk_sq8_df),
                ("embedding_gram_sq8", embedding_gram_sq8_df)]
+    if only:
+        emb_ops = [(n, f) for n, f in emb_ops if n in only]
     for name, fn in emb_ops:
         e1 = scaled_embeddings(spark, sf_dir, 1)
         timed(fn, e1)
@@ -335,6 +342,10 @@ def main() -> None:
                              timeout=10).stdout.strip() or "unknown"
     except Exception:
         sha = "unknown"
+    if only:
+        print(json.dumps({"metric": "scale_smoke_10x_filtered",
+                          "git_sha": sha, "results": results}))
+        return
     payload = {"metric": "scale_smoke_10x", "git_sha": sha,
                "n_entries": len(results), "results": results}
     with open(os.path.join(REPO, "SCALE_SMOKE.json"), "w") as f:

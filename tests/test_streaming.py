@@ -1744,3 +1744,90 @@ def test_bucketed_store_adoption_sweeps_stale_subdir(spark, tmp_path):
     got = sorted((r["route_id"], r["n"])
                  for r in resumed.frame().collect())
     assert got == want                        # no doubled rows
+
+
+def test_streaming_bpe_encode_equals_batch(spark, tmp_path):
+    """Stream==batch token parity (VERDICT r13 ask #6): documents
+    arriving over 3 micro-batches, each encoded per-trigger against the
+    persisted tokenizer, must produce EXACTLY the one-shot batch
+    encode's (doc_id, pos, symbol, token_id) rows — documents are
+    encoded independently, so trigger assignment cannot matter."""
+    import os
+
+    from kafkastreams_tp3_is_spark.operators.text import (
+        bpe_encode_with_tokenizer, bpe_persist_tokenizer)
+    from kafkastreams_tp3_is_spark.streaming.incremental import (
+        StreamingBpeEncoder)
+    from kafkastreams_tp3_is_spark.views import load
+
+    docs = load(spark, SF_DIR, "documents")
+    base = docs.where(F.col("doc_id") % 2 == 0)
+    inc = docs.select("doc_id", "text").where(F.col("doc_id") % 2 == 1)
+    tok_dir = str(tmp_path / "tokenizer")
+    bpe_persist_tokenizer(base, tok_dir, n_merges=8)
+
+    src = tmp_path / "bpe_incoming"
+    inc.repartition(3).write.parquet(str(src))
+    stream = (spark.readStream.schema(inc.schema)
+              .option("maxFilesPerTrigger", "1").parquet(str(src)))
+    sink = StreamingBpeEncoder(spark, tok_dir, str(tmp_path / "tokens"))
+    sink.run(stream, str(tmp_path / "bpe_ckpt"))
+
+    got = sorted(tuple(r) for r in sink.tokens().collect())
+    m = spark.read.parquet(os.path.join(tok_dir, "merges"))
+    v = spark.read.parquet(os.path.join(tok_dir, "vocab"))
+    want = sorted(tuple(r)
+                  for r in bpe_encode_with_tokenizer(inc, m, v).collect())
+    assert got == want and len(got) > 0
+    # OOV sentinel: every token_id is either a trained id or -1
+    assert all(t[-1] >= -1 for t in got)
+
+
+def test_streaming_bpe_encoder_guards_foreign_checkpoint(spark, tmp_path):
+    """The token store's overwrite-per-batch_id idempotence is only
+    safe under one checkpoint's id sequence: a fresh checkpoint over an
+    existing store must refuse; the original checkpoint resumes as a
+    no-op; a marker-less store with batches refuses too."""
+    import os
+
+    import pytest as _pytest
+
+    from kafkastreams_tp3_is_spark.operators.text import (
+        bpe_persist_tokenizer)
+    from kafkastreams_tp3_is_spark.streaming.incremental import (
+        StreamingBpeEncoder)
+    from kafkastreams_tp3_is_spark.views import load
+
+    docs = load(spark, SF_DIR, "documents")
+    bpe_persist_tokenizer(docs.where(F.col("doc_id") % 2 == 0),
+                          str(tmp_path / "tok"), n_merges=8)
+    inc = docs.select("doc_id", "text").where(F.col("doc_id") % 2 == 1)
+    src = tmp_path / "bg_in"
+    inc.repartition(1).write.parquet(str(src))
+
+    def stream():
+        return (spark.readStream.schema(inc.schema)
+                .option("maxFilesPerTrigger", "1").parquet(str(src)))
+
+    out_dir = str(tmp_path / "bg_tokens")
+    sink = StreamingBpeEncoder(spark, str(tmp_path / "tok"), out_dir)
+    sink.run(stream(), str(tmp_path / "bg_ckpt_a"))
+    n = sink.tokens().count()
+    assert n > 0
+
+    # same checkpoint: clean no-op resume
+    sink2 = StreamingBpeEncoder(spark, str(tmp_path / "tok"), out_dir)
+    sink2.run(stream(), str(tmp_path / "bg_ckpt_a"))
+    assert sink2.tokens().count() == n
+
+    # fresh checkpoint over the same store: refuse before any write
+    sink3 = StreamingBpeEncoder(spark, str(tmp_path / "tok"), out_dir)
+    with _pytest.raises(RuntimeError, match="checkpoint"):
+        sink3.run(stream(), str(tmp_path / "bg_ckpt_b"))
+    assert sink3.tokens().count() == n
+
+    # marker-less store with batches (pre-marker layout): refuse
+    os.remove(os.path.join(out_dir, "_checkpoint_marker.json"))
+    sink4 = StreamingBpeEncoder(spark, str(tmp_path / "tok"), out_dir)
+    with _pytest.raises(RuntimeError, match="no checkpoint marker"):
+        sink4.run(stream(), str(tmp_path / "bg_ckpt_a"))
