@@ -59,7 +59,8 @@ DEMO_QUERIES = {"latest_route_capacity_stateful",
                 "q7_stream_total_capacity",
                 "trips_route_update_stream_join",
                 "trips_route_update_stream_left_join",
-                "trips_route_update_stream_outer_join"}
+                "trips_route_update_stream_outer_join",
+                "bpe_encode_increment_stream"}
 
 # Composed pipelines: one registry entry that chains stages which are
 # EACH already a headline query (repeated_spans, quality_decile_filter,
@@ -354,6 +355,18 @@ def main() -> None:
                     " predates ~40 entries of registry growth ahead of"
                     " the queries. Cross-round comparisons should use"
                     " the isolated series on an otherwise-idle box."),
+                "bucketed_crossover": (
+                    "topology_13q_bucketed is ~1.8x slower per trigger"
+                    " than topology_13q at this SF because every random"
+                    " 187k-row batch touches every bucket — the layout"
+                    " pays its fixed overhead and saves nothing."
+                    " BUCKETED_CROSSOVER.json pins the win regime with"
+                    " measurements: under KEY-LOCAL triggers (one"
+                    " bucket, accounting-verified) the bucketed update"
+                    " first beats the plain whole-aggregate rewrite at"
+                    " ~500k aggregate keys on this box, and the gap"
+                    " grows with store size; the hot-bucket pytest"
+                    " asserts the O(changed buckets) I/O directly."),
             },
             "sf": sf_val,
         }, f, indent=1)

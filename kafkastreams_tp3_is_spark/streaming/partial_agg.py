@@ -235,11 +235,18 @@ class BucketedAggStore:
             for f in os.listdir(path)
             if f.startswith("manifest_b") and f.endswith(".json")
             and f[len("manifest_b"):-len(".json")].isdigit())
+        unreadable: list[int] = []
         for v in reversed(manifests):
             try:
                 with open(self._mpath(v)) as fh:
                     m = json.load(fh)
             except (OSError, ValueError):
+                # an UNREADABLE manifest is disk corruption, not the
+                # benign mid-crash layouts resume handles (those parse
+                # fine but reference incomplete version dirs); remember
+                # it — if nothing older adopts, sweeping every version
+                # dir below would silently erase the whole store
+                unreadable.append(v)
                 continue
             entries = {int(b): e for b, e in m["buckets"].items()}
             if all(os.path.exists(os.path.join(self._vdir(e["v"]),
@@ -248,6 +255,15 @@ class BucketedAggStore:
                 self.version = v
                 self.buckets = entries
                 break
+        if unreadable and self.version == -1:
+            raise RuntimeError(
+                f"BucketedAggStore at {path!r}: manifest(s) "
+                f"{sorted(unreadable)} exist but none can be parsed and "
+                "no older manifest is adoptable — refusing to start "
+                "empty (the unreferenced-dir sweep would delete every "
+                "version dir, turning disk corruption into silent total "
+                "state loss). Restore a manifest or clear the store "
+                "directory deliberately.")
         referenced = {e["v"] for e in self.buckets.values()}
         for d in os.listdir(path):
             full = os.path.join(path, d)
@@ -789,6 +805,8 @@ class IncrementalAggHarness:
             from concurrent.futures import ThreadPoolExecutor
 
             t0 = _time.perf_counter()
+            t1 = t2 = None
+            ok = False
             batch_df = batch_df.persist()
             slices: dict[str, DataFrame] = {}
             aggs: dict[str, DataFrame] = {}
@@ -829,9 +847,13 @@ class IncrementalAggHarness:
                     self.stores[n].rows_read_last_merge for n in needed))
                 t2 = _time.perf_counter()
                 # persist once per trigger: 13 finalizes otherwise each
-                # re-read the store parquet in their own job
-                aggs = {n: self.stores[n].frame().persist()
-                        for n in needed}
+                # re-read the store parquet in their own job. Built
+                # incrementally (not a comprehension) so a mid-build
+                # frame()/persist failure leaves the already-persisted
+                # frames IN the dict for the finally-block unpersist
+                # loop instead of leaking them (ADVICE r13)
+                for n in needed:
+                    aggs[n] = self.stores[n].frame().persist()
 
                 def flush(finalize, sink) -> None:
                     result = finalize(aggs)
@@ -855,18 +877,28 @@ class IncrementalAggHarness:
                             for finalize, sink in jobs.values()]
                     for f in futs:
                         f.result()
-                self.phase_secs.append({
-                    "parse_count": round(t1 - t0, 4),
-                    "store_merge": round(t2 - t1, 4),
-                    "finalize": round(_time.perf_counter() - t2, 4)})
+                ok = True
             finally:
                 for s in slices.values():
                     s.unpersist()
                 for a in aggs.values():
                     a.unpersist()
                 batch_df.unpersist()
-                self.trigger_secs.append(
-                    round(_time.perf_counter() - t0, 4))
+                # phase_secs appends in the SAME finally as trigger_secs
+                # so the two bench series stay row-aligned even when a
+                # trigger fails mid-phase and is retried (ADVICE r13);
+                # phases that never ran record -1, failed triggers are
+                # marked so the bench can exclude them
+                now = _time.perf_counter()
+                self.phase_secs.append({
+                    "parse_count": round((t1 if t1 is not None else now)
+                                         - t0, 4),
+                    "store_merge": (round(t2 - t1, 4)
+                                    if t2 is not None else -1.0),
+                    "finalize": (round(now - t2, 4)
+                                 if (ok and t2 is not None) else -1.0),
+                    "failed": not ok})
+                self.trigger_secs.append(round(now - t0, 4))
 
         q = (tagged.writeStream
              .foreachBatch(process)

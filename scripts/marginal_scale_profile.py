@@ -37,17 +37,64 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F  # noqa: E402
 
+from kafkastreams_tp3_is_spark.operators.retrieval import (  # noqa: E402
+    tfidf_topk_df)
+from kafkastreams_tp3_is_spark.operators.text import (  # noqa: E402
+    bpe_encode_docs_df)
 from kafkastreams_tp3_is_spark.session import get_spark  # noqa: E402
 from scripts.scale_smoke import (  # noqa: E402
-    _bloom_decontaminate, _dsir_planted, _fuzzy_planted,
-    _winnow_pairs_planted, scaled_docs)
+    _bloom_decontaminate, _containment_planted, _dsir_planted,
+    _fuzzy_planted, _winnow_pairs_planted, scaled_docs)
 
 OPS = [("winnow_pairs", _winnow_pairs_planted),
        ("bloom_decontaminate", _bloom_decontaminate),
        ("fuzzy_edit_pairs", _fuzzy_planted),
        # DSIR: bucket stats bounded at 256 rows at any scale, scoring is
        # a per-doc fold — operator-only marginal growth should sit ~1.0
-       ("dsir_select", _dsir_planted)]
+       ("dsir_select", _dsir_planted),
+       # r13 ask #4: tfidf_topk read 4.07x in the 10x smoke; its shuffle
+       # rows are distinct (doc, term) / term — linear for a cipher-
+       # bounded vocabulary, so the marginal should be flat
+       ("tfidf_topk", tfidf_topk_df),
+       # r13 ask #4: the BPE encode chain — ONE corpus word count, 8
+       # vocabulary-bounded merge rounds, a broadcast dictionary join
+       # linear in token occurrences
+       ("bpe_encode_docs", bpe_encode_docs_df),
+       # r14: the rebuilt containment pipeline (df<=64 hot-shingle cap +
+       # extended-prefix count filter) — candidates are bounded at
+       # cap x prefix rows, so the marginal must be flat where the old
+       # uncapped join grew with df
+       ("containment_pairs", _containment_planted)]
+
+# one-line design rationale per op, rendered under "Reading" in the MD
+READINGS = {
+    "winnow_pairs": (
+        "expression-kernel fingerprinting, row-local; shuffle only on "
+        "the df<=20-cut fingerprint join"),
+    "bloom_decontaminate": (
+        "bitset build + per-row probe + bounded candidate join; "
+        "floor-dominated at this scale (marginal in the tens of ms — "
+        "the growth ratio is noise on a near-zero slope)"),
+    "fuzzy_edit_pairs": (
+        "PassJoin: per-doc linear segment/probe emission, candidates "
+        "from an equi-join on (len, seg, hash), Levenshtein verify on "
+        "candidates only"),
+    "dsir_select": (
+        "bucket stats bounded at 256 rows at any scale; scoring is one "
+        "map-literal fold per doc, selection a TakeOrdered top-k"),
+    "tfidf_topk": (
+        "two map-side-combined aggregations over distinct (doc, term) "
+        "and term keys plus a term-keyed join — rows linear in token "
+        "occurrences, vocabulary cipher-bounded"),
+    "bpe_encode_docs": (
+        "one corpus-sized word count, 8 vocabulary-bounded merge "
+        "rounds (constant in corpus size), broadcast dictionary join "
+        "linear in token occurrences"),
+    "containment_pairs": (
+        "r14 rebuild: df<=64 cap bounds per-shingle join fan-out, the "
+        "2p extended prefix + count filter bounds verify candidates; "
+        "every stage linear in corpus rows"),
+}
 
 COPIES = (1, 10, 30)
 
@@ -127,11 +174,13 @@ def main() -> None:
   (growth **{r['fixture_growth']}**)
 """)
 
-    md = ("""# Marginal-cost scale profiles: winnow_pairs, bloom_decontaminate, fuzzy_edit_pairs
+    readings = "\n".join(f"- `{name}`: {READINGS.get(name, '')}"
+                         for name, _ in OPS)
+    md = (f"""# Marginal-cost scale profiles: {", ".join(n for n, _ in OPS)}
 
-**Question** (VERDICT r9 ask #4, r10 ask #6): the heaviest timed
-registry entries — do their SCALE_SMOKE 10x ratios hide super-linear
-work?
+**Question** (VERDICT r9 ask #4, r10 ask #6, r13 ask #4): the heaviest
+timed registry entries and the flagged 10x-smoke ratios — do they hide
+super-linear work?
 
 **Method** (`scripts/marginal_scale_profile.py`, = TFIDF_SCALE.md's
 with parquet-snapshot isolation): at 1x/10x/30x of the scale-smoke
@@ -160,23 +209,14 @@ plant produces, a spurious 13x growth ratio). scale_smoke.scaled_docs
 now rotates vowels by copy // 19 (period 95); copies 0..18 — every
 1x/10x number ever published — are byte-identical to the old fixture.
 
-**Reading**: `winnow_pairs` is expression-kernel fingerprinting
-(row-local, shuffle only on the df<=20-cut fingerprint join),
-`bloom_decontaminate` is a bitset build + per-row probe + bounded
-candidate join, and `fuzzy_edit_pairs` is PassJoin — per-doc linear
-segment/probe emission, candidates from an equi-join on (len, seg,
-hash), Levenshtein verify on candidates only (the planted-twin fixture
-keeps pair output linear in rows, so the verify stage scales with the
-corpus too) — all three designs are candidate-linear, and the measured
-operator-only marginals above are the empirical confirmation at a 30x
-corpus (the flat-marginal criterion TFIDF_SCALE.md established;
-growth near 1.0 = no quadratic stage surfaced at 30x). Where the
-absolute operator-only marginal is tens of milliseconds per copy
-(bloom_decontaminate: the bitset build + probe barely move across
-30x), the op is FLOOR-DOMINATED at this scale and the growth ratio is
-noise on a near-zero slope — the scale signal is the near-flat total,
-not the ratio.
-""")
+**Reading** (design rationale per op; the measured operator-only
+marginals above are the empirical confirmation at a 30x corpus — the
+flat-marginal criterion TFIDF_SCALE.md established; growth near 1.0 =
+no quadratic stage surfaced at 30x; where the absolute marginal is
+tens of milliseconds per copy the op is FLOOR-DOMINATED and the growth
+ratio is noise on a near-zero slope):
+
+""" + readings + "\n")
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "MARGINAL_SCALE.md"), "w") as f:
         f.write(md)

@@ -44,6 +44,7 @@ SKIP = {
     "trips_route_update_stream_left_join",
     "trips_route_update_stream_outer_join",
     "latest_route_capacity_stateful",
+    "bpe_encode_increment_stream",
 }
 
 COUNTERS = {

@@ -1831,3 +1831,95 @@ def test_streaming_bpe_encoder_guards_foreign_checkpoint(spark, tmp_path):
     sink4 = StreamingBpeEncoder(spark, str(tmp_path / "tok"), out_dir)
     with _pytest.raises(RuntimeError, match="no checkpoint marker"):
         sink4.run(stream(), str(tmp_path / "bg_ckpt_a"))
+
+
+def test_bucketed_store_refuses_when_all_manifests_corrupt(spark, tmp_path):
+    """Disk corruption guard (ADVICE r13): if manifests EXIST but none
+    can be parsed (and no older manifest adopts), the store must refuse
+    to start — starting empty would let the unreferenced-dir sweep
+    delete every version dir, turning corruption into silent total
+    state loss. A corrupt NEWEST manifest with a healthy older one must
+    still adopt the older one (the normal crash-window path)."""
+    import json
+    import os
+
+    from kafkastreams_tp3_is_spark.streaming.partial_agg import (
+        BucketedAggStore, trip_route_type_store)
+
+    cols = "route_id string, transport_type string"
+    path = str(tmp_path / "corrupt_store")
+    store = trip_route_type_store(spark, path,
+                                  cls=BucketedAggStore, n_buckets=4)
+    store.update(spark.createDataFrame(
+        [(f"R{i}", "T0") for i in range(8)], cols), 0)
+    store.update(spark.createDataFrame([("R1", "T0")], cols), 1)
+    want = sorted((r["route_id"], r["n"])
+                  for r in store.frame().collect())
+
+    manifests = sorted(f for f in os.listdir(path)
+                       if f.startswith("manifest_b"))
+    assert manifests, "fixture must have committed a manifest"
+    # corrupt-newest-with-healthy-older: write a garbage HIGHER version
+    garbage = os.path.join(path, "manifest_b999.json")
+    with open(garbage, "w") as fh:
+        fh.write("{not json")
+    resumed = trip_route_type_store(spark, path,
+                                    cls=BucketedAggStore, n_buckets=4)
+    assert sorted((r["route_id"], r["n"])
+                  for r in resumed.frame().collect()) == want
+
+    # resume rewrites a clean manifest set; now corrupt EVERY manifest
+    for f in os.listdir(path):
+        if f.startswith("manifest_b"):
+            with open(os.path.join(path, f), "w") as fh:
+                fh.write("{not json")
+    with pytest.raises(RuntimeError, match="silent total state loss"):
+        trip_route_type_store(spark, path,
+                              cls=BucketedAggStore, n_buckets=4)
+    # and the refusal left the version dirs alone
+    assert any(d.startswith("b") and d[1:].isdigit()
+               for d in os.listdir(path))
+
+
+def test_bucketed_store_hot_bucket_touches_only_that_bucket(spark, tmp_path):
+    """Skew accounting (VERDICT r13 ask #5): when a trigger's updates
+    all land in ONE hot bucket, the store must read and rewrite exactly
+    that bucket — the other n-1 buckets' stored rows are never opened.
+    Asserted via the store's own accounting against hand-derived bucket
+    assignment (pmod(xxhash64(keys), n))."""
+    from kafkastreams_tp3_is_spark.streaming.partial_agg import (
+        BucketedAggStore, trip_route_type_store)
+
+    n_buckets = 8
+    cols = "route_id string, transport_type string"
+    seed_keys = [(f"R{i}", f"T{i % 3}") for i in range(400)]
+    seed = spark.createDataFrame(seed_keys, cols)
+    store = trip_route_type_store(spark, str(tmp_path / "hot"),
+                                  cls=BucketedAggStore,
+                                  n_buckets=n_buckets)
+    store.update(seed, 0)
+
+    # hand-derive each key's bucket with the same engine expression
+    bucket_of = {(r["route_id"], r["transport_type"]): r["b"]
+                 for r in spark.createDataFrame(seed_keys, cols)
+                 .select("route_id", "transport_type",
+                         F.pmod(F.xxhash64("route_id",
+                                           "transport_type"),
+                                F.lit(n_buckets)).cast("int")
+                         .alias("b")).collect()}
+    hot = max(set(bucket_of.values()),
+              key=lambda b: sum(1 for v in bucket_of.values() if v == b))
+    hot_keys = [k for k, b in bucket_of.items() if b == hot]
+    assert len(hot_keys) >= 10, "fixture needs a populated bucket"
+
+    # a heavily skewed batch: 50 updates per hot-bucket key, nothing else
+    batch = spark.createDataFrame(hot_keys * 50, cols)
+    store.update(batch, 1)
+    assert store.buckets_rewritten_last == 1
+    assert store.rows_read_last_merge == len(hot_keys)
+
+    # exactness under skew: hot keys counted 1 (seed) + 50, others 1
+    got = {(r["route_id"], r["transport_type"]): r["n"]
+           for r in store.frame().collect()}
+    want = {k: (51 if k in set(hot_keys) else 1) for k in seed_keys}
+    assert got == want
