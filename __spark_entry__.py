@@ -68,6 +68,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_hot_audit": _dedup.containment_hot_audit,  # NEW r14: df-cap accounting twin
         "bpe_encode_increment_stream": _inc.bpe_encode_increment_stream,  # NEW r14: per-trigger stored-tokenizer encode
         "events_value_quantiles_exact": _olap.events_value_quantiles_exact,
+        "hybrid_search_rrf": _ret.hybrid_search_rrf,  # NEW r14: BM25+cosine reciprocal rank fusion
+        "dsir_select_increment_stream": _inc.dsir_select_increment_stream,  # NEW r14: maintained streaming DSIR top-k
+        "repeated_span_scrub": _dedup.repeated_span_scrub,  # NEW r14: exact-substring dedup with removal (Lee ACL22 cut)
         "q12_bug_compat": _q.q12_bug_compat,
         "q13_bug_compat": _q.q13_bug_compat,
         "ann_cosine_topk_lsh": _sim.ann_cosine_topk_lsh,  # pin-guarded wrapper

@@ -717,6 +717,133 @@ def repeated_spans(spark: SparkSession, sf_dir: str, span_len: int = 30,
                              min_docs)
 
 
+# --- exact-substring dedup with removal (the Lee ACL'22 cut) ------------
+
+def repeated_span_scrub_df(docs: DataFrame, span_len: int = 30
+                           ) -> DataFrame:
+    """Exact-substring deduplication with REMOVAL — the actual delete
+    step of Lee et al., ACL'22 ("Deduplicating Training Data Makes
+    Language Models Better"; they cut duplicated 50-token spans found
+    via a suffix array, which doesn't distribute): every ``span_len``-
+    char span occurring MORE THAN ONCE in the corpus (across documents
+    OR within one) keeps only its canonical first occurrence — minimum
+    (doc_id, pos) — and every other occurrence's [pos, pos+L) interval
+    is cut from its document; overlapping cut intervals merge before
+    the rewrite, so a long duplicated block is removed as one piece.
+
+    Output per document: (doc_id, clean_text, n_cut_spans = cut span
+    POSITIONS, n_cut_chars = chars removed after interval union) —
+    uncut documents pass through with 0/0 (left join + coalesce; NULL
+    text scrubs as '', the corpus_clean convention).
+
+    Scale: rides span_hash_rows' O(chars) Arrow rolling-hash inventory
+    (substrings never shuffle — rows are (long, long, long)); canonical
+    selection is ONE map-side-combined agg on the 8-byte hash
+    (min(struct(doc_id, pos)) + count); interval union is the
+    repeated_spans running-max window per doc; the rewrite is a
+    row-local F.aggregate fold over each doc's merged-interval array.
+    The gate compares rebuilt TEXT, and the DuckDB oracle groups raw
+    substrings, so a rolling-hash collision (~positions^2/2^65) fails
+    the gate loudly instead of silently (the repeated_spans argument).
+    """
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    L = span_len
+    docs = docs.select("doc_id",
+                       F.coalesce(F.col("text"), F.lit("")).alias("text"))
+    hashed = (span_hash_rows(docs, L)
+              .persist(StorageLevel.MEMORY_AND_DISK))
+    canon = (hashed.groupBy("h")
+             .agg(F.min(F.struct("doc_id", "pos")).alias("c"),
+                  F.count(F.lit(1)).alias("n"))
+             .where(F.col("n") >= 2)
+             .select("h", F.col("c.doc_id").alias("c_doc"),
+                     F.col("c.pos").alias("c_pos")))
+    cuts = (hashed.join(canon, "h")
+            .where((F.col("doc_id") != F.col("c_doc"))
+                   | (F.col("pos") != F.col("c_pos")))
+            .select("doc_id", "pos"))
+    # interval union: a cut starts a new merged group when it begins
+    # past the running max end of everything before it
+    w_prev = (Window.partitionBy("doc_id").orderBy("pos")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    w_run = (Window.partitionBy("doc_id").orderBy("pos")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    grouped = (cuts
+               .withColumn("newg", (F.col("pos")
+                                    > F.coalesce(
+                                        F.max(F.col("pos") + L).over(w_prev),
+                                        F.lit(-1))).cast("int"))
+               .withColumn("grp", F.sum("newg").over(w_run)))
+    merged = (grouped.groupBy("doc_id", "grp")
+              .agg(F.min("pos").alias("st"),
+                   (F.max("pos") + L).alias("en"),
+                   F.count(F.lit(1)).alias("n_pos")))
+    per_doc = (merged.groupBy("doc_id")
+               .agg(F.array_sort(F.collect_list(F.struct("st", "en")))
+                    .alias("ivs"),
+                    F.sum("n_pos").alias("n_cut_spans"),
+                    F.sum(F.col("en") - F.col("st")).alias("n_cut_chars")))
+    # span positions are 1-BASED (span_hash_rows' contract, same as the
+    # SQL substring the oracles group on): interval [st, en) cuts chars
+    # st..en-1, the kept gap before it is substr(prev, st - prev) with
+    # prev starting at 1
+    txt = F.col("text")
+    rebuilt = F.aggregate(
+        F.col("ivs"),
+        F.struct(F.lit(1).cast("bigint").alias("prev"),
+                 F.lit("").alias("acc")),
+        lambda a, iv: F.struct(
+            iv["en"].alias("prev"),
+            F.concat(a["acc"],
+                     txt.substr(a["prev"].cast("int"),
+                                (iv["st"] - a["prev"]).cast("int")))
+            .alias("acc")),
+        lambda a: F.concat(
+            a["acc"],
+            txt.substr(a["prev"].cast("int"),
+                       (F.length(txt) + 1 - a["prev"]).cast("int"))))
+    out = (docs.join(per_doc, "doc_id", "left")
+           .select("doc_id",
+                   F.when(F.col("ivs").isNull(), txt)
+                    .otherwise(rebuilt).alias("clean_text"),
+                   F.coalesce("n_cut_spans", F.lit(0)).cast("bigint")
+                    .alias("n_cut_spans"),
+                   F.coalesce("n_cut_chars", F.lit(0)).cast("bigint")
+                    .alias("n_cut_chars")))
+    return owned(out, hashed)
+
+
+def repeated_span_scrub(spark: SparkSession, sf_dir: str,
+                        span_len: int = 30) -> DataFrame:
+    """Driver-gate fixture (full hash): the synthetic corpus has no
+    cross-document span structure, so two duplication shapes are
+    planted — every 25th document with >= 80 chars gets an EXCERPT page
+    (id + 3e6, 'planted page: ' + 60 chars cut from position 11) whose
+    block must be scrubbed from the LATER (planted) page, and every
+    40th document with >= 60 chars gets a SELF-REPEAT (its first 45
+    chars appended to its own tail) whose second occurrence must be cut
+    within the same document. Accidental corpus repeats are scrubbed
+    identically by the all-substrings oracle."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    excerpts = (docs.where((F.col("doc_id") % 25 == 0)
+                           & (F.length("text") >= 80))
+                .select((F.col("doc_id") + F.lit(3_000_000))
+                        .alias("doc_id"),
+                        F.concat(F.lit("planted page: "),
+                                 F.expr("substring(text, 11, 60)"))
+                        .alias("text")))
+    selfrep = (docs.where((F.col("doc_id") % 40 == 0)
+                          & (F.length("text") >= 60))
+               .select((F.col("doc_id") + F.lit(4_000_000))
+                       .alias("doc_id"),
+                       F.concat("text", F.expr("substring(text, 1, 45)"))
+                       .alias("text")))
+    return repeated_span_scrub_df(
+        docs.unionByName(excerpts).unionByName(selfrep), span_len)
+
+
 # --- paragraph-level dedup (block rewrite) ------------------------------
 
 def paragraph_dedup_df(docs: DataFrame, block_tokens: int = 20) -> DataFrame:

@@ -260,3 +260,67 @@ def pack_bpe_sequences(spark: SparkSession, sf_dir: str,
     rows = bpe_encode_docs_df(load(spark, sf_dir, "documents"))
     return pack_token_sequences_df(rows.select("doc_id", "pos", "token_id"),
                                    seq_len=seq_len, n_shards=n_shards)
+
+
+# --- hybrid retrieval: reciprocal rank fusion ----------------------------
+
+def hybrid_search_rrf_df(docs: DataFrame, emb: DataFrame,
+                         query_terms=BM25_QUERY_TERMS,
+                         k_rrf: int = 60, top_m: int = 50,
+                         top_n: int = 20) -> DataFrame:
+    """Hybrid lexical+semantic retrieval via Reciprocal Rank Fusion
+    (Cormack/Clarke/Buettcher SIGIR'09): fuse the BM25 keyword ranking
+    and the exact-cosine embedding ranking by
+
+        rrf(doc) = sum over rankings r of 1 / (k_rrf + rank_r(doc)),
+
+    each ranking contributing only where the doc appears in its top
+    ``top_m`` (docs without an embedding — the common partial-modality
+    corpus shape — simply get no semantic term). RRF is THE standard
+    production fusion: rank-based, so the two scores' incomparable
+    scales never need calibration.
+
+    Output: top_n rows of (doc_id, lex_rank, sem_rank, rrf_score,
+    rrf_rank), absent ranks as the -1 sentinel (gate outputs are
+    null-free by contract). Deterministic: both input rankings tie-break
+    on doc_id, the fused order ties-breaks (rrf_score desc, doc_id asc),
+    and the score is a fixed-order sum of two IEEE double divisions —
+    bit-identical cross-engine, so the gate is a full hash.
+
+    Scale: BM25 is one aggregate pass + a broadcast 1-row stats join +
+    TakeOrderedAndProject (bm25_search_df); the cosine ranking is a
+    broadcast single-query scan (ANN shortlists replace it at corpus
+    scale — any ranking with the same (doc, rank) contract fuses
+    identically); the fusion itself joins two top_m-bounded frames —
+    aggregate-sized, no corpus shuffle."""
+    from .similarity import _bruteforce_ranked
+
+    lex = (bm25_search_df(docs, query_terms, top_n=top_m)
+           .select("doc_id", F.col("rnk").alias("lex_rank")))
+    sem = (_bruteforce_ranked(emb, 1)
+           .where(F.col("rank") <= top_m)
+           .select(F.col("neighbor_id").alias("doc_id"),
+                   F.col("rank").alias("sem_rank")))
+    fused = lex.join(sem, "doc_id", "full_outer")
+    term = lambda c: F.coalesce(  # noqa: E731 — two-use local shorthand
+        F.lit(1.0) / (F.lit(float(k_rrf)) + F.col(c).cast("double")),
+        F.lit(0.0))
+    scored = fused.select(
+        "doc_id",
+        F.coalesce("lex_rank", F.lit(-1)).cast("int").alias("lex_rank"),
+        F.coalesce("sem_rank", F.lit(-1)).cast("int").alias("sem_rank"),
+        (term("lex_rank") + term("sem_rank")).alias("rrf_score"))
+    top = (scored.orderBy(F.col("rrf_score").desc(), F.col("doc_id").asc())
+           .limit(top_n))
+    w = Window.orderBy(F.col("rrf_score").desc(), F.col("doc_id").asc())
+    return top.withColumn("rrf_rank", F.row_number().over(w))
+
+
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gate fixture (full hash): fuse the fixed 3-term BM25
+    ranking with the exact-cosine ranking of the lowest-vec_id query
+    embedding (self excluded), k=60, top_m=50 each side, top 20 out.
+    The corpus has embeddings for only a PREFIX of doc_ids at larger
+    SFs, exercising the partial-modality path for real."""
+    return hybrid_search_rrf_df(load(spark, sf_dir, "documents"),
+                                load(spark, sf_dir, "embeddings"))

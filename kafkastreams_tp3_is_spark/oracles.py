@@ -3536,6 +3536,7 @@ ORACLES["bpe_encode_increment"] = _bpe_encode_increment_oracle(8)
 ORACLES["bpe_encode_increment_stream"] = _bpe_encode_increment_oracle(8)
 
 
+
 # bpe_compression_stats (text.py): per-source chars-per-token under the
 # learned vocabulary — exact integer sums off the encode-docs layout,
 # one guarded division; zero-token docs kept via LEFT JOIN + COALESCE.
@@ -3788,4 +3789,190 @@ SELECT doc_id, lang, rank, n_grams, sum_target_count, sum_raw_count
 FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY logw DESC, doc_id) AS rank
       FROM cand)
 WHERE rank <= 50
+"""
+
+
+# hybrid_search_rrf (retrieval.py): Reciprocal Rank Fusion of the BM25
+# top-50 (the bm25_search CTE chain re-ranked to 50) and the exact-cosine
+# top-50 of the lowest-vec_id query embedding (self excluded). The fused
+# score is a fixed-order sum of two IEEE double divisions
+# 1/(60 + rank), absent modality contributing 0.0 and rank sentinel -1 —
+# bit-identical cross-engine, full hash.
+ORACLES["hybrid_search_rrf"] = """
+WITH tok AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(COALESCE(text, '')), '\\s+'), x -> x <> '') AS toks FROM documents
+),
+st AS (
+  SELECT COUNT(*) AS n_docs,
+         SUM(len(toks)) AS total_tokens,
+         SUM(CASE WHEN list_contains(toks, 'spark') THEN 1 ELSE 0 END) AS df_spark,
+         SUM(CASE WHEN list_contains(toks, 'query') THEN 1 ELSE 0 END) AS df_query,
+         SUM(CASE WHEN list_contains(toks, 'vector') THEN 1 ELSE 0 END) AS df_vector
+  FROM tok
+),
+scored AS (
+  SELECT doc_id,
+         CAST(len(list_filter(toks, x -> x = 'spark')) AS BIGINT) AS tf_spark,
+         CAST(len(list_filter(toks, x -> x = 'query')) AS BIGINT) AS tf_query,
+         CAST(len(list_filter(toks, x -> x = 'vector')) AS BIGINT) AS tf_vector,
+         CAST(len(toks) AS BIGINT) AS dl
+  FROM tok
+),
+parts AS (
+  SELECT doc_id, tf_spark, tf_query, tf_vector, dl,
+         0.25 + 0.75 * (CAST(dl AS DOUBLE)
+                        / (CAST(st.total_tokens AS DOUBLE)
+                           / CAST(st.n_docs AS DOUBLE))) AS norm_len,
+         CAST(st.n_docs AS DOUBLE) AS nd,
+         CAST(st.df_spark AS DOUBLE) AS dfs,
+         CAST(st.df_query AS DOUBLE) AS dfq,
+         CAST(st.df_vector AS DOUBLE) AS dfv
+  FROM scored CROSS JOIN st
+),
+s AS (
+  SELECT doc_id,
+         0.0
+         + ((nd - dfs + 0.5) / (dfs + 0.5) + 1.0)
+             * (CAST(tf_spark AS DOUBLE) * 2.2)
+             / (CAST(tf_spark AS DOUBLE) + 1.2 * norm_len)
+         + ((nd - dfq + 0.5) / (dfq + 0.5) + 1.0)
+             * (CAST(tf_query AS DOUBLE) * 2.2)
+             / (CAST(tf_query AS DOUBLE) + 1.2 * norm_len)
+         + ((nd - dfv + 0.5) / (dfv + 0.5) + 1.0)
+             * (CAST(tf_vector AS DOUBLE) * 2.2)
+             / (CAST(tf_vector AS DOUBLE) + 1.2 * norm_len)
+         AS score
+  FROM parts
+),
+lex AS (
+  SELECT doc_id, CAST(rnk AS INTEGER) AS lex_rank FROM (
+    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rnk
+    FROM s)
+  WHERE rnk <= 50
+),
+q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings ORDER BY vec_id LIMIT 1
+),
+c AS (
+  SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings
+),
+cos AS (
+  SELECT neighbor_id,
+         list_dot_product(qv, cv)
+           / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cosine
+  FROM c, q WHERE neighbor_id <> query_id
+),
+sem AS (
+  SELECT neighbor_id AS doc_id, CAST(rank AS INTEGER) AS sem_rank
+  FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        FROM cos)
+  WHERE rank <= 50
+),
+fused AS (
+  SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+         CAST(COALESCE(lex.lex_rank, -1) AS INTEGER) AS lex_rank,
+         CAST(COALESCE(sem.sem_rank, -1) AS INTEGER) AS sem_rank,
+         COALESCE(1.0 / (60.0 + CAST(lex.lex_rank AS DOUBLE)), 0.0)
+           + COALESCE(1.0 / (60.0 + CAST(sem.sem_rank AS DOUBLE)), 0.0)
+           AS rrf_score
+  FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+)
+SELECT doc_id, lex_rank, sem_rank, rrf_score,
+       CAST(rrf_rank AS INTEGER) AS rrf_rank
+FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc_id ASC)
+               AS rrf_rank
+      FROM fused)
+WHERE rrf_rank <= 20
+"""
+
+
+# dsir_select_increment_stream: top-k is merge-stable under the
+# deterministic (_logw desc, doc_id asc) order, so the maintained
+# streaming state must equal the one-shot batch selection — the SAME
+# oracle gates both.
+ORACLES["dsir_select_increment_stream"] = ORACLES["dsir_select_increment"]
+
+
+# repeated_span_scrub (dedup.py): exact-substring dedup with removal —
+# all-substrings grouping (the engine's rolling hash never reaches the
+# gate; a collision would fail THIS raw-substring comparison loudly),
+# canonical = first (doc_id, pos) occurrence, every rn>=2 occurrence's
+# [pos, pos+30) interval cut, intervals unioned per doc via the
+# running-max window, text rebuilt from the kept gaps.
+ORACLES["repeated_span_scrub"] = """
+WITH base AS (
+  SELECT doc_id, COALESCE(text, '') AS text FROM documents
+  UNION ALL
+  SELECT doc_id + 3000000, 'planted page: ' || substr(text, 11, 60)
+  FROM documents WHERE doc_id % 25 = 0 AND length(text) >= 80
+  UNION ALL
+  SELECT doc_id + 4000000, text || substr(text, 1, 45)
+  FROM documents WHERE doc_id % 40 = 0 AND length(text) >= 60
+),
+pos AS (
+  SELECT doc_id, CAST(g AS BIGINT) AS pos,
+         substring(text, CAST(g AS INTEGER), 30) AS s
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(1, length(text) - 29)) AS g
+        FROM base WHERE length(text) >= 30)
+),
+ranked AS (
+  SELECT doc_id, pos,
+         ROW_NUMBER() OVER (PARTITION BY s ORDER BY doc_id, pos) AS rn
+  FROM pos
+),
+cuts AS (SELECT doc_id, pos FROM ranked WHERE rn >= 2),
+cov AS (
+  SELECT doc_id, pos AS st, pos + 30 AS en,
+         CASE WHEN pos > COALESCE(MAX(pos + 30) OVER (
+                  PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS newg
+  FROM cuts
+),
+grp AS (
+  SELECT *, SUM(newg) OVER (PARTITION BY doc_id ORDER BY st
+                            ROWS UNBOUNDED PRECEDING) AS g
+  FROM cov
+),
+mi AS (
+  SELECT doc_id, g, MIN(st) AS st, MAX(en) AS en
+  FROM grp GROUP BY doc_id, g
+),
+percut AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_cut_spans
+  FROM cuts GROUP BY doc_id
+),
+permi AS (
+  SELECT doc_id, CAST(SUM(en - st) AS BIGINT) AS n_cut_chars,
+         MAX(en) AS last_en
+  FROM mi GROUP BY doc_id
+),
+segs AS (
+  SELECT doc_id, st,
+         COALESCE(LAG(en) OVER (PARTITION BY doc_id ORDER BY st), 1)
+           AS prev
+  FROM mi
+),
+heads AS (
+  SELECT s.doc_id,
+         STRING_AGG(substr(b.text, CAST(s.prev AS INTEGER),
+                           CAST(s.st - s.prev AS INTEGER)),
+                    '' ORDER BY s.st) AS head
+  FROM segs s JOIN base b USING (doc_id)
+  GROUP BY s.doc_id
+)
+SELECT b.doc_id,
+       CASE WHEN p.last_en IS NULL THEN b.text
+            ELSE COALESCE(h.head, '')
+                 || substr(b.text, CAST(p.last_en AS INTEGER),
+                           CAST(length(b.text) + 1 - p.last_en AS INTEGER))
+       END AS clean_text,
+       CAST(COALESCE(c.n_cut_spans, 0) AS BIGINT) AS n_cut_spans,
+       CAST(COALESCE(p.n_cut_chars, 0) AS BIGINT) AS n_cut_chars
+FROM base b
+LEFT JOIN permi p USING (doc_id)
+LEFT JOIN percut c USING (doc_id)
+LEFT JOIN heads h USING (doc_id)
 """

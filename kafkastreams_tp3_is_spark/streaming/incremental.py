@@ -462,3 +462,141 @@ def bpe_encode_increment_stream(spark: SparkSession,
                                os.path.join(workdir, "tokens"))
     sink.run(stream, os.path.join(workdir, "ckpt"))
     return sink.tokens()
+
+
+class StreamingDsirSelector:
+    """foreachBatch sink: maintain the running DSIR top-k over a stream
+    of arriving documents, scored per trigger against PERSISTED bucket
+    stats (``dsir_persist_stats``'s store) — the importance-resampling
+    half of the crawl-increment loop (the tokenizer half is
+    StreamingBpeEncoder).
+
+    Top-k is merge-stable: top_k(all docs) = top_k(top_k(state) ∪
+    batch), with the deterministic (_logw desc, doc_id asc) order, so
+    per trigger the sink scores ONLY the batch (one fold per doc, no
+    shuffle — the stats are <= n_buckets driver-state map literals),
+    unions the k-row state, and rewrites the k-row state — per-trigger
+    cost is O(|batch| + k) regardless of how many documents have
+    arrived. State versions by batch id (``v<id>`` + _SUCCESS commit,
+    marker-recorded), so a foreachBatch replay of a committed id is a
+    no-op and a crash mid-write resumes from the last committed
+    version."""
+
+    def __init__(self, spark: SparkSession, stats_dir: str, out_dir: str,
+                 n_buckets: int | None = None, k: int = 50):
+        from ..operators.dsir import N_BUCKETS
+
+        self.spark = spark
+        self.out_dir = out_dir
+        self.n_buckets = n_buckets or N_BUCKETS
+        self.k = k
+        self._stats_rows = spark.read.parquet(stats_dir).collect()
+        self.version = -1
+        os.makedirs(out_dir, exist_ok=True)
+        marker = os.path.join(out_dir, "_latest.json")
+        if os.path.isfile(marker):
+            with open(marker) as fh:
+                v = json.load(fh)["version"]
+            if os.path.exists(os.path.join(out_dir, f"v{v}", "_SUCCESS")):
+                self.version = v
+
+    def _state(self) -> DataFrame | None:
+        if self.version < 0:
+            return None
+        return self.spark.read.parquet(
+            os.path.join(self.out_dir, f"v{self.version}"))
+
+    def process(self, batch_df: DataFrame, batch_id: int) -> None:
+        from ..operators.dsir import _score_against
+
+        if batch_id <= self.version:
+            return  # replayed, already committed
+        batch = batch_df.select("doc_id", "lang", "text")
+        if batch.isEmpty():
+            return
+        scored = _score_against(batch, self._stats_rows, self.n_buckets)
+        state = self._state()
+        if state is not None:
+            scored = scored.unionByName(state)
+        top = (scored.orderBy(F.col("_logw").desc(),
+                              F.col("doc_id").asc())
+               .limit(self.k))
+        vdir = os.path.join(self.out_dir, f"v{batch_id}")
+        top.write.mode("overwrite").parquet(vdir)
+        marker = os.path.join(self.out_dir, "_latest.json")
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"version": batch_id}, fh)
+        os.replace(tmp, marker)
+        old = self.version
+        self.version = batch_id
+        if old >= 0:
+            import shutil
+            shutil.rmtree(os.path.join(self.out_dir, f"v{old}"),
+                          ignore_errors=True)
+
+    def run(self, doc_stream: DataFrame, checkpoint_dir: str) -> None:
+        q = (doc_stream.writeStream
+             .foreachBatch(self.process)
+             .outputMode("append")
+             .option("checkpointLocation", checkpoint_dir)
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
+
+    def selected(self) -> DataFrame:
+        """The running top-k in dsir_select_increment's emit contract:
+        (doc_id, lang, rank, n_grams, sum_target_count, sum_raw_count),
+        rank re-derived over the k state rows only."""
+        from pyspark.sql import Window
+
+        state = self._state()
+        if state is None:
+            raise FileNotFoundError(f"no selection state at {self.out_dir}")
+        w = Window.orderBy(F.col("_logw").desc(), F.col("doc_id").asc())
+        return (state.withColumn("rank", F.row_number().over(w))
+                .select("doc_id", "lang", "rank", "n_grams",
+                        "sum_target_count", "sum_raw_count"))
+
+
+def dsir_select_increment_stream(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Driver-gate DEMO fixture (full hash against the SAME oracle as
+    batch ``dsir_select_increment``): train bucket stats on the
+    EVEN-doc_id half and persist them; replay the ODD half as a 4-file
+    stream; each trigger scores its arriving documents against the
+    stored stats and folds them into the maintained top-50. Top-k
+    merge-stability makes the final state equal the one-shot batch
+    selection exactly, whatever the file-to-trigger assignment."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..operators.dsir import (TARGET_LANG, dsir_bucket_stats_df,
+                                  dsir_persist_stats)
+    from ..views import load
+
+    global _BPE_STREAM_ATEXIT
+    workdir = tempfile.mkdtemp(prefix="dsir_stream_")
+    _BPE_STREAM_DIRS.append(workdir)
+    if not _BPE_STREAM_ATEXIT:
+        atexit.register(
+            lambda: [shutil.rmtree(d, ignore_errors=True)
+                     for d in _BPE_STREAM_DIRS])
+        _BPE_STREAM_ATEXIT = True
+
+    docs = load(spark, sf_dir, "documents")
+    base = docs.where(F.col("doc_id") % 2 == 0)
+    inc = docs.select("doc_id", "lang", "text").where(
+        F.col("doc_id") % 2 == 1)
+    stats_dir = os.path.join(workdir, "stats")
+    dsir_persist_stats(dsir_bucket_stats_df(base, TARGET_LANG), stats_dir)
+
+    src = os.path.join(workdir, "incoming")
+    inc.repartition(4).write.parquet(src)
+    stream = (spark.readStream.schema(inc.schema)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    sink = StreamingDsirSelector(spark, stats_dir,
+                                 os.path.join(workdir, "topk"), k=50)
+    sink.run(stream, os.path.join(workdir, "ckpt"))
+    return sink.selected()

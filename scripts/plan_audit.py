@@ -45,6 +45,7 @@ SKIP = {
     "trips_route_update_stream_outer_join",
     "latest_route_capacity_stateful",
     "bpe_encode_increment_stream",
+    "dsir_select_increment_stream",
 }
 
 COUNTERS = {

@@ -194,6 +194,30 @@ def _fuzzy_planted(docs):
     return edit_distance_pairs_df(docs.unionByName(planted))
 
 
+def _span_scrub_planted(docs):
+    # O(n) planted duplication (every 25th long-enough doc contributes
+    # one excerpt page, every 40th a self-repeat) so cut volume scales
+    # linearly with rows
+    from kafkastreams_tp3_is_spark.operators.dedup import (
+        repeated_span_scrub_df)
+
+    excerpts = (docs.where((F.col("doc_id") % 25 == 0)
+                           & (F.length("text") >= 80))
+                .select((F.col("doc_id") + F.lit(3_000_000))
+                        .alias("doc_id"),
+                        F.concat(F.lit("planted page: "),
+                                 F.expr("substring(text, 11, 60)"))
+                        .alias("text")))
+    selfrep = (docs.where((F.col("doc_id") % 40 == 0)
+                          & (F.length("text") >= 60))
+               .select((F.col("doc_id") + F.lit(4_000_000))
+                       .alias("doc_id"),
+                       F.concat("text", F.expr("substring(text, 1, 45)"))
+                       .alias("text")))
+    return repeated_span_scrub_df(
+        docs.unionByName(excerpts).unionByName(selfrep))
+
+
 def _containment_planted(docs):
     # O(n) planted excerpts (every 25th long-enough doc contributes one
     # contained page) so containment output scales linearly with rows
@@ -272,6 +296,9 @@ def main() -> None:
            ("winnow_pairs", _winnow_pairs_planted),
            # SSJoin prefix filter over planted excerpts
            ("containment_pairs", _containment_planted),
+           # rolling-hash span inventory + hash-keyed canonical agg +
+           # per-doc interval fold: rows linear in chars
+           ("repeated_span_scrub", _span_scrub_planted),
            # PassJoin segment equi-join over planted typo twins: probe
            # rows are a 75x/doc constant, candidates ~ planted pairs
            ("fuzzy_edit_pairs", _fuzzy_planted),

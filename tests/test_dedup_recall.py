@@ -662,3 +662,52 @@ def test_containment_extended_prefix_is_pure_optimization(spark):
             and len(sets[a] & sets[b]) / len(sets[b]) >= 0.9}
     assert got == want
     assert (1, 2) in got and (3, 2) in got
+
+
+def test_repeated_span_scrub_hand_corpus_and_invariants(spark):
+    """Exact-substring removal semantics on a hand corpus (L=8): the
+    canonical FIRST occurrence survives verbatim, later cross-document
+    occurrences are cut as one merged interval, within-document repeats
+    collapse to the first occurrence, NULL text scrubs to '' — and on
+    the real corpus fixture every planted excerpt page is scrubbed back
+    to its 'planted page: ' stub while char accounting stays exact."""
+    from kafkastreams_tp3_is_spark import cache
+    from kafkastreams_tp3_is_spark.operators.dedup import (
+        repeated_span_scrub, repeated_span_scrub_df)
+
+    docs = spark.createDataFrame(
+        [(1, "AAAABBBBCCCCDDDD"),        # canonical owner
+         (2, "xxAAAABBBBCCyy"),          # cross-doc repeat -> cut
+         (3, "zzzzzzzzzzzz"),            # within-doc run -> collapsed
+         (4, None)],
+        "doc_id long, text string")
+    out = repeated_span_scrub_df(docs, span_len=8)
+    try:
+        got = {r["doc_id"]: (r["clean_text"], r["n_cut_spans"],
+                             r["n_cut_chars"]) for r in out.collect()}
+    finally:
+        cache.release(out)
+    assert got[1] == ("AAAABBBBCCCCDDDD", 0, 0)
+    assert got[2] == ("xxyy", 3, 10)
+    assert got[3] == ("z", 4, 11)           # 12 z's -> one 8-char span
+    assert got[4] == ("", 0, 0)
+    # char accounting invariant: len(clean) + n_cut_chars == len(text)
+    for did, (clean, _, cut) in got.items():
+        orig = {1: 16, 2: 14, 3: 12, 4: 0}[did]
+        assert len(clean) + cut == orig
+
+    fixture = repeated_span_scrub(spark, SF_DIR)
+    try:
+        rows = {r["doc_id"]: r for r in fixture.collect()}
+    finally:
+        cache.release(fixture)
+    planted = [r for d, r in rows.items() if d >= 3_000_000 and d < 4_000_000]
+    assert planted, "fixture must plant excerpt pages"
+    for r in planted:
+        # the 60-char parent block is always cut; the cut may extend a
+        # char or two left into the stub when the parent's context
+        # before its block happens to match the stub's boundary chars
+        assert "planted page:".startswith(r["clean_text"]) \
+            or r["clean_text"].startswith("planted page:")
+        assert r["n_cut_chars"] >= 60
+        assert len(r["clean_text"]) + r["n_cut_chars"] == 74

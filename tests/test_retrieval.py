@@ -371,3 +371,42 @@ def test_pack_bpe_sequences_packs_encode_docs(spark):
                   for r in packed if r["shard"] == 0)
     want0 = sorted((i // 128, i % 128, t) for i, t in enumerate(stream))
     assert got0 == want0
+
+
+def test_hybrid_rrf_matches_python_replay_and_fuses_modalities(spark):
+    """hybrid_search_rrf on the sf0.001 corpus equals an independent
+    Python replay of RRF over the engine's own two top-50 rankings
+    (scores as exact fixed-order double sums), and the fusion genuinely
+    uses both modalities: a doc present in both rankings must outscore
+    a doc holding only the strictly-worse rank in a single ranking."""
+    from kafkastreams_tp3_is_spark.operators.retrieval import (
+        bm25_search_df, hybrid_search_rrf)
+    from kafkastreams_tp3_is_spark.operators.similarity import (
+        _bruteforce_ranked)
+    from kafkastreams_tp3_is_spark.views import load
+    from tests.conftest import SF_DIR
+
+    docs = load(spark, SF_DIR, "documents")
+    emb = load(spark, SF_DIR, "embeddings")
+    lex = {r["doc_id"]: r["rnk"]
+           for r in bm25_search_df(docs, top_n=50).collect()}
+    sem = {r["neighbor_id"]: r["rank"]
+           for r in _bruteforce_ranked(emb, 1)
+           .where(F.col("rank") <= 50).collect()}
+    want = {}
+    for d in set(lex) | set(sem):
+        s = 0.0
+        s += 1.0 / (60.0 + lex[d]) if d in lex else 0.0
+        s += 1.0 / (60.0 + sem[d]) if d in sem else 0.0
+        want[d] = s
+    top = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+
+    got = hybrid_search_rrf(spark, SF_DIR).orderBy("rrf_rank").collect()
+    assert [(r["doc_id"], r["rrf_score"]) for r in got] == top
+    # sentinel contract: absent modality is -1, present is the rank
+    for r in got:
+        assert r["lex_rank"] == lex.get(r["doc_id"], -1)
+        assert r["sem_rank"] == sem.get(r["doc_id"], -1)
+    # both modalities contribute to the fused top-20
+    assert any(r["lex_rank"] > 0 for r in got)
+    assert any(r["sem_rank"] > 0 for r in got)

@@ -1923,3 +1923,44 @@ def test_bucketed_store_hot_bucket_touches_only_that_bucket(spark, tmp_path):
            for r in store.frame().collect()}
     want = {k: (51 if k in set(hot_keys) else 1) for k in seed_keys}
     assert got == want
+
+
+def test_streaming_dsir_selector_equals_batch_topk(spark, tmp_path):
+    """Maintained streaming DSIR top-k == one-shot batch selection:
+    top-k is merge-stable under the deterministic (_logw desc, doc_id)
+    order, so the final state after N micro-batches must equal scoring
+    the whole increment at once; a replayed committed batch id is a
+    no-op."""
+    from kafkastreams_tp3_is_spark.operators.dsir import (
+        TARGET_LANG, dsir_bucket_stats_df, dsir_persist_stats,
+        dsir_score_increment_df)
+    from kafkastreams_tp3_is_spark.streaming.incremental import (
+        StreamingDsirSelector)
+    from kafkastreams_tp3_is_spark.views import load
+
+    docs = load(spark, SF_DIR, "documents")
+    base = docs.where(F.col("doc_id") % 2 == 0)
+    inc = docs.select("doc_id", "lang", "text").where(
+        F.col("doc_id") % 2 == 1)
+    stats_dir = str(tmp_path / "dsir_stats")
+    dsir_persist_stats(dsir_bucket_stats_df(base, TARGET_LANG), stats_dir)
+
+    src = tmp_path / "dsir_in"
+    inc.repartition(3).write.parquet(str(src))
+    stream = (spark.readStream.schema(inc.schema)
+              .option("maxFilesPerTrigger", "1").parquet(str(src)))
+    sink = StreamingDsirSelector(spark, stats_dir,
+                                 str(tmp_path / "dsir_topk"), k=20)
+    sink.run(stream, str(tmp_path / "dsir_ckpt"))
+
+    got = sorted(tuple(r) for r in sink.selected().collect())
+    stats = spark.read.parquet(stats_dir)
+    want = sorted(tuple(r) for r in
+                  dsir_score_increment_df(inc, stats, k=20).collect())
+    assert got == want and len(got) == 20
+
+    # replay of a committed batch id: state untouched
+    v = sink.version
+    sink.process(inc.limit(5), v)
+    assert sink.version == v
+    assert sorted(tuple(r) for r in sink.selected().collect()) == got
