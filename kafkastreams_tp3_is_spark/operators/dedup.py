@@ -1191,7 +1191,12 @@ def containment_pairs_df(docs: DataFrame, k: int = 9,
     ex = sets_df.select("doc_id", F.size("shingles").alias("n_sh"),
                         F.explode("shingles").alias("s"))
     df_counts = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-    with_df = ex.join(df_counts, "s").observe(
+    # shuffle-hash over sort-merge for the two inverted-index joins as
+    # well (measured 22.6 s -> 15.5 s for the whole op at 10x): sorting
+    # the exploded index dominates, and the hinted build sides
+    # (df_counts here, the 2p-bounded prefix below) are the smaller
+    # per-partition hash maps under cluster-sized shuffle partitioning
+    with_df = ex.join(df_counts.hint("shuffle_hash"), "s").observe(
         "containment_df_cap",
         F.coalesce(F.sum((F.col("df") > max_prefix_df).cast("long")),
                    F.lit(0)).alias("hot_shingle_rows_dropped"))
@@ -1223,8 +1228,9 @@ def containment_pairs_df(docs: DataFrame, k: int = 9,
     # length filter: containment >= t needs |A∩B| >= ceil(t*n_b) and
     # |A∩B| <= n_a, so n_a >= ceil(t*n_b) — also IMPLIED by the output
     # predicate (no semantic change, oracle untouched)
-    cands = (bpref.join(ex.select(F.col("doc_id").alias("a_id"),
-                                  F.col("n_sh").alias("n_a"), "s"), "s")
+    cands = (bpref.hint("shuffle_hash")
+             .join(ex.select(F.col("doc_id").alias("a_id"),
+                             F.col("n_sh").alias("n_a"), "s"), "s")
              .where((F.col("a_id") != F.col("b_id"))
                     & (F.col("n_a")
                        >= F.ceil(F.lit(threshold) * F.col("n_b"))))
