@@ -51,23 +51,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- ROTATION BLOCK (round 14) ------------------------------------
         # The driver's correctness run caps near 50 entries in registration
-        # order. Front: containment_pairs (semantics CHANGED this round —
-        # df<=64 hot-shingle cap on the prefix join, the r13 scale fix —
-        # so its row must be re-proven), its NEW r14 companions
-        # (containment_hot_audit = the cap's no-silent-drops accounting,
-        # bpe_encode_increment_stream = the stored-tokenizer encode wired
-        # into a foreachBatch stream, r13 ask #6), the exact quantiles
-        # twin promoted to the driver-facing entry (r13 ask #7 — the GK
-        # sketch keeps its pytest rank-error floor below the cap), then
+        # order. Front (exactly 50): containment_pairs (semantics CHANGED
+        # this round — df<=64 hot-shingle cap on the prefix join, the r13
+        # scale fix — so its row must be re-proven), the FIVE new r14
+        # gates (containment_hot_audit = the cap's no-silent-drops
+        # accounting; bpe_encode_increment_stream + dsir_select_increment_
+        # stream = the stored-state increment loops wired into foreachBatch
+        # streams, r13 ask #6; hybrid_search_rrf = BM25 x cosine fusion;
+        # repeated_span_scrub = exact-substring dedup with removal), then
         # ALL 44 remaining entries whose freshest driver row is r11 (the
-        # r13 verdict's staleness tail), and two r12 entries to fill the
-        # cap. Everything below the cap holds a green r12/r13 driver row
+        # r13 verdict's staleness tail). Directly past the cap boundary:
+        # the two r12 dsir entries and the oracle-bearing exact quantiles
+        # twin (the driver-facing quantiles entry per r13 ask #7 — the GK
+        # sketch keeps its pytest rank-error floor further down); they
+        # hold green r12 rows and get fresh ones whenever the cap
+        # stretches. Everything below holds a green r12/r13 driver row
         # under code re-proven every run by the sf0.001 pytest oracle and
         # the per-round sf0.1 parity sweep.
         "containment_pairs": _dedup.containment_pairs,
         "containment_hot_audit": _dedup.containment_hot_audit,  # NEW r14: df-cap accounting twin
         "bpe_encode_increment_stream": _inc.bpe_encode_increment_stream,  # NEW r14: per-trigger stored-tokenizer encode
-        "events_value_quantiles_exact": _olap.events_value_quantiles_exact,
         "hybrid_search_rrf": _ret.hybrid_search_rrf,  # NEW r14: BM25+cosine reciprocal rank fusion
         "dsir_select_increment_stream": _inc.dsir_select_increment_stream,  # NEW r14: maintained streaming DSIR top-k
         "repeated_span_scrub": _dedup.repeated_span_scrub,  # NEW r14: exact-substring dedup with removal (Lee ACL22 cut)
@@ -117,6 +120,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_matryoshka_recall": _sim.embedding_matryoshka_recall,
         "dsir_bucket_stats": _dsir.dsir_bucket_stats_gate,
         "dsir_select": _dsir.dsir_select_gate,
+        "events_value_quantiles_exact": _olap.events_value_quantiles_exact,
+        # ^ the oracle-bearing exact twin is the driver-facing quantiles
+        #   entry (r13 ask #7); it holds a green r12 row, so it sits at
+        #   the cap boundary rather than displacing an r11-stale entry
         # === BELOW THE DRIVER CAP ==========================================
         # --- entries with green r12/r13 driver rows ------------------------
         "bpe_train": _text.bpe_train,  # gate upgraded rows-only -> full hash in r12
