@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_search_rrf": _ret.hybrid_search_rrf,  # NEW r14: BM25+cosine reciprocal rank fusion
         "dsir_select_increment_stream": _inc.dsir_select_increment_stream,  # NEW r14: maintained streaming DSIR top-k
         "repeated_span_scrub": _dedup.repeated_span_scrub,  # NEW r14: exact-substring dedup with removal (Lee ACL22 cut)
+        "bpe_oov_rate": _text.bpe_oov_rate,  # NEW r14: increment tokenizer-coverage QA
         "q12_bug_compat": _q.q12_bug_compat,
         "q13_bug_compat": _q.q13_bug_compat,
         "ann_cosine_topk_lsh": _sim.ann_cosine_topk_lsh,  # pin-guarded wrapper
@@ -100,7 +101,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frame_sample": _mm.media_frame_sample,
         "q1_available_seats_per_route": _q.q1_available_seats_per_route,
         "q2_average_passengers_per_transport_type": _q.q2_average_passengers_per_transport_type,
-        "q2_approx_average_passengers": _q.q2_approx_average_passengers_per_transport_type,
         "q3_name_passenger_most_trips": _q.q3_name_passenger_most_trips,
         "q4_occupancy_per_route": _q.q4_occupancy_per_route,
         "q5_passengers_per_route": _q.q5_passengers_per_route,
@@ -120,6 +120,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_matryoshka_recall": _sim.embedding_matryoshka_recall,
         "dsir_bucket_stats": _dsir.dsir_bucket_stats_gate,
         "dsir_select": _dsir.dsir_select_gate,
+        "q2_approx_average_passengers": _q.q2_approx_average_passengers_per_transport_type,
+        # ^ rows-only HLL twin (its driver row is a row-count check, not
+        #   a hash) — defers past the cap in favor of the oracle-bearing
+        #   r14 newcomer bpe_oov_rate; the exact Q2 stays in the front
         "events_value_quantiles_exact": _olap.events_value_quantiles_exact,
         # ^ the oracle-bearing exact twin is the driver-facing quantiles
         #   entry (r13 ask #7); it holds a green r12 row, so it sits at

@@ -945,6 +945,29 @@ def bpe_encode_increment(spark: SparkSession, sf_dir: str,
     return bpe_encode_with_tokenizer(inc, merges_df, vocab_df)
 
 
+def bpe_oov_rate(spark: SparkSession, sf_dir: str,
+                 n_merges: int = 8) -> DataFrame:
+    """Driver-gate fixture (full hash): tokenizer-coverage QA for the
+    incremental loop — per document ``source``, the fraction of the
+    ODD-half increment's tokens that encode to the OOV sentinel (-1)
+    under the EVEN-half-trained stored tokenizer. The number a crawl
+    operator watches before accepting a new increment: a rising OOV
+    rate means the snapshot tokenizer no longer covers the incoming
+    distribution and needs retraining. Exact integer counts plus ONE
+    guarded division; rides bpe_encode_increment's stored-tokenizer
+    encode, then one map-side-combined groupBy over the source key
+    space — aggregate-sized."""
+    enc = bpe_encode_increment(spark, sf_dir, n_merges)
+    src_map = load(spark, sf_dir, "documents").select("doc_id", "source")
+    t = F.sum(F.lit(1)).cast("bigint")
+    o = F.sum((F.col("token_id") == -1).cast("long")).cast("bigint")
+    return (enc.join(src_map, "doc_id")
+            .groupBy("source")
+            .agg(t.alias("n_tokens"), o.alias("n_oov"),
+                 (o.cast("double") / t.cast("double")).alias("oov_rate"))
+            )
+
+
 def bpe_compression_stats_df(docs: DataFrame,
                              n_merges: int = 8) -> DataFrame:
     """Tokenizer-quality report for the learned BPE vocabulary: per

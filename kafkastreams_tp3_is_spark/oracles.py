@@ -3529,6 +3529,22 @@ FROM posed p LEFT JOIN ids i ON p.symbol = i.symbol
 
 ORACLES["bpe_encode_increment"] = _bpe_encode_increment_oracle(8)
 
+# bpe_oov_rate: per-source OOV fraction of the increment encode — exact
+# integer counts over the SAME stored-tokenizer layout, one guarded
+# division. The full increment statement nests as a subquery (DuckDB
+# mis-scopes a doubly-nested WITH used directly as a CTE body).
+ORACLES["bpe_oov_rate"] = f"""
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN q.token_id = -1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oov,
+       CAST(SUM(CASE WHEN q.token_id = -1 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS oov_rate
+FROM ( {_bpe_encode_increment_oracle(8)} ) q
+JOIN documents d USING (doc_id)
+GROUP BY d.source
+"""
+
 # The streaming twin encodes the same odd-half increment against the
 # same stored even-half tokenizer, one micro-batch at a time; documents
 # are encoded independently, so the token store must equal the one-shot
