@@ -49,35 +49,107 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # --- ROTATION BLOCK (round 14) ------------------------------------
-        # The driver's correctness run caps near 50 entries in registration
-        # order. Front (exactly 50): containment_pairs (semantics CHANGED
-        # this round — df<=64 hot-shingle cap on the prefix join, the r13
-        # scale fix — so its row must be re-proven), the FIVE new r14
-        # gates (containment_hot_audit = the cap's no-silent-drops
-        # accounting; bpe_encode_increment_stream + dsir_select_increment_
-        # stream = the stored-state increment loops wired into foreachBatch
-        # streams, r13 ask #6; hybrid_search_rrf = BM25 x cosine fusion;
-        # repeated_span_scrub = exact-substring dedup with removal), then
-        # ALL 44 remaining entries whose freshest driver row is r11 (the
-        # r13 verdict's staleness tail). Directly past the cap boundary:
-        # the two r12 dsir entries and the oracle-bearing exact quantiles
-        # twin (the driver-facing quantiles entry per r13 ask #7 — the GK
-        # sketch keeps its pytest rank-error floor further down); they
-        # hold green r12 rows and get fresh ones whenever the cap
-        # stretches. Everything below holds a green r12/r13 driver row
-        # under code re-proven every run by the sf0.001 pytest oracle and
-        # the per-round sf0.1 parity sweep.
+        # --- ROTATION BLOCK (round 15) ------------------------------------
+        # The driver's correctness run caps near 50 entries in
+        # registration order. Front (exactly 50): the TWO new r15 gates
+        # (repeated_span_scrub_stream = the crawl-increment scrub loop,
+        # r14 ask #6, full hash against the batch oracle;
+        # hybrid_search_rrf_ann = RRF fusion over the stored-IVF
+        # shortlist, r14 ask #2, rows-only with a pytest overlap floor),
+        # then ALL 46 of the r14 verdict's r12/r11 staleness tail except
+        # the four deferred just past the cap. Per r14 ask #1, every
+        # rows-only entry in the front sits NEXT TO its oracle-bearing
+        # exact twin (rrf_ann/rrf, q2_approx/q2, stored/brute-force topk,
+        # stored+trained recall/ivf+lsh recall, near_dup/near_dup_exact)
+        # — the twins q2 and hybrid_search_rrf hold fresh r14 hash rows
+        # and re-run only to make the pairing visible in the driver
+        # file itself. Directly past the cap: the four deferred stale
+        # entries whose evidence least depends on a driver row (the
+        # winnow _fast numpy twins share their oracle contract with the
+        # r14-hash-green winnow entries; the two pipeline compositions
+        # chain stages that are EACH in-front hash-green entries); they
+        # hold green r12 rows, are re-proven by this round's committed
+        # sf0.1 parity sweep, and get fresh rows whenever the cap
+        # stretches. Everything below holds a green r13/r14 driver row
+        # under code re-proven every run by the sf0.001 pytest oracle
+        # and the per-round sf0.1 parity sweep.
+        "repeated_span_scrub_stream": _inc.repeated_span_scrub_stream,
+        # ^ NEW r15: maintained streaming span scrub (ask #6), batch oracle
+        "hybrid_search_rrf_ann": _ret.hybrid_search_rrf_ann,
+        # ^ NEW r15 (ask #2): RRF over the stored-IVF shortlist; rows-only
+        "hybrid_search_rrf": _ret.hybrid_search_rrf,
+        # ^ oracle-bearing exact twin seated beside its rows-only ANN form
+        "q2_approx_average_passengers": _q.q2_approx_average_passengers_per_transport_type,
+        # ^ rows-only HLL twin, r11-dated — the oldest row in the registry
+        "q2_average_passengers_per_transport_type": _q.q2_average_passengers_per_transport_type,
+        # ^ oracle-bearing exact twin seated beside it
+        "ann_cosine_topk_stored": _ivf.ann_cosine_topk_stored,  # rows-only
+        "ann_cosine_topk": _sim.cosine_topk_bruteforce,
+        # ^ exact brute-force twin
+        "ann_recall_stored": _sim.ann_recall_stored,  # rows-only
+        "ann_recall_ivf_trained": _sim.ann_recall_ivf_trained,  # rows-only
+        "ann_recall_ivf": _sim.ann_recall_ivf,
+        # ^ hash-gated recall twin for the two rows-only reports above
+        "ann_recall_lsh": _sim.ann_recall_lsh,
+        "embedding_near_dup": _ivf.embedding_near_dup_ivf,  # rows-only
+        "embedding_near_dup_exact": _sim.embedding_near_dup_exact,
+        # ^ oracle-bearing exact twin seated beside it
+        "ann_cosine_topk_sq8": _sim.cosine_topk_sq8,
+        "ann_cosine_topk_sq8_rescored": _sim.cosine_topk_sq8_rescored,
+        "bloom_decontaminate": _sketch.bloom_decontaminate,
+        "decontaminate": _cur.decontaminate,
+        "decontaminate_spans": _dedup.decontaminate_spans,
+        "dedup_against": _dedup.dedup_against,
+        "dedup_exact": _dedup.dedup_exact,
+        "dedup_minhash_lsh": _dedup.dedup_minhash_lsh,
+        "dedup_simhash": _dedup.dedup_simhash,
+        "duplicate_clusters": _graph.duplicate_clusters,
+        "duplicate_clusters_lsh": _graph.duplicate_clusters_lsh,
+        "ngram_jaccard_pairs": _dedup.ngram_jaccard_pairs,
+        "paragraph_dedup": _dedup.paragraph_dedup,
+        "dsir_bucket_stats": _dsir.dsir_bucket_stats_gate,
+        "dsir_resample_gumbel": _dsir.dsir_resample_gumbel_gate,
+        "dsir_select": _dsir.dsir_select_gate,
+        "dsir_select_increment": _dsir.dsir_select_increment,
+        "fuzzy_edit_pairs": _fuzzy.fuzzy_edit_pairs,
+        "fuzzy_dup_clusters": _fuzzy.fuzzy_dup_clusters,
+        "events_value_quantiles_exact": _olap.events_value_quantiles_exact,
+        # ^ the driver-facing exact quantiles entry (GK twin keeps its pytest floor)
+        "key_skew_profile": _skew.key_skew_profile,
+        "materialize_mixture": _cur.materialize_mixture,
+        "media_dhash_pairs": _mm.media_dhash_pairs,
+        "pack_efficiency": _cur.pack_efficiency,
+        "source_overlap_matrix": _cur.source_overlap_matrix,
+        "envelope_passengers_per_route": _env.envelope_passengers_per_route,
+        "latest_route_capacity": _views.latest_route_capacity,
+        "latest_route_capacity_stateful": _stateful.latest_route_capacity_stateful,
+        "q9_total_passengers": _q.q9_total_passengers,
+        "q10_transport_type_max_passengers": _q.q10_transport_type_max_passengers,
+        "q11_transport_type_max_passengers_window": _q.q11_transport_type_max_passengers_window,
+        "q12_least_occupied_transport_type_window": _q.q12_least_occupied_transport_type_window,
+        "q13_most_occupied_operator": _q.q13_most_occupied_operator,
+        "q11_window_max_stream": _runner.q11_transport_type_max_passengers_window_stream,
+        "q12_window_min_stream": _runner.q12_least_occupied_transport_type_window_stream,
+        "q5_stream_passengers_per_route": _runner.q5_passengers_per_route_stream,
+        "q7_stream_total_capacity": _runner.q7_total_capacity_available_stream,
+        # === BELOW THE DRIVER CAP ==========================================
+        # --- deferred stale entries (see rotation note) --------------------
+        "winnow_fingerprints_fast": _dedup.winnow_fingerprints_fast,
+        # ^ numpy twin; bit-shares winnow_fingerprints' r14-green oracle contract
+        "winnow_pairs_fast": _dedup.winnow_pairs_fast,  # idem
+        "pipeline_standard_clean": _pipe.pipeline_standard_clean,
+        # ^ composition: every stage is an in-front hash-green entry
+        "pipeline_full_clean": _pipe.pipeline_full_clean,  # idem
+        # --- entries with green r13/r14 driver rows ------------------------
         "containment_pairs": _dedup.containment_pairs,
-        "containment_hot_audit": _dedup.containment_hot_audit,  # NEW r14: df-cap accounting twin
-        "bpe_encode_increment_stream": _inc.bpe_encode_increment_stream,  # NEW r14: per-trigger stored-tokenizer encode
-        "hybrid_search_rrf": _ret.hybrid_search_rrf,  # NEW r14: BM25+cosine reciprocal rank fusion
-        "dsir_select_increment_stream": _inc.dsir_select_increment_stream,  # NEW r14: maintained streaming DSIR top-k
-        "repeated_span_scrub": _dedup.repeated_span_scrub,  # NEW r14: exact-substring dedup with removal (Lee ACL22 cut)
-        "bpe_oov_rate": _text.bpe_oov_rate,  # NEW r14: increment tokenizer-coverage QA
+        "containment_hot_audit": _dedup.containment_hot_audit,
+        "bpe_encode_increment_stream": _inc.bpe_encode_increment_stream,
+        "dsir_select_increment_stream": _inc.dsir_select_increment_stream,
+        "repeated_span_scrub": _dedup.repeated_span_scrub,
+        "bpe_oov_rate": _text.bpe_oov_rate,
         "q12_bug_compat": _q.q12_bug_compat,
         "q13_bug_compat": _q.q13_bug_compat,
-        "ann_cosine_topk_lsh": _sim.ann_cosine_topk_lsh,  # pin-guarded wrapper
+        "ann_cosine_topk_lsh": _sim.ann_cosine_topk_lsh,
         "contrastive_triplets": _sim.contrastive_triplets,
         "bpe_merge_candidates": _text.bpe_merge_candidates,
         "embedding_gram_sq8": _embstats.embedding_gram_sq8,
@@ -91,23 +163,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "global_shuffle": _cur.global_shuffle,
         "contamination_overlap": _cur.contamination_overlap,
         "contamination_attribution": _cur.contamination_attribution,
-        "embedding_kmeans_assign": _ivf.embedding_kmeans_assign,  # rows-only
-        "mix_by_cluster": _ivf.mix_by_cluster,  # rows-only
+        "embedding_kmeans_assign": _ivf.embedding_kmeans_assign,
+        "mix_by_cluster": _ivf.mix_by_cluster,
         "repeated_spans": _dedup.repeated_spans,
-        "semantic_dup_clusters": _graph.semantic_dup_clusters,  # rows-only
+        "semantic_dup_clusters": _graph.semantic_dup_clusters,
         "semantic_dup_clusters_exact": _graph.semantic_dup_clusters_exact,
         "multimodal_features": _mm.media_features,
         "multimodal_resize": _mm.media_resize,
         "multimodal_frame_sample": _mm.media_frame_sample,
         "q1_available_seats_per_route": _q.q1_available_seats_per_route,
-        "q2_average_passengers_per_transport_type": _q.q2_average_passengers_per_transport_type,
         "q3_name_passenger_most_trips": _q.q3_name_passenger_most_trips,
         "q4_occupancy_per_route": _q.q4_occupancy_per_route,
         "q5_passengers_per_route": _q.q5_passengers_per_route,
         "q6_route_least_occupancy_per_transport_type": _q.q6_route_least_occupancy_per_transport_type,
         "q7_total_capacity_available": _q.q7_total_capacity_available,
         "q8_total_occupancy_percentage": _q.q8_total_occupancy_percentage,
-        "embedding_pca_project": _embstats.embedding_pca_project,  # rows-only
+        "embedding_pca_project": _embstats.embedding_pca_project,
         "trips_route_update_stream_left_join": _ssjoin.trips_route_update_stream_left_join,
         "trips_route_update_stream_outer_join": _ssjoin.trips_route_update_stream_outer_join,
         "winnow_fingerprints": _dedup.winnow_fingerprints,
@@ -118,27 +189,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trips_route_update_stream_join": _ssjoin.trips_route_update_stream_join,
         "tfidf_topk": _ret.tfidf_topk,
         "embedding_matryoshka_recall": _sim.embedding_matryoshka_recall,
-        "dsir_bucket_stats": _dsir.dsir_bucket_stats_gate,
-        "dsir_select": _dsir.dsir_select_gate,
-        "q2_approx_average_passengers": _q.q2_approx_average_passengers_per_transport_type,
-        # ^ rows-only HLL twin (its driver row is a row-count check, not
-        #   a hash) — defers past the cap in favor of the oracle-bearing
-        #   r14 newcomer bpe_oov_rate; the exact Q2 stays in the front
-        "events_value_quantiles_exact": _olap.events_value_quantiles_exact,
-        # ^ the oracle-bearing exact twin is the driver-facing quantiles
-        #   entry (r13 ask #7); it holds a green r12 row, so it sits at
-        #   the cap boundary rather than displacing an r11-stale entry
-        # === BELOW THE DRIVER CAP ==========================================
-        # --- entries with green r12/r13 driver rows ------------------------
-        "bpe_train": _text.bpe_train,  # gate upgraded rows-only -> full hash in r12
-        "mmr_rerank": _sim.mmr_rerank,  # gate upgraded rows-only -> full hash in r12
-        "bpe_encode_vocab": _text.bpe_encode_vocab,  # NEW r12: BPE inference half
-        "curriculum_order": _cur.curriculum_order,  # NEW r12: staged training order
+        "bpe_train": _text.bpe_train,
+        "mmr_rerank": _sim.mmr_rerank,
+        "bpe_encode_vocab": _text.bpe_encode_vocab,
+        "curriculum_order": _cur.curriculum_order,
         "events_sessionize": _events.sessionize,
-        "bpe_encode_docs": _text.bpe_encode_docs,  # NEW r13: per-doc BPE token-id sequences
-        "pack_bpe_sequences": _ret.pack_bpe_sequences,  # NEW r13: pack over learned BPE ids
-        "bpe_compression_stats": _text.bpe_compression_stats,  # NEW r13: tokenizer compression report
-        "bpe_encode_increment": _text.bpe_encode_increment,  # NEW r13: stored-tokenizer increment encode
+        "bpe_encode_docs": _text.bpe_encode_docs,
+        "pack_bpe_sequences": _ret.pack_bpe_sequences,
+        "bpe_compression_stats": _text.bpe_compression_stats,
+        "bpe_encode_increment": _text.bpe_encode_increment,
         "ann_cosine_topk_ivf": _sim.ann_cosine_topk_ivf,
         "corpus_stats": _text.corpus_stats,
         "doc_commonness": _text.doc_commonness,
@@ -162,14 +221,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark, sf_dir, n_shards=16),
         "error_incident_events": _temporal.error_incident_events,
         "trip_time_rollup": _olap.trip_time_rollup,
-        "events_value_quantiles": _olap.events_value_quantiles,  # rows-only
+        "events_value_quantiles": _olap.events_value_quantiles,
         "bm25_search": _ret.bm25_search,
         "corpus_diff": _cur.corpus_diff,
         "events_funnel": _events.funnel,
         "events_attribution": _temporal.events_attribution,
         "vocab_drift": _text.vocab_drift,
         "mix_temperature": _cur.mix_temperature,
-        "ann_cosine_topk_stored_probe": _ivf.ann_cosine_topk_stored_probe,  # rows-only
+        "ann_cosine_topk_stored_probe": _ivf.ann_cosine_topk_stored_probe,
         "dedup_suffix_prefix": _dedup.dedup_suffix_prefix,
         "events_sliding_counts": _events.sliding_counts,
         "events_json_props_stats": _events.json_props_stats,
@@ -181,52 +240,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_edit_pairs_all": _fuzzy.fuzzy_edit_pairs_all,
         "fuzzy_dup_clusters_all": _fuzzy.fuzzy_dup_clusters_all,
         "fuzzy_dedup_against": _fuzzy.fuzzy_dedup_against,
-        "dsir_resample_gumbel": _dsir.dsir_resample_gumbel_gate,
-        "dsir_select_increment": _dsir.dsir_select_increment,
-        "q5_stream_passengers_per_route": _runner.q5_passengers_per_route_stream,
-        "q7_stream_total_capacity": _runner.q7_total_capacity_available_stream,
-        "media_dhash_pairs": _mm.media_dhash_pairs,
-        "ann_cosine_topk_stored": _ivf.ann_cosine_topk_stored,  # rows-only
-        "materialize_mixture": _cur.materialize_mixture,
-        "ann_cosine_topk_sq8": _sim.cosine_topk_sq8,
-        "paragraph_dedup": _dedup.paragraph_dedup,
-        "pack_efficiency": _cur.pack_efficiency,
-        "bloom_decontaminate": _sketch.bloom_decontaminate,
-        "pipeline_standard_clean": _pipe.pipeline_standard_clean,
-        "pipeline_full_clean": _pipe.pipeline_full_clean,
-        "dedup_simhash": _dedup.dedup_simhash,
-        "latest_route_capacity_stateful": _stateful.latest_route_capacity_stateful,
-        "key_skew_profile": _skew.key_skew_profile,
-        "ann_cosine_topk_sq8_rescored": _sim.cosine_topk_sq8_rescored,
-        "source_overlap_matrix": _cur.source_overlap_matrix,
-        "decontaminate_spans": _dedup.decontaminate_spans,
-        "dedup_exact": _dedup.dedup_exact,
-        "dedup_minhash_lsh": _dedup.dedup_minhash_lsh,
-        "dedup_against": _dedup.dedup_against,
-        "ngram_jaccard_pairs": _dedup.ngram_jaccard_pairs,
-        "duplicate_clusters": _graph.duplicate_clusters,
-        "duplicate_clusters_lsh": _graph.duplicate_clusters_lsh,
-        "decontaminate": _cur.decontaminate,
-        "embedding_near_dup": _ivf.embedding_near_dup_ivf,  # rows-only
-        "embedding_near_dup_exact": _sim.embedding_near_dup_exact,
-        "ann_cosine_topk": _sim.cosine_topk_bruteforce,
-        "q9_total_passengers": _q.q9_total_passengers,
-        "q10_transport_type_max_passengers": _q.q10_transport_type_max_passengers,
-        "q11_transport_type_max_passengers_window": _q.q11_transport_type_max_passengers_window,
-        "q12_least_occupied_transport_type_window": _q.q12_least_occupied_transport_type_window,
-        "q13_most_occupied_operator": _q.q13_most_occupied_operator,
-        "envelope_passengers_per_route": _env.envelope_passengers_per_route,
-        "latest_route_capacity": _views.latest_route_capacity,
-        "q11_window_max_stream": _runner.q11_transport_type_max_passengers_window_stream,
-        "q12_window_min_stream": _runner.q12_least_occupied_transport_type_window_stream,
-        "ann_recall_lsh": _sim.ann_recall_lsh,
-        "ann_recall_ivf": _sim.ann_recall_ivf,
-        "ann_recall_ivf_trained": _sim.ann_recall_ivf_trained,  # rows-only
-        "ann_recall_stored": _sim.ann_recall_stored,  # rows-only
-        "winnow_fingerprints_fast": _dedup.winnow_fingerprints_fast,
-        "winnow_pairs_fast": _dedup.winnow_pairs_fast,
-        "fuzzy_edit_pairs": _fuzzy.fuzzy_edit_pairs,
-        "fuzzy_dup_clusters": _fuzzy.fuzzy_dup_clusters,
     }
 
 

@@ -61,7 +61,8 @@ DEMO_QUERIES = {"latest_route_capacity_stateful",
                 "trips_route_update_stream_left_join",
                 "trips_route_update_stream_outer_join",
                 "bpe_encode_increment_stream",
-                "dsir_select_increment_stream"}
+                "dsir_select_increment_stream",
+                "repeated_span_scrub_stream"}
 
 # Composed pipelines: one registry entry that chains stages which are
 # EACH already a headline query (repeated_spans, quality_decile_filter,

@@ -747,7 +747,6 @@ def repeated_span_scrub_df(docs: DataFrame, span_len: int = 30
     the gate loudly instead of silently (the repeated_spans argument).
     """
     from pyspark import StorageLevel
-    from pyspark.sql import Window
 
     L = span_len
     docs = docs.select("doc_id",
@@ -764,6 +763,22 @@ def repeated_span_scrub_df(docs: DataFrame, span_len: int = 30
             .where((F.col("doc_id") != F.col("c_doc"))
                    | (F.col("pos") != F.col("c_pos")))
             .select("doc_id", "pos"))
+    return owned(scrub_cut_positions(docs, cuts, L), hashed)
+
+
+def scrub_cut_positions(docs: DataFrame, cuts: DataFrame,
+                        span_len: int) -> DataFrame:
+    """The removal half of the Lee ACL'22 cut, shared by the batch
+    ``repeated_span_scrub_df`` and the streaming increment
+    (streaming/incremental.StreamingSpanScrubber): given (doc_id, pos)
+    cut positions (1-based, each cutting [pos, pos+span_len)), merge
+    overlapping intervals per document and rebuild every document's
+    text with the merged intervals removed. ``docs`` must carry
+    NULL-free text (the callers coalesce). Output: (doc_id,
+    clean_text, n_cut_spans, n_cut_chars), uncut docs 0/0."""
+    from pyspark.sql import Window
+
+    L = span_len
     # interval union: a cut starts a new merged group when it begins
     # past the running max end of everything before it
     w_prev = (Window.partitionBy("doc_id").orderBy("pos")
@@ -812,7 +827,7 @@ def repeated_span_scrub_df(docs: DataFrame, span_len: int = 30
                     .alias("n_cut_spans"),
                    F.coalesce("n_cut_chars", F.lit(0)).cast("bigint")
                     .alias("n_cut_chars")))
-    return owned(out, hashed)
+    return out
 
 
 def repeated_span_scrub(spark: SparkSession, sf_dir: str,
@@ -826,6 +841,15 @@ def repeated_span_scrub(spark: SparkSession, sf_dir: str,
     chars appended to its own tail) whose second occurrence must be cut
     within the same document. Accidental corpus repeats are scrubbed
     identically by the all-substrings oracle."""
+    return repeated_span_scrub_df(_scrub_gate_docs(spark, sf_dir),
+                                  span_len)
+
+
+def _scrub_gate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The planted scrub corpus shared by the batch gate and its
+    streaming twin (streaming/incremental.repeated_span_scrub_stream):
+    both plant shapes carry ids ABOVE every base doc_id, so a
+    doc_id-ordered arrival replays batch canonical selection exactly."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     excerpts = (docs.where((F.col("doc_id") % 25 == 0)
                            & (F.length("text") >= 80))
@@ -840,8 +864,7 @@ def repeated_span_scrub(spark: SparkSession, sf_dir: str,
                        .alias("doc_id"),
                        F.concat("text", F.expr("substring(text, 1, 45)"))
                        .alias("text")))
-    return repeated_span_scrub_df(
-        docs.unionByName(excerpts).unionByName(selfrep), span_len)
+    return docs.unionByName(excerpts).unionByName(selfrep)
 
 
 # --- paragraph-level dedup (block rewrite) ------------------------------
@@ -1135,9 +1158,31 @@ def dedup_suffix_prefix(spark: SparkSession, sf_dir: str,
 
 # --- asymmetric containment dedup --------------------------------------
 
+# The hot-shingle df cap shared by containment_pairs_df /
+# containment_hot_audit_df AND their DuckDB oracle restatements
+# (oracles.py interpolates this constant into both SQL strings), so the
+# operator and oracle can never silently disagree on the cap value.
+CONTAINMENT_MAX_PREFIX_DF = 64
+
+
+def _containment_shingle_sets(docs: DataFrame, k: int) -> DataFrame:
+    """The shingle inventory both containment entries consume: NULL
+    text as '' (the dedup_exact convention), doc-partitioned, hashed
+    shingle SETS, persisted — built once and attached to each result
+    via ``owned`` so callers control the lifecycle."""
+    from pyspark import StorageLevel
+
+    n_part = docs.sparkSession.sparkContext.defaultParallelism
+    docs = docs.withColumn("text", F.coalesce(F.col("text"), F.lit("")))
+    return hashed_shingle_sets_df(
+        docs.repartition(n_part, "doc_id"), k).persist(
+        StorageLevel.MEMORY_AND_DISK)
+
+
 def containment_pairs_df(docs: DataFrame, k: int = 9,
                          threshold: float = 0.9,
-                         max_prefix_df: int = 64) -> DataFrame:
+                         max_prefix_df: int = CONTAINMENT_MAX_PREFIX_DF,
+                         _sets: DataFrame | None = None) -> DataFrame:
     """Asymmetric shingle-containment pairs: emit (container a,
     contained b, containment = |A∩B| / |B|) for every ordered pair with
     containment >= threshold. The dedup case Jaccard structurally
@@ -1181,13 +1226,8 @@ def containment_pairs_df(docs: DataFrame, k: int = 9,
     coalesce the engine hashes NULL to the xxhash64 seed — pairing any
     two NULL-text docs — while the oracle's raw-substring join never
     matches NULL, a latent parity break on corpora with NULL texts."""
-    from pyspark import StorageLevel
-
-    n_part = docs.sparkSession.sparkContext.defaultParallelism
-    docs = docs.withColumn("text", F.coalesce(F.col("text"), F.lit("")))
-    sets_df = hashed_shingle_sets_df(
-        docs.repartition(n_part, "doc_id"), k).persist(
-        StorageLevel.MEMORY_AND_DISK)
+    sets_df = _sets if _sets is not None else _containment_shingle_sets(
+        docs, k)
     ex = sets_df.select("doc_id", F.size("shingles").alias("n_sh"),
                         F.explode("shingles").alias("s"))
     df_counts = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
@@ -1269,6 +1309,33 @@ def _containment_gate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.unionByName(excerpts)
 
 
+# (sf_dir, k) -> (session, persisted shingle sets): the pairs and audit
+# gate entries scan the SAME planted corpus, so within one session the
+# second entry reuses the first's persisted inventory instead of
+# re-hashing every shingle (VERDICT r14 ask #3 — the audit twin was the
+# single most expensive registry entry purely from duplicated inventory
+# work). Keyed per session; a clearCache() between entries just drops
+# the blocks — the re-persist below re-pins them and the frame
+# recomputes lazily (recomputable lineage, never wrong, only colder).
+_CONT_GATE_SETS: dict[tuple, tuple] = {}
+
+
+def _containment_gate_sets(spark: SparkSession, sf_dir: str,
+                           k: int) -> DataFrame:
+    from pyspark import StorageLevel
+
+    key = (sf_dir, k)
+    hit = _CONT_GATE_SETS.get(key)
+    if hit is not None and hit[0] is spark:
+        sets = hit[1]
+        sets.persist(StorageLevel.MEMORY_AND_DISK)
+        return sets
+    sets = _containment_shingle_sets(
+        _containment_gate_docs(spark, sf_dir), k)
+    _CONT_GATE_SETS[key] = (spark, sets)
+    return sets
+
+
 def containment_pairs(spark: SparkSession, sf_dir: str, k: int = 9,
                       threshold: float = 0.9) -> DataFrame:
     """Driver-gate fixture (full hash oracle): the synthetic corpus has
@@ -1281,13 +1348,15 @@ def containment_pairs(spark: SparkSession, sf_dir: str, k: int = 9,
     computed identically by the oracle, which restates the df<=64
     hot-shingle cap via the tiebreak-free closed form in
     ``containment_pairs_df``'s docstring."""
-    return containment_pairs_df(_containment_gate_docs(spark, sf_dir),
-                                k, threshold)
+    return containment_pairs_df(
+        _containment_gate_docs(spark, sf_dir), k, threshold,
+        _sets=_containment_gate_sets(spark, sf_dir, k))
 
 
 def containment_hot_audit_df(docs: DataFrame, k: int = 9,
                              threshold: float = 0.9,
-                             max_prefix_df: int = 64) -> DataFrame:
+                             max_prefix_df: int = CONTAINMENT_MAX_PREFIX_DF,
+                             _sets: DataFrame | None = None) -> DataFrame:
     """The no-silent-caps companion to ``containment_pairs_df``: one
     row quantifying exactly what the df cap removed from candidacy —
     n_hot_shingles (distinct shingles with df > cap), n_hot_rows (hot
@@ -1297,35 +1366,52 @@ def containment_hot_audit_df(docs: DataFrame, k: int = 9,
     n_unguaranteed_docs (docs with 0 < |cold| < p whose recall now
     depends on sharing a cold shingle rather than the any-p-subset
     guarantee). All exact integers: full hash gate."""
-    docs = docs.withColumn("text", F.coalesce(F.col("text"), F.lit("")))
-    ex = (hashed_shingle_sets_df(docs, k)
-          .select("doc_id", F.size("shingles").alias("n_sh"),
-                  F.explode("shingles").alias("s")))
-    with_df = ex.join(
-        ex.groupBy("s").agg(F.count(F.lit(1)).alias("df")), "s")
-    per_doc = (with_df.groupBy("doc_id", "n_sh")
-               .agg(F.sum((F.col("df") <= max_prefix_df).cast("long"))
-                    .alias("n_cold")))
+    sets_df = _sets if _sets is not None else _containment_shingle_sets(
+        docs, k)
+    ex = sets_df.select("doc_id", F.size("shingles").alias("n_sh"),
+                        F.explode("shingles").alias("s"))
+    dfs = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    # Hot stats straight off the df-counts aggregate — one row per
+    # DISTINCT shingle, orders of magnitude smaller than the exploded
+    # index the r14 spelling re-joined (the single most expensive
+    # registry entry, 7.69 s, rebuilding the inventory its pairs twin
+    # had already persisted — VERDICT r14 ask #3): n_hot_shingles is
+    # the hot row count of dfs itself, and n_hot_rows = sum of hot
+    # df values (df(s) IS the number of exploded-index rows for s,
+    # since shingle sets are per-doc distinct).
+    hot_stats = dfs.agg(
+        F.coalesce(F.sum((F.col("df") > max_prefix_df).cast("long")),
+                   F.lit(0)).alias("n_hot_shingles"),
+        F.coalesce(F.sum(F.when(F.col("df") > max_prefix_df,
+                                F.col("df")).otherwise(F.lit(0))),
+                   F.lit(0)).cast("bigint").alias("n_hot_rows"))
+    # the per-doc cold counts still need the index⋈df join, but the
+    # probe carries only (doc_id, n_sh, s) and the build side only
+    # (s, cold) — shuffle-hash like the pairs twin (array-free payload)
+    per_doc = (ex.join(dfs.select(
+                    "s", (F.col("df") <= max_prefix_df).alias("cold"))
+                   .hint("shuffle_hash"), "s")
+               .groupBy("doc_id", "n_sh")
+               .agg(F.sum(F.col("cold").cast("long")).alias("n_cold")))
     p = (F.col("n_sh")
          - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1)
-    hot = with_df.where(F.col("df") > max_prefix_df)
-    return (hot.agg(
-                F.count_distinct("s").alias("n_hot_shingles"),
-                F.count(F.lit(1)).cast("bigint").alias("n_hot_rows"))
-            .crossJoin(per_doc.agg(
-                F.coalesce(F.sum((F.col("n_cold") == 0).cast("long")),
-                           F.lit(0)).alias("n_unjoinable_docs"),
-                F.coalesce(F.sum(((F.col("n_cold") > 0)
-                                  & (F.col("n_cold") < p)).cast("long")),
-                           F.lit(0)).alias("n_unguaranteed_docs"))))
+    out = hot_stats.crossJoin(per_doc.agg(
+        F.coalesce(F.sum((F.col("n_cold") == 0).cast("long")),
+                   F.lit(0)).alias("n_unjoinable_docs"),
+        F.coalesce(F.sum(((F.col("n_cold") > 0)
+                          & (F.col("n_cold") < p)).cast("long")),
+                   F.lit(0)).alias("n_unguaranteed_docs")))
+    return owned(out, sets_df)
 
 
 def containment_hot_audit(spark: SparkSession, sf_dir: str, k: int = 9,
                           threshold: float = 0.9) -> DataFrame:
     """Driver-gate fixture (full hash oracle): the cap audit over the
-    same planted parent/excerpt corpus ``containment_pairs`` scans."""
-    return containment_hot_audit_df(_containment_gate_docs(spark, sf_dir),
-                                    k, threshold)
+    same planted parent/excerpt corpus ``containment_pairs`` scans —
+    sharing its persisted shingle inventory within a session."""
+    return containment_hot_audit_df(
+        _containment_gate_docs(spark, sf_dir), k, threshold,
+        _sets=_containment_gate_sets(spark, sf_dir, k))
 
 
 # --- winnowing fingerprints (MOSS) --------------------------------------

@@ -150,8 +150,17 @@ def _score_against(docs: DataFrame, stats_rows: list,
     # normalizer term of the smoothed multinomial ratio, constant per gram
     z = F.lit(float(0)) + (F.log(F.lit(float(n_r + n_buckets)))
                            - F.log(F.lit(float(n_t + n_buckets))))
+    # fold over the SORTED bucket array (ADVICE r13, oracles.py logw
+    # note — closed r15): sorting makes _logw a pure function of the
+    # doc's bucket-count MULTISET, exactly like the oracle's
+    # bucket-ordered list_aggregate fold — two docs with equal
+    # multisets but different gram order now tie BIT-EXACTLY in both
+    # engines and fall through to the doc_id tiebreak together,
+    # closing the one residual cross-engine top-k ordering hazard on
+    # this never-emitted float. The integer sums are order-free; the
+    # sort is one row-local pass per doc.
     folded = F.aggregate(
-        F.col("_buckets"),
+        F.array_sort(F.col("_buckets")),
         F.struct(F.lit(0).cast("long").alias("n"),
                  F.lit(0).cast("long").alias("st"),
                  F.lit(0).cast("long").alias("sr"),

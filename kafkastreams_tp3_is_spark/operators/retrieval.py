@@ -301,6 +301,14 @@ def hybrid_search_rrf_df(docs: DataFrame, emb: DataFrame,
            .where(F.col("rank") <= top_m)
            .select(F.col("neighbor_id").alias("doc_id"),
                    F.col("rank").alias("sem_rank")))
+    return _rrf_fuse(lex, sem, k_rrf, top_n)
+
+
+def _rrf_fuse(lex: DataFrame, sem: DataFrame, k_rrf: int,
+              top_n: int) -> DataFrame:
+    """The rank-based fusion shared by the exact and ANN hybrid gates:
+    any two (doc_id, *_rank) frames with dense 1-based ranks fuse
+    identically — the fusion never looks at scores, only ranks."""
     fused = lex.join(sem, "doc_id", "full_outer")
     term = lambda c: F.coalesce(  # noqa: E731 — two-use local shorthand
         F.lit(1.0) / (F.lit(float(k_rrf)) + F.col(c).cast("double")),
@@ -324,3 +332,35 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     SFs, exercising the partial-modality path for real."""
     return hybrid_search_rrf_df(load(spark, sf_dir, "documents"),
                                 load(spark, sf_dir, "embeddings"))
+
+
+def hybrid_search_rrf_ann(spark: SparkSession, sf_dir: str,
+                          k_rrf: int = 60, top_m: int = 50,
+                          top_n: int = 20, nprobe: int = 12) -> DataFrame:
+    """Driver-gate fixture (rows-only; fusion-overlap floor vs the
+    exact twin pytest-enforced — tests/test_retrieval.py): the 100 TB
+    form of ``hybrid_search_rrf`` (VERDICT r14 ask #2) — same BM25
+    lexical ranking, same query embedding (lowest vec_id, self
+    excluded), same ``_rrf_fuse`` contract, but the semantic shortlist
+    comes from the STORED IVF index's probed-cell scan
+    (``_query_ivf_index_rows`` over ``ensure_stored_index``) instead of
+    the exact whole-corpus cosine. The fusion is rank-based, so the ANN
+    swap changes only WHICH (doc, rank) rows exist — at corpus scale
+    the semantic side reads nprobe/n_centroids of the postings bytes
+    instead of scanning every embedding. Rows-only gate: the stored
+    index's kmeans centroids are float training state with no
+    bit-identical SQL restatement (the ann_recall_ivf family's
+    standing rationale)."""
+    from .ivf import (_query_ivf_index_rows, _stored_query_rows,
+                      ensure_stored_index)
+
+    docs = load(spark, sf_dir, "documents")
+    lex = (bm25_search_df(docs, BM25_QUERY_TERMS, top_n=top_m)
+           .select("doc_id", F.col("rnk").alias("lex_rank")))
+    index_dir = ensure_stored_index(spark, sf_dir)
+    sem = (_query_ivf_index_rows(
+               spark, index_dir, _stored_query_rows(spark, sf_dir, 1),
+               k=top_m, nprobe=nprobe)
+           .select(F.col("neighbor_id").alias("doc_id"),
+                   F.col("rank").alias("sem_rank")))
+    return _rrf_fuse(lex, sem, k_rrf, top_n)

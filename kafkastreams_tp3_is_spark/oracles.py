@@ -8,6 +8,8 @@ The routes/trips CTEs restate views.py's derivation verbatim in SQL.
 
 from __future__ import annotations
 
+from .operators.dedup import CONTAINMENT_MAX_PREFIX_DF as _CONT_DF_CAP
+
 ROUTES_CTE = """
 routes AS (
   SELECT
@@ -2351,7 +2353,7 @@ FROM (
 # prefix join iff |cold_B| >= p_B = n_B - ceil(0.9*n_B) + 1 (the
 # any-p-subset guarantee holds entirely within cold) or A shares a
 # cold shingle of B — no xxhash64 tiebreak ever needed.
-ORACLES["containment_pairs"] = """
+ORACLES["containment_pairs"] = f"""
 WITH base AS (
   SELECT doc_id, COALESCE(text, '') AS text FROM documents
   UNION ALL
@@ -2366,7 +2368,8 @@ sh AS (
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
 dfs AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY s),
-cold AS (SELECT sh.doc_id, sh.s FROM sh JOIN dfs USING (s) WHERE df <= 64),
+cold AS (SELECT sh.doc_id, sh.s FROM sh JOIN dfs USING (s)
+         WHERE df <= {_CONT_DF_CAP}),
 ncold AS (SELECT doc_id, COUNT(*) AS nc FROM cold GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS i
@@ -2390,7 +2393,7 @@ WHERE CAST(i.i AS DOUBLE) / CAST(sb.n AS DOUBLE) >= 0.9
 
 # The cap's no-silent-drops audit twin: exact integer accounting of
 # what the df<=64 cut removed from containment candidacy.
-ORACLES["containment_hot_audit"] = """
+ORACLES["containment_hot_audit"] = f"""
 WITH base AS (
   SELECT doc_id, COALESCE(text, '') AS text FROM documents
   UNION ALL
@@ -2404,10 +2407,11 @@ sh AS (
         FROM base)
 ),
 dfs AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY s),
-hot AS (SELECT sh.doc_id, sh.s FROM sh JOIN dfs USING (s) WHERE df > 64),
+hot AS (SELECT sh.doc_id, sh.s FROM sh JOIN dfs USING (s)
+        WHERE df > {_CONT_DF_CAP}),
 percold AS (
   SELECT sh.doc_id, COUNT(*) AS n,
-         SUM(CASE WHEN dfs.df <= 64 THEN 1 ELSE 0 END) AS nc
+         SUM(CASE WHEN dfs.df <= {_CONT_DF_CAP} THEN 1 ELSE 0 END) AS nc
   FROM sh JOIN dfs USING (s)
   GROUP BY 1
 )
@@ -3992,3 +3996,10 @@ LEFT JOIN permi p USING (doc_id)
 LEFT JOIN percut c USING (doc_id)
 LEFT JOIN heads h USING (doc_id)
 """
+
+# repeated_span_scrub_stream: the maintained streaming scrub replays
+# the SAME planted corpus in doc_id order, where first-occurrence-
+# canonical arrival semantics equal the batch operator's global
+# min(doc_id, pos) selection exactly — one oracle, two execution modes
+# (the dsir_select_increment_stream pattern).
+ORACLES["repeated_span_scrub_stream"] = ORACLES["repeated_span_scrub"]

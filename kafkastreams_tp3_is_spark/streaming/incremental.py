@@ -535,7 +535,43 @@ class StreamingDsirSelector:
             shutil.rmtree(os.path.join(self.out_dir, f"v{old}"),
                           ignore_errors=True)
 
+    def _guard_checkpoint(self, checkpoint_dir: str) -> None:
+        """Same hazard class as StreamingBpeEncoder._guard_checkpoint:
+        the ``batch_id <= self.version`` replay check is only sound
+        under ONE checkpoint's monotone batch-id sequence. Reusing a
+        committed state dir with a FRESH checkpoint restarts ids at 0,
+        and every new batch would then be silently dropped as a
+        'replay' — silent data loss, worse than the encoder's
+        overwrite. Record the checkpoint path at first run; refuse on
+        mismatch while committed state exists."""
+        ckpt = os.path.abspath(checkpoint_dir)
+        marker = os.path.join(self.out_dir, "_checkpoint_marker.json")
+        if os.path.isfile(marker):
+            with open(marker) as fh:
+                recorded = json.load(fh).get("checkpoint_dir")
+            if recorded == ckpt:
+                return
+            if self.version >= 0:
+                raise RuntimeError(
+                    f"selection state {self.out_dir!r} was built by the "
+                    f"stream checkpointed at {recorded!r}; running it "
+                    f"with checkpoint {ckpt!r} would restart batch ids "
+                    "at 0 and the replay guard would silently drop "
+                    "every new batch.")
+        elif self.version >= 0:
+            raise RuntimeError(
+                f"selection state {self.out_dir!r} has a committed "
+                "version but no checkpoint marker — refusing to run a "
+                "stream over it (a restarted batch-id sequence would "
+                "be silently dropped as replays).")
+        os.makedirs(self.out_dir, exist_ok=True)
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"checkpoint_dir": ckpt}, fh)
+        os.replace(tmp, marker)
+
     def run(self, doc_stream: DataFrame, checkpoint_dir: str) -> None:
+        self._guard_checkpoint(checkpoint_dir)
         q = (doc_stream.writeStream
              .foreachBatch(self.process)
              .outputMode("append")
@@ -600,3 +636,202 @@ def dsir_select_increment_stream(spark: SparkSession,
                                  os.path.join(workdir, "topk"), k=50)
     sink.run(stream, os.path.join(workdir, "ckpt"))
     return sink.selected()
+
+
+class StreamingSpanScrubber:
+    """foreachBatch sink: exact-substring dedup WITH REMOVAL (the Lee
+    ACL'22 cut, ``repeated_span_scrub_df``) maintained over a stream of
+    arriving documents — the span-hash inventory is the accumulated
+    state, so each trigger scrubs ONLY its own batch against everything
+    seen so far and the training corpus never gets re-read (the
+    crawl-increment loop's scrub stage, beside StreamingCorpusDedup /
+    StreamingBpeEncoder / StreamingDsirSelector).
+
+    Semantics: first-occurrence-canonical in ARRIVAL order — a span
+    occurrence is cut iff its hash was seen in an earlier trigger, or
+    a smaller (doc_id, pos) occurrence exists in the same batch.
+    When documents arrive in doc_id order this equals the batch
+    operator exactly (canonical = global min(doc_id, pos)), which the
+    parity pytest and the driver gate pin bit-identically against the
+    batch oracle.
+
+    Per-trigger cost: the batch's own O(chars) rolling-hash inventory
+    (span_hash_rows — substrings never shuffle), one map-side-combined
+    canonical agg on the batch, one join of the batch inventory against
+    the accumulated distinct-hash store (8-byte long keys), and the
+    row-local interval-union rebuild. The store grows with corpus
+    distinct spans — inherent to exact-substring dedup (the batch form
+    needs the same inventory as one suffix-array-sized shuffle); at
+    100 TB the store would be hash-range bucketed (the BucketedAggStore
+    discipline) so a trigger reads only the buckets its batch hashes
+    touch. Writes use the batch=<id> overwrite discipline (foreachBatch
+    retry replaces its own partial output) and the checkpoint-marker
+    guard shared with the other sinks."""
+
+    def __init__(self, spark: SparkSession, out_dir: str,
+                 span_len: int = 30):
+        self.spark = spark
+        self.out_dir = out_dir
+        self.span_len = span_len
+        self.docs_dir = os.path.join(out_dir, "docs")
+        self.spans_dir = os.path.join(out_dir, "spans")
+
+    def _read_store(self, root: str,
+                    exclude_batch: int | None = None) -> DataFrame | None:
+        if not os.path.isdir(root):
+            return None
+        subdirs = [d for d in os.listdir(root)
+                   if d.startswith("batch=")
+                   and (exclude_batch is None
+                        or d != f"batch={exclude_batch}")]
+        if not subdirs:
+            return None
+        return self.spark.read.option("basePath", root).parquet(
+            *[os.path.join(root, d) for d in subdirs]).drop("batch")
+
+    def process(self, batch_df: DataFrame, batch_id: int) -> None:
+        from ..operators.dedup import scrub_cut_positions, span_hash_rows
+
+        batch = batch_df.select(
+            "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text"))
+        if batch.isEmpty():
+            return
+        inv = span_hash_rows(batch, self.span_len).persist()
+        try:
+            # seen EXCLUDING this batch id: a foreachBatch retry must
+            # not scrub the batch against its own partial first attempt
+            seen = self._read_store(self.spans_dir,
+                                    exclude_batch=batch_id)
+            canon = (inv.groupBy("h")
+                     .agg(F.min(F.struct("doc_id", "pos")).alias("c"),
+                          F.count(F.lit(1)).alias("n")))
+            flagged = inv.join(canon, "h")
+            if seen is not None:
+                flagged = flagged.join(
+                    seen.select("h").withColumn("_seen", F.lit(True)),
+                    "h", "left")
+            else:
+                flagged = flagged.withColumn(
+                    "_seen", F.lit(None).cast("boolean"))
+            cuts = (flagged.where(
+                        F.coalesce(F.col("_seen"), F.lit(False))
+                        | ((F.col("n") >= 2)
+                           & ((F.col("doc_id") != F.col("c.doc_id"))
+                              | (F.col("pos") != F.col("c.pos")))))
+                    .select("doc_id", "pos"))
+            scrubbed = scrub_cut_positions(batch, cuts, self.span_len)
+            scrubbed.write.mode("overwrite").parquet(
+                os.path.join(self.docs_dir, f"batch={batch_id}"))
+            new_h = inv.select("h").distinct()
+            if seen is not None:
+                new_h = new_h.join(seen.select("h"), "h", "left_anti")
+            new_h.write.mode("overwrite").parquet(
+                os.path.join(self.spans_dir, f"batch={batch_id}"))
+        finally:
+            inv.unpersist()
+
+    def _guard_checkpoint(self, checkpoint_dir: str) -> None:
+        """Same marker discipline as StreamingBpeEncoder: the
+        overwrite-per-batch_id idempotence (docs AND spans stores) is
+        only safe under ONE checkpoint's batch-id sequence."""
+        ckpt = os.path.abspath(checkpoint_dir)
+        marker = os.path.join(self.out_dir, "_checkpoint_marker.json")
+        has_batches = any(
+            os.path.isdir(root) and any(d.startswith("batch=")
+                                        for d in os.listdir(root))
+            for root in (self.docs_dir, self.spans_dir))
+        if os.path.isfile(marker):
+            with open(marker) as f:
+                recorded = json.load(f).get("checkpoint_dir")
+            if recorded == ckpt:
+                return
+            if has_batches:
+                raise RuntimeError(
+                    f"scrub store {self.out_dir!r} was built by the "
+                    f"stream checkpointed at {recorded!r}; running it "
+                    f"with checkpoint {ckpt!r} would restart batch ids "
+                    "at 0 and overwrite earlier batches.")
+        elif has_batches:
+            raise RuntimeError(
+                f"scrub store {self.out_dir!r} contains batch "
+                "subdirectories but no checkpoint marker — refusing to "
+                "run a stream over it (batch-id collisions would "
+                "silently overwrite data).")
+        os.makedirs(self.out_dir, exist_ok=True)
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"checkpoint_dir": ckpt}, f)
+        os.replace(tmp, marker)
+
+    def run(self, doc_stream: DataFrame, checkpoint_dir: str) -> None:
+        self._guard_checkpoint(checkpoint_dir)
+        q = (doc_stream.writeStream
+             .foreachBatch(self.process)
+             .outputMode("append")
+             .option("checkpointLocation", checkpoint_dir)
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
+
+    def scrubbed(self) -> DataFrame:
+        """Union of every trigger's scrubbed rows — the batch
+        operator's (doc_id, clean_text, n_cut_spans, n_cut_chars)."""
+        out = self._read_store(self.docs_dir)
+        if out is None:
+            raise FileNotFoundError(f"no scrubbed batches at "
+                                    f"{self.docs_dir}")
+        return out.select("doc_id", "clean_text", "n_cut_spans",
+                          "n_cut_chars")
+
+
+def repeated_span_scrub_stream(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Driver-gate DEMO fixture (full hash against the SAME oracle as
+    batch ``repeated_span_scrub``): the exact-substring scrub as a
+    maintained stream. The planted scrub corpus is replayed as a
+    4-file parquet stream in doc_id ORDER (files get strictly
+    increasing mtimes, which is the file source's oldest-first pickup
+    order; both plant shapes carry ids above every base doc, so they
+    arrive after their sources) — under ordered arrival the
+    first-occurrence-canonical streaming semantics equal the batch
+    operator's global min(doc_id, pos) selection bit-for-bit, whatever
+    the within-file layout. Scratch dirs live until process exit so
+    the returned frame stays valid lazily."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from ..operators.dedup import _scrub_gate_docs
+
+    global _BPE_STREAM_ATEXIT
+    workdir = tempfile.mkdtemp(prefix="scrub_stream_")
+    _BPE_STREAM_DIRS.append(workdir)
+    if not _BPE_STREAM_ATEXIT:
+        atexit.register(
+            lambda: [shutil.rmtree(d, ignore_errors=True)
+                     for d in _BPE_STREAM_DIRS])
+        _BPE_STREAM_ATEXIT = True
+
+    corpus = _scrub_gate_docs(spark, sf_dir)
+    parts = corpus.withColumn(
+        "_f", F.ntile(4).over(Window.orderBy("doc_id")))
+    src = os.path.join(workdir, "incoming")
+    os.makedirs(src)
+    for i in range(1, 5):
+        stage = os.path.join(workdir, f"stage{i}")
+        (parts.where(F.col("_f") == i).drop("_f")
+              .coalesce(1).write.parquet(stage))
+        pf = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        dst = os.path.join(src, f"{i:04d}.parquet")
+        os.replace(os.path.join(stage, pf), dst)
+        # deterministic strictly-increasing mtimes: the file source
+        # picks oldest-first, so trigger order == doc_id order
+        os.utime(dst, (1_600_000_000 + i, 1_600_000_000 + i))
+
+    stream = (spark.readStream.schema(corpus.schema)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    sink = StreamingSpanScrubber(spark, os.path.join(workdir, "scrub"))
+    sink.run(stream, os.path.join(workdir, "ckpt"))
+    return sink.scrubbed()

@@ -29,7 +29,6 @@ from __future__ import annotations
 
 import json
 import os
-import subprocess
 import sys
 import time
 
@@ -103,15 +102,12 @@ def main() -> None:
         spark.catalog.clearCache()
     crossover = next((r["n_agg_keys"] for r in results
                       if r["bucketed_wins"]), None)
-    try:
-        sha = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
-                             cwd=REPO, capture_output=True, text=True,
-                             timeout=10).stdout.strip() or "unknown"
-    except Exception:
-        sha = "unknown"
+    from _stamp import git_stamp
+    stamp = git_stamp()
+    sha = stamp["git_sha"]
     payload = {
         "metric": "bucketed_store_crossover",
-        "git_sha": sha,
+        **stamp,
         "n_buckets": N_BUCKETS,
         "batch_keys_per_trigger": BATCH_KEYS,
         "sweep": results,

@@ -44,7 +44,8 @@ from kafkastreams_tp3_is_spark.operators.text import (  # noqa: E402
 from kafkastreams_tp3_is_spark.session import get_spark  # noqa: E402
 from scripts.scale_smoke import (  # noqa: E402
     _bloom_decontaminate, _containment_planted, _dsir_planted,
-    _fuzzy_planted, _winnow_pairs_planted, scaled_docs)
+    _fuzzy_planted, _span_scrub_planted, _winnow_pairs_planted,
+    scaled_docs)
 
 OPS = [("winnow_pairs", _winnow_pairs_planted),
        ("bloom_decontaminate", _bloom_decontaminate),
@@ -64,7 +65,13 @@ OPS = [("winnow_pairs", _winnow_pairs_planted),
        # extended-prefix count filter) — candidates are bounded at
        # cap x prefix rows, so the marginal must be flat where the old
        # uncapped join grew with df
-       ("containment_pairs", _containment_planted)]
+       ("containment_pairs", _containment_planted),
+       # r14 ask (VERDICT r14 "what's wrong" #4): the new worst smoke
+       # ratio (4.04x committed, 2.84x on a second run — likely fixed
+       # floor + noise); span inventory is O(chars), canonical
+       # selection one hash agg, the rebuild row-local — the
+       # operator-only marginal should be flat
+       ("repeated_span_scrub", _span_scrub_planted)]
 
 # one-line design rationale per op, rendered under "Reading" in the MD
 READINGS = {
@@ -94,6 +101,10 @@ READINGS = {
         "r14 rebuild: df<=64 cap bounds per-shingle join fan-out, the "
         "2p extended prefix + count filter bounds verify candidates; "
         "every stage linear in corpus rows"),
+    "repeated_span_scrub": (
+        "O(chars) rolling-hash span inventory (Arrow kernel), ONE "
+        "map-side-combined canonical agg on the 8-byte span hash, "
+        "per-doc window interval union, row-local rebuild fold"),
 }
 
 COPIES = (1, 10, 30)

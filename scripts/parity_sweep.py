@@ -19,7 +19,6 @@ from __future__ import annotations
 
 import json
 import os
-import subprocess
 import sys
 import time
 
@@ -39,14 +38,9 @@ def _float_eq(a, b) -> bool:
     return bool(np.array_equal(a, b, equal_nan=True))
 
 
-def _git_sha() -> str:
-    try:
-        sha = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
-                             cwd=REPO, capture_output=True, text=True,
-                             timeout=10).stdout.strip()
-        return sha or "unknown"
-    except Exception:
-        return "unknown"
+def _git_stamp() -> dict:
+    from _stamp import git_stamp
+    return git_stamp()
 
 
 def main() -> None:
@@ -78,6 +72,10 @@ def main() -> None:
     # full-registry artifact
     only = set(sys.argv[1:])
     if only:
+        unknown = only - queries.keys()
+        if unknown:
+            # a misspelled name must NOT read as "TOTAL 0 FAILS 0"
+            sys.exit(f"unknown registry entries: {sorted(unknown)}")
         queries = {k: v for k, v in queries.items() if k in only}
     fails = 0
     results: dict[str, dict] = {}
@@ -125,7 +123,7 @@ def main() -> None:
     with open(os.path.join(REPO, "PARITY_SWEEP.json"), "w") as f:
         json.dump({
             "sf_dir": sf_dir,
-            "git_sha": _git_sha(),
+            **_git_stamp(),
             "n_entries": len(queries),
             "n_fails": fails,
             "wall_sec": round(time.time() - t_start, 1),

@@ -24,7 +24,6 @@ from __future__ import annotations
 import json
 import os
 import re
-import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -46,6 +45,7 @@ SKIP = {
     "latest_route_capacity_stateful",
     "bpe_encode_increment_stream",
     "dsir_select_increment_stream",
+    "repeated_span_scrub_stream",
 }
 
 COUNTERS = {
@@ -190,9 +190,8 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     import __spark_entry__ as entrymod
 
-    sha = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
-                         capture_output=True, text=True,
-                         cwd=REPO).stdout.strip()
+    from _stamp import git_stamp
+    stamp = git_stamp()
     entries, bad = {}, []
     for name, fn in entrymod.queries().items():
         if name in SKIP:
@@ -215,7 +214,7 @@ def main() -> None:
         entries[name] = fp
         if fp["cartesian_products"] or fp["python_row_udfs"]:
             bad.append(name)
-    result = {"metric": "plan_audit", "sf_dir": sf_dir, "git_sha": sha,
+    result = {"metric": "plan_audit", "sf_dir": sf_dir, **stamp,
               "n_entries": len(entries), "violations": bad,
               "entries": entries}
     with open(os.path.join(REPO, "PLAN_AUDIT.json"), "w") as f:

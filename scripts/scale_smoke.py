@@ -326,6 +326,12 @@ def main() -> None:
     # filtered runs print ratios but never overwrite the artifact
     only = set(sys.argv[1:])
     if only:
+        known = ({n for n, _ in ops}
+                 | {"ann_cosine_topk_sq8", "embedding_gram_sq8"})
+        unknown = only - known
+        if unknown:
+            # a misspelled name must NOT read as an all-green run
+            sys.exit(f"unknown scale-smoke entries: {sorted(unknown)}")
         ops = [(n, f) for n, f in ops if n in only]
     for name, fn in ops:
         d1 = scaled_docs(spark, sf_dir, 1)
@@ -362,18 +368,14 @@ def main() -> None:
     # stamp + persist like plan_audit/parity_sweep: the committed
     # artifact must carry the SHA it measured (r12 judge: artifacts at
     # stale SHAs read as unaudited entries)
-    import subprocess
-    try:
-        sha = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
-                             cwd=REPO, capture_output=True, text=True,
-                             timeout=10).stdout.strip() or "unknown"
-    except Exception:
-        sha = "unknown"
+    from _stamp import git_stamp
+    stamp = git_stamp()
+    sha = stamp["git_sha"]
     if only:
         print(json.dumps({"metric": "scale_smoke_10x_filtered",
-                          "git_sha": sha, "results": results}))
+                          **stamp, "results": results}))
         return
-    payload = {"metric": "scale_smoke_10x", "git_sha": sha,
+    payload = {"metric": "scale_smoke_10x", **stamp,
                "n_entries": len(results), "results": results}
     with open(os.path.join(REPO, "SCALE_SMOKE.json"), "w") as f:
         json.dump(payload, f, indent=1)

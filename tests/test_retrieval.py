@@ -410,3 +410,43 @@ def test_hybrid_rrf_matches_python_replay_and_fuses_modalities(spark):
     # both modalities contribute to the fused top-20
     assert any(r["lex_rank"] > 0 for r in got)
     assert any(r["sem_rank"] > 0 for r in got)
+
+
+def test_hybrid_rrf_ann_contract_and_overlap_floor(spark):
+    """hybrid_search_rrf_ann (VERDICT r14 ask #2): the stored-IVF
+    fusion keeps the exact twin's output contract (dense rrf_rank
+    1..20, -1 sentinels, score = fixed-order sum of the two rank
+    terms) and its fused top-20 overlaps the exact fusion's top-20 at
+    >= the ann_recall_ivf band (0.6); the LEXICAL side must be
+    bit-identical between the twins (the ANN swap touches only the
+    semantic shortlist)."""
+    from kafkastreams_tp3_is_spark.operators.retrieval import (
+        hybrid_search_rrf, hybrid_search_rrf_ann)
+    from tests.conftest import SF_DIR
+
+    exact = hybrid_search_rrf(spark, SF_DIR).orderBy("rrf_rank").collect()
+    ann = hybrid_search_rrf_ann(spark, SF_DIR).orderBy("rrf_rank").collect()
+
+    assert [r["rrf_rank"] for r in ann] == list(range(1, 21))
+    for r in ann:
+        want = 0.0
+        if r["lex_rank"] > 0:
+            want += 1.0 / (60.0 + r["lex_rank"])
+        if r["sem_rank"] > 0:
+            want += 1.0 / (60.0 + r["sem_rank"])
+        assert r["rrf_score"] == want
+        assert r["lex_rank"] >= -1 and r["sem_rank"] >= -1
+        assert r["lex_rank"] != 0 and r["sem_rank"] != 0
+
+    # lexical ranks identical wherever the same doc appears in both
+    exact_lex = {r["doc_id"]: r["lex_rank"] for r in exact}
+    for r in ann:
+        if r["doc_id"] in exact_lex:
+            assert r["lex_rank"] == exact_lex[r["doc_id"]]
+
+    overlap = (len({r["doc_id"] for r in ann}
+                   & {r["doc_id"] for r in exact}) / 20.0)
+    assert overlap >= 0.6, overlap
+    # both modalities still contribute through the ANN shortlist
+    assert any(r["sem_rank"] > 0 for r in ann)
+    assert any(r["lex_rank"] > 0 for r in ann)

@@ -1964,3 +1964,112 @@ def test_streaming_dsir_selector_equals_batch_topk(spark, tmp_path):
     sink.process(inc.limit(5), v)
     assert sink.version == v
     assert sorted(tuple(r) for r in sink.selected().collect()) == got
+
+
+def test_streaming_dsir_selector_guards_against_foreign_checkpoint(
+        spark, tmp_path):
+    """ADVICE r14 (medium): a committed selection state under a FRESH
+    checkpoint restarts batch ids at 0 and the ``batch_id <=
+    self.version`` replay check would silently drop every new batch —
+    the selector must refuse up front, exactly like
+    StreamingBpeEncoder._guard_checkpoint; the same checkpoint resumes
+    as a clean no-op, and a marker-less committed state refuses too."""
+    import os
+
+    import pytest as _pytest
+
+    from kafkastreams_tp3_is_spark.operators.dsir import (
+        TARGET_LANG, dsir_bucket_stats_df, dsir_persist_stats)
+    from kafkastreams_tp3_is_spark.streaming.incremental import (
+        StreamingDsirSelector)
+    from kafkastreams_tp3_is_spark.views import load
+
+    docs = load(spark, SF_DIR, "documents")
+    base = docs.where(F.col("doc_id") % 2 == 0)
+    inc = docs.select("doc_id", "lang", "text").where(
+        F.col("doc_id") % 2 == 1)
+    stats_dir = str(tmp_path / "dg_stats")
+    dsir_persist_stats(dsir_bucket_stats_df(base, TARGET_LANG), stats_dir)
+    src = tmp_path / "dg_in"
+    inc.repartition(1).write.parquet(str(src))
+
+    def stream():
+        return (spark.readStream.schema(inc.schema)
+                .option("maxFilesPerTrigger", "1").parquet(str(src)))
+
+    out_dir = str(tmp_path / "dg_topk")
+    sink = StreamingDsirSelector(spark, stats_dir, out_dir, k=10)
+    sink.run(stream(), str(tmp_path / "dg_ckpt_a"))
+    got = sorted(tuple(r) for r in sink.selected().collect())
+    assert len(got) == 10
+
+    # same checkpoint: clean no-op resume (all batches replayed+skipped)
+    sink2 = StreamingDsirSelector(spark, stats_dir, out_dir, k=10)
+    sink2.run(stream(), str(tmp_path / "dg_ckpt_a"))
+    assert sorted(tuple(r) for r in sink2.selected().collect()) == got
+
+    # fresh checkpoint over committed state: refuse before any write
+    sink3 = StreamingDsirSelector(spark, stats_dir, out_dir, k=10)
+    with _pytest.raises(RuntimeError, match="checkpoint"):
+        sink3.run(stream(), str(tmp_path / "dg_ckpt_b"))
+    assert sorted(tuple(r) for r in sink3.selected().collect()) == got
+
+    # marker-less committed state (pre-marker layout): refuse
+    os.remove(os.path.join(out_dir, "_checkpoint_marker.json"))
+    sink4 = StreamingDsirSelector(spark, stats_dir, out_dir, k=10)
+    with _pytest.raises(RuntimeError, match="no checkpoint marker"):
+        sink4.run(stream(), str(tmp_path / "dg_ckpt_a"))
+
+
+def test_streaming_span_scrub_equals_batch_and_guards(spark, tmp_path):
+    """StreamingSpanScrubber (VERDICT r14 ask #6): the maintained
+    streaming scrub over a doc_id-ordered replay of the planted corpus
+    equals batch repeated_span_scrub bit-identically (first-occurrence-
+    canonical == global min(doc_id, pos) under ordered arrival), a
+    replayed trigger id scrubs against the store EXCLUDING its own
+    partial output (retry idempotence), and the checkpoint-marker guard
+    refuses a foreign checkpoint over committed batches."""
+    import os
+
+    import pytest as _pytest
+
+    from kafkastreams_tp3_is_spark.operators.dedup import (
+        _scrub_gate_docs, repeated_span_scrub)
+    from kafkastreams_tp3_is_spark.streaming.incremental import (
+        StreamingSpanScrubber, repeated_span_scrub_stream)
+
+    got = sorted(tuple(r) for r in
+                 repeated_span_scrub_stream(spark, SF_DIR).collect())
+    want = sorted(tuple(r) for r in
+                  repeated_span_scrub(spark, SF_DIR).collect())
+    assert got == want and len(got) > 0
+    # the stream genuinely cut something (planted shapes exist)
+    assert any(r[2] > 0 for r in got)
+
+    # guard: committed store + fresh checkpoint refuses; same resumes
+    corpus = _scrub_gate_docs(spark, SF_DIR).limit(40)
+    src = tmp_path / "sg_in"
+    corpus.coalesce(1).write.parquet(str(src))
+
+    def stream():
+        return (spark.readStream.schema(corpus.schema)
+                .option("maxFilesPerTrigger", "1").parquet(str(src)))
+
+    out_dir = str(tmp_path / "sg_scrub")
+    sink = StreamingSpanScrubber(spark, out_dir)
+    sink.run(stream(), str(tmp_path / "sg_ckpt_a"))
+    n = sink.scrubbed().count()
+    assert n == 40
+
+    sink2 = StreamingSpanScrubber(spark, out_dir)
+    sink2.run(stream(), str(tmp_path / "sg_ckpt_a"))  # clean resume
+    assert sink2.scrubbed().count() == n
+
+    sink3 = StreamingSpanScrubber(spark, out_dir)
+    with _pytest.raises(RuntimeError, match="checkpoint"):
+        sink3.run(stream(), str(tmp_path / "sg_ckpt_b"))
+
+    os.remove(os.path.join(out_dir, "_checkpoint_marker.json"))
+    sink4 = StreamingSpanScrubber(spark, out_dir)
+    with _pytest.raises(RuntimeError, match="no checkpoint marker"):
+        sink4.run(stream(), str(tmp_path / "sg_ckpt_a"))
