@@ -38,14 +38,35 @@ DSN = os.environ.get("SPARK_GRAFT_PG_DSN")
 pytestmark = pytest.mark.skipif(
     not DSN, reason="live-Postgres e2e: set SPARK_GRAFT_PG_DSN to run")
 
-psycopg2 = pytest.importorskip(
-    "psycopg2", reason="live-Postgres e2e needs psycopg2")
+# real driver when installed; otherwise the stdlib wire-protocol driver
+# (sources/minipg.py) — the server stays genuine Postgres either way,
+# which is the point of this module. scripts/pg_e2e_local.py launches a
+# socket-only trust-auth local server and runs this file against it.
+try:
+    import psycopg2
+except ImportError:
+    from kafkastreams_tp3_is_spark.sources import minipg as psycopg2
 
 
 def _connect_fn(dsn: str):
-    import psycopg2 as pg  # re-import inside the closure: runs on executors
+    """Zero-arg picklable connection factory for the executor side.
+    The minipg fallback loads by FILE PATH inside the closure so Python
+    workers never need the package importable (the suite's standing
+    executor-closure rule); the psycopg2 path re-imports by name."""
+    if psycopg2.__name__ == "psycopg2":
+        def f():
+            import psycopg2 as pg
+            return pg.connect(dsn)
+        return f
+    path = psycopg2.__file__
 
-    return lambda: pg.connect(dsn)
+    def f():
+        import importlib.util
+        spec = importlib.util.spec_from_file_location("_minipg_exec", path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod.connect(dsn)
+    return f
 
 
 @pytest.fixture()
