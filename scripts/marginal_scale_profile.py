@@ -100,11 +100,23 @@ READINGS = {
     "containment_pairs": (
         "r14 rebuild: df<=64 cap bounds per-shingle join fan-out, the "
         "2p extended prefix + count filter bounds verify candidates; "
-        "every stage linear in corpus rows"),
+        "every stage linear in corpus rows. Its time marginal on THIS "
+        "box grows past ~30 copies anyway — that is the 16 GiB "
+        "single-JVM hash-agg/shuffle SPILL regime at fixed 32 shuffle "
+        "partitions, not candidate growth: CONTAINMENT_VOLUME.json "
+        "measures candidates at 5.14M/copy, exactly linear through 90 "
+        "copies (and a 512 initialPartitionNum probe only added "
+        "small-task overhead). A cluster sizes this away; the "
+        "algorithmic bound (candidates <= sum 2p*cap) is the committed "
+        "claim"),
     "repeated_span_scrub": (
         "O(chars) rolling-hash span inventory (Arrow kernel), ONE "
         "map-side-combined canonical agg on the 8-byte span hash, "
-        "per-doc window interval union, row-local rebuild fold"),
+        "per-doc window interval union, row-local rebuild fold; "
+        "out_rows and inventory rows are linear by construction — "
+        "residual marginal growth on this box is the same spill "
+        "regime as containment_pairs (persisted-inventory + shuffle "
+        "memory pressure at 30x on 16 GiB/32 partitions)"),
 }
 
 COPIES = (1, 10, 30)
@@ -140,15 +152,24 @@ def main() -> None:
     for name, fn in OPS:
         warm = scaled_docs(spark, sf_dir, 1)
         timed(fn, warm)                          # untimed codegen warmup
+        spark.catalog.clearCache()
         points = {}
         for copies in COPIES:
             d = scaled_docs(spark, sf_dir, copies)
             t_fix, n = timed(fn, d)              # fixture-inclusive
+            # drop frames the op persisted BETWEEN timings (the bench.py
+            # rule): without this, leaked storage from every earlier
+            # op/point GC-pressures the later 30x runs — measured 3x on
+            # the LAST profiled op (repeated_span_scrub read 29s with
+            # the leak, ~10.5s isolated; its 2.93 "growth" was the
+            # profiler, not the operator)
+            spark.catalog.clearCache()
             src = os.path.join(stage_root, f"{name}_{copies}")
             d.write.parquet(src)                 # untimed materialization
             ds = spark.read.parquet(src)
             n_docs = ds.count()
             t_op, _ = timed(fn, ds)              # operator-only
+            spark.catalog.clearCache()
             shutil.rmtree(src, ignore_errors=True)
             points[copies] = {"t_fixture": t_fix, "t_operator": t_op,
                               "n_docs": n_docs, "out_rows": n}
