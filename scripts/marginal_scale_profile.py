@@ -168,10 +168,18 @@ def main() -> None:
             d.write.parquet(src)                 # untimed materialization
             ds = spark.read.parquet(src)
             n_docs = ds.count()
-            t_op, _ = timed(fn, ds)              # operator-only
-            spark.catalog.clearCache()
+            # median of 3 for the OPERATOR number (the bench.py rule:
+            # single samples on this box swing +-2x — winnow_pairs read
+            # growth 1.08 and 2.83 on consecutive identical-code runs)
+            samples = []
+            for _ in range(3):
+                t_op, _ = timed(fn, ds)          # operator-only
+                samples.append(t_op)
+                spark.catalog.clearCache()
+            t_op = sorted(samples)[1]
             shutil.rmtree(src, ignore_errors=True)
             points[copies] = {"t_fixture": t_fix, "t_operator": t_op,
+                              "t_operator_samples": samples,
                               "n_docs": n_docs, "out_rows": n}
         fl, fh, fg = marginals(points, "t_fixture")
         ol, oh, og = marginals(points, "t_operator")
