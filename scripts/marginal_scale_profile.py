@@ -139,17 +139,15 @@ def marginals(pts: dict, key: str) -> tuple[float, float, float | None]:
     return round(m_low, 3), round(m_high, 3), growth
 
 
-def main() -> None:
+def run_op(name: str, fn, sf_dir: str) -> dict:
+    """Profile ONE op inside THIS process's (fresh) JVM."""
     import shutil
     import tempfile
 
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("marginal-scale-profile")
     spark.sparkContext.setLogLevel("ERROR")
-
     stage_root = tempfile.mkdtemp(prefix="marginal_stage_")
-    results = {}
-    for name, fn in OPS:
+    try:
         warm = scaled_docs(spark, sf_dir, 1)
         timed(fn, warm)                          # untimed codegen warmup
         spark.catalog.clearCache()
@@ -158,11 +156,8 @@ def main() -> None:
             d = scaled_docs(spark, sf_dir, copies)
             t_fix, n = timed(fn, d)              # fixture-inclusive
             # drop frames the op persisted BETWEEN timings (the bench.py
-            # rule): without this, leaked storage from every earlier
-            # op/point GC-pressures the later 30x runs — measured 3x on
-            # the LAST profiled op (repeated_span_scrub read 29s with
-            # the leak, ~10.5s isolated; its 2.93 "growth" was the
-            # profiler, not the operator)
+            # rule): leaked storage otherwise GC-pressures every later
+            # timing — measured 3x on the last-profiled op before the fix
             spark.catalog.clearCache()
             src = os.path.join(stage_root, f"{name}_{copies}")
             d.write.parquet(src)                 # untimed materialization
@@ -183,13 +178,51 @@ def main() -> None:
                               "n_docs": n_docs, "out_rows": n}
         fl, fh, fg = marginals(points, "t_fixture")
         ol, oh, og = marginals(points, "t_operator")
-        results[name] = {
+        return {
             "points": points,
             "fixture_marginal_s_per_copy": [fl, fh], "fixture_growth": fg,
             "operator_marginal_s_per_copy": [ol, oh], "operator_growth": og,
         }
+    finally:
+        shutil.rmtree(stage_root, ignore_errors=True)
 
-    shutil.rmtree(stage_root, ignore_errors=True)
+
+def main() -> None:
+    import subprocess
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    if len(sys.argv) == 3 and sys.argv[1] == "--one":
+        # child mode: one op in a fresh JVM, result as a marker line
+        fn = dict(OPS)[sys.argv[2]]
+        result = run_op(sys.argv[2], fn, sf_dir)
+        print("MARGINAL_ONE " + json.dumps({sys.argv[2]: result}))
+        return
+
+    # Parent mode: ONE FRESH JVM PER OP (subprocess). clearCache alone
+    # was not enough: with all ops sharing a JVM, the last-profiled op's
+    # first 30x sample read 71.7s vs 12.0s on the third sample of the
+    # same staged data — accumulated code-cache/heap/broadcast residue
+    # from seven earlier ops, the same effect bench.py's isolated
+    # reference-query prepass exists to exclude. Per-op isolation makes
+    # the growth ratios reproducible across runs.
+    results = {}
+    for name, _fn in OPS:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--one", name],
+            capture_output=True, text=True)
+        line = next((ln for ln in proc.stdout.splitlines()
+                     if ln.startswith("MARGINAL_ONE ")), None)
+        if proc.returncode != 0 or line is None:
+            sys.exit(f"per-op child failed for {name}: "
+                     f"{proc.stderr[-500:]}")
+        results.update(json.loads(line[len("MARGINAL_ONE "):]))
+        print(f"done {name}", flush=True)
+    # child JSON round-trips the copies keys as strings
+    results = {name: {**r, "points": {int(c): p
+                                      for c, p in r["points"].items()}}
+               for name, r in results.items()}
+
     print(json.dumps({"metric": "marginal_scale_profile",
                       "sf_dir": sf_dir, "ops": results}))
 
