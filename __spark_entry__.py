@@ -51,13 +51,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- ROTATION BLOCK (round 15) ------------------------------------
         # The driver's correctness run caps near 50 entries in
-        # registration order. Front (exactly 50): the TWO new r15 gates
-        # (repeated_span_scrub_stream = the crawl-increment scrub loop,
-        # r14 ask #6, full hash against the batch oracle;
+        # registration order. Front (exactly 50): the FOUR new r15
+        # gates (repeated_span_scrub_stream = the crawl-increment scrub
+        # loop, r14 ask #6, full hash against the batch oracle;
         # hybrid_search_rrf_ann = RRF fusion over the stored-IVF
-        # shortlist, r14 ask #2, rows-only with a pytest overlap floor),
-        # then ALL 46 of the r14 verdict's r12/r11 staleness tail except
-        # the four deferred just past the cap. Per r14 ask #1, every
+        # shortlist, r14 ask #2, rows-only with a pytest overlap floor;
+        # ann_index_increment_stream = the stored IVF index maintained
+        # as a stream, rows-only with a stream==batch-append
+        # probe-equality pytest; semantic_decontaminate =
+        # embedding-cosine decontamination, full hash), then the r14
+        # verdict's r12/r11 staleness tail except the six deferred just
+        # past the cap (q5/q7 stream twins made room for the new gates —
+        # see their note below). Per r14 ask #1, every
         # rows-only entry in the front sits NEXT TO its oracle-bearing
         # exact twin (rrf_ann/rrf, q2_approx/q2, stored/brute-force topk,
         # stored+trained recall/ivf+lsh recall, near_dup/near_dup_exact)
@@ -84,6 +89,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q2_average_passengers_per_transport_type": _q.q2_average_passengers_per_transport_type,
         # ^ oracle-bearing exact twin seated beside it
         "ann_cosine_topk_stored": _ivf.ann_cosine_topk_stored,  # rows-only
+        "ann_index_increment_stream": _inc.ann_index_increment_stream,
+        # ^ NEW r15: the stored index MAINTAINED as a stream
+        #   (StreamingIvfIndexer — per-trigger assign+append under the
+        #   committed centroids, batch=<id> overwrite idempotence);
+        #   rows-only like the rest of the stored-IVF family, with a
+        #   stream==batch-append probe-equality pytest
         "ann_cosine_topk": _sim.cosine_topk_bruteforce,
         # ^ exact brute-force twin
         "ann_recall_stored": _sim.ann_recall_stored,  # rows-only
@@ -99,6 +110,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_decontaminate": _sketch.bloom_decontaminate,
         "decontaminate": _cur.decontaminate,
         "decontaminate_spans": _dedup.decontaminate_spans,
+        "semantic_decontaminate": _sim.semantic_decontaminate,
+        # ^ NEW r15: embedding-cosine decontamination — the
+        #   paraphrase-robust complement of the verbatim span/k-gram
+        #   paths above (matmul candidates + fold-exact rescore; the
+        #   output is integer/boolean verdicts only). Full hash oracle.
         "dedup_against": _dedup.dedup_against,
         "dedup_exact": _dedup.dedup_exact,
         "dedup_minhash_lsh": _dedup.dedup_minhash_lsh,
@@ -130,10 +146,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q13_most_occupied_operator": _q.q13_most_occupied_operator,
         "q11_window_max_stream": _runner.q11_transport_type_max_passengers_window_stream,
         "q12_window_min_stream": _runner.q12_least_occupied_transport_type_window_stream,
-        "q5_stream_passengers_per_route": _runner.q5_passengers_per_route_stream,
-        "q7_stream_total_capacity": _runner.q7_total_capacity_available_stream,
         # === BELOW THE DRIVER CAP ==========================================
         # --- deferred stale entries (see rotation note) --------------------
+        "q5_stream_passengers_per_route": _runner.q5_passengers_per_route_stream,
+        "q7_stream_total_capacity": _runner.q7_total_capacity_available_stream,
+        # ^ both deferred for the NEW r15 entries (new entries must get
+        #   a first driver row); their batch twins q5/q7 hold fresh r14
+        #   hash rows under the SAME oracles and the stream==batch
+        #   parity is pytest-pinned — first in line for the r16 front
         "winnow_fingerprints_fast": _dedup.winnow_fingerprints_fast,
         # ^ numpy twin; bit-shares winnow_fingerprints' r14-green oracle contract
         "winnow_pairs_fast": _dedup.winnow_pairs_fast,  # idem

@@ -450,7 +450,9 @@ def query_ivf_index(spark: SparkSession, index_dir: str,
 
 def _query_ivf_index_rows(spark: SparkSession, index_dir: str,
                           id_vecs: list, k: int = 10,
-                          nprobe: int = 8) -> DataFrame:
+                          nprobe: int = 8,
+                          extra_postings: DataFrame | None = None
+                          ) -> DataFrame:
     """query_ivf_index over already-collected (vec_id, [double]) query
     rows. Queries are a SMALL frame by contract (they ride a broadcast),
     so the centroid assignment runs DRIVER-SIDE with the same numpy ops
@@ -459,7 +461,15 @@ def _query_ivf_index_rows(spark: SparkSession, index_dir: str,
     of rows — the dominant cost of a warm probe. The sq8 quantization
     repeats sq8_quantized's exact operation order (floor(x*127.0/s +
     0.5), s = max(|x|, 1e-30)) in float64, so the quantized codes are
-    bit-identical to the JVM expression's."""
+    bit-identical to the JVM expression's.
+
+    ``extra_postings``: additional posting rows in the committed
+    generation's raw layout (same columns, same sq8-ness) unioned into
+    the scan — the streaming indexer's batch=<id> delta store
+    (StreamingIvfIndexer). The cell filter is applied to the union, so
+    Catalyst pushes the same ``cell`` partition pruning into BOTH
+    parquet scans: a probe still reads only probed inverted lists from
+    the base generation AND only probed cells of each stream batch."""
     import json
     import os
 
@@ -496,9 +506,12 @@ def _query_ivf_index_rows(spark: SparkSession, index_dir: str,
     ppath = _postings_path(index_dir, meta)
     if ppath not in _POSTINGS_SCHEMA_CACHE:
         _POSTINGS_SCHEMA_CACHE[ppath] = spark.read.parquet(ppath).schema
-    postings = (spark.read.schema(_POSTINGS_SCHEMA_CACHE[ppath])
-                .parquet(ppath)
-                .where(F.col("cell").isin(cells)))
+    postings = spark.read.schema(_POSTINGS_SCHEMA_CACHE[ppath]) \
+        .parquet(ppath)
+    if extra_postings is not None:
+        postings = postings.unionByName(
+            extra_postings.select(*postings.columns))
+    postings = postings.where(F.col("cell").isin(cells))
     if meta.get("sq8"):
         postings = postings.select(
             F.col("vec_id").alias("neighbor_id"),

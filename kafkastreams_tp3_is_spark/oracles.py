@@ -398,6 +398,33 @@ WHERE list_dot_product(a.v, b.v)
       >= 0.4
 """
 
+# Semantic decontamination (r15): benchmark = every 50th vec_id (the
+# decontaminate split transplanted to embeddings); a corpus vector is
+# contaminated when its fold cosine vs ANY benchmark vector clears the
+# 0.3 threshold (non-trivial at every SF: 40/48/506 contaminated docs
+# at sf0.001/0.01/0.1). Output is integer/boolean only — the cosine is
+# decision state — and the threshold verdict is decided on the same
+# bit-identical list_dot_product fold both engines share, so Spark's
+# matmul-candidates + fold-rescore pipeline and this direct all-pairs
+# restatement agree row-for-row.
+ORACLES["semantic_decontaminate"] = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+     b AS (SELECT * FROM e WHERE vec_id % 50 = 0),
+     c AS (SELECT * FROM e WHERE vec_id % 50 <> 0),
+     hits AS (
+       SELECT c.vec_id, count(*) AS n
+       FROM c, b
+       WHERE list_dot_product(c.v, b.v)
+               / (sqrt(list_dot_product(c.v, c.v))
+                  * sqrt(list_dot_product(b.v, b.v)))
+             >= 0.3
+       GROUP BY c.vec_id)
+SELECT c.vec_id,
+       CAST(COALESCE(hits.n, 0) AS BIGINT) AS n_bench_hits,
+       COALESCE(hits.n, 0) >= 1 AS semantically_contaminated
+FROM c LEFT JOIN hits ON c.vec_id = hits.vec_id
+"""
+
 ORACLES["ann_cosine_topk"] = """
 WITH q AS (
   SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv

@@ -835,3 +835,226 @@ def repeated_span_scrub_stream(spark: SparkSession,
     sink = StreamingSpanScrubber(spark, os.path.join(workdir, "scrub"))
     sink.run(stream, os.path.join(workdir, "ckpt"))
     return sink.scrubbed()
+
+
+class StreamingIvfIndexer:
+    """foreachBatch sink: incremental IVF index maintenance under a
+    stream of arriving (vec_id, embedding) rows — the streaming form of
+    ``append_to_ivf_index`` (the FAISS ``add`` path), completing the
+    crawl-increment loop's retrieval stage beside StreamingCorpusDedup /
+    StreamingBpeEncoder / StreamingDsirSelector / StreamingSpanScrubber:
+    as deduped, selected, tokenized documents land, their embeddings
+    become searchable without an index rebuild.
+
+    State model: the index's committed ``centroids.json`` is the FIXED
+    model (never retrained on append, exactly like FAISS ``add``); the
+    accumulated state is the delta posting store
+    ``<index_dir>/stream_postings/batch=<id>/cell=<c>/`` — each trigger
+    assigns ONLY its own batch under the committed centroids (one
+    Arrow-batched matmul over the batch) and overwrites its own
+    batch=<id> subtree, so a foreachBatch retry replaces its own partial
+    output (the sibling sinks' idempotence discipline; an append into
+    the base generation would double the batch's vectors on retry).
+    Probes read base generation + delta with the SAME ``cell`` partition
+    pruning on both sides (``_query_ivf_index_rows(extra_postings=...)``)
+    — cell is a partition directory level in the delta store too, so an
+    nprobe-cell probe opens only probed cells of each batch.
+
+    Stream == batch: posting content is a pure per-vector function of
+    (embedding, centroids), so the final index equals
+    ``append_to_ivf_index`` of the whole delta in one shot — whatever
+    the batch boundaries — and probe results over the two are
+    bit-identical (pytest-pinned). At 100 TB the delta store's many
+    small batch=<id> files are the standard compaction debt —
+    ``compact_delta`` folds them into a fresh committed generation
+    through the atomic centroids.json swap (and a periodic
+    ``build_ivf_index`` rebuild retrains when distribution drift
+    demands).
+
+    Ownership contract: the stream owns the index's delta — no
+    concurrent ``build_ivf_index`` rebuild of the same index_dir while
+    the stream runs (append_to_ivf_index's rebuild-race retry exists for
+    the shared-batch-job world; here the checkpoint marker pins the
+    directory to one stream)."""
+
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.index_dir = index_dir
+        self.stream_dir = os.path.join(index_dir, "stream_postings")
+
+    def _meta(self) -> dict:
+        with open(os.path.join(self.index_dir, "centroids.json")) as f:
+            return json.load(f)
+
+    def _batch_dirs(self) -> list[str]:
+        if not os.path.isdir(self.stream_dir):
+            return []
+        return sorted(os.path.join(self.stream_dir, d)
+                      for d in os.listdir(self.stream_dir)
+                      if d.startswith("batch="))
+
+    def process(self, batch_df: DataFrame, batch_id: int) -> None:
+        from ..operators.ivf import _write_postings
+
+        batch = batch_df.select("vec_id", "embedding")
+        if batch.isEmpty():
+            return
+        meta = self._meta()
+        _write_postings(batch, meta["centroids"], self.stream_dir,
+                        meta["m_assign"], bool(meta.get("sq8")),
+                        mode="overwrite", subdir=f"batch={batch_id}")
+
+    def _guard_checkpoint(self, checkpoint_dir: str) -> None:
+        """Same marker discipline as the sibling sinks: the
+        overwrite-per-batch_id idempotence is only safe under ONE
+        checkpoint's batch-id sequence."""
+        ckpt = os.path.abspath(checkpoint_dir)
+        marker = os.path.join(self.stream_dir, "_checkpoint_marker.json")
+        has_batches = bool(self._batch_dirs())
+        if os.path.isfile(marker):
+            with open(marker) as f:
+                recorded = json.load(f).get("checkpoint_dir")
+            if recorded == ckpt:
+                return
+            if has_batches:
+                raise RuntimeError(
+                    f"IVF delta store {self.stream_dir!r} was built by "
+                    f"the stream checkpointed at {recorded!r}; running "
+                    f"it with checkpoint {ckpt!r} would restart batch "
+                    "ids at 0 and overwrite earlier batches.")
+        elif has_batches:
+            raise RuntimeError(
+                f"IVF delta store {self.stream_dir!r} contains batch "
+                "subdirectories but no checkpoint marker — refusing to "
+                "run a stream over it (batch-id collisions would "
+                "silently overwrite posting deltas).")
+        os.makedirs(self.stream_dir, exist_ok=True)
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"checkpoint_dir": ckpt}, f)
+        os.replace(tmp, marker)
+
+    def run(self, vec_stream: DataFrame, checkpoint_dir: str) -> None:
+        self._guard_checkpoint(checkpoint_dir)
+        q = (vec_stream.writeStream
+             .foreachBatch(self.process)
+             .outputMode("append")
+             .option("checkpointLocation", checkpoint_dir)
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
+
+    def delta_postings(self) -> DataFrame | None:
+        """Accumulated delta posting rows in the base generation's raw
+        layout (batch column dropped), or None before the first batch."""
+        dirs = self._batch_dirs()
+        if not dirs:
+            return None
+        return (self.spark.read.option("basePath", self.stream_dir)
+                .parquet(*dirs).drop("batch"))
+
+    def query(self, id_vecs: list, k: int = 10,
+              nprobe: int = 8) -> DataFrame:
+        """Top-k probe over base generation + accumulated delta —
+        query_ivf_index's contract (query_id, neighbor_id, rank)."""
+        from ..operators.ivf import _query_ivf_index_rows
+
+        return _query_ivf_index_rows(
+            self.spark, self.index_dir, id_vecs, k=k, nprobe=nprobe,
+            extra_postings=self.delta_postings())
+
+    def compact_delta(self) -> bool:
+        """Fold the accumulated delta into a FRESH base generation —
+        the maintenance op that pays down the delta store's
+        small-files debt without retraining: write base+delta posting
+        rows into a newly claimed ``postings_g<N>``, commit it via the
+        atomic ``centroids.json`` replace (build_ivf_index's single
+        commit point — readers see old or new pair, never a mix), then
+        clear the delta batches. Returns False (no-op) on an empty
+        delta. The stream may keep running afterwards: batch ids only
+        march forward, so post-compact triggers land in fresh
+        ``batch=<id>`` dirs.
+
+        Crash window (generation committed, delta not yet cleared):
+        the delta's vectors exist in BOTH the new generation and the
+        delta store, but a probe stays CORRECT — a vector doubled into
+        the same cell yields exact-duplicate (query, neighbor, cosine)
+        rows, which the probe's window lag-dedup collapses exactly like
+        multi-assign duplicates (pytest-pinned). Re-running
+        compact_delta after the crash converges the layout.
+
+        Maintenance-window contract (prune_ivf_index_generations'):
+        callers must know no reader still holds an unevaluated frame
+        over the delta store — the batch dirs are deleted here; frames
+        over the OLD base generation stay valid (superseded generations
+        are left on disk for in-flight readers)."""
+        import shutil
+
+        from ..operators.ivf import _claim_generation, _postings_path
+
+        delta = self.delta_postings()
+        if delta is None:
+            return False
+        meta = self._meta()
+        base = self.spark.read.parquet(
+            _postings_path(self.index_dir, meta))
+        gen = _claim_generation(self.index_dir)
+        (base.unionByName(delta.select(*base.columns))
+         .write.partitionBy("cell").mode("overwrite")
+         .parquet(os.path.join(self.index_dir, gen)))
+        meta["postings_dir"] = gen
+        tmp = os.path.join(self.index_dir, "centroids.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, os.path.join(self.index_dir, "centroids.json"))
+        for d in self._batch_dirs():
+            shutil.rmtree(d, ignore_errors=True)
+        return True
+
+
+def ann_index_increment_stream(spark: SparkSession, sf_dir: str,
+                               n_queries: int = 5, k: int = 10,
+                               nprobe: int = 12) -> DataFrame:
+    """Driver-gate DEMO fixture (rows-only; stream==batch probe
+    equality + retry/guard pytests in tests/test_streaming.py — kmeans
+    centroids are float training state with no SQL restatement, the
+    ann_recall_ivf family's standing rationale): the stored IVF index
+    maintained as a stream. Build the base index over the EVEN-vec_id
+    half of ``embeddings``; replay the ODD half as a 4-file parquet
+    stream (maxFilesPerTrigger=1 -> 4 triggers of assign+append under
+    the committed centroids); answer the standard stored-index query
+    set over base+delta. Posting content is a pure per-vector function
+    of (embedding, centroids), so the final index — and every probe
+    over it — equals the one-shot ``append_to_ivf_index`` of the whole
+    odd half, whatever the file-to-trigger assignment. Scratch dirs
+    live until process exit so the returned frame stays valid lazily."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..operators.ivf import _stored_query_rows, build_ivf_index
+    from ..views import load
+
+    global _BPE_STREAM_ATEXIT
+    workdir = tempfile.mkdtemp(prefix="ivf_stream_")
+    _BPE_STREAM_DIRS.append(workdir)
+    if not _BPE_STREAM_ATEXIT:
+        atexit.register(
+            lambda: [shutil.rmtree(d, ignore_errors=True)
+                     for d in _BPE_STREAM_DIRS])
+        _BPE_STREAM_ATEXIT = True
+
+    emb = load(spark, sf_dir, "embeddings")
+    base = emb.where(F.col("vec_id") % 2 == 0)
+    inc = emb.select("vec_id", "embedding").where(F.col("vec_id") % 2 == 1)
+    index_dir = os.path.join(workdir, "index")
+    build_ivf_index(base, index_dir, n_centroids=32, m_assign=2)
+
+    src = os.path.join(workdir, "incoming")
+    inc.repartition(4).write.parquet(src)
+    stream = (spark.readStream.schema(inc.schema)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    indexer = StreamingIvfIndexer(spark, index_dir)
+    indexer.run(stream, os.path.join(workdir, "ckpt"))
+    return indexer.query(_stored_query_rows(spark, sf_dir, n_queries),
+                         k=k, nprobe=nprobe)

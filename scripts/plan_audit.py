@@ -46,6 +46,7 @@ SKIP = {
     "bpe_encode_increment_stream",
     "dsir_select_increment_stream",
     "repeated_span_scrub_stream",
+    "ann_index_increment_stream",
 }
 
 COUNTERS = {

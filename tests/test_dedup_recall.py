@@ -711,3 +711,33 @@ def test_repeated_span_scrub_hand_corpus_and_invariants(spark):
             or r["clean_text"].startswith("planted page:")
         assert r["n_cut_chars"] >= 60
         assert len(r["clean_text"]) + r["n_cut_chars"] == 74
+
+
+def test_semantic_decontaminate_flags_planted_paraphrases(planted_vectors):
+    """semantic_decontaminate: benchmark = base vectors 0..4, corpus =
+    everything else. The planted perturbed twins (100+i, cosine > 0.999
+    to benchmark vector i) must be the EXACT contaminated set — random
+    64-dim pairs sit far below the 0.95 threshold — each with exactly
+    one benchmark hit; every other corpus row must still appear with
+    (0, false); and the verdict must be deterministic on re-run."""
+    from kafkastreams_tp3_is_spark.operators.similarity import (
+        semantic_decontaminate_df)
+
+    df, planted = planted_vectors
+    bench = df.where(F.col("vec_id") < 5)
+    corpus = df.where(F.col("vec_id") >= 5)
+
+    def run():
+        return {r["vec_id"]: (r["n_bench_hits"],
+                              r["semantically_contaminated"])
+                for r in semantic_decontaminate_df(
+                    corpus, bench, threshold=0.95).collect()}
+
+    got = run()
+    assert len(got) == corpus.count()       # one verdict row per corpus vec
+    flagged = {v for v, (_, c) in got.items() if c}
+    assert flagged == {100 + i for i in range(5)}
+    for v in flagged:
+        assert got[v] == (1, True)          # exactly the one paraphrase hit
+    assert all(got[v] == (0, False) for v in got if v not in flagged)
+    assert got == run()

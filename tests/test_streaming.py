@@ -2073,3 +2073,149 @@ def test_streaming_span_scrub_equals_batch_and_guards(spark, tmp_path):
     sink4 = StreamingSpanScrubber(spark, out_dir)
     with _pytest.raises(RuntimeError, match="no checkpoint marker"):
         sink4.run(stream(), str(tmp_path / "sg_ckpt_a"))
+
+
+def test_streaming_ivf_indexer_equals_batch_append_and_guards(
+        spark, tmp_path):
+    """StreamingIvfIndexer: probes over the stream-maintained index
+    (base build on even vec_ids + 4 streamed odd-half triggers) equal
+    probes over the one-shot batch twin (build + append_to_ivf_index of
+    the whole odd half) bit-identically — posting content is a pure
+    per-vector function of (embedding, centroids) and train_centroids
+    is deterministic, so the two indexes hold the same row set; a
+    replayed trigger id overwrites its own batch=<id> subtree (retry
+    idempotence, no double postings); and the checkpoint-marker guard
+    refuses a foreign checkpoint over committed batches."""
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from kafkastreams_tp3_is_spark.operators.ivf import (
+        _stored_query_rows, append_to_ivf_index, build_ivf_index,
+        query_ivf_index)
+    from kafkastreams_tp3_is_spark.streaming.incremental import (
+        StreamingIvfIndexer, ann_index_increment_stream)
+    from kafkastreams_tp3_is_spark.views import load
+
+    got_df = ann_index_increment_stream(spark, SF_DIR)
+    got = sorted(tuple(r) for r in got_df.collect())
+    assert len(got) > 0
+
+    # batch twin: same deterministic centroids (same training frame),
+    # whole odd half appended in one shot
+    emb = load(spark, SF_DIR, "embeddings")
+    base = emb.where(F.col("vec_id") % 2 == 0)
+    odd = emb.select("vec_id", "embedding").where(F.col("vec_id") % 2 == 1)
+    ix_batch = str(tmp_path / "ix_batch")
+    build_ivf_index(base, ix_batch, n_centroids=32, m_assign=2)
+    append_to_ivf_index(odd, ix_batch)
+    queries = spark.createDataFrame(
+        _stored_query_rows(spark, SF_DIR, 5),
+        "vec_id bigint, embedding array<double>")
+    want = sorted(tuple(r) for r in query_ivf_index(
+        spark, ix_batch, queries, k=10, nprobe=12).collect())
+    assert got == want
+    # the delta genuinely contributes: some neighbor is odd-vec_id
+    assert any(r[1] % 2 == 1 for r in got)
+
+    # retry idempotence: re-processing the same batch id overwrites its
+    # own subtree — delta row count unchanged, no double postings
+    ix_s = str(tmp_path / "ix_stream")
+    build_ivf_index(base, ix_s, n_centroids=32, m_assign=2)
+    indexer = StreamingIvfIndexer(spark, ix_s)
+    head = odd.limit(16)
+    indexer.process(head, 0)
+    n1 = indexer.delta_postings().count()
+    indexer.process(head, 0)          # foreachBatch retry replay
+    assert indexer.delta_postings().count() == n1
+
+    # guards: same checkpoint resumes; fresh checkpoint over committed
+    # batches refuses; marker-less committed store refuses
+    src = tmp_path / "ivf_in"
+    head.coalesce(1).write.parquet(str(src))
+
+    def stream():
+        return (spark.readStream.schema(head.schema)
+                .option("maxFilesPerTrigger", "1").parquet(str(src)))
+
+    ix_g = str(tmp_path / "ix_guard")
+    build_ivf_index(base, ix_g, n_centroids=32, m_assign=2)
+    sink = StreamingIvfIndexer(spark, ix_g)
+    sink.run(stream(), str(tmp_path / "ivf_ckpt_a"))
+    n = sink.delta_postings().count()
+    assert n > 0
+
+    sink2 = StreamingIvfIndexer(spark, ix_g)
+    sink2.run(stream(), str(tmp_path / "ivf_ckpt_a"))  # clean resume
+    assert sink2.delta_postings().count() == n
+
+    sink3 = StreamingIvfIndexer(spark, ix_g)
+    with _pytest.raises(RuntimeError, match="checkpoint"):
+        sink3.run(stream(), str(tmp_path / "ivf_ckpt_b"))
+
+    os.remove(os.path.join(ix_g, "stream_postings",
+                           "_checkpoint_marker.json"))
+    sink4 = StreamingIvfIndexer(spark, ix_g)
+    with _pytest.raises(RuntimeError, match="no checkpoint marker"):
+        sink4.run(stream(), str(tmp_path / "ivf_ckpt_a"))
+
+
+def test_streaming_ivf_compact_delta_preserves_probes(spark, tmp_path):
+    """compact_delta folds the delta store into a fresh committed
+    generation: probes are bit-identical before and after; the
+    crash-window state (delta vectors present in BOTH the new
+    generation and a lingering batch dir) still probes identically
+    because same-cell doubles are exact-duplicate rows the probe's
+    lag-dedup collapses; a second compact converges the layout."""
+    import json
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from kafkastreams_tp3_is_spark.operators.ivf import (
+        _stored_query_rows, build_ivf_index)
+    from kafkastreams_tp3_is_spark.streaming.incremental import (
+        StreamingIvfIndexer)
+    from kafkastreams_tp3_is_spark.views import load
+
+    emb = load(spark, SF_DIR, "embeddings")
+    base = emb.where(F.col("vec_id") % 2 == 0)
+    odd = emb.select("vec_id", "embedding").where(F.col("vec_id") % 2 == 1)
+    ix = str(tmp_path / "ix_compact")
+    build_ivf_index(base, ix, n_centroids=32, m_assign=2)
+    indexer = StreamingIvfIndexer(spark, ix)
+    indexer.process(odd, 0)
+    qrows = _stored_query_rows(spark, SF_DIR, 5)
+    before = sorted(tuple(r) for r in
+                    indexer.query(qrows, k=10, nprobe=12).collect())
+
+    # snapshot a delta batch dir to replay the crash window later
+    batch_dir = os.path.join(ix, "stream_postings", "batch=0")
+    crash_copy = str(tmp_path / "crash_batch")
+    shutil.copytree(batch_dir, crash_copy)
+
+    assert indexer.compact_delta() is True
+    with open(os.path.join(ix, "centroids.json")) as f:
+        assert json.load(f)["postings_dir"] != "postings_g0"
+    assert indexer.delta_postings() is None
+    after = sorted(tuple(r) for r in
+                   indexer.query(qrows, k=10, nprobe=12).collect())
+    assert after == before
+
+    # crash window: generation committed but delta not cleared —
+    # doubled postings must not change any probe result
+    shutil.copytree(crash_copy, batch_dir)
+    doubled = sorted(tuple(r) for r in
+                     indexer.query(qrows, k=10, nprobe=12).collect())
+    assert doubled == before
+    # re-running compact converges (delta folded again — triples are
+    # still exact duplicates — and the store is cleared)
+    assert indexer.compact_delta() is True
+    assert indexer.delta_postings() is None
+    assert sorted(tuple(r) for r in
+                  indexer.query(qrows, k=10, nprobe=12).collect()) == before
+
+    # empty delta: no-op
+    assert indexer.compact_delta() is False
