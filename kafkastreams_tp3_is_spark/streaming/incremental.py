@@ -1058,3 +1058,209 @@ def ann_index_increment_stream(spark: SparkSession, sf_dir: str,
     indexer.run(stream, os.path.join(workdir, "ckpt"))
     return indexer.query(_stored_query_rows(spark, sf_dir, n_queries),
                          k=k, nprobe=nprobe)
+
+
+class StreamingSemanticDedup:
+    """foreachBatch sink: maintain a SEMANTICALLY near-dup-free corpus
+    under a stream of (vec_id, embedding) rows — the embedding-space
+    counterpart of ``StreamingCorpusDedup`` (whose minhash signatures
+    catch lexical near-dups; a paraphrase with disjoint shingles but
+    cosine-close embedding sails through it). Together with the
+    scrub/DSIR/BPE/IVF sinks this closes the crawl-increment loop's
+    semantic-dedup stage: arriving vectors are admitted only when no
+    cosine-near twin already survived.
+
+    Semantics: GREEDY ONLINE dedup, the production crawl contract (and
+    the streaming-corpus-dedup family's): an arriving vector is dropped
+    iff it is cosine >= threshold to a SURVIVOR — either the canonical
+    (min vec_id) member of its within-batch near-dup component, or any
+    vector already in the accumulated corpus. A vector near-dup ONLY to
+    a previously-DROPPED vector survives (the dropped one suppresses
+    nothing — it is not in the corpus), which differs from one-shot
+    whole-corpus clustering exactly on cross-batch transitive chains;
+    the pytest pins this divergence explicitly rather than papering
+    over it.
+
+    State: two batch=<id>-overwritten stores (the sibling sinks'
+    retry-idempotence discipline — a foreachBatch retry replaces its
+    own partial output): ``corpus_dir`` holds surviving (vec_id,
+    embedding); ``bucket_dir`` holds their exploded sign-LSH band keys
+    (seed-deterministic ``band_buckets``), so the cross-corpus check is
+    a band equi-join against a SCAN — the accumulated corpus is never
+    re-hashed. Candidates are verified with the exact zip_with/
+    aggregate fold cosine (bit-reproducible), so the LSH banding only
+    bounds the candidate set, never decides a verdict.
+
+    100 TB: per trigger the work is one Arrow matmul over the BATCH
+    (the corpus side is a pruned scan of bucket rows joined on band
+    key), candidate verification on band-collision pairs only, and two
+    batch-sized writes. The bucket store is the only per-trigger-scanned
+    state and it is 4 longs per corpus vector."""
+
+    def __init__(self, spark: SparkSession, corpus_dir: str,
+                 threshold: float = 0.95, n_planes: int = 64,
+                 band_bits: int = 16, seed: int = 42,
+                 bucket_dir: str | None = None,
+                 cc_checkpoint_dir: str | None = None):
+        self.spark = spark
+        self.corpus_dir = corpus_dir
+        self.bucket_dir = bucket_dir or corpus_dir.rstrip("/") + "_buckets"
+        self.threshold = threshold
+        self.n_planes = n_planes
+        self.band_bits = band_bits
+        self.seed = seed
+        self.cc_checkpoint_dir = cc_checkpoint_dir
+
+    def _read_store(self, root: str,
+                    exclude_batch: int | None = None) -> DataFrame | None:
+        if not os.path.isdir(root):
+            return None
+        subdirs = [d for d in os.listdir(root)
+                   if d.startswith("batch=")
+                   and (exclude_batch is None
+                        or d != f"batch={exclude_batch}")]
+        if not subdirs:
+            return None
+        return (self.spark.read.option("basePath", root)
+                .parquet(*[os.path.join(root, d) for d in subdirs])
+                .drop("batch"))
+
+    def process(self, batch_df: DataFrame, batch_id: int) -> None:
+        from ..operators.graph import connected_components_df
+        from ..operators.similarity import (_as_double, _dot, _norm,
+                                            band_buckets)
+
+        batch = batch_df.select("vec_id", "embedding")
+        if batch.isEmpty():
+            return
+        # ONE banding pass serves the within-batch self-join, the
+        # cross-corpus probe, and the bucket-store append
+        bucketed = (band_buckets(batch, n_planes=self.n_planes,
+                                 band_bits=self.band_bits, seed=self.seed)
+                    .select("vec_id",
+                            _as_double("embedding").alias("vec"),
+                            F.explode("buckets").alias("bucket"))
+                    .withColumn("nrm", _norm(F.col("vec")))
+                    .persist())
+        cc_dir = (os.path.join(self.cc_checkpoint_dir, f"batch-{batch_id}")
+                  if self.cc_checkpoint_dir is not None else None)
+        keep_ids = None
+        try:
+            cos = (_dot(F.col("a_vec"), F.col("b_vec"))
+                   / (F.col("a_norm") * F.col("b_norm")))
+            # 1. within-batch: band-collision pairs, exact-fold verify,
+            # CC -> canonical (min id) survivor per component
+            a = bucketed.select(F.col("vec_id").alias("a_id"),
+                                F.col("vec").alias("a_vec"),
+                                F.col("nrm").alias("a_norm"), "bucket")
+            b = bucketed.select(F.col("vec_id").alias("b_id"),
+                                F.col("vec").alias("b_vec"),
+                                F.col("nrm").alias("b_norm"), "bucket")
+            pairs = (a.join(b, "bucket")
+                     .where(F.col("a_id") < F.col("b_id"))
+                     .select("a_id", "b_id", cos.alias("cosine"))
+                     .where(F.col("cosine") >= self.threshold)
+                     .dropDuplicates(["a_id", "b_id"]))
+            cc = connected_components_df(pairs, checkpoint_dir=cc_dir)
+            non_canonical = (cc.where(F.col("node") != F.col("component"))
+                             .select(F.col("node").alias("vec_id")))
+            keep_ids = (batch.select("vec_id")
+                        .join(non_canonical, "vec_id", "left_anti"))
+            # 2. cross-corpus: surviving batch buckets vs the STORED
+            # bucket rows (scan, no re-hash), exact-fold verify against
+            # stored embeddings
+            stored_b = self._read_store(self.bucket_dir,
+                                        exclude_batch=batch_id)
+            if stored_b is not None:
+                stored_e = (self._read_store(self.corpus_dir,
+                                             exclude_batch=batch_id)
+                            .select(F.col("vec_id").alias("b_id"),
+                                    _as_double("embedding").alias("b_vec"))
+                            .withColumn("b_norm", _norm(F.col("b_vec"))))
+                cand = (bucketed.join(keep_ids, "vec_id", "left_semi")
+                        .select(F.col("vec_id").alias("a_id"),
+                                F.col("vec").alias("a_vec"),
+                                F.col("nrm").alias("a_norm"), "bucket")
+                        .join(stored_b.select(
+                            F.col("vec_id").alias("b_id"), "bucket"),
+                            "bucket")
+                        .dropDuplicates(["a_id", "b_id"]))
+                dup_new = (cand.join(stored_e, "b_id")
+                           .where(cos >= self.threshold)
+                           .select(F.col("a_id").alias("vec_id"))
+                           .distinct())
+                keep_ids = keep_ids.join(dup_new, "vec_id", "left_anti")
+            keep_ids = keep_ids.persist()
+            # 3. terminal writes: survivors + their bucket rows, each
+            # into its own batch=<id> subtree with overwrite semantics
+            (batch.join(keep_ids, "vec_id", "left_semi")
+             .write.mode("overwrite")
+             .parquet(os.path.join(self.corpus_dir, f"batch={batch_id}")))
+            (bucketed.select("vec_id", "bucket")
+             .join(keep_ids, "vec_id", "left_semi")
+             .write.mode("overwrite")
+             .parquet(os.path.join(self.bucket_dir, f"batch={batch_id}")))
+        finally:
+            bucketed.unpersist()
+            if keep_ids is not None:
+                keep_ids.unpersist()
+            if cc_dir is not None:
+                sc = self.spark.sparkContext
+                jp = sc._jvm.org.apache.hadoop.fs.Path(cc_dir)
+                jp.getFileSystem(sc._jsc.hadoopConfiguration()) \
+                    .delete(jp, True)
+
+    def _has_batches(self) -> bool:
+        return any(
+            os.path.isdir(root) and any(d.startswith("batch=")
+                                        for d in os.listdir(root))
+            for root in (self.corpus_dir, self.bucket_dir))
+
+    def _guard_checkpoint(self, checkpoint_dir: str) -> None:
+        """The sibling sinks' marker discipline: overwrite-per-batch_id
+        idempotence is only safe under ONE checkpoint's batch-id
+        sequence, and the corpus + bucket stores rise and fall
+        together."""
+        ckpt = os.path.abspath(checkpoint_dir)
+        marker = os.path.join(self.corpus_dir, "_checkpoint_marker.json")
+        has_batches = self._has_batches()
+        if os.path.isfile(marker):
+            with open(marker) as f:
+                recorded = json.load(f).get("checkpoint_dir")
+            if recorded == ckpt:
+                return
+            if has_batches:
+                raise RuntimeError(
+                    f"semantic-dedup store {self.corpus_dir!r} (+ buckets "
+                    f"{self.bucket_dir!r}) was built by the stream "
+                    f"checkpointed at {recorded!r}; running it with "
+                    f"checkpoint {ckpt!r} would restart batch ids at 0 "
+                    "and overwrite earlier batches.")
+        elif has_batches:
+            raise RuntimeError(
+                f"semantic-dedup store {self.corpus_dir!r} contains batch "
+                "subdirectories but no checkpoint marker — refusing to "
+                "run a stream over it (batch-id collisions would "
+                "silently overwrite survivors).")
+        os.makedirs(self.corpus_dir, exist_ok=True)
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"checkpoint_dir": ckpt}, f)
+        os.replace(tmp, marker)
+
+    def run(self, vec_stream: DataFrame, checkpoint_dir: str) -> None:
+        self._guard_checkpoint(checkpoint_dir)
+        q = (vec_stream.writeStream
+             .foreachBatch(self.process)
+             .outputMode("append")
+             .option("checkpointLocation", checkpoint_dir)
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
+
+    def corpus(self) -> DataFrame:
+        out = self._read_store(self.corpus_dir)
+        if out is None:
+            raise FileNotFoundError(
+                f"no corpus batches at {self.corpus_dir}")
+        return out

@@ -50,7 +50,7 @@ from kafkastreams_tp3_is_spark.operators.graph import (  # noqa: E402
 from kafkastreams_tp3_is_spark.operators.retrieval import (  # noqa: E402
     tfidf_topk_df)
 from kafkastreams_tp3_is_spark.operators.similarity import (  # noqa: E402
-    cosine_topk_sq8_df)
+    cosine_topk_sq8_df, semantic_decontaminate_df)
 from kafkastreams_tp3_is_spark.operators.sketch import (  # noqa: E402
     bloom_decontaminate_df, heavy_hitters_df)
 from kafkastreams_tp3_is_spark.session import get_spark  # noqa: E402
@@ -327,7 +327,8 @@ def main() -> None:
     only = set(sys.argv[1:])
     if only:
         known = ({n for n, _ in ops}
-                 | {"ann_cosine_topk_sq8", "embedding_gram_sq8"})
+                 | {"ann_cosine_topk_sq8", "embedding_gram_sq8",
+                    "semantic_decontaminate"})
         unknown = only - known
         if unknown:
             # a misspelled name must NOT read as an all-green run
@@ -349,8 +350,21 @@ def main() -> None:
     # corpus grows, so the int8 scan should track rows near-linearly.
     # embedding_gram_sq8's shuffle is O(batches x d^2) regardless of
     # corpus rows — the ratio should track the scan alone
+    def _semantic_decon_planted(emb):
+        # bounded-benchmark contract: real suites are fixed-size, so the
+        # benchmark pins to the BASE copy's 40 every-50th vectors (the
+        # lowest ids — copies shift by i*n_base) while the corpus
+        # scales; copies of benchmark vectors also land on %50==0 and
+        # stay excluded from the corpus, so contaminated rows grow
+        # exactly linearly with copies
+        bench = (emb.where(F.col("vec_id") % 50 == 0)
+                 .orderBy("vec_id").limit(40))
+        corpus = emb.where(F.col("vec_id") % 50 != 0)
+        return semantic_decontaminate_df(corpus, bench)
+
     emb_ops = [("ann_cosine_topk_sq8", cosine_topk_sq8_df),
-               ("embedding_gram_sq8", embedding_gram_sq8_df)]
+               ("embedding_gram_sq8", embedding_gram_sq8_df),
+               ("semantic_decontaminate", _semantic_decon_planted)]
     if only:
         emb_ops = [(n, f) for n, f in emb_ops if n in only]
     for name, fn in emb_ops:

@@ -2219,3 +2219,99 @@ def test_streaming_ivf_compact_delta_preserves_probes(spark, tmp_path):
 
     # empty delta: no-op
     assert indexer.compact_delta() is False
+
+
+def test_streaming_semantic_dedup_greedy_online_semantics(spark, tmp_path):
+    """StreamingSemanticDedup: (a) within-batch near-dup components keep
+    the canonical min-vec_id member; (b) an arriving vector cosine-close
+    to an accumulated SURVIVOR is dropped; (c) greedy online semantics —
+    a vector near-dup ONLY to a previously-DROPPED vector survives
+    (constructed on a 2D plane: B at 17 deg from survivor A is dropped
+    at threshold 0.95 ~ 18 deg, C at 17 deg from B is 34 deg from A and
+    must be kept); (d) a retried batch id overwrites its own subtree
+    (corpus unchanged); (e) the checkpoint-marker guard refuses a
+    foreign checkpoint and a marker-less committed store."""
+    import math
+    import os
+
+    import numpy as np
+    import pytest as _pytest
+
+    from kafkastreams_tp3_is_spark.streaming.incremental import (
+        StreamingSemanticDedup)
+
+    rng = np.random.default_rng(7)
+    dim = 64
+
+    def unit(v):
+        return [float(x) for x in v / np.linalg.norm(v)]
+
+    def rot(a_deg):
+        # on the e1/e2 plane, padded to dim
+        v = np.zeros(dim)
+        v[0] = math.cos(math.radians(a_deg))
+        v[1] = math.sin(math.radians(a_deg))
+        return [float(x) for x in v]
+
+    fillers = [(i, unit(rng.standard_normal(dim))) for i in range(1, 10)]
+    A = (0, rot(0.0))
+    B = (100, rot(17.0))            # cos(17) ~ 0.956 >= 0.95: dup of A
+    C = (200, rot(34.0))            # cos(17) to B, cos(34) ~ 0.829 to A
+    D = (101, unit(rng.standard_normal(dim)))
+    E = (201, unit(np.array(D[1]) + 0.01 * rng.standard_normal(dim)))
+    twin_base = rng.standard_normal(dim)
+    T1 = (110, unit(twin_base))
+    T2 = (111, unit(twin_base + 0.01 * rng.standard_normal(dim)))
+
+    def frame(rows):
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>")
+
+    sink = StreamingSemanticDedup(spark, str(tmp_path / "sem_corpus"),
+                                  threshold=0.95)
+    sink.process(frame([A] + fillers), 0)
+    kept0 = {r["vec_id"] for r in sink.corpus().collect()}
+    assert kept0 == {0} | {i for i, _ in fillers}
+
+    sink.process(frame([B, D, T1, T2]), 1)
+    kept1 = {r["vec_id"] for r in sink.corpus().collect()}
+    assert 100 not in kept1         # dup of accumulated survivor A
+    assert 101 in kept1             # genuinely new
+    assert 110 in kept1 and 111 not in kept1   # within-batch canonical
+
+    sink.process(frame([C, E]), 2)
+    kept2 = {r["vec_id"] for r in sink.corpus().collect()}
+    assert 200 in kept2, "greedy online: near-dup of a DROPPED vector survives"
+    assert 201 not in kept2         # dup of accumulated survivor D
+
+    # retry idempotence: replaying batch 2 overwrites its own subtree
+    sink.process(frame([C, E]), 2)
+    assert {r["vec_id"] for r in sink.corpus().collect()} == kept2
+
+    # guards (stream entry point): marker discipline
+    src = tmp_path / "sem_in"
+    frame([A]).coalesce(1).write.parquet(str(src))
+
+    def stream():
+        return (spark.readStream
+                .schema("vec_id long, embedding array<double>")
+                .option("maxFilesPerTrigger", "1").parquet(str(src)))
+
+    g_dir = str(tmp_path / "sem_guard")
+    sink2 = StreamingSemanticDedup(spark, g_dir, threshold=0.95)
+    sink2.run(stream(), str(tmp_path / "sem_ckpt_a"))
+    n = sink2.corpus().count()
+    assert n == 1
+
+    sink3 = StreamingSemanticDedup(spark, g_dir, threshold=0.95)
+    sink3.run(stream(), str(tmp_path / "sem_ckpt_a"))   # clean resume
+    assert sink3.corpus().count() == n
+
+    sink4 = StreamingSemanticDedup(spark, g_dir, threshold=0.95)
+    with _pytest.raises(RuntimeError, match="checkpoint"):
+        sink4.run(stream(), str(tmp_path / "sem_ckpt_b"))
+
+    os.remove(os.path.join(g_dir, "_checkpoint_marker.json"))
+    sink5 = StreamingSemanticDedup(spark, g_dir, threshold=0.95)
+    with _pytest.raises(RuntimeError, match="no checkpoint marker"):
+        sink5.run(stream(), str(tmp_path / "sem_ckpt_a"))
