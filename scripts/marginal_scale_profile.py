@@ -112,23 +112,90 @@ READINGS = {
     "repeated_span_scrub": (
         "O(chars) rolling-hash span inventory (Arrow kernel), ONE "
         "map-side-combined canonical agg on the 8-byte span hash, "
-        "per-doc window interval union, row-local rebuild fold; "
-        "out_rows and inventory rows are linear by construction — "
-        "residual marginal growth on this box is the same spill "
-        "regime as containment_pairs (persisted-inventory + shuffle "
-        "memory pressure at 30x on 16 GiB/32 partitions)"),
+        "per-doc window interval union, row-local rebuild fold. Its "
+        "time marginal on THIS box grows past ~30 copies anyway — "
+        "that is the same 16 GiB single-JVM spill regime "
+        "CONTAINMENT_VOLUME.json pins for containment_pairs, not "
+        "algorithmic growth: SPAN_SCRUB_VOLUME.json measures every "
+        "stage volume (inventory rows, duplicate hashes, cut "
+        "positions, cut chars) at EXACTLY 1.0-linear per copy through "
+        "90 copies — counts, unlike wall seconds, are immune to the "
+        "host's steal weather. A cluster sizes the spill away; the "
+        "algorithmic bound (one inventory row per char, one cut per "
+        "duplicate occurrence, row-local rebuild) is the committed "
+        "claim"),
 }
 
 COPIES = (1, 10, 30)
 
+# A sample is CLEAN when hypervisor steal during it averages under
+# half a core (steal_s / wall_s <= 0.5) — an ABSOLUTE rate, not a
+# fraction of wall x ncpu: a wall-scaled budget lets a slow sample
+# "pass" with more absolute steal than the fast sample it displaced
+# (observed: a 66 s sample with 22 steal-s passed while 14 s samples
+# with 16-22 steal-s failed, and the printed growth ratio quadrupled).
+MAX_STEAL_CORES = 0.5
+MAX_ATTEMPTS = 8
+WANT_CLEAN = 3
+
+
+def _steal_s() -> float:
+    """Cumulative hypervisor steal seconds (/proc/stat cpu field 8).
+    This box is a guest on a shared host: host-side contention shows
+    up as steal, not as any visible process — the r15 median-of-3 run
+    still read 8.6/52.3/5.9 s for three back-to-back samples of the
+    same staged data. Recording per-sample steal makes that pollution
+    auditable instead of silent."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()
+    return int(parts[8]) / os.sysconf("SC_CLK_TCK")
+
 
 def timed(fn, docs):
+    s0 = _steal_s()
     t0 = time.perf_counter()
     out = fn(docs)
     row = out.agg(
         F.bit_xor(F.xxhash64(*[F.col(c) for c in out.columns])).alias("x"),
         F.count(F.lit(1)).alias("n")).collect()[0]
-    return round(time.perf_counter() - t0, 2), row["n"]
+    return (round(time.perf_counter() - t0, 2), row["n"],
+            round(_steal_s() - s0, 2))
+
+
+def _is_clean(wall_s: float, steal_s: float) -> bool:
+    return steal_s <= MAX_STEAL_CORES * wall_s
+
+
+def timed_clean(fn, docs, spark, want_clean=WANT_CLEAN):
+    """``timed`` with steal-gated RESAMPLING and a min-WALL estimate.
+
+    Steal is strictly additive one-sided noise: a sample can run SLOWER
+    than the true operator cost under host contention, never faster, so
+    the minimum wall time over ALL attempts is always the tightest
+    upper bound on the true cost — a dirty fast sample beats a clean
+    slow one (the earlier clean-only estimator rejected 14 s samples
+    for their steal and reported a displaced 66 s "clean" sample,
+    quadrupling a growth ratio). The steal gate therefore only decides
+    WHEN TO STOP SAMPLING: keep sampling until ``want_clean`` attempts
+    ran with under half a core of average steal (or MAX_ATTEMPTS), so
+    a burst that outlasts three back-to-back samples (observed: 116
+    steal-seconds inside a 15.6 s wall) buys more attempts instead of
+    polluting the estimate. ``polluted`` flags an estimate whose chosen
+    minimum itself still carried heavy steal — the true cost is LOWER
+    than printed, conservative in the super-linearity direction. Every
+    attempt and its steal seconds stay recorded for audit."""
+    samples = []
+    n_clean = 0
+    for _ in range(MAX_ATTEMPTS):
+        t_op, n, st_op = timed(fn, docs)
+        samples.append([t_op, st_op])
+        if _is_clean(t_op, st_op):
+            n_clean += 1
+        spark.catalog.clearCache()
+        if n_clean >= want_clean:
+            break
+    best = min(samples, key=lambda s: s[0])
+    return best[0], best[1], n, samples, not _is_clean(*best)
 
 
 def marginals(pts: dict, key: str) -> tuple[float, float, float | None]:
@@ -154,27 +221,33 @@ def run_op(name: str, fn, sf_dir: str) -> dict:
         points = {}
         for copies in COPIES:
             d = scaled_docs(spark, sf_dir, copies)
-            t_fix, n = timed(fn, d)              # fixture-inclusive
-            # drop frames the op persisted BETWEEN timings (the bench.py
-            # rule): leaked storage otherwise GC-pressures every later
-            # timing — measured 3x on the last-profiled op before the fix
-            spark.catalog.clearCache()
+            # fixture-inclusive: steal-gated like the operator number
+            # (the fixture column feeds a growth ratio too)
+            # (want_clean=1: the single-shot semantics this column
+            # always had, retried only when a steal burst hit it)
+            t_fix, st_fix, n, fix_samples, fix_polluted = \
+                timed_clean(fn, d, spark, want_clean=1)
+            # timed_clean clears cache after every sample (the bench.py
+            # rule): leaked persisted frames otherwise GC-pressure
+            # every later timing
             src = os.path.join(stage_root, f"{name}_{copies}")
             d.write.parquet(src)                 # untimed materialization
             ds = spark.read.parquet(src)
             n_docs = ds.count()
-            # median of 3 for the OPERATOR number (the bench.py rule:
-            # single samples on this box swing +-2x — winnow_pairs read
-            # growth 1.08 and 2.83 on consecutive identical-code runs)
-            samples = []
-            for _ in range(3):
-                t_op, _ = timed(fn, ds)          # operator-only
-                samples.append(t_op)
-                spark.catalog.clearCache()
-            t_op = sorted(samples)[1]
+            # operator-only: min CLEAN of steal-gated samples (see
+            # timed_clean — min-of-3 alone still chose a sample with
+            # 116 steal-seconds during the r15 host-contention window)
+            t_op, st_op, _, samples, op_polluted = \
+                timed_clean(fn, ds, spark)
             shutil.rmtree(src, ignore_errors=True)
-            points[copies] = {"t_fixture": t_fix, "t_operator": t_op,
+            points[copies] = {"t_fixture": t_fix,
+                              "t_fixture_steal_s": st_fix,
+                              "t_fixture_samples": fix_samples,
+                              "t_fixture_polluted": fix_polluted,
+                              "t_operator": t_op,
+                              "t_operator_steal_s": st_op,
                               "t_operator_samples": samples,
+                              "t_operator_polluted": op_polluted,
                               "n_docs": n_docs, "out_rows": n}
         fl, fh, fg = marginals(points, "t_fixture")
         ol, oh, og = marginals(points, "t_operator")
@@ -231,14 +304,17 @@ def main() -> None:
         pts = r["points"]
         rows = "\n".join(
             f"| {c} | {pts[c]['n_docs']:,} | {pts[c]['t_fixture']} "
-            f"| {pts[c]['t_operator']} | {pts[c]['out_rows']:,} |"
+            f"| {pts[c]['t_operator']}"
+            f"{' (POLLUTED)' if pts[c].get('t_operator_polluted') else ''} "
+            f"| {pts[c].get('t_operator_steal_s', '-')} "
+            f"| {pts[c]['out_rows']:,} |"
             for c in COPIES)
         ol, oh = r["operator_marginal_s_per_copy"]
         fl, fh = r["fixture_marginal_s_per_copy"]
         sections.append(f"""## {name}
 
-| copies | docs | fixture s | operator s | out rows |
-|---|---|---|---|---|
+| copies | docs | fixture s | operator s | op steal s | out rows |
+|---|---|---|---|---|---|
 {rows}
 
 - operator-only marginal s/copy: **{ol} -> {oh}**
@@ -269,6 +345,24 @@ only pollute the fixture-inclusive column. Growth ratios are only
 meaningful when the absolute marginal is well above noise — a
 floor-dominated op (total seconds barely moving across 30x) is
 reported as such, not as a growth number.
+
+**Estimator + steal audit** (round 15): the operator number is the
+MINIMUM WALL over steal-gated post-warmup samples of the same staged
+snapshot. This guest shares a host, and host contention arrives as
+multi-second hypervisor-steal bursts no process listing shows (a
+median-of-3 run read 8.6/52.3/5.9 s for back-to-back samples of
+identical staged data; single bursts of 100-400 steal-seconds were
+recorded). Steal is strictly additive one-sided noise — a sample can
+run slower than the true operator cost, never faster — so min-wall
+over ALL attempts is always the tightest upper bound on the true
+cost; the per-sample steal reading (/proc/stat, recorded beside every
+attempt) only decides WHEN TO STOP SAMPLING (resample until 3
+attempts averaged under half a core of steal, cap 8), so a burst that
+outlasts the first samples buys more attempts instead of polluting
+the estimate. A point whose chosen minimum itself still carried heavy
+steal is flagged POLLUTED — its true cost is LOWER than printed,
+conservative in the super-linearity direction. Every attempt and its
+steal seconds stay in the JSON for audit.
 
 """
           + "\n".join(sections) +
