@@ -62,7 +62,14 @@ DEMO_QUERIES = {"latest_route_capacity_stateful",
                 "trips_route_update_stream_outer_join",
                 "bpe_encode_increment_stream",
                 "dsir_select_increment_stream",
-                "repeated_span_scrub_stream"}
+                "repeated_span_scrub_stream",
+                # r15: the stored-IVF index maintained as a stream — a
+                # micro-batch drain like its bpe/dsir/scrub siblings; it
+                # was registered mid-build without this classification
+                # and would otherwise enter the headline total on its
+                # first-ever bench (never appeared in any BENCH_r* line,
+                # so no cross-round number is lost)
+                "ann_index_increment_stream"}
 
 # Composed pipelines: one registry entry that chains stages which are
 # EACH already a headline query (repeated_spans, quality_decile_filter,
