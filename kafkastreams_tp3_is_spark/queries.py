@@ -31,9 +31,39 @@ from pyspark.sql import functions as F
 
 from .operators.extremum import argmax, argmin
 from .session import configure_for_engine
-from .views import routes, trips
+from .views import load, routes, trips
 
 _OCC = "occupancyPercentage"
+
+# --- derivation pushdown (optimization r15) ----------------------------
+# The batch wrappers aggregate on the RAW integer keys of the parquet
+# scan (o_orderkey / l_orderkey / key % m) and decorate the derived
+# string keys (Route_<k>, Type_<k%5>, ...) AFTER aggregation: every
+# views.py derivation is an injective pure function of its integer key,
+# so the grouped/joined row sets are identical while the exchanges carry
+# 8-byte longs instead of per-fact-row concat strings (guide §2.3:
+# narrower shuffle keys, project late work after the aggregate). String
+# TIE-BREAKS (argmax/argmin, max_by structs) are decorated BEFORE the
+# extremum runs, on aggregate-sized frames, so ordering semantics stay
+# exactly the string ones ("Route_10" < "Route_2"). The q*_logic
+# dataflows above each wrapper are unchanged — the streaming layer
+# replays them over real route/trip records where no integer key exists;
+# equivalence of each wrapper to its logic twin is oracle-gated at every
+# SF and pinned by the unchanged DuckDB hash oracles.
+
+def _capacity() -> F.Column:
+    """Capacity derived per orders row (views.routes_from_orders); a
+    function, not a module constant — building a Column requires the
+    active session's JVM."""
+    return ((F.floor(F.col("o_totalprice")) % 200) + 1).cast("int")
+
+
+def _route_str(key: F.Column) -> F.Column:
+    return F.concat(F.lit("Route_"), key.cast("string"))
+
+
+def _type_str(key: F.Column) -> F.Column:
+    return F.concat(F.lit("Type_"), key.cast("string"))
 
 
 def _occupancy(pax_col: str, cap_col: str) -> F.Column:
@@ -67,8 +97,14 @@ def q1_logic(routes_df: DataFrame, trips_df: DataFrame) -> DataFrame:
 
 
 def q1_available_seats_per_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # derivation pushdown: group on o_orderkey (injective under Route_<k>),
+    # decorate the string key on the aggregate rows only
     configure_for_engine(spark)
-    return q1_logic(routes(spark, sf_dir), None)
+    o = load(spark, sf_dir, "orders")
+    agg = (o.groupBy("o_orderkey")
+           .agg(F.sum(_capacity()).alias("totalCapacity")))
+    return agg.select(_route_str(F.col("o_orderkey")).alias("route_id"),
+                      "totalCapacity")
 
 
 # --- Q2 ---------------------------------------------------------------
@@ -85,8 +121,16 @@ def q2_logic(routes_df: DataFrame, trips_df: DataFrame) -> DataFrame:
 
 
 def q2_average_passengers_per_transport_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # pushdown: transport_type = Type_<l_orderkey % 5> and route_id =
+    # Route_<l_orderkey> are injective, so group/distinct on the ints
     configure_for_engine(spark)
-    return q2_logic(None, trips(spark, sf_dir))
+    li = load(spark, sf_dir, "lineitem")
+    agg = (li.groupBy((F.col("l_orderkey") % 5).alias("_t"))
+           .agg((F.count(F.lit(1)).cast("double")
+                 / F.countDistinct("l_orderkey").cast("double"))
+                .alias("averagePassengers")))
+    return agg.select(_type_str(F.col("_t")).alias("transport_type"),
+                      "averagePassengers")
 
 
 def q2_approx_logic(routes_df: DataFrame, trips_df: DataFrame,
@@ -124,8 +168,18 @@ def q3_logic(routes_df: DataFrame, trips_df: DataFrame) -> DataFrame:
 
 
 def q3_name_passenger_most_trips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # pushdown: passenger_name = Passenger_<l_partkey % 200> is injective
+    # in (l_partkey % 200); the string tie-break is decorated on the
+    # <= 200 aggregate rows BEFORE the argmax
     configure_for_engine(spark)
-    return q3_logic(None, trips(spark, sf_dir))
+    li = load(spark, sf_dir, "lineitem")
+    counts = (li.groupBy((F.col("l_partkey") % 200).alias("_p"))
+              .agg(F.count(F.lit(1)).alias("tripCount")))
+    named = counts.select(
+        F.concat(F.lit("Passenger_"), F.col("_p").cast("string"))
+         .alias("passenger_name"), "tripCount")
+    return (argmax(named, "tripCount", tiebreak_cols=["passenger_name"])
+            .select(F.col("passenger_name").alias("passengerName")))
 
 
 # --- Q4 ---------------------------------------------------------------
@@ -142,8 +196,19 @@ def q4_logic(routes_df: DataFrame, trips_df: DataFrame) -> DataFrame:
 
 
 def q4_occupancy_per_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # pushdown: both per-route aggregates group on their integer order
+    # key; the left join runs int = int and the string key is built once
+    # per output row
     configure_for_engine(spark)
-    return q4_logic(routes(spark, sf_dir), trips(spark, sf_dir))
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    cap = (o.groupBy("o_orderkey")
+           .agg(F.sum(_capacity()).alias("totalCapacity")))
+    pax = (li.groupBy("l_orderkey")
+           .agg(F.count(F.lit(1)).alias("passengerCount")))
+    j = cap.join(pax, F.col("o_orderkey") == F.col("l_orderkey"), "left")
+    return j.select(_route_str(F.col("o_orderkey")).alias("route_id"),
+                    _occupancy("passengerCount", "totalCapacity").alias(_OCC))
 
 
 # --- Q5 ---------------------------------------------------------------
@@ -153,8 +218,13 @@ def q5_logic(routes_df: DataFrame, trips_df: DataFrame) -> DataFrame:
 
 
 def q5_passengers_per_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # pushdown: count per l_orderkey, decorate Route_<k> on aggregate rows
     configure_for_engine(spark)
-    return q5_logic(None, trips(spark, sf_dir))
+    li = load(spark, sf_dir, "lineitem")
+    agg = (li.groupBy("l_orderkey")
+           .agg(F.count(F.lit(1)).alias("passengerCount")))
+    return agg.select(_route_str(F.col("l_orderkey")).alias("route_id"),
+                      "passengerCount")
 
 
 # --- Q6 ---------------------------------------------------------------
@@ -186,8 +256,29 @@ def q6_logic(routes_df: DataFrame, trips_df: DataFrame) -> DataFrame:
 
 
 def q6_route_least_occupancy_per_transport_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # pushdown: capacity sums per o_orderkey; transport_type is a pure
+    # function of the group key (Type_<o_orderkey % 5>), so the logic's
+    # max_by(transport_type, event_ts) over route duplicates collapses to
+    # the decoration itself. Strings (incl. the route_id tie-break) are
+    # built on the per-route aggregate rows before the argmin.
     configure_for_engine(spark)
-    return q6_logic(routes(spark, sf_dir), trips(spark, sf_dir))
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    cap_dim = (o.groupBy("o_orderkey")
+               .agg(F.sum(_capacity()).alias("totalCapacity")))
+    pax = (li.groupBy("l_orderkey")
+           .agg(F.count(F.lit(1)).alias("passengerCount")))
+    occ = (cap_dim.join(pax, F.col("o_orderkey") == F.col("l_orderkey"),
+                        "left")
+           .select(_type_str(F.col("o_orderkey") % 5).alias("transport_type"),
+                   _route_str(F.col("o_orderkey")).alias("route_id"),
+                   _occupancy("passengerCount", "totalCapacity")
+                   .alias("occupancy")))
+    return (argmin(occ, "occupancy", group_cols=["transport_type"],
+                   tiebreak_cols=["route_id"])
+            .select("transport_type",
+                    F.col("route_id").alias("routeId"),
+                    "occupancy"))
 
 
 # --- Q7 ---------------------------------------------------------------
@@ -243,8 +334,15 @@ def q10_logic(routes_df: DataFrame, trips_df: DataFrame) -> DataFrame:
 
 
 def q10_transport_type_max_passengers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # pushdown: count per l_orderkey % 5, decorate the 5 aggregate rows
     configure_for_engine(spark)
-    return q10_logic(None, trips(spark, sf_dir))
+    li = load(spark, sf_dir, "lineitem")
+    counts = (li.groupBy((F.col("l_orderkey") % 5).alias("_t"))
+              .agg(F.count(F.lit(1)).alias("cnt")))
+    named = counts.select(_type_str(F.col("_t")).alias("transport_type"),
+                          "cnt")
+    return (argmax(named, "cnt", tiebreak_cols=["transport_type"])
+            .select(F.col("transport_type").alias("transportType")))
 
 
 # --- Q11 --------------------------------------------------------------
@@ -264,8 +362,21 @@ def q11_logic(routes_df: DataFrame, trips_df: DataFrame) -> DataFrame:
 
 
 def q11_transport_type_max_passengers_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # pushdown: window directly over l_shipdate (= trips.event_ts),
+    # type key as the int; decorate before the per-window argmax so the
+    # transport_type tie-break stays the string one
     configure_for_engine(spark)
-    return q11_logic(None, trips(spark, sf_dir))
+    li = load(spark, sf_dir, "lineitem")
+    counts = (li.groupBy(F.window("l_shipdate", "1 hour").alias("w"),
+                         (F.col("l_orderkey") % 5).alias("_t"))
+              .agg(F.count(F.lit(1)).alias("maxPassengers")))
+    named = counts.select("w", _type_str(F.col("_t")).alias("transport_type"),
+                          "maxPassengers")
+    top = argmax(named, "maxPassengers", group_cols=["w"],
+                 tiebreak_cols=["transport_type"])
+    return top.select(F.col("w.start").alias("window_start"),
+                      F.col("transport_type").alias("transportType"),
+                      "maxPassengers")
 
 
 # --- Q12 --------------------------------------------------------------
@@ -313,9 +424,44 @@ def q12_logic(routes_df: DataFrame, trips_df: DataFrame,
                       "occupancy")
 
 
-def q12_least_occupied_transport_type_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _q12_pushdown(spark: SparkSession, sf_dir: str,
+                  bug_compatible: bool) -> DataFrame:
+    """q12_logic with the derivations pushed below the aggregates: int
+    type keys everywhere, strings decorated on aggregate-sized frames.
+    The bug path's max_by tie-break struct(event_ts, transport_type)
+    becomes struct(l_shipdate, key%5) — order-isomorphic because
+    'Type_<d>' with single-digit d sorts exactly like d."""
     configure_for_engine(spark)
-    return q12_logic(routes(spark, sf_dir), trips(spark, sf_dir))
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    tt = (F.col("l_orderkey") % 5)
+    cap_per_type = (o.groupBy((F.col("o_orderkey") % 5).alias("_t"))
+                    .agg(F.sum(_capacity()).alias("cap")))
+    win_counts = (li.groupBy(F.window("l_shipdate", "1 hour").alias("w"),
+                             tt.alias("_t"))
+                  .agg(F.count(F.lit(1)).alias("cnt")))
+    occ = (win_counts.join(F.broadcast(cap_per_type), "_t", "left")
+           .select("w", "_t", _occupancy("cnt", "cap").alias("occupancy")))
+    if bug_compatible:
+        last_type = (li.groupBy(F.window("l_shipdate", "1 hour").alias("w"))
+                     .agg(F.max_by(
+                         tt, F.struct(F.col("l_shipdate").alias("ts"),
+                                      tt.alias("tt"))).alias("_t")))
+        top = (occ.join(last_type, ["w", "_t"])
+               .select("w", _type_str(F.col("_t")).alias("transport_type"),
+                       "occupancy"))
+    else:
+        named = occ.select("w", _type_str(F.col("_t")).alias("transport_type"),
+                           "occupancy")
+        top = argmin(named, "occupancy", group_cols=["w"],
+                     tiebreak_cols=["transport_type"])
+    return top.select(F.col("w.start").alias("window_start"),
+                      F.col("transport_type").alias("transportType"),
+                      "occupancy")
+
+
+def q12_least_occupied_transport_type_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _q12_pushdown(spark, sf_dir, bug_compatible=False)
 
 
 # --- Q13 --------------------------------------------------------------
@@ -361,9 +507,48 @@ def q13_logic(routes_df: DataFrame, trips_df: DataFrame,
             .select("operator", _OCC))
 
 
-def q13_most_occupied_operator(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _q13_pushdown(spark: SparkSession, sf_dir: str,
+                  bug_compatible: bool) -> DataFrame:
+    """q13_logic with the derivations pushed below the aggregates: the
+    trips->routes dimension join runs l_orderkey = o_orderkey (the keys
+    Route_<k> is injective in), operators aggregate as key%7 ints, and
+    the bug path's per-operator max_by keeps the STRING route_id inside
+    its tie-break struct (built on per-route aggregate rows only)."""
     configure_for_engine(spark)
-    return q13_logic(routes(spark, sf_dir), trips(spark, sf_dir))
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    dim = o.select("o_orderkey", (F.col("o_orderkey") % 7).alias("_op"),
+                   _capacity().alias("capacity"))
+    cap_per_op = dim.groupBy("_op").agg(F.sum("capacity").alias("cap"))
+    if bug_compatible:
+        trips_op = (li.select("l_orderkey", "l_shipdate")
+                    .join(dim.select("o_orderkey", "_op"),
+                          F.col("l_orderkey") == F.col("o_orderkey")))
+        per_route = (trips_op.groupBy("_op", "l_orderkey")
+                     .agg(F.count(F.lit(1)).alias("route_pax"),
+                          F.max("l_shipdate").alias("last_ts")))
+        pax_per_op = (per_route.groupBy("_op")
+                      .agg(F.max_by(
+                          "route_pax",
+                          F.struct(F.col("last_ts"),
+                                   _route_str(F.col("l_orderkey"))
+                                   .alias("route_id"))).alias("pax")))
+    else:
+        trips_op = (li.select("l_orderkey")
+                    .join(dim.select("o_orderkey", "_op"),
+                          F.col("l_orderkey") == F.col("o_orderkey")))
+        pax_per_op = (trips_op.groupBy("_op")
+                      .agg(F.count(F.lit(1)).alias("pax")))
+    occ = (cap_per_op.join(pax_per_op, "_op", "left")
+           .select(F.concat(F.lit("Operator_"), F.col("_op").cast("string"))
+                   .alias("operator"),
+                   _occupancy("pax", "cap").alias(_OCC)))
+    return (argmax(occ, _OCC, tiebreak_cols=["operator"])
+            .select("operator", _OCC))
+
+
+def q13_most_occupied_operator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _q13_pushdown(spark, sf_dir, bug_compatible=False)
 
 
 # --- bug-compat driver fixtures ----------------------------------------
@@ -378,9 +563,7 @@ def q12_bug_compat(spark: SparkSession, sf_dir: str) -> DataFrame:
     the occupancy of the transport type whose count updated LAST
     (LeastOccupiedTransportTypeWindow.java:90-94), arrival order stood in
     by event_ts with transport_type DESC tie-break."""
-    configure_for_engine(spark)
-    return q12_logic(routes(spark, sf_dir), trips(spark, sf_dir),
-                     bug_compatible=True)
+    return _q12_pushdown(spark, sf_dir, bug_compatible=True)
 
 
 def q13_bug_compat(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -388,9 +571,7 @@ def q13_bug_compat(spark: SparkSession, sf_dir: str) -> DataFrame:
     each operator's passenger figure is the final count of the route that
     updated last (MostOccupiedOperator.java:100-111), arrival order stood
     in by event_ts with route_id DESC tie-break."""
-    configure_for_engine(spark)
-    return q13_logic(routes(spark, sf_dir), trips(spark, sf_dir),
-                     bug_compatible=True)
+    return _q13_pushdown(spark, sf_dir, bug_compatible=True)
 
 
 #: Q label -> logic fn, for the streaming recompute harness and tests.
