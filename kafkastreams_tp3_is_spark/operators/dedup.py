@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..cache import owned, persisted
-from ..views import load
+from ..views import load, spread
 
 # --- exact dedup -------------------------------------------------------
 
@@ -191,8 +191,7 @@ def dedup_minhash_lsh_df(docs: DataFrame, num_hashes: int = 32,
     # that layout for every downstream stage. Hash-partitioning on doc_id
     # costs one small shuffle of raw text and is what a 100 TB corpus needs
     # anyway (input-file layout must not dictate compute parallelism).
-    n_part = docs.sparkSession.sparkContext.defaultParallelism
-    sets_df = hashed_shingle_sets_df(docs.repartition(n_part, "doc_id"), k)
+    sets_df = hashed_shingle_sets_df(spread(docs), k)
     sigs = minhash_signatures(sets_df, num_hashes).persist(
         StorageLevel.MEMORY_AND_DISK)
     cands = minhash_lsh_pairs(sigs, num_hashes, bands)
@@ -217,9 +216,8 @@ def compute_signatures_df(docs: DataFrame, num_hashes: int = 32,
     corpus turns every later dedup-against run into a parquet scan
     instead of a re-shingling of the whole corpus (see
     streaming/incremental.py's signature store)."""
-    n_part = docs.sparkSession.sparkContext.defaultParallelism
     return minhash_signatures(
-        hashed_shingle_sets_df(docs.repartition(n_part, "doc_id"), k),
+        hashed_shingle_sets_df(spread(docs), k),
         num_hashes).select("doc_id", "shingles", "minhash")
 
 
@@ -322,9 +320,7 @@ def ngram_jaccard_pairs_df(docs: DataFrame, k: int = 9,
     # parallelize the per-doc shingling regardless of input-file layout,
     # and materialize the sets once for their three consumers (the
     # inverted index + the two verification probes)
-    n_part = docs.sparkSession.sparkContext.defaultParallelism
-    sets_df = hashed_shingle_sets_df(
-        docs.repartition(n_part, "doc_id"), k).persist(
+    sets_df = hashed_shingle_sets_df(spread(docs), k).persist(
         StorageLevel.MEMORY_AND_DISK)
     ex = sets_df.select("doc_id", F.size("shingles").alias("n_sh"),
                         F.explode("shingles").alias("s"))
@@ -518,8 +514,7 @@ def dedup_simhash_df(docs: DataFrame, max_hamming: int = 3,
     explode + 64-column vote aggregation runs once PER JOIN SIDE."""
     from pyspark import StorageLevel
 
-    n_part = docs.sparkSession.sparkContext.defaultParallelism
-    fps = simhash(docs.repartition(n_part, "doc_id"), bits=bits,
+    fps = simhash(spread(docs), bits=bits,
                   token_hash=token_hash).select("doc_id", "sim_bits")
     pack = F.aggregate(
         F.col("sim_bits"), F.lit(0).cast("long"),
@@ -605,9 +600,8 @@ def span_hash_rows(docs: DataFrame, span_len: int) -> DataFrame:
 
     # spread the corpus over the cluster BEFORE the kernel: a small
     # input-file count would otherwise serialize the Python stage
-    n_part = docs.sparkSession.sparkContext.defaultParallelism
-    pos_ok = (docs.where(F.length("text") >= L).select("doc_id", "text")
-              .repartition(n_part, "doc_id"))
+    pos_ok = spread(docs.where(F.length("text") >= L)
+                    .select("doc_id", "text"))
     return pos_ok.mapInPandas(gram_hash_kernel,
                               "doc_id long, pos long, h long")
 
@@ -1172,10 +1166,8 @@ def _containment_shingle_sets(docs: DataFrame, k: int) -> DataFrame:
     via ``owned`` so callers control the lifecycle."""
     from pyspark import StorageLevel
 
-    n_part = docs.sparkSession.sparkContext.defaultParallelism
     docs = docs.withColumn("text", F.coalesce(F.col("text"), F.lit("")))
-    return hashed_shingle_sets_df(
-        docs.repartition(n_part, "doc_id"), k).persist(
+    return hashed_shingle_sets_df(spread(docs), k).persist(
         StorageLevel.MEMORY_AND_DISK)
 
 
@@ -1472,7 +1464,9 @@ def winnow_fingerprints_fast_df(docs: DataFrame, k: int = 8,
     from typing import Iterator
 
     txt = F.coalesce(F.col("text"), F.lit(""))
-    staged = docs.select("doc_id", txt.alias("t"))
+    # parallelism floor (r15): the numpy kernel is CPU-bound row-local
+    # work; a single-file scan would run it on one core
+    staged = spread(docs).select("doc_id", txt.alias("t"))
 
     def winnow_batches(it: Iterator["pd.DataFrame"]):  # noqa: F821
         import numpy as np
@@ -1564,7 +1558,9 @@ def _winnow_df(docs: DataFrame, k: int, w: int, gram_hash) -> DataFrame:
                    F.transform(F.sequence(F.lit(1), n_grams),
                                lambda i: gram_hash(txt, i))
                    ).otherwise(F.array().cast("array<bigint>"))
-    staged = docs.select("doc_id", grams.alias("gr"))
+    # parallelism floor (r15): per-gram hashing + the sparse-table folds
+    # are interpreted row-local CPU; a single-file scan serializes them
+    staged = spread(docs).select("doc_id", grams.alias("gr"))
     m = F.size("gr")
     n_wins = m - (w - 1)
 

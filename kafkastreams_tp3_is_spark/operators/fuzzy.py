@@ -15,7 +15,7 @@ only candidates pay the exact Levenshtein verify.
 
 Scale: the segment side emits d+1 rows per doc, the probe side
 (2d+1)·(d+1)·(2d+1) rows per doc (75 at d=2) — both linear in corpus
-size, 8-byte md5-prefix join keys (a hash collision only adds a
+size, 8-byte xxhash64 join keys (a hash collision only adds a
 candidate; the verify rejects it identically in both engines). Hot
 segments cannot form cliques the way hot LSH buckets can: a segment is
 ~len/(d+1) consecutive characters at an exact source length, so
@@ -42,12 +42,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..views import load
+from ..views import load, spread
 
 
-def _md5_prefix(col: F.Column) -> F.Column:
-    """The repo's cross-engine 60-bit string hash spelling."""
-    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+def _seg_hash(col: F.Column) -> F.Column:
+    """Candidate-key hash for segment/probe equi-joins (r15: xxhash64,
+    was the md5-hex-conv spelling): the hash never reaches the output —
+    candidates are exact-verified with levenshtein and distinct'd, and a
+    collision only ADDS a candidate (every true pair already meets on an
+    exact substring match, which any hash preserves), so the pair set is
+    identical under any hash function while xxhash64 skips the md5 hex
+    round-trip per probe row."""
+    return F.xxhash64(col)
 
 
 def edit_distance_pairs_df(docs: DataFrame, max_dist: int = 2,
@@ -60,7 +66,9 @@ def edit_distance_pairs_df(docs: DataFrame, max_dist: int = 2,
     d = int(max_dist)
     k = d + 1
     txt = F.coalesce(F.col("text"), F.lit(""))
-    base = (docs.select("doc_id", txt.alias("t"))
+    # parallelism floor (r15): the 75x probe expansion + hashing is
+    # row-local CPU off a (possibly single-file) scan
+    base = (spread(docs).select("doc_id", txt.alias("t"))
             .where(F.length("t") >= int(min_len))
             .select("doc_id", "t", F.length("t").alias("n")))
 
@@ -85,7 +93,7 @@ def edit_distance_pairs_df(docs: DataFrame, max_dist: int = 2,
     a_side = (segs.select("a_id", "src_n", "j",
                           s_start.alias("pos"), s_len.alias("len"), "t")
               .select("a_id", "src_n", "j",
-                      _md5_prefix(F.expr("substring(t, pos, len)"))
+                      _seg_hash(F.expr("substring(t, pos, len)"))
                       .alias("h")))
 
     # probe side: for every candidate source length src_n in [m-d, m+d]
@@ -113,7 +121,7 @@ def edit_distance_pairs_df(docs: DataFrame, max_dist: int = 2,
               .where((F.col("pos") >= 1)
                      & (F.col("pos") + F.col("len") - 1 <= F.col("m")))
               .select("b_id", "src_n", "j",
-                      _md5_prefix(F.expr("substring(t, pos, len)"))
+                      _seg_hash(F.expr("substring(t, pos, len)"))
                       .alias("h")))
 
     cands = (a_side.join(b_side, ["src_n", "j", "h"])
@@ -146,7 +154,7 @@ def _seg_arith(src_n: F.Column, j: F.Column, k: int):
 
 def _prep(docs: DataFrame, id_out: str) -> DataFrame:
     txt = F.coalesce(F.col("text"), F.lit(""))
-    return (docs.select(F.col("doc_id").alias(id_out), txt.alias("t"))
+    return (spread(docs).select(F.col("doc_id").alias(id_out), txt.alias("t"))
             .select(id_out, "t", F.length("t").alias("n")))
 
 
@@ -187,7 +195,7 @@ def edit_distance_join_df(left: DataFrame, right: DataFrame,
     l_side = (segs.select("l_id", "src_n", "j",
                           s_start.alias("pos"), s_len.alias("len"), "t")
               .select("l_id", "src_n", "j",
-                      _md5_prefix(F.expr("substring(t, pos, len)"))
+                      _seg_hash(F.expr("substring(t, pos, len)"))
                       .alias("h")))
     combos = F.array(*[
         F.struct(F.lit(dn).alias("dn"), F.lit(j).alias("j"),
@@ -209,7 +217,7 @@ def edit_distance_join_df(left: DataFrame, right: DataFrame,
               .where((F.col("pos") >= 1)
                      & (F.col("pos") + F.col("len") - 1 <= F.col("m")))
               .select("r_id", "src_n", "j",
-                      _md5_prefix(F.expr("substring(t, pos, len)"))
+                      _seg_hash(F.expr("substring(t, pos, len)"))
                       .alias("h")))
     long_cands = (l_side.join(r_side, ["src_n", "j", "h"])
                   .select("l_id", "r_id").distinct())

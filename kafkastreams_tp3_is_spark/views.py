@@ -31,6 +31,27 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
+def spread(df: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Scale-adaptive parallelism floor for CPU-heavy row-local stages
+    (optimization r15; guide §2.4/§2.5): hash-repartition ``df`` on
+    ``key`` up to the session's defaultParallelism, but ONLY when its
+    current partitioning is narrower. The gate corpora are single small
+    parquet files — one scan task — which serializes every per-row
+    kernel (gram hashing, winnowing folds, Arrow kernels) onto one core
+    of local[N]; at cluster scale the scan already carries >= cluster
+    parallelism, the condition is false, and the full-payload shuffle an
+    unconditional repartition would cost is skipped. Deterministic hash
+    partitioning on ``key`` (never round-robin), so retried tasks
+    reproduce their row assignment (guide §2.5/SPARK-38388)."""
+    sc = df.sparkSession.sparkContext
+    n = sc.defaultParallelism
+    try:
+        cur = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    return df.repartition(n, key) if cur < n else df
+
+
 def routes_from_orders(o: DataFrame) -> DataFrame:
     """Route derivation as a pure DataFrame transform — works identically on
     a batch scan and a file/Kafka streaming source (streaming/runner.py).
