@@ -15,7 +15,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..views import load
+from ..views import load, spread
 
 # Small per-language stopword marker sets for the n-gram-free heuristic
 # language id. Deliberately tiny and deterministic.
@@ -666,6 +666,11 @@ def _word_counts(docs: DataFrame) -> DataFrame:
     vocabulary-bounded table (not corpus rows) and fails loudly with the
     offending token so a future corpus change is diagnosable instead of
     surfacing as a confusing hash mismatch."""
+    # no parallelism floor here (r15, measured): the whitespace-token
+    # explode + map-side agg is cheap per row and the groupBy shuffles
+    # only (tok, cnt) aggregate rows, so pre-shuffling full text costs
+    # more than the narrow scan saves (~+0.7s per tokenizer train at
+    # sf0.1; the heavy-kernel paths that DO want spread() keep it)
     wc = (docs.select(F.explode(tokens_col()).alias("tok"))
           .groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
           .localCheckpoint())
@@ -788,19 +793,29 @@ def bpe_encode_docs_df(docs: DataFrame, n_merges: int = 8) -> DataFrame:
     _, words, wc = _bpe_train_core(docs, n_merges)
     word_map = words.select("tok", "syms")
     ids = _bpe_vocab_ids(words, wc)
-    toks = docs.select("doc_id",
-                       F.posexplode(tokens_col()).alias("tpos", "tok"))
+    toks = spread(docs).select(
+        "doc_id", F.posexplode(tokens_col()).alias("tpos", "tok"))
     enc = (toks.join(F.broadcast(word_map), "tok", "left")
            .select("doc_id", "tpos",
                    F.coalesce("syms", F.array(F.col("tok"))).alias("syms")))
-    sym_rows = enc.select("doc_id", "tpos",
-                          F.posexplode("syms").alias("spos", "symbol"))
-    w = Window.partitionBy("doc_id").orderBy("tpos", "spos")
+    # position window over TOKEN rows, not symbol rows (r15): pos =
+    # (symbols emitted by earlier tokens of the doc) + spos — the same
+    # dense (tpos, spos)-ordered numbering row_number produced over the
+    # exploded rows, with the exchange+sort paying per token instead of
+    # per symbol and the explode running after the window
+    w = Window.partitionBy("doc_id").orderBy("tpos")
+    off = F.coalesce(
+        F.sum(F.size("syms")).over(w.rowsBetween(Window.unboundedPreceding,
+                                                 -1)),
+        F.lit(0))
+    sym_rows = (enc.withColumn("off", off)
+                .select("doc_id", "off",
+                        F.posexplode("syms").alias("spos", "symbol")))
     return (sym_rows
             .join(F.broadcast(ids), "symbol")
-            .withColumn("pos",
-                        (F.row_number().over(w) - 1).cast("int"))
-            .select("doc_id", "pos", "symbol", "token_id"))
+            .select("doc_id",
+                    (F.col("off") + F.col("spos")).cast("int").alias("pos"),
+                    "symbol", "token_id"))
 
 
 def bpe_encode_docs(spark: SparkSession, sf_dir: str,
@@ -874,35 +889,49 @@ def bpe_encode_with_merges(new_docs: DataFrame,
     driver — the shape a long-lived consumer (the streaming encoder)
     wants: collect the contract-bounded merges ONCE at startup, not
     once per micro-batch."""
-    wc = _word_counts(new_docs)
-    # the word table is vocabulary-bounded (distinct tokens of the
-    # increment), but it inherits the session's full shuffle-partition
-    # count from the groupBy — under a stock 200-partition session the
-    # per-merge localCheckpoint barrier then costs 200 near-empty tasks
-    # PER ROUND, which dominates a per-trigger streaming encode;
-    # coalesce to a handful of partitions before the fold
-    words = (wc.where(F.length("tok") >= 2)
-             .select("tok", _char_syms(F.col("tok")).alias("syms"))
-             .coalesce(8))
-    for a, b in merges:
-        words = (words.select("tok",
-                              _apply_merge(F.col("syms"), a, b)
-                              .alias("syms"))
-                 .localCheckpoint())
-    toks = new_docs.select("doc_id",
-                           F.posexplode(tokens_col()).alias("tpos", "tok"))
+    words = _encode_dictionary(new_docs, merges)
+    toks = spread(new_docs).select(
+        "doc_id", F.posexplode(tokens_col()).alias("tpos", "tok"))
     enc = (toks.join(F.broadcast(words), "tok", "left")
            .select("doc_id", "tpos",
                    F.coalesce("syms", F.array(F.col("tok"))).alias("syms")))
-    sym_rows = enc.select("doc_id", "tpos",
-                          F.posexplode("syms").alias("spos", "symbol"))
-    w = Window.partitionBy("doc_id").orderBy("tpos", "spos")
+    # token-row position window + post-window explode, exactly as
+    # bpe_encode_docs_df (r15)
+    w = Window.partitionBy("doc_id").orderBy("tpos")
+    off = F.coalesce(
+        F.sum(F.size("syms")).over(w.rowsBetween(Window.unboundedPreceding,
+                                                 -1)),
+        F.lit(0))
+    sym_rows = (enc.withColumn("off", off)
+                .select("doc_id", "off",
+                        F.posexplode("syms").alias("spos", "symbol")))
     return (sym_rows
             .join(F.broadcast(vocab_df), "symbol", "left")
-            .withColumn("pos", (F.row_number().over(w) - 1).cast("int"))
-            .select("doc_id", "pos", "symbol",
+            .select("doc_id",
+                    (F.col("off") + F.col("spos")).cast("int").alias("pos"),
+                    "symbol",
                     F.coalesce("token_id", F.lit(-1).cast("bigint"))
                     .alias("token_id")))
+
+
+def _encode_dictionary(new_docs: DataFrame,
+                       merges: list[tuple[str, str]]) -> DataFrame:
+    """The increment's tok -> syms encode dictionary under a stored
+    merge list: char-split every distinct length>=2 token and apply the
+    merges as ONE chained row-local expression (r15: the fold used to
+    localCheckpoint after every round — 8 barrier jobs per encode whose
+    scheduling dominated a per-trigger streaming encode; the merge list
+    is contract-bounded, so the nested expression stays shallow and the
+    whole dictionary is one job). Coalesced: the table is
+    vocabulary-bounded, a session-wide shuffle-partition fan-out would
+    pay scheduling for near-empty tasks."""
+    wc = _word_counts(new_docs)
+    syms = _char_syms(F.col("tok"))
+    for a, b in merges:
+        syms = _apply_merge(syms, a, b)
+    return (wc.where(F.length("tok") >= 2)
+            .coalesce(8)
+            .select("tok", syms.alias("syms")))
 
 
 _TOKENIZER_DIRS: list[str] = []
@@ -919,6 +948,18 @@ def bpe_encode_increment(spark: SparkSession, sf_dir: str,
     and the odd-half layout directly. Scratch tokenizer dirs live until
     process exit (the stored-IVF-index pattern) so the returned frame
     stays valid lazily."""
+    inc, merges_df, vocab_df = _increment_tokenizer(spark, sf_dir,
+                                                    n_merges,
+                                                    "bpe_encode_increment")
+    return bpe_encode_with_tokenizer(inc, merges_df, vocab_df)
+
+
+def _increment_tokenizer(spark: SparkSession, sf_dir: str, n_merges: int,
+                         caller: str):
+    """Shared fixture core of the incremental-tokenizer gates: train on
+    the EVEN-doc_id half, persist to a scratch parquet store, read the
+    stored tokenizer back; returns (odd-half increment frame, stored
+    merges frame, stored vocab frame)."""
     import atexit
     import shutil
     import tempfile
@@ -926,7 +967,7 @@ def bpe_encode_increment(spark: SparkSession, sf_dir: str,
     global _TOKENIZER_ATEXIT
     if n_merges != 8:
         raise ValueError(
-            f"bpe_encode_increment oracle pins n_merges=8; got "
+            f"{caller} oracle pins n_merges=8; got "
             f"{n_merges} — use bpe_persist_tokenizer/"
             f"bpe_encode_with_tokenizer directly for other settings")
     docs = load(spark, sf_dir, "documents")
@@ -942,7 +983,7 @@ def bpe_encode_increment(spark: SparkSession, sf_dir: str,
     bpe_persist_tokenizer(base, workdir, n_merges)
     merges_df = spark.read.parquet(os.path.join(workdir, "merges"))
     vocab_df = spark.read.parquet(os.path.join(workdir, "vocab"))
-    return bpe_encode_with_tokenizer(inc, merges_df, vocab_df)
+    return inc, merges_df, vocab_df
 
 
 def bpe_oov_rate(spark: SparkSession, sf_dir: str,
@@ -957,12 +998,47 @@ def bpe_oov_rate(spark: SparkSession, sf_dir: str,
     guarded division; rides bpe_encode_increment's stored-tokenizer
     encode, then one map-side-combined groupBy over the source key
     space — aggregate-sized."""
-    enc = bpe_encode_increment(spark, sf_dir, n_merges)
-    src_map = load(spark, sf_dir, "documents").select("doc_id", "source")
-    t = F.sum(F.lit(1)).cast("bigint")
-    o = F.sum((F.col("token_id") == -1).cast("long")).cast("bigint")
-    return (enc.join(src_map, "doc_id")
-            .groupBy("source")
+    # r15: aggregate at DICTIONARY granularity instead of riding the full
+    # positioned encode. The encode's per-symbol rows exist only to be
+    # counted here — n_tokens(source) = sum over token occurrences of the
+    # token's symbol count, n_oov(source) = sum of its out-of-vocab
+    # symbol count — and both are per-DISTINCT-token facts: compute them
+    # once on the vocabulary-bounded dictionary (symbols explode + stored
+    # vocab join on ~|vocab| rows), broadcast-join them to the
+    # increment's token occurrences, and sum per source. Kills the
+    # corpus-wide symbol explode, the per-doc position window, and the
+    # per-symbol vocab join; the counts — and therefore the divisions —
+    # are value-identical (same oracle, hash-green).
+    inc, merges_df, vocab_df = _increment_tokenizer(spark, sf_dir,
+                                                    n_merges,
+                                                    "bpe_oov_rate")
+    merges = [(r["left"], r["right"])
+              for r in merges_df.orderBy("round").collect()]
+    words = _encode_dictionary(inc, merges)
+    st = (words.select("tok", F.explode("syms").alias("symbol"))
+          .join(F.broadcast(vocab_df), "symbol", "left")
+          .groupBy("tok")
+          .agg(F.count(F.lit(1)).alias("_ns"),
+               F.sum(F.isnull(F.col("token_id")).cast("long"))
+               .alias("_no")))
+    # single-char tokens (absent from the length>=2 dictionary)
+    # self-encode to one symbol; OOV iff the char is not in the stored
+    # vocab
+    char_ids = vocab_df.select(F.col("symbol").alias("tok"),
+                               F.col("token_id").alias("_cid"))
+    occ = (spread(inc).select("source",
+                              F.explode(tokens_col()).alias("tok"))
+           .join(F.broadcast(st), "tok", "left")
+           .join(F.broadcast(char_ids), "tok", "left")
+           .select("source",
+                   F.coalesce("_ns", F.lit(1).cast("bigint")).alias("_ns"),
+                   F.coalesce(
+                       "_no",
+                       F.when(F.col("_cid").isNull(), F.lit(1))
+                       .otherwise(F.lit(0)).cast("long")).alias("_no")))
+    t = F.sum("_ns").cast("bigint")
+    o = F.sum("_no").cast("bigint")
+    return (occ.groupBy("source")
             .agg(t.alias("n_tokens"), o.alias("n_oov"),
                  (o.cast("double") / t.cast("double")).alias("oov_rate"))
             )
@@ -983,23 +1059,34 @@ def bpe_compression_stats_df(docs: DataFrame,
     a full hash. Scale: rides bpe_encode_docs' dictionary-encode; the
     report itself is one map-side-combined groupBy over the source key
     space."""
-    enc = bpe_encode_docs_df(docs, n_merges)
-    per_doc = (enc.groupBy("doc_id")
-               .agg(F.count(F.lit(1)).alias("nt"),
-                    F.sum(F.length("symbol")).alias("nc")))
-    nt = F.coalesce(F.col("nt"), F.lit(0)).cast("bigint")
-    nc = F.coalesce(F.col("nc"), F.lit(0)).cast("bigint")
-    joined = (docs.select("doc_id", "source")
-              .join(per_doc, "doc_id", "left")
-              .select("source", nt.alias("nt"), nc.alias("nc")))
-    t = F.sum("nt").cast("bigint")
-    c = F.sum("nc").cast("bigint")
-    return (joined.groupBy("source")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-                 t.alias("n_tokens"),
-                 c.alias("n_chars"),
-                 F.when(t > 0, c.cast("double") / t.cast("double"))
-                 .otherwise(F.lit(0.0)).alias("chars_per_token")))
+    # r15: aggregate at DICTIONARY granularity instead of riding the
+    # positioned encode. Per token occurrence the report needs only the
+    # token's symbol COUNT (from the trained word table — the encode's
+    # own dictionary) and its char length (symbols partition the token,
+    # so chars are conserved by every merge); single-char tokens
+    # self-encode to one symbol. Kills the corpus symbol explode, the
+    # position window, the vocab-id join and the per-doc reagg — the
+    # summed counts, and therefore the division, are value-identical.
+    _, words, _ = _bpe_train_core(docs, n_merges)
+    st = words.select("tok", F.size("syms").cast("long").alias("_ns"))
+    occ = (spread(docs).select("source",
+                               F.explode(tokens_col()).alias("tok"))
+           .join(F.broadcast(st), "tok", "left")
+           .select("source",
+                   F.coalesce("_ns", F.lit(1).cast("long")).alias("_ns"),
+                   F.length("tok").cast("long").alias("_nc")))
+    tok_agg = (occ.groupBy("source")
+               .agg(F.sum("_ns").alias("_t"), F.sum("_nc").alias("_c")))
+    docs_agg = (docs.groupBy("source")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs")))
+    t = F.coalesce(F.col("_t"), F.lit(0)).cast("bigint")
+    c = F.coalesce(F.col("_c"), F.lit(0)).cast("bigint")
+    return (docs_agg.join(tok_agg, "source", "left")
+            .select("source", "n_docs",
+                    t.alias("n_tokens"),
+                    c.alias("n_chars"),
+                    F.when(t > 0, c.cast("double") / t.cast("double"))
+                    .otherwise(F.lit(0.0)).alias("chars_per_token")))
 
 
 def bpe_compression_stats(spark: SparkSession, sf_dir: str,
