@@ -169,9 +169,24 @@ def connected_components_df(edges: DataFrame, src: str = "a_id",
 def _run_rounds(e: DataFrame, _truncate, max_iter: int) -> DataFrame:
     """The alternating Large-Star / Small-Star iteration of
     connected_components_df, split out so the caller can wrap it in the
-    checkpoint-dir restore."""
-    e = _truncate(e)
-    n_prev, h_prev = _checksum(e)
+    checkpoint-dir restore.
+
+    r15: the convergence checksum rides the round's checkpoint job as
+    ``observe`` metrics (CollectMetrics evaluates during the
+    materializing action) instead of a separate ``_checksum`` collect —
+    one action per round instead of two; values identical, including the
+    (0, None) empty-edge-set fixed point."""
+    from pyspark.sql import Observation
+
+    def _truncate_and_checksum(df: DataFrame):
+        obs = Observation()
+        out = _truncate(df.observe(
+            obs, F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("u", "v")).alias("h")))
+        m = obs.get
+        return out, (m["n"], m["h"])
+
+    e, (n_prev, h_prev) = _truncate_and_checksum(e)
     for _ in range(max_iter):
         # large-star: neighborhoods of BOTH directions; m = min(N(u) + {u});
         # larger neighbors point at m
@@ -191,8 +206,7 @@ def _run_rounds(e: DataFrame, _truncate, max_iter: int) -> DataFrame:
         e = _canonical(
             with_m.select(F.col("v").alias("u"), F.col("m").alias("v"))
                   .unionByName(with_m.select("u", F.col("m").alias("v"))))
-        e = _truncate(e)
-        n_cur, h_cur = _checksum(e)
+        e, (n_cur, h_cur) = _truncate_and_checksum(e)
         if (n_cur, h_cur) == (n_prev, h_prev):
             break
         n_prev, h_prev = n_cur, h_cur
