@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..cache import owned, persisted
-from ..views import load
+from ..views import load, spread
 
 # --- deterministic sampling -------------------------------------------
 
@@ -571,8 +571,10 @@ def contamination_hits_df(train: DataFrame, benchmark: DataFrame,
     unmeasured input."""
     build, bench_sh = _bench_shingle_build(benchmark, k,
                                            broadcast_max_shingles)
-    train_sh = train.select("doc_id",
-                            F.explode(_hashed_kgram_set(k)).alias("s"))
+    # parallelism floor (r15): the per-position xxhash transform +
+    # array_distinct is row-local CPU off a possibly single-file scan
+    train_sh = spread(train).select(
+        "doc_id", F.explode(_hashed_kgram_set(k)).alias("s"))
     return owned(
         train_sh.join(build, "s")
                 .groupBy("doc_id")
@@ -623,8 +625,8 @@ def contamination_overlap_df(train: DataFrame, benchmark: DataFrame,
     # ONE shingle pass serves both the denominator and the hit count:
     # left-join each distinct train gram against the benchmark set, then
     # a single aggregation per doc
-    train_sh = train.select("doc_id",
-                            F.explode(_hashed_kgram_set(k)).alias("s"))
+    train_sh = spread(train).select(
+        "doc_id", F.explode(_hashed_kgram_set(k)).alias("s"))
     out = (train_sh.join(build, "s", "left")
            .groupBy("doc_id")
            .agg(F.count(F.lit(1)).alias("n_grams"),
@@ -672,8 +674,8 @@ def contamination_attribution_df(train: DataFrame, benchmark: DataFrame,
     build, bench_sh = _bench_shingle_build(benchmark, k,
                                            broadcast_max_shingles,
                                            keep_doc_id=True)
-    train_sh = train.select("doc_id",
-                            F.explode(_hashed_kgram_set(k)).alias("s"))
+    train_sh = spread(train).select(
+        "doc_id", F.explode(_hashed_kgram_set(k)).alias("s"))
     pair_counts = (train_sh.join(build, "s")
                    .groupBy("doc_id", "bench_doc_id")
                    .agg(F.count(F.lit(1)).alias("n_shared")))

@@ -1023,10 +1023,11 @@ def bloom_decontaminate_spans_df(train: DataFrame, benchmark: DataFrame,
     # and the exact join below
     bench_h = (span_hash_rows(benchmark, span_len)
                .select("h").distinct().persist())
+    # no distinct before the bit-pack (r15): bit_or is idempotent —
+    # packed_bitset's block aggregate absorbs duplicates map-side
     pos = (bench_h
            .select(F.explode(_bloom_positions(F.col("h"), m_bits))
-                   .alias("p"))
-           .distinct())
+                   .alias("p")))
     bc_bits = train.sparkSession.sparkContext.broadcast(
         packed_bitset(pos, m_bits))
 

@@ -48,7 +48,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..views import load
+from ..views import load, spread
 from .text import tokens_col
 
 N_BUCKETS = 256
@@ -81,6 +81,10 @@ def _bucket_of(gram: Column, n_buckets: int) -> Column:
 def _bucket_counts(docs: DataFrame, n_buckets: int) -> DataFrame:
     """(bucket, cnt) over all word bigrams of ``docs`` — one map-side
     explode + a <= n_buckets-row shuffle (partial agg combines first)."""
+    # no parallelism floor here (r15, measured): like text._word_counts,
+    # the explode aggregates map-side to <= n_buckets rows, so the
+    # narrow scan beats paying a full-text shuffle first (+0.25s at
+    # sf0.1); the per-DOC scoring fold in _score_against DOES spread
     return (docs
             .select(F.explode(_bigrams()).alias("gram"))
             .select(_bucket_of(F.col("gram"), n_buckets).alias("bucket"))
@@ -145,6 +149,10 @@ def _score_against(docs: DataFrame, stats_rows: list,
     The stats rows are contract-bounded driver state (<= n_buckets) —
     the IVF-centroid rule."""
     mt, mr, n_t, n_r = _maps_from_rows(stats_rows, n_buckets)
+    # parallelism floor (r15): the per-gram md5 bucket transform +
+    # array_sort + 4-field struct fold is heavy row-local CPU off a
+    # possibly single-file scan
+    docs = spread(docs)
     buckets = F.transform(_bigrams(),
                           lambda g: _bucket_of(g, n_buckets))
     # normalizer term of the smoothed multinomial ratio, constant per gram
@@ -192,17 +200,34 @@ def _scored_candidates(docs_all: DataFrame,
                           rows, n_buckets)
 
 
+_TAKE_ORDERED_MAX = 1_000_000
+
+
 def _ranked(scored: DataFrame, key: Column, k: int) -> DataFrame:
     """Top-``k`` by (key desc, doc_id asc) with a 1-based rank column.
     TakeOrderedAndProject first (per-partition heaps, no global sort);
-    the row_number window then runs over k rows only."""
-    top = scored.withColumn("_key", key) \
-                .orderBy(F.col("_key").desc(), F.col("doc_id").asc()) \
-                .limit(k)
+    the row_number window then runs over k rows only.
+
+    For huge ``k`` (rank-everyone asks) the limit path is a trap:
+    TakeOrderedAndProject allocates an O(limit) buffer PER TASK, so a
+    k=1e9 request over an N-partition scoring stage tries N concurrent
+    multi-GB heaps and OOMs (observed at local[32] the moment the
+    scoring stage gained a parallelism floor). Past
+    ``_TAKE_ORDERED_MAX`` we rank through the global sort + row_number
+    window and filter rank <= k — identical rows, per-task memory
+    O(partition) instead of O(k)."""
+    base = scored.withColumn("_key", key)
     w = Window.orderBy(F.col("_key").desc(), F.col("doc_id").asc())
-    return (top.withColumn("rank", F.row_number().over(w))
-            .select("doc_id", "lang", "rank", "n_grams",
-                    "sum_target_count", "sum_raw_count"))
+    if k <= _TAKE_ORDERED_MAX:
+        ranked = (base
+                  .orderBy(F.col("_key").desc(), F.col("doc_id").asc())
+                  .limit(k)
+                  .withColumn("rank", F.row_number().over(w)))
+    else:
+        ranked = (base.withColumn("rank", F.row_number().over(w))
+                  .where(F.col("rank") <= k))
+    return ranked.select("doc_id", "lang", "rank", "n_grams",
+                         "sum_target_count", "sum_raw_count")
 
 
 def dsir_persist_stats(stats_df: DataFrame, path: str) -> None:

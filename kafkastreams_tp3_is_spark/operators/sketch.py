@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..cache import owned
-from ..views import load
+from ..views import load, spread
 from .retrieval import lower_tokens_col
 
 _CAND_SCHEMA = T.StructType([T.StructField("token", T.StringType())])
@@ -200,10 +200,13 @@ def bloom_decontaminate_df(train: DataFrame, benchmark: DataFrame,
                 .select(F.explode(_hashed_kgram_set(k)).alias("s"))
                 .distinct()
                 .persist())
+    # no distinct before the bit-pack (r15): bit_or is idempotent, so
+    # packed_bitset's block aggregate absorbs duplicate positions in its
+    # map-side combine — the distinct only added a full shuffle of the
+    # 2x|bench shingles| position rows
     bench_pos = (bench_sh
                  .select(F.explode(_bloom_positions(F.col("s"), m_bits))
-                         .alias("p"))
-                 .distinct())
+                         .alias("p")))
     bc_bits = train.sparkSession.sparkContext.broadcast(
         packed_bitset(bench_pos, m_bits))
 
@@ -248,6 +251,9 @@ def bloom_decontaminate_df(train: DataFrame, benchmark: DataFrame,
                         isset(p1) & isset(p2))))
                 yield _pd.DataFrame({"doc_id": pdf["doc_id"], "ub": ubs})
 
+    # parallelism floor (r15): the shingle transform + numpy probe are
+    # row-local CPU off a possibly single-file scan
+    train = spread(train)
     train_sh = train.select("doc_id", _hashed_kgram_set(k).alias("hs"))
     ub_schema = T.StructType([T.StructField("doc_id", T.LongType()),
                               T.StructField("ub", T.LongType())])

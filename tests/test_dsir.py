@@ -98,14 +98,20 @@ def test_gumbel_is_seeded_and_differs_from_argmax(spark):
 
 def test_score_stage_is_join_free(spark):
     """The per-doc scorer must be map literals + one aggregate fold —
-    no join or shuffle in the plan before the top-k (the 100 TB design:
-    bucket stats ride broadcast-free as literals)."""
+    no join, and no shuffle OF THE STATS, in the plan before the top-k
+    (the 100 TB design: bucket stats ride broadcast-free as literals).
+    The one exchange allowed is the r15 spread() parallelism floor — a
+    scale-adaptive hash repartition of the DOCS on doc_id (skipped when
+    the scan already carries cluster parallelism), never a stats join."""
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     plan = dsir._scored_candidates(
         docs, dsir.TARGET_LANG, dsir.N_BUCKETS)._jdf \
         .queryExecution().executedPlan().toString()
     assert "Join" not in plan
-    assert "Exchange" not in plan
+    exchanges = [ln for ln in plan.splitlines()
+                 if "Exchange" in ln and "ReusedExchange" not in ln]
+    assert len(exchanges) <= 1, plan
+    assert all("hashpartitioning(doc_id" in ln for ln in exchanges), plan
 
 
 def test_pin_guards(spark):
