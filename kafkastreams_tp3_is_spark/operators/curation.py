@@ -245,7 +245,9 @@ def normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     should key on in a real pipeline (case or spacing variants of one
     document hash identically after this map).
 
-    Scale: narrow per-row map, whole-stage codegen, no shuffle."""
+    Scale: narrow per-row map, whole-stage codegen, no shuffle. (r15:
+    measured WITH a spread() parallelism floor — 0.30→0.33 s — the map
+    is too cheap to amortize the full-text shuffle; left narrow.)"""
     docs = load(spark, sf_dir, "documents")
     norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
     return docs.select("doc_id", norm.alias("norm_text"),
@@ -268,7 +270,7 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Patterns stay within the regex intersection of Java (Spark) and RE2
     (DuckDB) dialects. Scale: per-row regexp map, no shuffle."""
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"))
     raw = F.concat(
         F.col("text"), F.lit(" Contact user"),
         F.col("doc_id").cast("string"), F.lit("@example.com from 10.0."),

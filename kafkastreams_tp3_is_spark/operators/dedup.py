@@ -877,13 +877,18 @@ def paragraph_dedup_df(docs: DataFrame, block_tokens: int = 20) -> DataFrame:
     pluggable part; the ownership/rewrite dataflow is the operator).
     Output: (doc_id, clean_text, n_blocks, n_dropped).
 
-    Scale: blocks explode ~n_tokens/block rows per doc; ownership is ONE
-    groupBy on the md5 digest of the block (16-byte shuffle key — block
-    text never crosses the wire for the ownership side), and the rewrite
-    is a per-doc ordered string_agg — a second shuffle on doc_id. Both
-    keys are high-cardinality and skew-free."""
+    Scale: blocks explode ~n_tokens/block rows per doc; ownership is a
+    min(doc_id) window over the md5 digest of the block, and the rewrite
+    is a per-doc ordered string_agg — two shuffles total, both on
+    high-cardinality skew-free keys. (r15: the keep condition
+    ``nd < 2 OR owner = doc_id`` is exactly ``owner = doc_id`` — a
+    block seen by only one distinct doc is owned by it — so the
+    countDistinct and the agg+self-join it fed collapse into the one
+    window; the agg+join form computed the block inventory twice and
+    shipped the block text through an extra exchange.)"""
     # NULL text -> '' (0 blocks, doc dropped by the nb > 0 guard) exactly
     # as the oracle's COALESCE(text, '') does.
+    docs = spread(docs)   # block build is row-local CPU off the scan
     toks = F.filter(F.split(F.coalesce(F.col("text"), F.lit("")), r"\s+"),
                     lambda x: x != "")
     bt = int(block_tokens)
@@ -905,12 +910,11 @@ def paragraph_dedup_df(docs: DataFrame, block_tokens: int = 20) -> DataFrame:
                                   (F.col("block_id") * block_tokens + 1)
                                   .cast("int"),
                                   block_tokens), " ").alias("s")))
-    own = (blocks
-           .groupBy(F.md5("s").alias("h"))
-           .agg(F.min("doc_id").alias("owner"),
-                F.countDistinct("doc_id").alias("nd")))
-    kept = (blocks.join(own, F.md5(blocks["s"]) == own["h"])
-            .where((F.col("nd") < 2) | (F.col("owner") == F.col("doc_id"))))
+    from pyspark.sql import Window
+    w_own = Window.partitionBy("h")
+    kept = (blocks.withColumn("h", F.md5("s"))
+            .withColumn("owner", F.min("doc_id").over(w_own))
+            .where(F.col("owner") == F.col("doc_id")))
     rebuilt = (kept.groupBy("doc_id")
                .agg(F.array_join(
                         F.transform(

@@ -80,7 +80,7 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-marker language id over {en,de,fr,es}: the language whose
     marker set hits the most tokens wins; 'und' (undetermined) when no
     marker hits. Tie-break: language code ascending."""
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"))
     lowered = F.transform(tokens_col(), lambda x: F.lower(x))
     def _marker_hits(words: list[str]) -> F.Column:
         return F.size(F.filter(lowered, lambda x: x.isin(*words))).cast("bigint")
@@ -146,7 +146,7 @@ def fingerprint_col(text_col: str = "text") -> F.Column:
 def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content fingerprint per document (rolling hash), hash-checked against
     the DuckDB oracle. A narrow per-row map: no shuffle, linear scale-out."""
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"))
     return docs.select("doc_id", fingerprint_col("text").alias("fingerprint"))
 
 
@@ -216,10 +216,12 @@ def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Everything is computed in ONE row-local projection (array_sort +
     longest-equal-run fold per gram size) — no explode, no join, no
-    shuffle; the scan parallelism is the only scale knob. Ratios are
-    single divisions of exact integer counts, so the DuckDB oracle is
-    bit-identical. Zero/short docs yield 0.0 by guard."""
-    docs = load(spark, sf_dir, "documents")
+    shuffle; the scan parallelism is the only scale knob (hence the
+    spread() floor below: a single-file gate corpus serializes the
+    whole fold onto one core otherwise). Ratios are single divisions of
+    exact integer counts, so the DuckDB oracle is bit-identical.
+    Zero/short docs yield 0.0 by guard."""
+    docs = spread(load(spark, sf_dir, "documents"))
     toks = tokens_col()
     n_tok = F.size(toks).cast("bigint")
     n_dis = F.size(F.array_distinct(toks)).cast("bigint")
@@ -415,7 +417,7 @@ def quality_filter(spark: SparkSession, sf_dir: str,
     pipeline audits (why was this doc dropped?) rather than a bare
     filter. Thresholds are corpus-tuned so the gate exercises both
     branches of every flag. One row-local projection, no shuffle."""
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"))
     toks = tokens_col()
     n_tok = F.size(toks).cast("bigint")
     n_chars = F.length(F.col("text")).cast("bigint")
