@@ -110,15 +110,25 @@ def test_ivf_near_dup_no_wide_pair_join(spark):
 
 
 def test_curation_row_maps_have_no_shuffle(spark):
-    """sample/normalize/pii are pure per-row maps: zero exchanges, no
-    Python workers — scan, project, filter, done."""
+    """sample/normalize are pure per-row maps: zero exchanges, no Python
+    workers — scan, project, filter, done. pii_scrub's regexp chain is
+    heavy row-local CPU, so it carries the scale-adaptive spread() floor
+    (r15): at most ONE deterministic hash repartition on doc_id (skipped
+    when the scan is already wide), still no Python workers and nothing
+    else exchanging."""
     from kafkastreams_tp3_is_spark.operators.curation import (
         normalize_text, pii_scrub, sample_deterministic)
 
-    for fn in (sample_deterministic, normalize_text, pii_scrub):
+    for fn in (sample_deterministic, normalize_text):
         plan = _plan(spark, fn(spark, SF_DIR))
         assert "Exchange" not in plan, fn.__name__
         assert "EvalPython" not in plan, fn.__name__
+    plan = _plan(spark, pii_scrub(spark, SF_DIR))
+    assert plan.count("Exchange (") <= 1, "pii_scrub: only the spread floor"
+    if "Exchange" in plan:
+        assert "hashpartitioning(doc_id" in plan, \
+            "pii_scrub's only exchange must be the deterministic spread"
+    assert "EvalPython" not in plan
 
 
 def test_pack_sequences_window_is_sharded_not_global(spark):
@@ -181,14 +191,19 @@ def test_repeated_spans_shares_one_hash_pass_and_shuffles_longs(spark):
 
 def test_repetition_signals_is_shuffle_free(spark):
     """The round-3 rewrite's contract: repetition stats are a pure
-    row-local projection — any Exchange or Python-worker node means the
-    explode/groupBy pipeline crept back in."""
+    row-local projection — no explode/groupBy pipeline, no Python
+    workers. r15: both kernels are heavy row-local CPU (gram-hash folds /
+    regexp chains), so they carry the scale-adaptive spread() floor: at
+    most ONE deterministic hash repartition on doc_id (skipped when the
+    scan is already wide), and nothing else may exchange."""
     from kafkastreams_tp3_is_spark.operators.text import (
         quality_filter, repetition_signals)
 
     for fn in (repetition_signals, quality_filter):
         plan = _plan(spark, fn(spark, SF_DIR))
-        assert "Exchange" not in plan, fn.__name__
+        assert plan.count("Exchange (") <= 1, fn.__name__
+        if "Exchange" in plan:
+            assert "hashpartitioning(doc_id" in plan, fn.__name__
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
