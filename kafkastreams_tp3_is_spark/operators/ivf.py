@@ -732,12 +732,18 @@ def cosine_topk_ivf(spark: SparkSession, sf_dir: str,
                        _as_double("embedding").alias("q_vec"),
                        F.explode("cells").alias("cell")))
     cands = (corpus.join(F.broadcast(queries), "cell")
-             .where(F.col("neighbor_id") != F.col("query_id"))
-             .dropDuplicates(["query_id", "neighbor_id"]))
+             .where(F.col("neighbor_id") != F.col("query_id")))
     scored = cands.select("query_id", "neighbor_id",
                           _cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine"))
+    # multi-assign duplicates are exact rows -> adjacent after the window
+    # sort -> one lag-compare dedups them inside the SAME partitioning;
+    # no dropDuplicates exchange (r15, the _query_ivf_index_rows pattern)
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
                                                F.col("neighbor_id").asc())
-    return (scored.withColumn("rank", F.row_number().over(w))
-                  .where(F.col("rank") <= k)
-                  .select("query_id", "neighbor_id", "rank"))
+    return (scored
+            .withColumn("_prev", F.lag("neighbor_id").over(w))
+            .where(F.col("_prev").isNull()
+                   | (F.col("_prev") != F.col("neighbor_id")))
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank"))

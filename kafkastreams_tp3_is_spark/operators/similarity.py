@@ -911,14 +911,24 @@ def _ivf_flat_ranked(emb: DataFrame, n_queries: int = 5, k: int = 10,
         F.col("vec_id").alias("query_id"), F.col("v").alias("q_vec"),
         "cell")
     cands = (ccells.join(F.broadcast(qcells), "cell")
-             .where(F.col("neighbor_id") != F.col("query_id"))
-             .dropDuplicates(["query_id", "neighbor_id"]))
+             .where(F.col("neighbor_id") != F.col("query_id")))
     scored = cands.select(
         "query_id", "neighbor_id",
         _cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine"))
+    # Multi-assign duplicates (a neighbor sharing two probed cells of
+    # the same query) are EXACT row duplicates — same vectors, same
+    # cosine — so after the window sort they are ADJACENT and one
+    # lag-compare inside the SAME window partitioning dedups them: no
+    # dropDuplicates exchange on (query, neighbor) (r15; the
+    # _query_ivf_index_rows pattern — one shuffle for the whole tail,
+    # the post-filter re-rank reuses the partitioning)
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
                                                F.col("neighbor_id").asc())
-    return (scored.withColumn("rank", F.row_number().over(w))
+    return (scored
+            .withColumn("_prev", F.lag("neighbor_id").over(w))
+            .where(F.col("_prev").isNull()
+                   | (F.col("_prev") != F.col("neighbor_id")))
+            .withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "rank"))
 

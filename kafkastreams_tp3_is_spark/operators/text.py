@@ -686,15 +686,101 @@ def _word_counts(docs: DataFrame) -> DataFrame:
     return wc
 
 
+# Driver-local trainer ceiling (optimization r15, guide §1.2/§8): the
+# merge loop's input is the DISTINCT-token table — vocabulary-bounded,
+# NOT corpus-bounded — and real BPE trainers (HF tokenizers, Sennrich's
+# subword-nmt) run the loop locally over exactly this aggregate for the
+# same reason. Up to this many distinct tokens the loop runs driver-side
+# (zero Spark jobs per merge round instead of one job whose input is a
+# handful of aggregate rows); above it the distributed round loop below
+# takes over unchanged. 1M rows ~ tens of MB on a 16g driver.
+_BPE_LOCAL_VOCAB_MAX = int(
+    os.environ.get("SPARK_GRAFT_BPE_LOCAL_VOCAB", "1000000"))
+
+
+def _train_merges_local(rows: list, n_merges: int
+                        ) -> tuple[list, list]:
+    """The BPE merge loop over collected (tok, cnt) rows — semantics
+    bit-identical to the distributed round loop in ``_bpe_train_core``:
+    per round, adjacent-pair counts weighted by cnt over the length>=2
+    word table (EVERY adjacent occurrence counts, so 'aaa' contributes
+    (a,a) twice), argmax tie-broken (count desc, left asc, right asc)
+    — Python code-point string order == Spark UTF8String binary order
+    (UTF-8 preserves code-point order) — and the greedy left-to-right
+    non-overlapping apply of ``_apply_merge`` (the accumulator's last
+    symbol is compared to ``left``; after a merge it is left+right !=
+    left, so 'aaa' under (a,a) yields ['aa','a']). Returns (merge rows,
+    [(tok, syms, cnt), ...] post-merge word rows in input order)."""
+    words = [(tok, list(tok), int(cnt)) for tok, cnt in rows
+             if len(tok) >= 2]
+    merges: list[tuple] = []
+    for rnd in range(1, n_merges + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for _tok, syms, cnt in words:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + cnt
+        if not counts:
+            break
+        a, b = min(counts, key=lambda p: (-counts[p], p[0], p[1]))
+        merges.append((rnd, a, b, a + b, int(counts[(a, b)])))
+        for w in words:
+            syms = w[1]
+            out: list[str] = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            syms[:] = out
+    return merges, words
+
+
 def _bpe_train_core(docs: DataFrame, n_merges: int
                     ) -> tuple[list, DataFrame, DataFrame]:
     """Shared trainer core: returns (merge rows, the post-merge word
     table with the ORIGINAL token kept — i.e. the trained tok->symbols
     encode dictionary — and the raw word-count table). Training iterates
-    the vocabulary-bounded word table, never corpus rows; each round is
-    one map-side-combined pair count, a LIMIT-1 argmax collect (the only
-    driver traffic), and a row-local JVM merge fold, localCheckpointed
-    so the plan never nests folds."""
+    the vocabulary-bounded word table, never corpus rows.
+
+    Fast path (r15): ONE corpus-sized Spark job aggregates the distinct
+    word counts; when the vocabulary fits under ``_BPE_LOCAL_VOCAB_MAX``
+    (decided and fetched by the same bounded ``limit(max+1).collect()``
+    — no separate count job) the merge loop runs driver-side
+    (_train_merges_local, bit-identical semantics; equality vs the
+    distributed loop is pytest-pinned) and the dictionary/word tables
+    return as local relations — the n_merges-round Spark loop was pure
+    job-scheduling + codegen latency over a handful of aggregate rows
+    (measured ~0.3-0.5 s PER ROUND at sf0.1 over a 31-row word table).
+    Above the ceiling, the distributed loop below runs unchanged: each
+    round is one map-side-combined pair count, a LIMIT-1 argmax collect
+    (the only driver traffic), and a row-local JVM merge fold,
+    localCheckpointed so the plan never nests folds."""
+    spark = docs.sparkSession
+    head = (docs.select(F.explode(tokens_col()).alias("tok"))
+            .groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+            .limit(_BPE_LOCAL_VOCAB_MAX + 1).collect())
+    if len(head) <= _BPE_LOCAL_VOCAB_MAX:
+        for r in head:
+            if "|" in r["tok"]:
+                raise ValueError(
+                    f"BPE data contract violated: token {r['tok']!r} "
+                    f"contains '|', the symbol delimiter of the "
+                    f"wrapped-symbol DuckDB oracle "
+                    f"(oracles._bpe_chain_parts) — the hash gate would "
+                    f"desynchronize on this corpus")
+        pairs = [(r["tok"], int(r["cnt"])) for r in head]
+        merges, word_rows = _train_merges_local(pairs, n_merges)
+        # plain createDataFrame (LocalRelation): Catalyst evaluates local
+        # relations driver-side and broadcasts them without a job; a
+        # coalesce(1) wrapper was measured to DESTROY that (8-13 s evals
+        # — it turns the local relation into a real RDD scan and blocks
+        # the local-relation optimizations)
+        wc = spark.createDataFrame(pairs, schema="tok string, cnt bigint")
+        words = spark.createDataFrame(
+            word_rows,
+            schema="tok string, syms array<string>, cnt bigint")
+        return merges, words, wc
     wc = _word_counts(docs)
     # single-char tokens never form a pair and merges only grow
     # symbols, so they can be dropped once, permanently

@@ -43,6 +43,30 @@ def test_long_path_converges_within_log_rounds(spark):
     assert len(comp) == 64
 
 
+def test_cc_local_and_distributed_agree(spark, monkeypatch):
+    """r15 optimization guard: the driver-local union-find shortcut
+    (edge sets under _CC_LOCAL_EDGE_MAX) must label components exactly
+    like the distributed alternating-star rounds — chains, hubs,
+    disjoint components, duplicate/reversed edges, self-loops."""
+    import kafkastreams_tp3_is_spark.operators.graph as graphmod
+
+    cases = [
+        [(i + 1, i) for i in range(1, 64)],                      # path
+        [(1, 2), (5, 6), (6, 7), (10, 11)],                      # disjoint
+        [(100, i) for i in range(1, 20)] + [(200, 201)],         # hub
+        [(2, 1), (1, 2), (2, 2), (3, 2), (9, 4), (4, 9)],        # dup/self
+    ]
+    for edges in cases:
+        df = spark.createDataFrame(edges, ["a_id", "b_id"])
+        local = {(r["node"], r["component"])
+                 for r in graphmod.connected_components_df(df).collect()}
+        monkeypatch.setattr(graphmod, "_CC_LOCAL_EDGE_MAX", -1)
+        dist = {(r["node"], r["component"])
+                for r in graphmod.connected_components_df(df).collect()}
+        monkeypatch.undo()
+        assert local == dist, edges
+
+
 def test_duplicate_clusters_on_planted_corpus(spark, planted_docs):
     df, planted = planted_docs
     clusters = {r["doc_id"]: (r["cluster_id"], r["is_canonical"])
@@ -121,13 +145,20 @@ def test_semantic_dup_clusters_agreement_with_exact(spark):
             assert c == min(vs)
 
 
-def test_durable_checkpoint_mode_matches_local(spark, tmp_path):
+def test_durable_checkpoint_mode_matches_local(spark, tmp_path,
+                                               monkeypatch):
     """checkpoint_dir switches per-round lineage truncation from
     localCheckpoint (executor-local blocks) to reliable checkpoint()
     (durable storage, survives executor loss). Both modes must produce
     identical components, and the durable mode must actually write
-    round state under the given directory."""
+    round state under the given directory. The local union-find
+    shortcut is disabled here: the per-round checkpoint rotation only
+    exists on the distributed loop (r15)."""
     import os
+
+    import kafkastreams_tp3_is_spark.operators.graph as graphmod
+
+    monkeypatch.setattr(graphmod, "_CC_LOCAL_EDGE_MAX", -1)
     edges = [(i + 1, i) for i in range(1, 32)] + [(100, 99), (101, 100)]
     df = spark.createDataFrame(edges, "a_id long, b_id long")
     local = {(r["node"], r["component"])

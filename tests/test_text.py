@@ -348,6 +348,51 @@ def test_bpe_pipe_token_contract(spark):
         bpe_train_df(docs, 2)
 
 
+def test_bpe_pipe_token_contract_distributed_path(spark, monkeypatch):
+    """The '|' contract must ALSO fire on the distributed-trainer path
+    (vocabulary above the local ceiling routes through _word_counts'
+    own check)."""
+    import pytest
+
+    import kafkastreams_tp3_is_spark.operators.text as textmod
+
+    monkeypatch.setattr(textmod, "_BPE_LOCAL_VOCAB_MAX", 0)
+    docs = spark.createDataFrame([(1, "ok a|b ok")],
+                                 "doc_id long, text string")
+    with pytest.raises(ValueError, match="data contract"):
+        textmod.bpe_train_df(docs, 2)
+
+
+def test_bpe_local_and_distributed_trainers_agree(spark, monkeypatch):
+    """r15 optimization guard: _bpe_train_core's driver-local merge loop
+    (vocabulary under _BPE_LOCAL_VOCAB_MAX — the gate regime) must
+    produce EXACTLY the distributed round loop's output: same merge
+    table, same post-merge tok->syms dictionary, same word counts. The
+    corpus exercises overlap ('aaa' under (a,a) -> ['aa','a']), ties,
+    cross-round interaction, and multi-char repeats."""
+    import kafkastreams_tp3_is_spark.operators.text as textmod
+
+    texts = ["aaa banana banana bandana", "low lower lowest low low",
+             "aaa aaa banana b", "newer newest new new new",
+             "xyxyxy xyx yy zz zz"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+
+    def core_snapshot():
+        merges, words, wc = textmod._bpe_train_core(docs, 6)
+        word_rows = sorted((r["tok"], list(r["syms"]), r["cnt"])
+                           for r in words.collect())
+        wc_rows = sorted((r["tok"], r["cnt"]) for r in wc.collect())
+        return merges, word_rows, wc_rows
+
+    local = core_snapshot()
+    monkeypatch.setattr(textmod, "_BPE_LOCAL_VOCAB_MAX", 0)
+    dist = core_snapshot()
+    assert local[0] == dist[0], "merge tables diverge"
+    assert local[1] == dist[1], "post-merge dictionaries diverge"
+    assert local[2] == dist[2], "word counts diverge"
+
+
 def test_bpe_compression_stats_hand_computed(spark):
     """chars/token on a corpus small enough to verify by hand: symbol
     counts come from the reference encode, character mass equals the
