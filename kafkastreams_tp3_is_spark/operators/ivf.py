@@ -365,6 +365,19 @@ def _write_postings(emb: DataFrame, cents: list[list[float]],
     assigned = (assign_cells(emb, cents, m_assign)
                 .select("vec_id", "embedding",
                         F.explode("cells").alias("cell")))
+    # Cluster the write by cell when the assignment stage is multi-task
+    # (guide §6: a partitionBy(cell) write from N tasks opens N files per
+    # touched cell directory — tasks x cells small files at cluster
+    # scale; one hash exchange on the partition key yields one file per
+    # cell, and cell sizes are bounded by the n_centroids build knob).
+    # Single-task inputs (the gate corpora) already write one file per
+    # cell, so the exchange would be pure overhead — skipped, the same
+    # scale-adaptive guard as views.spread().
+    try:
+        if assigned.rdd.getNumPartitions() > 1:
+            assigned = assigned.repartition("cell")
+    except Exception:
+        pass
     if store_sq8:
         from .similarity import sq8_quantized
 

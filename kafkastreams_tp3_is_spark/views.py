@@ -31,6 +31,10 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
+# (applicationId, semanticHash) -> probed partition count; see spread()
+_SPREAD_PROBE_CACHE: dict[tuple[str, int], int] = {}
+
+
 def spread(df: DataFrame, key: str = "doc_id") -> DataFrame:
     """Scale-adaptive parallelism floor for CPU-heavy row-local stages
     (optimization r15; guide §2.4/§2.5): hash-repartition ``df`` on
@@ -46,7 +50,19 @@ def spread(df: DataFrame, key: str = "doc_id") -> DataFrame:
     sc = df.sparkSession.sparkContext
     n = sc.defaultParallelism
     try:
-        cur = df.rdd.getNumPartitions()
+        # The partition-count probe (df.rdd) pays full physical planning
+        # — measured 0.25-1.5 s on union-shaped fixture frames, per
+        # CONSTRUCTION. Memoize it per (application, semantic plan):
+        # semanticHash costs ~10 ms and identical semantic plans read
+        # the same sources within an application. The cache holds a
+        # PLAN PROPERTY for this heuristic only — a stale count could
+        # at worst skip or add the floor (performance, never
+        # correctness); results always recompute from the inputs.
+        k = (sc.applicationId, df.semanticHash())
+        cur = _SPREAD_PROBE_CACHE.get(k)
+        if cur is None:
+            cur = df.rdd.getNumPartitions()
+            _SPREAD_PROBE_CACHE[k] = cur
     except Exception:
         return df
     return df.repartition(n, key) if cur < n else df
