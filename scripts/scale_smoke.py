@@ -254,6 +254,20 @@ def timed(fn, df) -> tuple[float, int]:
     return round(time.perf_counter() - t0, 2), row["n"]
 
 
+def timed_median(spark, fn, df, runs: int = 3) -> tuple[float, int, list]:
+    """Median of ``runs`` timed evaluations (cache cleared between) —
+    the same single-sample-vs-box-burst fix the marginal profiler got
+    in r15 (one external-load burst swung winnow_pairs' committed ratio
+    2.8 -> 9.9 across identical-code runs); samples are recorded
+    alongside the median so a burst remains visible."""
+    samples, n = [], 0
+    for _ in range(runs):
+        t, n = timed(fn, df)
+        samples.append(t)
+        spark.catalog.clearCache()
+    return sorted(samples)[len(samples) // 2], n, samples
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("scale-smoke")
@@ -338,14 +352,13 @@ def main() -> None:
         d1 = scaled_docs(spark, sf_dir, 1)
         timed(fn, d1)                       # untimed warmup: codegen/JIT
         spark.catalog.clearCache()
-        t1, n1 = timed(fn, d1)
-        spark.catalog.clearCache()
+        t1, n1, s1 = timed_median(spark, fn, d1)
         d10 = scaled_docs(spark, sf_dir, 10)
-        t10, n10 = timed(fn, d10)
-        spark.catalog.clearCache()
+        t10, n10, s10 = timed_median(spark, fn, d10)
         results[name] = {"t_1x": t1, "t_10x": t10,
                          "ratio": round(t10 / t1, 2),
-                         "rows_1x": n1, "rows_10x": n10}
+                         "rows_1x": n1, "rows_10x": n10,
+                         "samples_1x": s1, "samples_10x": s10}
     # embeddings-table ops: the query head stays fixed while the scanned
     # corpus grows, so the int8 scan should track rows near-linearly.
     # embedding_gram_sq8's shuffle is O(batches x d^2) regardless of
@@ -371,14 +384,13 @@ def main() -> None:
         e1 = scaled_embeddings(spark, sf_dir, 1)
         timed(fn, e1)
         spark.catalog.clearCache()
-        t1, n1 = timed(fn, e1)
-        spark.catalog.clearCache()
+        t1, n1, s1 = timed_median(spark, fn, e1)
         e10 = scaled_embeddings(spark, sf_dir, 10)
-        t10, n10 = timed(fn, e10)
-        spark.catalog.clearCache()
+        t10, n10, s10 = timed_median(spark, fn, e10)
         results[name] = {"t_1x": t1, "t_10x": t10,
                          "ratio": round(t10 / t1, 2),
-                         "rows_1x": n1, "rows_10x": n10}
+                         "rows_1x": n1, "rows_10x": n10,
+                         "samples_1x": s1, "samples_10x": s10}
     # stamp + persist like plan_audit/parity_sweep: the committed
     # artifact must carry the SHA it measured (r12 judge: artifacts at
     # stale SHAs read as unaudited entries)
