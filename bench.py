@@ -84,6 +84,20 @@ COMPOSED_QUERIES = {"pipeline_full_clean"}
 # the r2 metric by ~1.5s)
 from kafkastreams_tp3_is_spark.oracles import Q_NAMES as _REFERENCE_QUERIES  # noqa: E402
 
+# Heavyweight scale-probe entries ADDED to the truncated stdout line
+# alongside the 13 reference queries (r16, VERDICT r15 ask #2): the
+# driver compares the line's per-query medians across core counts, and
+# the 13 reference queries are 0.2-1.1 s at sf0.1 — pure scheduler/
+# codegen overhead, no parallelism signal, which made every round's
+# scaling block read ~1x and flag `suspect_cpus_ignored`. These four
+# are the registry's heaviest non-amortized entries (>= ~2.5 s, real
+# shuffles + row-local CPU kernels, no per-process stored artifact
+# whose build cost lands only in the first sample), so their low-core
+# ratio measures actual parallel speedup. Purely additive: every
+# previously-printed entry keeps its name and meaning.
+SCALE_PROBE_QUERIES = ["winnow_pairs", "containment_pairs",
+                       "dedup_simhash", "duplicate_clusters_lsh"]
+
 
 def bench_topology(spark, sf_dir: str, changelog: bool = True,
                    bucketed: bool = False) -> dict:
@@ -424,8 +438,10 @@ def main() -> None:
 
     out_line = line_for(timings)
     if len(out_line) > 1900:  # driver tail window is 2000 chars
-        out_line = line_for({k: timings[k] for k in _REFERENCE_QUERIES
-                             if k in timings}, truncated=True)
+        out_line = line_for(
+            {k: timings[k]
+             for k in list(_REFERENCE_QUERIES) + SCALE_PROBE_QUERIES
+             if k in timings}, truncated=True)
     print(out_line)
 
 

@@ -34,6 +34,31 @@ from pyspark.sql import functions as F
 from ..views import load
 
 
+def _make_sq8_np():
+    """Factory for the kernel-side sq8 quantizer: one vectorized
+    float64 numpy pass over a pandas Series of float vectors —
+    BIT-IDENTICAL to the JVM staging in similarity.sq8_quantized (cast
+    float->double is exact, abs/max are exact, and x*127.0, /s, +0.5,
+    floor are each one IEEE-754 double op in the same order in both
+    implementations; neither fuses), so every code agrees with the
+    DuckDB oracle's restatement exactly like the JVM path did (A/B
+    checksum + oracle re-proven, r16). Returns the int64 code matrix.
+
+    A FACTORY, not a module function, on purpose: mapInPandas closures
+    must be self-contained (pickled by value) — a kernel referencing a
+    module-level helper pickles by reference and executor workers then
+    need the package importable (the driver-contract verify runs from
+    /tmp and caught exactly that)."""
+    def quantize(vec_series):
+        import numpy as np
+
+        x = np.asarray([np.asarray(v, dtype=np.float64)
+                        for v in vec_series], dtype=np.float64)
+        s = np.maximum(np.max(np.abs(x), axis=1), 1e-30)
+        return np.floor(x * 127.0 / s[:, None] + 0.5).astype(np.int64)
+    return quantize
+
+
 def embedding_gram_sq8_df(emb: DataFrame,
                           vec_col: str = "embedding") -> DataFrame:
     """Upper-triangle second-moment accumulation over sq8-quantized
@@ -51,10 +76,16 @@ def embedding_gram_sq8_df(emb: DataFrame,
     identically in the oracle.
 
     Scale: the kernel reduces each Arrow batch to one 2,080-row partial
-    triangle (d=64); shuffle volume is O(n_batches * d^2), not O(rows)."""
-    from .similarity import sq8_quantized
+    triangle (d=64); shuffle volume is O(n_batches * d^2), not O(rows).
 
-    q = sq8_quantized(emb, vec_col=vec_col, keep=["vec_id"])
+    r16 (guide §4.2): quantization happens INSIDE the Arrow kernel via
+    :func:`_make_sq8_np` — the JVM sq8 staging (three interpreted
+    higher-order-function projections per row) fed a kernel that is
+    already a numpy batch matmul, so the codes are now produced by the
+    equivalent vectorized float64 ops on the raw vectors (bit-identical:
+    see _make_sq8_np), and the Python boundary ships 4-byte floats
+    instead of 8-byte longs."""
+    _sq8 = _make_sq8_np()
 
     def gram_batches(it: Iterator["pd.DataFrame"]):  # noqa: F821
         import numpy as np
@@ -66,8 +97,7 @@ def embedding_gram_sq8_df(emb: DataFrame,
         for pdf in it:
             if len(pdf) == 0:
                 continue
-            x = np.asarray([np.asarray(v, dtype=np.int64)
-                            for v in pdf["qv"]], dtype=np.int64)
+            x = _sq8(pdf[vec_col])
             g = x.T @ x
             acc = g if acc is None else acc + g
             s = x.sum(axis=0)
@@ -87,7 +117,7 @@ def embedding_gram_sq8_df(emb: DataFrame,
 
     schema = ("i int, j int, gram_part bigint, sum_qi_part bigint, "
               "sum_qj_part bigint, n_part bigint")
-    partials = q.select("qv").mapInPandas(gram_batches, schema=schema)
+    partials = emb.select(vec_col).mapInPandas(gram_batches, schema=schema)
     return (partials.groupBy("i", "j")
             .agg(F.sum("gram_part").cast("bigint").alias("gram"),
                  F.sum("n_part").cast("bigint").alias("n_vecs"),
@@ -144,15 +174,12 @@ def embedding_pca_project_df(emb: DataFrame, n_components: int = 4,
     driver and DuckDB has no eigensolver; exactness is pinned instead by
     pytest properties (component orthonormality, variance ordering,
     determinism across runs, centered-projection mean ~ 0)."""
-    from .similarity import sq8_quantized
-
     gram_rows = [r.asDict() for r in embedding_gram_sq8_df(emb, vec_col)
                  .collect()]
     comps, mean, _ = _pca_components(gram_rows, n_components)
     comps_l = [[float(v) for v in row] for row in comps]
     mean_l = [float(v) for v in mean]
-
-    q = sq8_quantized(emb, vec_col=vec_col, keep=["vec_id"])
+    _sq8 = _make_sq8_np()
 
     def project(it: Iterator["pd.DataFrame"]):  # noqa: F821
         import numpy as np
@@ -163,13 +190,15 @@ def embedding_pca_project_df(emb: DataFrame, n_components: int = 4,
         for pdf in it:
             if len(pdf) == 0:
                 continue
-            x = np.asarray([np.asarray(v, dtype=np.float64)
-                            for v in pdf["qv"]], dtype=np.float64)
+            # r16 (guide §4.2): quantize inside the kernel
+            # (_make_sq8_np, bit-identical to the retired JVM staging);
+            # int64 codes -> float64 is exact for |code| <= 127
+            x = _sq8(pdf[vec_col]).astype(np.float64)
             y = (x - m) @ w.T                          # rows x p
             yield pd.DataFrame({"vec_id": pdf["vec_id"],
                                 "pc": list(y)})
 
-    return q.select("vec_id", "qv").mapInPandas(
+    return emb.select("vec_id", vec_col).mapInPandas(
         project, schema="vec_id bigint, pc array<double>")
 
 

@@ -39,6 +39,8 @@ pinned in tests/test_fuzzy.py).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -56,21 +58,30 @@ def _seg_hash(col: F.Column) -> F.Column:
     return F.xxhash64(col)
 
 
-def edit_distance_pairs_df(docs: DataFrame, max_dist: int = 2,
-                           min_len: int = 24) -> DataFrame:
-    """(doc_a < doc_b, dist) for every pair of documents with
-    ``levenshtein(text_a, text_b) <= max_dist``, via PassJoin candidate
-    generation. Documents shorter than ``min_len`` chars are excluded
-    (contract: short strings belong in a per-length-group brute force;
-    the floor keeps segments discriminative)."""
-    d = int(max_dist)
-    k = d + 1
+def _long_base(docs: DataFrame, min_len: int,
+               parallel: bool = True) -> DataFrame:
+    """The PassJoin long-path working set: (doc_id, t, n) for documents
+    of at least ``min_len`` chars. ``parallel`` applies the r15 spread()
+    floor — wanted when the frame feeds the 75x probe expansion, skipped
+    when it only supplies texts to a candidate-sized verify join (the
+    repartition would shuffle full payloads for no row-local work)."""
     txt = F.coalesce(F.col("text"), F.lit(""))
-    # parallelism floor (r15): the 75x probe expansion + hashing is
-    # row-local CPU off a (possibly single-file) scan
-    base = (spread(docs).select("doc_id", txt.alias("t"))
+    src = spread(docs) if parallel else docs
+    return (src.select("doc_id", txt.alias("t"))
             .where(F.length("t") >= int(min_len))
             .select("doc_id", "t", F.length("t").alias("n")))
+
+
+def _long_candidates(base: DataFrame, max_dist: int,
+                     min_len: int) -> DataFrame:
+    """PassJoin candidate generation over the long-path working set:
+    distinct (doc_a < doc_b) ids whose strings share a segment at a
+    compatible (source length, segment index, position window) — the
+    equi-join core of :func:`edit_distance_pairs_df`, split out so the
+    driver-gate fixtures can persist ONE candidate inventory shared by
+    every fuzzy_* entry (r16; guide §5 caching / §2.4)."""
+    d = int(max_dist)
+    k = d + 1
 
     def seg_arith(src_n: F.Column, j: F.Column):
         """1-based start and length of segment ``j`` of a string of
@@ -124,18 +135,38 @@ def edit_distance_pairs_df(docs: DataFrame, max_dist: int = 2,
                       _seg_hash(F.expr("substring(t, pos, len)"))
                       .alias("h")))
 
-    cands = (a_side.join(b_side, ["src_n", "j", "h"])
-             .where(F.col("a_id") != F.col("b_id"))
-             .select(F.least("a_id", "b_id").alias("doc_a"),
-                     F.greatest("a_id", "b_id").alias("doc_b"))
-             .distinct())
+    return (a_side.join(b_side, ["src_n", "j", "h"])
+            .where(F.col("a_id") != F.col("b_id"))
+            .select(F.least("a_id", "b_id").alias("doc_a"),
+                    F.greatest("a_id", "b_id").alias("doc_b"))
+            .distinct())
 
+
+def _verified_pairs(cands: DataFrame, base: DataFrame,
+                    max_dist: int) -> DataFrame:
+    """Exact-Levenshtein verification of a (doc_a, doc_b) candidate set
+    against the long-path working set's texts — the output stage of
+    :func:`edit_distance_pairs_df`."""
     ta = base.select(F.col("doc_id").alias("doc_a"), F.col("t").alias("ta"))
     tb = base.select(F.col("doc_id").alias("doc_b"), F.col("t").alias("tb"))
     return (cands.join(ta, "doc_a").join(tb, "doc_b")
             .select("doc_a", "doc_b",
                     F.levenshtein("ta", "tb").cast("int").alias("dist"))
-            .where(F.col("dist") <= d))
+            .where(F.col("dist") <= int(max_dist)))
+
+
+def edit_distance_pairs_df(docs: DataFrame, max_dist: int = 2,
+                           min_len: int = 24) -> DataFrame:
+    """(doc_a < doc_b, dist) for every pair of documents with
+    ``levenshtein(text_a, text_b) <= max_dist``, via PassJoin candidate
+    generation. Documents shorter than ``min_len`` chars are excluded
+    (contract: short strings belong in a per-length-group brute force;
+    the floor keeps segments discriminative)."""
+    # parallelism floor (r15): the 75x probe expansion + hashing is
+    # row-local CPU off a (possibly single-file) scan
+    base = _long_base(docs, min_len)
+    cands = _long_candidates(base, max_dist, min_len)
+    return _verified_pairs(cands, base, max_dist)
 
 
 def _seg_arith(src_n: F.Column, j: F.Column, k: int):
@@ -391,14 +422,30 @@ def edit_distance_pairs_all_df(docs: DataFrame, max_dist: int = 2,
                                                       min_len)))
 
 
-def fuzzy_edit_pairs(spark: SparkSession, sf_dir: str,
-                     max_dist: int = 2) -> DataFrame:
-    """Driver-gate fixture (full hash): edit-distance pairs over the
-    documents table plus planted typo twins — every 25th document (long
-    enough) gets a copy with one character deleted (position 40) and
-    one substituted (position 80 -> '~'), landing at distance <= 2;
-    recovery of every planted pair is the PassJoin completeness
-    guarantee, asserted in pytest alongside brute-force equivalence."""
+# Per-process fuzzy candidate inventory (r16, VERDICT r15 ask #1; guide
+# §5 caching / §2.4): the four long-path fuzzy_* fixtures
+# (fuzzy_edit_pairs[_all], fuzzy_dup_clusters[_all]) all generate THE
+# SAME PassJoin candidate set — the _all corpus only adds sub-min_len
+# short keys, which the long path's length floor excludes — and the
+# candidate equi-join (75x probe expansion + distinct) is ~80% of each
+# entry's wall. Build the candidate inventory ONCE per process into a
+# scratch parquet and let every fixture read it back, exactly the
+# stored-IVF ensure_stored_index / stored-tokenizer pattern (ivf.py,
+# text.py). The store holds CANDIDATE ids only, never verified results:
+# each entry still scans the corpus for texts and runs its own exact
+# Levenshtein verify + composition. A fresh process (every driver
+# bench/verify invocation) always regenerates from the parquet inputs.
+_CANDS_DIRS: list[str] = []
+_CANDS_ATEXIT = False
+# (sf_dir, max_dist, min_len) -> (session, parquet dir)
+_CANDS_CACHE: dict[tuple, tuple] = {}
+
+
+def _fixture_long_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The planted long-typo corpus shared by fuzzy_edit_pairs and
+    fuzzy_edit_pairs_all: documents plus, for every 25th (long enough)
+    doc, a copy with one char deleted (position 40) and one substituted
+    (position 80 -> '~') — distance <= 2 from its source."""
     docs = load(spark, sf_dir, "documents")
     t = F.coalesce(F.col("text"), F.lit(""))
     edited = F.concat(
@@ -408,8 +455,60 @@ def fuzzy_edit_pairs(spark: SparkSession, sf_dir: str,
                           & (F.length(t) >= 81))
                .select((F.col("doc_id") + F.lit(8_000_000_000))
                        .alias("doc_id"), edited.alias("text")))
-    both = docs.select("doc_id", "text").unionByName(planted)
-    return edit_distance_pairs_df(both, max_dist=max_dist)
+    return docs.select("doc_id", "text").unionByName(planted)
+
+
+def _ensure_fixture_candidates(spark: SparkSession, sf_dir: str,
+                               max_dist: int, min_len: int = 24) -> str:
+    """Build-once accessor for the fixtures' long-path candidate
+    inventory: first call per (session, sf_dir, d) generates the
+    PassJoin candidates over the shared planted corpus and writes them
+    to a scratch parquet; later calls return the path untouched."""
+    import atexit
+    import shutil
+    import tempfile
+
+    global _CANDS_ATEXIT
+    key = (sf_dir, int(max_dist), int(min_len))
+    hit = _CANDS_CACHE.get(key)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    workdir = tempfile.mkdtemp(prefix="fuzzy_cands_")
+    _CANDS_DIRS.append(workdir)
+    if not _CANDS_ATEXIT:
+        atexit.register(lambda: [shutil.rmtree(d, ignore_errors=True)
+                                 for d in _CANDS_DIRS])
+        _CANDS_ATEXIT = True
+    base = _long_base(_fixture_long_corpus(spark, sf_dir), min_len)
+    (_long_candidates(base, max_dist, min_len)
+     .write.mode("overwrite").parquet(os.path.join(workdir, "cands")))
+    _CANDS_CACHE[key] = (spark, workdir)
+    return workdir
+
+
+def _fixture_long_pairs(spark: SparkSession, sf_dir: str,
+                        max_dist: int) -> DataFrame:
+    """Long-path pairs of the planted fixture corpus via the shared
+    candidate inventory: read the stored (doc_a, doc_b) candidates and
+    run the exact verify against the corpus texts."""
+    workdir = _ensure_fixture_candidates(spark, sf_dir, max_dist)
+    cands = spark.read.parquet(os.path.join(workdir, "cands"))
+    base = _long_base(_fixture_long_corpus(spark, sf_dir), 24,
+                      parallel=False)
+    return _verified_pairs(cands, base, max_dist)
+
+
+def fuzzy_edit_pairs(spark: SparkSession, sf_dir: str,
+                     max_dist: int = 2) -> DataFrame:
+    """Driver-gate fixture (full hash): edit-distance pairs over the
+    documents table plus planted typo twins — every 25th document (long
+    enough) gets a copy with one character deleted (position 40) and
+    one substituted (position 80 -> '~'), landing at distance <= 2;
+    recovery of every planted pair is the PassJoin completeness
+    guarantee, asserted in pytest alongside brute-force equivalence.
+    Candidates come from the shared per-process inventory
+    (_ensure_fixture_candidates); the verify runs per call."""
+    return _fixture_long_pairs(spark, sf_dir, max_dist)
 
 
 def fuzzy_edit_pairs_all(spark: SparkSession, sf_dir: str,
@@ -431,14 +530,6 @@ def fuzzy_edit_pairs_all(spark: SparkSession, sf_dir: str,
             f"fuzzy_edit_pairs_all oracle pins max_dist=2; got "
             f"{max_dist} — call edit_distance_pairs_all_df directly")
     docs = load(spark, sf_dir, "documents")
-    t = F.coalesce(F.col("text"), F.lit(""))
-    edited = F.concat(
-        F.substring(t, 1, 39), F.substring(t, 41, 39), F.lit("~"),
-        F.expr("substring(coalesce(text, ''), 81, 2147483647)"))
-    planted_long = (docs.where((F.col("doc_id") % 25 == 0)
-                               & (F.length(t) >= 81))
-                    .select((F.col("doc_id") + F.lit(8_000_000_000))
-                            .alias("doc_id"), edited.alias("text")))
     route_key = F.concat(F.lit("Route_"), F.col("doc_id").cast("string"))
     typo_key = F.concat(F.lit("Rout_"), F.col("doc_id").cast("string"))
     every50 = docs.where(F.col("doc_id") % 50 == 0)
@@ -451,9 +542,17 @@ def fuzzy_edit_pairs_all(spark: SparkSession, sf_dir: str,
     s_dup = (docs.where(F.col("doc_id") % 100 == 0)
              .select((F.col("doc_id") + F.lit(9_750_000_000))
                      .alias("doc_id"), route_key.alias("text")))
-    both = (docs.select("doc_id", "text").unionByName(planted_long)
+    both = (_fixture_long_corpus(spark, sf_dir)
             .unionByName(s_route).unionByName(s_typo).unionByName(s_dup))
-    return edit_distance_pairs_all_df(both, max_dist=max_dist)
+    # The planted short keys are all far under the 24-char long-path
+    # floor ("Route_" + a decimal id stays < 24 chars up to 17-digit
+    # ids), so the long path over `both` equals the long path over the
+    # fixture corpus WITHOUT them — which is exactly the shared
+    # candidate inventory fuzzy_edit_pairs reads. Only the
+    # length-banded short companion runs over `both`.
+    return (_fixture_long_pairs(spark, sf_dir, max_dist)
+            .unionByName(edit_distance_pairs_short_df(both,
+                                                      max_dist=max_dist)))
 
 
 def fuzzy_dup_clusters_all(spark: SparkSession, sf_dir: str,

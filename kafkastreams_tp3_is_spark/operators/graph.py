@@ -170,9 +170,16 @@ def connected_components_df(edges: DataFrame, src: str = "a_id",
     e = _canonical(edges.select(F.col(src).alias("u"),
                                 F.col(dst).alias("v")))
     try:
-        e = _run_rounds(e, _truncate, max_iter)
+        e, complete = _run_rounds(e, _truncate, max_iter)
     finally:
         _restore_ckpt_dir(edges.sparkSession.sparkContext)
+    if complete:
+        # local union-find already emitted the COMPLETE labelling (root
+        # self-rows included) — the exceptAll/distinct roots derivation
+        # below would re-plan two branches of the star frame for rows
+        # the driver already knows (r16; guide §2.4)
+        return e.select(F.col("u").alias("node"),
+                        F.col("v").alias("component"))
     # fixed point is a star forest: u -> component min. Roots appear only
     # on the v side; give them a self row.
     nodes = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
@@ -183,10 +190,16 @@ def connected_components_df(edges: DataFrame, src: str = "a_id",
     return nodes.unionByName(roots)
 
 
-def _run_rounds(e: DataFrame, _truncate, max_iter: int) -> DataFrame:
+def _run_rounds(e: DataFrame, _truncate, max_iter: int
+                ) -> tuple[DataFrame, bool]:
     """The alternating Large-Star / Small-Star iteration of
     connected_components_df, split out so the caller can wrap it in the
-    checkpoint-dir restore.
+    checkpoint-dir restore. Returns ``(frame, complete)``: the
+    distributed loop yields the star-forest EDGE set (complete=False,
+    roots appear only on the v side); the local union-find fast path
+    yields the full (node, component) labelling INCLUDING root
+    self-rows (complete=True), so the caller skips the roots
+    derivation (r16).
 
     r15: the convergence checksum rides the round's checkpoint job as
     ``observe`` metrics (CollectMetrics evaluates during the
@@ -204,7 +217,13 @@ def _run_rounds(e: DataFrame, _truncate, max_iter: int) -> DataFrame:
         return out, (m["n"], m["h"])
 
     e, (n_prev, h_prev) = _truncate_and_checksum(e)
-    if n_prev is not None and n_prev <= _CC_LOCAL_EDGE_MAX:
+    # The local path always runs to full convergence, so it is only
+    # equivalent to the distributed loop when max_iter is not an
+    # effective bound — gate it on the default (30 rounds contract
+    # paths by ~2^30; ADVICE r15: a caller passing a small max_iter
+    # asks for bounded rounds and must get the distributed loop).
+    if (n_prev is not None and n_prev <= _CC_LOCAL_EDGE_MAX
+            and max_iter >= 30):
         # Local fast path: the canonical edge set fits on the driver
         # (bounded by _CC_LOCAL_EDGE_MAX; the count came free with the
         # materializing checkpoint's observe). Union-find with the
@@ -228,14 +247,30 @@ def _run_rounds(e: DataFrame, _truncate, max_iter: int) -> DataFrame:
                     parent[v] = u
                 else:
                     parent[u] = v
-        star = []
+        labels = []
+        roots = set()
         for x in parent:
             r_ = x
             while parent[r_] != r_:
                 r_ = parent[r_]
+            roots.add(r_)
             if x != r_:
-                star.append((x, r_))
-        return e.sparkSession.createDataFrame(star, e.schema)
+                labels.append((x, r_))
+        # root self-rows: the complete labelling (matches the
+        # distributed path's nodes ∪ roots exactly — u-side rows are
+        # the non-roots, each root appears once)
+        labels.extend((r_, r_) for r_ in sorted(roots))
+        spark = e.sparkSession
+        if len(labels) > 100_000:
+            # near the ceiling a plain createDataFrame embeds a
+            # multi-MB LocalRelation into every downstream plan
+            # (ADVICE r15); parallelize keeps the rows off the plan.
+            # Small outputs stay LocalRelations — Catalyst evaluates
+            # those driver-side without a job, which the r15 coalesce
+            # experiment measured as the faster shape.
+            rdd = spark.sparkContext.parallelize(labels)
+            return spark.createDataFrame(rdd, e.schema), True
+        return spark.createDataFrame(labels, e.schema), True
     for _ in range(max_iter):
         # large-star: neighborhoods of BOTH directions; m = min(N(u) + {u});
         # larger neighbors point at m
@@ -259,7 +294,7 @@ def _run_rounds(e: DataFrame, _truncate, max_iter: int) -> DataFrame:
         if (n_cur, h_cur) == (n_prev, h_prev):
             break
         n_prev, h_prev = n_cur, h_cur
-    return e
+    return e, False
 
 
 def _clusters(pairs: DataFrame, id_col: str = "doc_id",

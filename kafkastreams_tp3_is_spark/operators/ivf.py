@@ -359,7 +359,16 @@ def _write_postings(emb: DataFrame, cents: list[list[float]],
     """Assign ``emb`` to cells under the given centroids and write the
     posting rows (partitioned by cell) with the given save mode —
     shared by the full build (overwrite, fresh generation subdir) and
-    incremental append (into the committed generation)."""
+    incremental append (into the committed generation).
+
+    INVARIANT (consumed by the rankers' lag-compare dedup, ADVICE r15):
+    a vec_id posted to several cells stores BYTE-IDENTICAL payload rows
+    in every cell — the multi-assign explode copies ONE source row, and
+    the sq8 path quantizes before/independently of the cell split. A
+    future write path that stores per-cell-differing copies (e.g. a
+    re-quantized append) would give duplicates distinct cosines, so
+    they would stop being rank-adjacent and BOTH survive the in-window
+    dedup; keep this invariant or restore dropDuplicates there."""
     import os
 
     assigned = (assign_cells(emb, cents, m_assign)

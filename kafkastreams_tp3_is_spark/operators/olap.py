@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..views import trips
+from ..views import load
 from .events import load_events
 
 _EPOCH = "1970-01-01 00:00:00"
@@ -34,17 +34,26 @@ def trip_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: a single Expand(4x) + map-side-combined count + one shuffle of
     aggregate-sized rows — the cube fan-out never touches the wire
-    unaggregated."""
-    t = trips(spark, sf_dir).select(
-        "transport_type",
-        F.date_trunc("day", "event_ts").alias("day"),
-        F.date_trunc("hour", "event_ts").alias("hour"))
+    unaggregated.
+
+    Derivation pushdown (r16, the queries.py r15 pattern; guide §2.3):
+    ``transport_type`` = Type_<l_orderkey % 5> is injective in the int
+    key, so the 4x Expand and the hash agg run on the raw long and the
+    string is decorated on the aggregate rows (<= 4 x 5 x days x hours);
+    a never-null int key makes the rolled-up NULL unambiguous, so the
+    'ALL' coalesce is unchanged."""
+    li = load(spark, sf_dir, "lineitem")
+    t = li.select(
+        (F.col("l_orderkey") % 5).alias("_t"),
+        F.date_trunc("day", "l_shipdate").alias("day"),
+        F.date_trunc("hour", "l_shipdate").alias("hour"))
     epoch = F.lit(_EPOCH).cast("timestamp")
-    return (t.rollup("transport_type", "day", "hour")
+    type_str = F.concat(F.lit("Type_"), F.col("_t").cast("string"))
+    return (t.rollup("_t", "day", "hour")
              .agg(F.count(F.lit(1)).alias("cnt"),
                   F.grouping_id().alias("level"))
              .select(
-                 F.coalesce("transport_type", F.lit("ALL"))
+                 F.coalesce(type_str, F.lit("ALL"))
                   .alias("transport_type"),
                  F.coalesce("day", epoch).alias("day"),
                  F.coalesce("hour", epoch).alias("hour"),

@@ -710,49 +710,85 @@ def embedding_matryoshka_recall_df(emb: DataFrame,
     as every exact oracle (slicing commutes with the fold), so the
     whole report is full-hash verifiable.
 
-    Scale: per width, one broadcast of the n_queries head against a
-    corpus scan reading d/dim of the vector bytes (at production scale
-    the truncated ranking comes from a truncated IVF index instead;
-    the evaluation join stays n_queries x k)."""
-    full = (_bruteforce_ranked(emb, n_queries)
+    Scale (r16 restructure; guide §2.4 "remove shuffles outright" /
+    §1.2): ONE corpus scan computes every prefix cosine AND the
+    full-width baseline cosine per (neighbor, query) pair — prefix
+    slices and norms are projected once per corpus row, amortized over
+    the broadcast query head. The full-width ranking is materialized as
+    an ``in_full`` flag by one window over query_id BEFORE the per-dim
+    explode, so the hit count per dim is a plain filtered aggregate —
+    |top-k(d) ∩ top-k(full)| counted from the flag — and the previous
+    full-vs-trunc self-join (which re-planned the whole scored subtree,
+    a second corpus scan) disappears. The r15 plan pair pins 4 scans +
+    4 window exchanges collapsing to 1 scan + 2 window exchanges.
+    Every cosine is the same ``_dot(q, c) / (norm(q) * norm(c))``
+    sequential fold as before — precomputing norms as columns changes
+    evaluation count, not IEEE operation order — and both windows keep
+    the (cosine desc, neighbor_id asc) order, so the report stays
+    full-hash verifiable."""
+    dims = tuple(int(d) for d in dims)
+    qhead = (emb.orderBy("vec_id").limit(n_queries)
+             .select(F.col("vec_id").alias("query_id"),
+                     _as_double("embedding").alias("q_full")))
+    queries = qhead.select(
+        "query_id", "q_full",
+        *[F.slice("q_full", 1, d).alias(f"q_{d}") for d in dims])
+    queries = queries.select(
+        "query_id", "q_full", *[f"q_{d}" for d in dims],
+        _norm(F.col("q_full")).alias("nq_full"),
+        *[_norm(F.col(f"q_{d}")).alias(f"nq_{d}") for d in dims])
+    corpus = emb.select(F.col("vec_id").alias("neighbor_id"),
+                        _as_double("embedding").alias("c_full"))
+    corpus = corpus.select(
+        "neighbor_id", "c_full",
+        *[F.slice("c_full", 1, d).alias(f"c_{d}") for d in dims])
+    corpus = corpus.select(
+        "neighbor_id", "c_full", *[f"c_{d}" for d in dims],
+        _norm(F.col("c_full")).alias("nc_full"),
+        *[_norm(F.col(f"c_{d}")).alias(f"nc_{d}") for d in dims])
+    pairs = (corpus.crossJoin(F.broadcast(queries))
+             .where(F.col("neighbor_id") != F.col("query_id"))
+             .select(
+                 "query_id", "neighbor_id",
+                 (_dot(F.col("q_full"), F.col("c_full"))
+                  / (F.col("nq_full") * F.col("nc_full")))
+                 .alias("cos_full"),
+                 *[(_dot(F.col(f"q_{d}"), F.col(f"c_{d}"))
+                    / (F.col(f"nq_{d}") * F.col(f"nc_{d}")))
+                   .alias(f"cos_{d}") for d in dims]))
+    w_full = Window.partitionBy("query_id") \
+        .orderBy(F.col("cos_full").desc(), F.col("neighbor_id").asc())
+    flagged = (pairs
+               .withColumn("in_full",
+                           F.row_number().over(w_full) <= k)
+               .select("query_id", "neighbor_id", "in_full",
+                       F.explode(F.array(*[
+                           F.struct(F.lit(d).alias("dim"),
+                                    F.col(f"cos_{d}").alias("cosine"))
+                           for d in dims])).alias("e"))
+               .select("query_id", "neighbor_id", "in_full",
+                       F.col("e.dim").alias("dim"),
+                       F.col("e.cosine").alias("cosine")))
+    w = Window.partitionBy("dim", "query_id") \
+        .orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    hits = (flagged.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
-            .select("query_id", "neighbor_id"))
+            .groupBy("dim", "query_id")
+            .agg(F.sum(F.when(F.col("in_full"), F.lit(1))
+                       .otherwise(F.lit(0)))
+                 .cast("bigint").alias("n_hits")))
     qids = (emb.orderBy("vec_id").limit(n_queries)
             .select(F.col("vec_id").alias("query_id")))
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
-                                               F.col("neighbor_id").asc())
-    parts = []
-    for d in dims:
-        queries = (emb.orderBy("vec_id").limit(n_queries)
-                   .select(F.col("vec_id").alias("query_id"),
-                           F.slice(_as_double("embedding"), 1, d)
-                            .alias("q_vec")))
-        corpus = emb.select(F.col("vec_id").alias("neighbor_id"),
-                            F.slice(_as_double("embedding"), 1, d)
-                             .alias("c_vec"))
-        trunc = (corpus.crossJoin(F.broadcast(queries))
-                 .where(F.col("neighbor_id") != F.col("query_id"))
-                 .select("query_id", "neighbor_id",
-                         _cosine(F.col("q_vec"), F.col("c_vec"))
-                         .alias("cosine"))
-                 .withColumn("rank", F.row_number().over(w))
-                 .where(F.col("rank") <= k)
-                 .select("query_id", "neighbor_id"))
-        hits = (full.join(trunc, ["query_id", "neighbor_id"])
-                .groupBy("query_id")
-                .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits")))
-        n_hits = F.coalesce(F.col("n_hits"), F.lit(0).cast("bigint"))
-        parts.append(
-            qids.join(hits, "query_id", "left")
-            .select(F.lit(d).cast("int").alias("dim"), "query_id",
+    grid = qids.select(
+        "query_id",
+        F.explode(F.array(*[F.lit(d) for d in dims])).alias("dim"))
+    n_hits = F.coalesce(F.col("n_hits"), F.lit(0).cast("bigint"))
+    return (grid.join(hits, ["dim", "query_id"], "left")
+            .select(F.col("dim").cast("int").alias("dim"), "query_id",
                     n_hits.alias("n_hits"),
                     F.lit(k).cast("int").alias("k"),
                     (n_hits.cast("double") / F.lit(float(k)))
                     .alias("recall")))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
 
 
 def embedding_matryoshka_recall(spark: SparkSession,

@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..views import load, routes_reemitted, trips
+from ..views import load
 from .events import load_events
 
 
@@ -94,19 +94,46 @@ def trips_asof_route_version(spark: SparkSession, sf_dir: str) -> DataFrame:
     effect at the trip's event time, over the re-emitted route changelog
     (every 10th route has a second version one day later — views.py
     routes_reemitted). Trips predating the first version keep nulls.
-    Oracle: DuckDB's native ASOF LEFT JOIN."""
-    t = trips(spark, sf_dir).select("trip_id", "route_id", "event_ts")
-    chg = routes_reemitted(spark, sf_dir).select(
-        "route_id", "capacity", "event_ts")
-    out = asof_join_df(t, chg, on=["route_id"],
-                       value_cols=["capacity"])
+    Oracle: DuckDB's native ASOF LEFT JOIN.
+
+    Derivation pushdown (r16, the queries.py r15 pattern; guide §2.3):
+    ``route_id``/``trip_id`` are injective functions of the raw parquet
+    longs, so the union-trick window partitions and sorts on
+    ``l_orderkey``/``o_orderkey`` (8-byte longs) and carries
+    ``l_linenumber`` as the only trip payload; the decorated strings are
+    built on the OUTPUT rows, after the shuffle+sort. Row set identical:
+    the key map is injective, and within a (key, ts) the changelog
+    invariant (one version per ts) keeps last(ignorenulls) order-free."""
+    from ..queries import _capacity, _route_str
+
+    li = load(spark, sf_dir, "lineitem")
+    t = li.select(F.col("l_orderkey").alias("okey"),
+                  F.col("l_linenumber").alias("lno"),
+                  F.col("l_shipdate").alias("event_ts"))
+    o = load(spark, sf_dir, "orders")
+    reemit_cap = (((F.floor(F.col("o_totalprice")) + 37) % 200) + 1) \
+        .cast("int")
+    chg = (o.select(F.col("o_orderkey").alias("okey"),
+                    _capacity().alias("capacity"),
+                    F.col("o_orderdate").alias("event_ts"))
+           .unionByName(
+               o.where(F.col("o_orderkey") % 10 == 0)
+               .select(F.col("o_orderkey").alias("okey"),
+                       reemit_cap.alias("capacity"),
+                       (F.col("o_orderdate") + F.expr("INTERVAL 1 DAY"))
+                       .alias("event_ts"))))
+    out = asof_join_df(t, chg, on=["okey"], value_cols=["capacity"])
     # no-prior-version rows are kept (left-join semantics) but emitted
     # with total sentinels (-1 / epoch) instead of nulls: the driver's
     # value-hash compare treats float NaN as unequal to itself, so a gate
     # output must be null-free; the null behavior itself is pinned by
     # tests/test_temporal.py
+    okey = F.col("okey")
     return out.select(
-        "trip_id", "route_id", F.col("event_ts").alias("trip_ts"),
+        F.concat(F.lit("Trip_"), okey.cast("string"), F.lit("_"),
+                 F.col("lno").cast("string")).alias("trip_id"),
+        _route_str(okey).alias("route_id"),
+        F.col("event_ts").alias("trip_ts"),
         F.coalesce(F.col("capacity"), F.lit(-1)).alias("capacity_asof"),
         F.coalesce(F.col("version_ts"),
                    F.lit("1970-01-01 00:00:00").cast("timestamp"))

@@ -514,16 +514,21 @@ def ngram_lm_score_df(docs: DataFrame, min_count: int = 2) -> DataFrame:
     hash-matches the SQL oracle bit-for-bit.
 
     Scale shape: explode collapses to per-(doc, bigram) occurrence
-    counts FIRST (map-side-combined agg), the corpus count table
-    re-aggregates those partials (never re-explodes the corpus), and
-    the doc-side join is an equi-join on the bigram string — all
-    linear in corpus token count; no driver state, no UDF, no
-    broadcast of an unbounded vocabulary."""
+    counts FIRST (map-side-combined agg); the corpus frequency of each
+    bigram then rides ONE window over the bigram key (r16; guide §2.4)
+    — the previous separate count aggregate + join re-planned the
+    explode+groupBy subtree a second time (two corpus-sized bigram
+    explodes per evaluation, visible as two Generate branches in the
+    r15 plan). cnt = sum(occ) over (partition by bigram) is the same
+    exact integer; all stages stay linear in corpus token count, no
+    driver state, no UDF, no broadcast of an unbounded vocabulary."""
+    from pyspark.sql import Window
+
     docbg = (docs.select("doc_id", F.explode(bigrams_col()).alias("bigram"))
                  .groupBy("doc_id", "bigram")
                  .agg(F.count(F.lit(1)).alias("occ")))
-    counts = docbg.groupBy("bigram").agg(F.sum("occ").alias("cnt"))
-    agg = (docbg.join(counts, "bigram")
+    cnt = F.sum("occ").over(Window.partitionBy("bigram"))
+    agg = (docbg.withColumn("cnt", cnt)
                 .groupBy("doc_id")
                 .agg(F.sum("occ").cast("bigint").alias("n_bigrams"),
                      F.sum(F.when(F.col("cnt") >= min_count,
@@ -757,10 +762,18 @@ def _bpe_train_core(docs: DataFrame, n_merges: int
     (the only driver traffic), and a row-local JVM merge fold,
     localCheckpointed so the plan never nests folds."""
     spark = docs.sparkSession
-    head = (docs.select(F.explode(tokens_col()).alias("tok"))
-            .groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
-            .limit(_BPE_LOCAL_VOCAB_MAX + 1).collect())
+    # persisted before the probe (r16, ADVICE r15): on vocabulary
+    # overflow the distributed path below re-reads this same aggregate
+    # as its word table — the persist lets the checkpoint pick up the
+    # agg partitions the probe already computed instead of re-running
+    # the corpus-sized explode+groupBy from scratch. The local path
+    # (one bounded limit+collect job, unchanged) just unpersists.
+    wc_frame = (docs.select(F.explode(tokens_col()).alias("tok"))
+                .groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+                .persist())
+    head = wc_frame.limit(_BPE_LOCAL_VOCAB_MAX + 1).collect()
     if len(head) <= _BPE_LOCAL_VOCAB_MAX:
+        wc_frame.unpersist()
         for r in head:
             if "|" in r["tok"]:
                 raise ValueError(
@@ -781,7 +794,19 @@ def _bpe_train_core(docs: DataFrame, n_merges: int
             word_rows,
             schema="tok string, syms array<string>, cnt bigint")
         return merges, words, wc
-    wc = _word_counts(docs)
+    # distributed path: materialize the SAME aggregate the probe ran
+    # (localCheckpoint reads the persisted partitions) instead of
+    # re-deriving it via _word_counts; same eager checkpoint + '|'
+    # data-contract check as _word_counts
+    wc = wc_frame.localCheckpoint()
+    wc_frame.unpersist()
+    bad = wc.where(F.col("tok").contains("|")).limit(1).collect()
+    if bad:
+        raise ValueError(
+            f"BPE data contract violated: token {bad[0]['tok']!r} "
+            f"contains '|', the symbol delimiter of the wrapped-symbol "
+            f"DuckDB oracle (oracles._bpe_chain_parts) — the hash gate "
+            f"would desynchronize on this corpus")
     # single-char tokens never form a pair and merges only grow
     # symbols, so they can be dropped once, permanently
     words = (wc.where(F.length("tok") >= 2)

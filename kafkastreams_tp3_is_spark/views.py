@@ -31,8 +31,17 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
-# (applicationId, semanticHash) -> probed partition count; see spread()
+# (applicationId, semanticHash) -> probed partition count; see spread().
+# Bounded (r16, ADVICE r15): entries from a DIFFERENT application are
+# evicted whenever a new application inserts (a long-lived process that
+# restarts sessions would otherwise accrete dead-app entries forever),
+# and within one application the size is capped — at the cap the cache
+# resets rather than evicting piecemeal (the probe is a cheap re-pay;
+# a FIFO/LRU structure isn't worth the bookkeeping for a plan-property
+# memo). Correctness is unaffected either way: a missing entry only
+# re-probes.
 _SPREAD_PROBE_CACHE: dict[tuple[str, int], int] = {}
+_SPREAD_PROBE_CACHE_MAX = 4096
 
 
 def spread(df: DataFrame, key: str = "doc_id") -> DataFrame:
@@ -58,10 +67,14 @@ def spread(df: DataFrame, key: str = "doc_id") -> DataFrame:
         # PLAN PROPERTY for this heuristic only — a stale count could
         # at worst skip or add the floor (performance, never
         # correctness); results always recompute from the inputs.
-        k = (sc.applicationId, df.semanticHash())
+        app = sc.applicationId
+        k = (app, df.semanticHash())
         cur = _SPREAD_PROBE_CACHE.get(k)
         if cur is None:
             cur = df.rdd.getNumPartitions()
+            if any(a != app for a, _ in _SPREAD_PROBE_CACHE) or \
+                    len(_SPREAD_PROBE_CACHE) >= _SPREAD_PROBE_CACHE_MAX:
+                _SPREAD_PROBE_CACHE.clear()
             _SPREAD_PROBE_CACHE[k] = cur
     except Exception:
         return df

@@ -1,10 +1,11 @@
-"""Round-15 optimization profiler: time selected registry entries in
+"""Optimization-round profiler: time selected registry entries in
 isolation (same methodology as bench.py — force_full_eval, median of
 n runs, clearCache between samples) and optionally dump their
-explain("formatted") plans to plans/r15/<name>_<tag>.txt.
+explain("formatted") plans to plans/<round>/<name>_<tag>.txt.
 
 Usage:
-  python scripts/opt_profile.py [--runs N] [--plans TAG] name [name ...]
+  python scripts/opt_profile.py [--runs N] [--plans TAG] [--round rNN]
+                                name [name ...]
 
 The plan dump is the judge-facing before/after artifact; the timing is
 the local iteration loop (guide section 1: measure first, re-measure
@@ -29,8 +30,10 @@ def main() -> None:
     ap.add_argument("names", nargs="+")
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--plans", default=None,
-                    help="dump explain('formatted') to plans/r15/"
+                    help="dump explain('formatted') to plans/<round>/"
                          "<name>_<TAG>.txt")
+    ap.add_argument("--round", default="r16",
+                    help="plans subdirectory (default r16)")
     ap.add_argument("--sf-dir",
                     default=os.environ.get("SPARK_GRAFT_SF_DIR",
                                            "/root/testdata/sf0.1"))
@@ -55,7 +58,7 @@ def main() -> None:
      .agg(F.sum("o_totalprice"), F.count(F.lit(1))).collect())
 
     plans_dir = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "plans", "r15")
+        os.path.abspath(__file__))), "plans", args.round)
     if args.plans:
         os.makedirs(plans_dir, exist_ok=True)
 
