@@ -40,3 +40,26 @@ def test_composed_operator_transfers_ownership(spark, planted_docs):
     release(out)
     assert all(not (f.storageLevel.useMemory or f.storageLevel.useDisk)
                for f in frames)
+
+
+def test_spread_probe_cache_is_bounded(spark):
+    """views._SPREAD_PROBE_CACHE eviction (ADVICE r15): entries from a
+    dead applicationId are dropped on the next insert, and the size
+    never exceeds the cap within one application."""
+    from pyspark.sql import functions as F
+
+    from kafkastreams_tp3_is_spark import views
+
+    df = spark.range(10).select(F.col("id").alias("doc_id"))
+    views._SPREAD_PROBE_CACHE.clear()
+    views._SPREAD_PROBE_CACHE[("dead-app", 12345)] = 1
+    views.spread(df)  # insert under the live app evicts the dead one
+    assert ("dead-app", 12345) not in views._SPREAD_PROBE_CACHE
+    assert len(views._SPREAD_PROBE_CACHE) == 1
+    app = spark.sparkContext.applicationId
+    views._SPREAD_PROBE_CACHE.clear()
+    for i in range(views._SPREAD_PROBE_CACHE_MAX):
+        views._SPREAD_PROBE_CACHE[(app, i)] = 1
+    views.spread(df.select((F.col("doc_id") + 1).alias("doc_id")))
+    assert len(views._SPREAD_PROBE_CACHE) <= views._SPREAD_PROBE_CACHE_MAX
+    views._SPREAD_PROBE_CACHE.clear()

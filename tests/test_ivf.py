@@ -360,3 +360,36 @@ def test_append_rereads_commit_and_survives_rebuild_race(spark, tmp_path):
     odd_ids = {r["vec_id"] for r in odd.select("vec_id").collect()}
     assert odd_ids <= live_ids, \
         "appended delta must live in the committed generation"
+
+
+def test_multi_assigned_postings_identical_across_cells(spark, tmp_path):
+    """The lag-compare dedup in the IVF rankers assumes a vec_id posted
+    to several cells stores BYTE-IDENTICAL payload rows in every cell
+    (duplicates then score identically, sort adjacent, and dedup in the
+    window). Pin the producer side of that invariant: for every posting
+    column, each multi-assigned vec_id has exactly one distinct value
+    across its cells — in both the float and sq8 layouts."""
+    import json
+    import os
+
+    from kafkastreams_tp3_is_spark.operators.ivf import build_ivf_index
+    from pyspark.sql import functions as F
+
+    emb = load(spark, SF_DIR, "embeddings")
+    for sq8 in (False, True):
+        idx = str(tmp_path / f"idx_sq8_{sq8}")
+        build_ivf_index(emb, idx, n_centroids=8, m_assign=2,
+                        store_sq8=sq8)
+        with open(os.path.join(idx, "centroids.json")) as f:
+            live = json.load(f)["postings_dir"]
+        posts = spark.read.parquet(os.path.join(idx, live))
+        payload = [c for c in posts.columns if c not in ("vec_id", "cell")]
+        multi = (posts.groupBy("vec_id")
+                 .agg(F.count(F.lit(1)).alias("n_cells"),
+                      *[F.countDistinct(F.col(c).cast("string"))
+                        .alias(f"d_{c}") for c in payload])
+                 .where(F.col("n_cells") >= 2))
+        assert multi.count() > 0, "fixture must multi-assign some vectors"
+        for c in payload:
+            bad = multi.where(F.col(f"d_{c}") != 1).count()
+            assert bad == 0, f"column {c} differs across cells"
