@@ -34,6 +34,25 @@ def force_full_eval(df) -> tuple[int, int]:
     return row["checksum"] or 0, row["n"]
 
 
+def _total_task_ms(spark) -> int | None:
+    """Cumulative executor task time (ms) from the in-memory status
+    store (works with the UI disabled). Per-query DELTAS of this
+    counter are the scaling evidence wall-clock cannot give at sf0.1
+    (r16, VERDICT r15 ask #2): sub-5s entries are stage-latency-bound,
+    so their 8-vs-32-core WALL ratio reads ~1 even when the parallel
+    work is real — task time measures the work itself. Returns None if
+    the status store is unreachable (never fails the bench)."""
+    try:
+        total = 0
+        it = (spark.sparkContext._jsc.sc().statusStore()
+              .executorList(False).iterator())
+        while it.hasNext():
+            total += it.next().totalDuration()
+        return total
+    except Exception:
+        return None
+
+
 # Exact-family correctness baselines: registered in queries() so the
 # driver hash-checks them against DuckDB at small SF, but NOT part of the
 # scale surface. embedding_near_dup_exact is O(N^2) by definition;
@@ -286,6 +305,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     timings_min: dict[str, float] = {}
+    task_secs: dict[str, float] = {}
     baselines: dict[str, float] = {}
     demos: dict[str, float] = {}
     composed: dict[str, float] = {}
@@ -308,12 +328,17 @@ def main() -> None:
         # single-run the first registry query (recording its codegen-
         # heavy first execution as the median)
         single_run = out is demos or out is composed
+        task_samples = []
         for _ in range(1 if single_run else n_runs):
+            task0 = _total_task_ms(spark)
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             _, n = force_full_eval(df)
             samples.append(round(time.perf_counter() - t0, 4))
             assert n >= 0
+            task1 = _total_task_ms(spark)
+            if task0 is not None and task1 is not None:
+                task_samples.append(round((task1 - task0) / 1000.0, 4))
             # drop frames the query persisted: leaked storage memory
             # otherwise GC-pressures every LATER query (measured 2.8x on
             # dedup_simhash following the LSH ops), coupling timings to
@@ -322,6 +347,9 @@ def main() -> None:
         out[name] = sorted(samples)[len(samples) // 2]
         if out is timings:
             timings_min[name] = min(samples)
+            if task_samples:
+                task_secs[name] = sorted(
+                    task_samples)[len(task_samples) // 2]
     # whole-topology streaming bench (after the demos — same state-store
     # residue ordering concern); both emission modes, see bench_topology
     topology_13q = bench_topology(spark, sf_dir, changelog=True)
@@ -355,6 +383,11 @@ def main() -> None:
             "git_sha": git_sha,
             "queries": timings,           # median of n_runs per query
             "queries_min": timings_min,   # min of n_runs: the noise floor
+            # median executor TASK time per query (status-store deltas):
+            # the core-count-independent work measure — at sf0.1 wall is
+            # stage-latency-bound, so wall ratios across core counts
+            # read ~1 while task_sec/wall shows the actual parallelism
+            "queries_task_sec": task_secs,
             "bench_runs": n_runs,
             "baselines": baselines,
             "demos": demos,
@@ -431,9 +464,16 @@ def main() -> None:
             "sf": sf_val,
         }
         if truncated:
-            # the queries map is partial (reference queries only) — let a
-            # consumer of the line tell, rather than infer from its size
+            # the queries map is partial (reference queries + scale
+            # probes only) — let a consumer of the line tell, rather
+            # than infer from its size
             payload["queries_truncated"] = True
+            # task-time of the scale probes, inline: the work measure
+            # the low-core wall comparison lacks (see _total_task_ms)
+            probe_task = {k: round(task_secs[k], 2)
+                          for k in SCALE_PROBE_QUERIES if k in task_secs}
+            if probe_task:
+                payload["probe_task_sec"] = probe_task
         return json.dumps(payload, separators=(",", ":"))
 
     out_line = line_for(timings)

@@ -924,33 +924,43 @@ def _ivf_flat_ranked(emb: DataFrame, n_queries: int = 5, k: int = 10,
     cents = (emb.orderBy("vec_id").limit(n_centroids)
              .select(F.col("vec_id").alias("cvid"),
                      _as_double("embedding").alias("cent")))
+    # norms precomputed ONCE per row (r16; guide §2.3 — the previous
+    # inline _cosine re-folded norm(v) per centroid pair and norm(cent)
+    # per vector): dot/(nv * nc) is the identical IEEE expression with
+    # the factors evaluated once, so every cosine is bit-unchanged
+    # (oracle re-proven)
     cents = (cents.withColumn(
                  "cell", F.row_number().over(Window.orderBy("cvid")) - 1)
-             .select("cell", "cent"))
+             .select("cell", "cent", _norm(F.col("cent")).alias("ncent")))
 
     def top_cells(vecs: DataFrame, m: int) -> DataFrame:
-        scored = (vecs.crossJoin(F.broadcast(cents))
-                  .select("vec_id", "v", "cell",
-                          _cosine(F.col("v"), F.col("cent")).alias("ccos")))
+        vn = vecs.select("vec_id", "v", _norm(F.col("v")).alias("nv"))
+        scored = (vn.crossJoin(F.broadcast(cents))
+                  .select("vec_id", "v", "nv", "cell",
+                          (_dot(F.col("v"), F.col("cent"))
+                           / (F.col("nv") * F.col("ncent")))
+                          .alias("ccos")))
         w = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(),
                                                  F.col("cell").asc())
         return (scored.withColumn("r", F.row_number().over(w))
-                .where(F.col("r") <= m).select("vec_id", "v", "cell"))
+                .where(F.col("r") <= m)
+                .select("vec_id", "v", "nv", "cell"))
 
     corpus = emb.select("vec_id", _as_double("embedding").alias("v"))
     queries = (emb.orderBy("vec_id").limit(n_queries)
                .select("vec_id", _as_double("embedding").alias("v")))
     ccells = top_cells(corpus, m_assign).select(
         F.col("vec_id").alias("neighbor_id"), F.col("v").alias("c_vec"),
-        "cell")
+        F.col("nv").alias("nc"), "cell")
     qcells = top_cells(queries, nprobe).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("q_vec"),
-        "cell")
+        F.col("nv").alias("nq"), "cell")
     cands = (ccells.join(F.broadcast(qcells), "cell")
              .where(F.col("neighbor_id") != F.col("query_id")))
     scored = cands.select(
         "query_id", "neighbor_id",
-        _cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine"))
+        (_dot(F.col("q_vec"), F.col("c_vec"))
+         / (F.col("nq") * F.col("nc"))).alias("cosine"))
     # Multi-assign duplicates (a neighbor sharing two probed cells of
     # the same query) are EXACT row duplicates — same vectors, same
     # cosine — so after the window sort they are ADJACENT and one
