@@ -34,20 +34,51 @@ def force_full_eval(df) -> tuple[int, int]:
     return row["checksum"] or 0, row["n"]
 
 
-def _total_task_ms(spark) -> int | None:
-    """Cumulative executor task time (ms) from the in-memory status
-    store (works with the UI disabled). Per-query DELTAS of this
-    counter are the scaling evidence wall-clock cannot give at sf0.1
-    (r16, VERDICT r15 ask #2): sub-5s entries are stage-latency-bound,
-    so their 8-vs-32-core WALL ratio reads ~1 even when the parallel
-    work is real — task time measures the work itself. Returns None if
-    the status store is unreachable (never fails the bench)."""
+def _stage_list(spark):
+    """The in-memory status store's stage list (works with the UI
+    disabled), ordered DESCENDING by stageId — the caller can stop at a
+    stage-id watermark instead of paying a py4j round-trip per retained
+    stage."""
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    return sc._jsc.sc().statusStore().stageList(
+        jvm.java.util.ArrayList(), False, False,
+        sc._gateway.new_array(jvm.double, 0),
+        jvm.java.util.ArrayList())
+
+
+def _max_stage_id(spark) -> int | None:
+    """Highest stage id the status store has seen (-1 when empty); the
+    per-query watermark for _task_ms_above. None if the store is
+    unreachable (never fails the bench)."""
+    try:
+        it = _stage_list(spark).iterator()
+        return it.next().stageId() if it.hasNext() else -1
+    except Exception:
+        return None
+
+
+def _task_ms_above(spark, watermark: int) -> int | None:
+    """Sum of executorRunTime (ms) over stages with id > watermark —
+    i.e. the stages one query just ran. This is the scaling evidence
+    wall-clock cannot give at sf0.1 (r16, VERDICT r15 ask #2): every
+    registry entry is stage-latency-bound at this SF, so 8-vs-32-core
+    WALL ratios read ~1 even when the parallel work is real; summed
+    task runtime measures the work itself (validated: 32 concurrent
+    1s-sleep tasks report ~39,000 ms against a 1.3 s wall — the
+    executor-summary totalDuration first tried here reads ~wall in
+    local mode and was discarded). Slight undercount when the listener
+    bus lags the collect() return; stage eviction cannot distort it
+    because a query's own stages are the newest retained. None if the
+    store is unreachable."""
     try:
         total = 0
-        it = (spark.sparkContext._jsc.sc().statusStore()
-              .executorList(False).iterator())
+        it = _stage_list(spark).iterator()
         while it.hasNext():
-            total += it.next().totalDuration()
+            s = it.next()
+            if s.stageId() <= watermark:
+                break
+            total += s.executorRunTime()
         return total
     except Exception:
         return None
@@ -330,15 +361,15 @@ def main() -> None:
         single_run = out is demos or out is composed
         task_samples = []
         for _ in range(1 if single_run else n_runs):
-            task0 = _total_task_ms(spark)
+            wm = _max_stage_id(spark)
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             _, n = force_full_eval(df)
             samples.append(round(time.perf_counter() - t0, 4))
             assert n >= 0
-            task1 = _total_task_ms(spark)
-            if task0 is not None and task1 is not None:
-                task_samples.append(round((task1 - task0) / 1000.0, 4))
+            task1 = _task_ms_above(spark, wm) if wm is not None else None
+            if task1 is not None:
+                task_samples.append(round(task1 / 1000.0, 4))
             # drop frames the query persisted: leaked storage memory
             # otherwise GC-pressures every LATER query (measured 2.8x on
             # dedup_simhash following the LSH ops), coupling timings to
