@@ -291,3 +291,22 @@ def test_fuzzy_dup_clusters_all_short_key_families(spark):
             assert cluster_of[route] == cluster_of[9_750_000_000 + i], i
     for cid, members in by_cluster.items():
         assert cid == min(members)
+
+
+def test_fixture_pairs_equal_direct_computation(spark):
+    """The r16 shared candidate inventory must be invisible in the
+    result: fuzzy_edit_pairs (candidates read back from the per-process
+    parquet store, verify per call) equals edit_distance_pairs_df run
+    directly over the same planted corpus — row-for-row."""
+    from kafkastreams_tp3_is_spark.operators import fuzzy
+
+    direct = fuzzy.edit_distance_pairs_df(
+        fuzzy._fixture_long_corpus(spark, SF_DIR))
+    via_store = fuzzy.fuzzy_edit_pairs(spark, SF_DIR)
+    a = sorted(map(tuple, via_store.collect()))
+    b = sorted(map(tuple, direct.collect()))
+    assert a == b and len(a) > 0
+    # and the store is per-session: the same session reuses the path
+    p1 = fuzzy._ensure_fixture_candidates(spark, SF_DIR, 2)
+    p2 = fuzzy._ensure_fixture_candidates(spark, SF_DIR, 2)
+    assert p1 == p2
